@@ -11,6 +11,9 @@ import importlib
 # Grows as codec families land; each module exposes register().
 _CODEC_MODULES = [
     "rle",
+    "jpeg_baseline",
+    "jpeg_extended",
+    "jpeg_lossless",
 ]
 
 _REGISTERED = False

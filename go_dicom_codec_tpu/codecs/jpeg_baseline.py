@@ -1,0 +1,289 @@
+"""JPEG Baseline (Process 1, SOF0) codec — UID 1.2.840.10008.1.2.4.50.
+
+Behavioral parity with reference jpeg/baseline/: 8-bit lossy, grayscale or
+RGB→YCbCr 1:1:1 (no subsampling), per-image optimal Huffman tables
+(two-pass), fo-dicom-compatible headers (gray component ID 0, RGB IDs
+1/2/3, no APP0 — encoder.go:82-257), IJG quality curve, edge-replicated
+partial blocks.
+
+TPU split: the whole MCU grid's DCT+quant+zigzag runs as one device launch
+(ops/dct8x8.py); symbol-stream assembly and bit packing are vectorized
+numpy (codecs/jpeg_common.py); decode parses markers host-side, entropy-
+decodes sequentially, then dequant+IDCT+color-convert in one device launch.
+The decoder also handles subsampled (H,V) streams and restart intervals
+(reference decoder.go:359-498 with proper RST predictor resets).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from .. import uids
+from ..codestream import jpeg_markers as mk
+from ..entropy import huffman as hf
+from ..errors import CorruptStreamError, UnsupportedFormatError
+from ..frames import FrameInfo, PixelData, frame_to_array
+from ..ops.dct8x8 import (decode_zigzag_to_plane, encode_plane_to_zigzag,
+                          rgb_to_ycbcr, ycbcr_to_rgb)
+from ..params import Parameters, require_range
+from ..registry import Codec, get_global_registry
+from . import jpeg_common as jc
+
+
+class JPEGBaselineParameters(Parameters):
+    """Quality 1-100 (reference jpeg/baseline/parameters.go:10-71)."""
+
+    def __init__(self, quality: int = 90, **kw):
+        super().__init__(quality=quality, **kw)
+
+    @property
+    def quality(self) -> int:
+        return int(self.get_parameter("quality", 90))
+
+    def with_quality(self, q: int) -> "JPEGBaselineParameters":
+        return self.with_("quality", q)
+
+    def validate(self) -> None:
+        require_range("quality", self.quality, 1, 100)
+
+
+def encode(pixels: bytes | np.ndarray, width: int, height: int,
+           components: int, quality: int = 90,
+           sof_marker: int = mk.SOF0, precision: int = 8,
+           write_jfif: bool = False) -> bytes:
+    """Byte-level encode (reference jpeg/baseline/encoder.go:26-116).
+
+    precision=12 + sof_marker=SOF1 gives the Extended sequential path
+    (reference jpeg/extended/sequential12.go:24-125: mono only, JFIF APP0,
+    component ID 1, luma table).
+    """
+    if width <= 0 or height <= 0:
+        raise UnsupportedFormatError("invalid dimensions")
+    if components not in (1, 3):
+        raise UnsupportedFormatError(f"components={components} not in (1, 3)")
+    require_range("quality", quality, 1, 100)
+
+    dt = np.uint8 if precision <= 8 else np.dtype("<u2")
+    if isinstance(pixels, (bytes, bytearray, memoryview)):
+        arr = np.frombuffer(pixels, dtype=dt,
+                            count=width * height * components)
+    else:
+        arr = np.asarray(pixels, dtype=dt)
+    arr = arr.reshape(height, width, components)
+
+    # byte-precision DQT like the reference (sequential12.go:86-91)
+    max_q = 255
+    qtables = [jc.scale_quant_table(jc.LUMA_QUANT, quality, max_q)]
+    if components == 3:
+        qtables.append(jc.scale_quant_table(jc.CHROMA_QUANT, quality, max_q))
+
+    level = 1 << (precision - 1)
+    # Device stage: color transform + full-grid DCT/quant/zigzag
+    if components == 1:
+        planes = [jnp.asarray(arr[:, :, 0].astype(np.int32))]
+        plane_tables = [0]
+    else:
+        ycc = np.asarray(rgb_to_ycbcr(jnp.asarray(arr)))
+        planes = [jnp.asarray(ycc[:, :, i].astype(np.int32)) for i in range(3)]
+        plane_tables = [0, 1, 1]
+
+    comp_zz = []
+    for p, t in zip(planes, plane_tables):
+        zz = np.asarray(encode_plane_to_zigzag(
+            p, jnp.asarray(qtables[t]), level_shift=level))
+        comp_zz.append(zz.reshape(-1, 64))
+
+    # Host stage: optimal Huffman + vectorized entropy coding
+    stream = jc.build_scan_symbols(comp_zz, plane_tables)
+    n_tables = 2 if components == 3 else 1
+    dc_freq, ac_freq = jc.count_frequencies(stream, n_tables)
+    dc_tabs = [hf.build_optimal_table(dc_freq[t]) for t in range(n_tables)]
+    ac_tabs = [hf.build_optimal_table(ac_freq[t]) for t in range(n_tables)]
+    scan = jc.encode_scan(stream, dc_tabs, ac_tabs)
+
+    w = mk.JpegWriter()
+    w.write_marker(mk.SOI)
+    if write_jfif:
+        w.write_segment(mk.APP0,
+                        b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for t in range(n_tables):
+        w.write_segment(mk.DQT, jc.dqt_payload(t, qtables[t]))
+    if components == 1:
+        # fo-dicom gray component ID 0 for baseline; ID 1 for 12-bit SOF1
+        cid = 0 if sof_marker == mk.SOF0 else 1
+        sof_comps = [(cid, 1, 1, 0)]
+        sos_comps = [(cid, 0, 0)]
+    else:
+        sof_comps = [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+        sos_comps = [(1, 0, 0), (2, 1, 1), (3, 1, 1)]
+    w.write_segment(sof_marker,
+                    jc.sof_payload(precision, width, height, sof_comps))
+    dht = [(0, t, dc_tabs[t]) for t in range(n_tables)]
+    dht += [(1, t, ac_tabs[t]) for t in range(n_tables)]
+    w.write_segment(mk.DHT, hf.dht_payload(dht))
+    w.write_segment(mk.SOS, jc.sos_payload(sos_comps))
+    w.write_bytes(scan)
+    w.write_marker(mk.EOI)
+    return w.get_bytes()
+
+
+def decode(data: bytes,
+           expected_sofs: Tuple[int, ...] = (mk.SOF0,),
+           max_precision: int = 8):
+    """Byte-level decode → (pixels bytes, width, height, components).
+
+    Mirrors reference jpeg/baseline/decoder.go:40-111's marker loop.
+    """
+    r = mk.JpegReader(data)
+    if r.read_marker() != mk.SOI:
+        raise CorruptStreamError("missing SOI")
+
+    qtables: Dict[int, np.ndarray] = {}
+    dc_tables: Dict[int, hf.HuffmanTable] = {}
+    ac_tables: Dict[int, hf.HuffmanTable] = {}
+    restart = 0
+    frame = None  # (precision, W, H, [(id, h, v, tq)])
+    scan_info = None
+
+    while True:
+        marker = r.read_marker()
+        if marker in expected_sofs:
+            p = r.read_segment()
+            precision = p[0]
+            if precision > max_precision:
+                raise UnsupportedFormatError(
+                    f"unsupported precision {precision}")
+            h = (p[1] << 8) | p[2]
+            w = (p[3] << 8) | p[4]
+            nc = p[5]
+            comps = []
+            for i in range(nc):
+                off = 6 + i * 3
+                comps.append((p[off], p[off + 1] >> 4, p[off + 1] & 0x0F,
+                              p[off + 2]))
+            frame = (precision, w, h, comps)
+        elif marker in (mk.SOF1, mk.SOF2, mk.SOF3, mk.SOF5, mk.SOF6, mk.SOF7,
+                        mk.SOF9, mk.SOF10, mk.SOF11, mk.SOF13, mk.SOF14,
+                        mk.SOF15, mk.SOF0, mk.SOF55):
+            raise UnsupportedFormatError(
+                f"unsupported SOF marker 0x{marker:02X} for this codec")
+        elif marker == mk.DQT:
+            jc.parse_dqt(r.read_segment(), qtables)
+        elif marker == mk.DHT:
+            for cls, tid, tab in hf.parse_dht(r.read_segment()):
+                (dc_tables if cls == 0 else ac_tables)[tid] = tab
+        elif marker == mk.DRI:
+            p = r.read_segment()
+            restart = (p[0] << 8) | p[1]
+        elif marker == mk.SOS:
+            p = r.read_segment()
+            ns = p[0]
+            sel = []
+            for i in range(ns):
+                sel.append((p[1 + i * 2], p[2 + i * 2] >> 4,
+                            p[2 + i * 2] & 0x0F))
+            scan_info = sel
+            scan_bytes, _ = r.find_scan_end()
+            break
+        elif marker == mk.EOI:
+            raise CorruptStreamError("EOI before scan data")
+        else:
+            if mk.has_length(marker):
+                r.read_segment()
+
+    if frame is None or scan_info is None:
+        raise CorruptStreamError("missing SOF/SOS")
+    precision, width, height, comps = frame
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    mcu_cols = -(-width // (8 * max_h))
+    mcu_rows = -(-height // (8 * max_v))
+
+    layout = []
+    order = []
+    for cid, td, ta in scan_info:
+        match = [c for c in comps if c[0] == cid]
+        if not match:
+            raise CorruptStreamError(f"scan references unknown component {cid}")
+        _, ch, cv, tq = match[0]
+        layout.append((ch, cv, td, ta, mcu_cols * ch))
+        order.append((ch, cv, tq))
+
+    comp_zz = jc.decode_scan(scan_bytes, layout, dc_tables, ac_tables,
+                             mcu_cols, mcu_rows, restart)
+
+    # Device stage: dequant + IDCT + clamp per component, then upsample
+    level = 1 << (precision - 1)
+    max_val = (1 << precision) - 1
+    planes = []
+    for ci, ((ch, cv, tq), zz) in enumerate(zip(order, comp_zz)):
+        bpr = mcu_cols * ch
+        nrows = mcu_rows * cv
+        if tq not in qtables:
+            raise CorruptStreamError(f"missing quant table {tq}")
+        zzd = jnp.asarray(zz.reshape(nrows, bpr, 64))
+        plane = np.asarray(decode_zigzag_to_plane(
+            zzd, jnp.asarray(qtables[tq]), level_shift=level,
+            max_val=max_val))
+        # nearest-neighbor upsample to full resolution
+        ys = (np.arange(height) * cv) // max_v
+        xs = (np.arange(width) * ch) // max_h
+        planes.append(plane[np.ix_(ys, xs)])
+
+    nc = len(planes)
+    if nc == 1:
+        out = planes[0].astype(np.uint8 if precision == 8 else "<u2")
+        return out.tobytes(), width, height, 1
+    ycc = np.stack(planes, axis=-1).astype(np.uint8)
+    rgb = np.asarray(ycbcr_to_rgb(jnp.asarray(ycc)))
+    return rgb.tobytes(), width, height, 3
+
+
+class JPEGBaselineCodec(Codec):
+    """Registry adapter (reference jpeg/baseline/codec.go:14-188)."""
+
+    def __init__(self, quality: int = 90):
+        self._quality = quality if 1 <= quality <= 100 else 90
+
+    def name(self) -> str:
+        return f"JPEG Baseline (Quality {self._quality})"
+
+    def transfer_syntax(self) -> str:
+        return uids.JPEG_BASELINE_8BIT
+
+    def get_default_parameters(self) -> Parameters:
+        return JPEGBaselineParameters(quality=self._quality)
+
+    def encode(self, old_pixel_data: PixelData, new_pixel_data: PixelData,
+               parameters: Optional[Parameters] = None) -> None:
+        info = old_pixel_data.get_frame_info()
+        if info.bits_stored > 8:
+            raise UnsupportedFormatError(
+                f"JPEG Baseline only supports 8-bit data, got "
+                f"{info.bits_stored} bits")
+        q = self._quality
+        if parameters is not None:
+            qv = parameters.get_parameter("quality")
+            if isinstance(qv, int) and 1 <= qv <= 100:
+                q = qv
+        for i in range(old_pixel_data.frame_count()):
+            frame = old_pixel_data.get_frame(i)
+            if info.samples_per_pixel == 3 and info.planar_configuration == 1:
+                frame = np.ascontiguousarray(
+                    frame_to_array(frame, info)).tobytes()
+            new_pixel_data.add_frame(encode(
+                frame, info.width, info.height, info.samples_per_pixel, q))
+
+    def decode(self, old_pixel_data: PixelData, new_pixel_data: PixelData,
+               parameters: Optional[Parameters] = None) -> None:
+        for i in range(old_pixel_data.frame_count()):
+            pixels, _, _, _ = decode(old_pixel_data.get_frame(i))
+            new_pixel_data.add_frame(pixels)
+
+
+def register() -> None:
+    get_global_registry().register_codec(uids.JPEG_BASELINE_8BIT,
+                                         JPEGBaselineCodec())

@@ -16,12 +16,15 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# NOTE: do NOT enable the persistent compilation cache here — this
+# environment routes compiles through a remote service
+# (PALLAS_AXON_REMOTE_COMPILE) whose XLA:CPU AOT artifacts target a
+# different microarchitecture and silently compute garbage when reloaded.
+os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
 import numpy as np
 import pytest
