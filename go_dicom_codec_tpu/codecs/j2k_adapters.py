@@ -1,0 +1,115 @@
+"""JPEG 2000 DICOM transfer-syntax adapters.
+
+Role of reference jpeg2000/lossless/codec.go (UIDs .90/.92) and
+jpeg2000/lossy/codec.go (UIDs .91/.93): map FrameInfo + Parameters to
+J2KEncodeParams, loop frames, decode with auto-detection.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from .. import uids
+from ..errors import UnsupportedFormatError
+from ..frames import FrameInfo, PixelData, frame_to_array
+from ..params import Parameters, require_range
+from ..registry import Codec, get_global_registry
+from .jpeg2000 import (J2KDecoder, J2KEncodeParams, J2KEncoder,
+                       decode_to_pixels)
+
+
+class J2KLosslessParameters(Parameters):
+    """Reference jpeg2000/lossless/parameters.go:12-246 subset."""
+
+    def __init__(self, num_levels: int = 5, progression: int = 0,
+                 cb_width: int = 64, cb_height: int = 64, **kw):
+        super().__init__(num_levels=num_levels, progression=progression,
+                         cb_width=cb_width, cb_height=cb_height, **kw)
+
+    def with_num_levels(self, n: int):
+        return self.with_("num_levels", n)
+
+    def with_progression(self, p: int):
+        return self.with_("progression", p)
+
+    def validate(self) -> None:
+        require_range("num_levels", int(self.get_parameter("num_levels", 5)),
+                      0, 6)
+
+
+def _params_from(parameters: Optional[Parameters],
+                 lossless: bool) -> J2KEncodeParams:
+    p = J2KEncodeParams(lossless=lossless)
+    if parameters is None:
+        return p
+    def geti(key, default):
+        v = parameters.get_parameter(key, default)
+        return default if v is None else int(v)
+    p.num_levels = geti("num_levels", p.num_levels)
+    p.progression = geti("progression", p.progression)
+    p.cb_width = geti("cb_width", p.cb_width)
+    p.cb_height = geti("cb_height", p.cb_height)
+    p.tile_width = geti("tile_width", 0)
+    p.tile_height = geti("tile_height", 0)
+    p.num_layers = geti("num_layers", 1)
+    p.cb_style = geti("cb_style", 0)
+    return p
+
+
+class J2KLosslessCodec(Codec):
+    """UID .90 (reference jpeg2000/lossless/codec.go:306-322)."""
+
+    _uid = uids.JPEG_2000_LOSSLESS
+
+    def name(self) -> str:
+        return "JPEG 2000 Lossless"
+
+    def transfer_syntax(self) -> str:
+        return self._uid
+
+    def get_default_parameters(self) -> Parameters:
+        return J2KLosslessParameters()
+
+    def encode(self, old_pixel_data: PixelData, new_pixel_data: PixelData,
+               parameters: Optional[Parameters] = None) -> None:
+        info = old_pixel_data.get_frame_info()
+        params = _params_from(parameters, lossless=True)
+        enc = J2KEncoder(params)
+        for i in range(old_pixel_data.frame_count()):
+            frame = old_pixel_data.get_frame(i)
+            if info.samples_per_pixel == 3 and info.planar_configuration == 1:
+                frame = np.ascontiguousarray(
+                    frame_to_array(frame, info)).tobytes()
+            new_pixel_data.add_frame(enc.encode(
+                frame, info.width, info.height, info.samples_per_pixel,
+                info.bits_stored, info.is_signed))
+
+    def decode(self, old_pixel_data: PixelData, new_pixel_data: PixelData,
+               parameters: Optional[Parameters] = None) -> None:
+        info = old_pixel_data.get_frame_info()
+        for i in range(old_pixel_data.frame_count()):
+            pix, w, h, c, depth, signed = decode_to_pixels(
+                old_pixel_data.get_frame(i))
+            if (info.bytes_allocated == 2 and depth <= 8):
+                # widen to the container the DICOM dataset expects
+                dt = np.int8 if signed else np.uint8
+                wd = np.dtype("<i2") if signed else np.dtype("<u2")
+                pix = np.frombuffer(pix, dtype=dt).astype(wd).tobytes()
+            new_pixel_data.add_frame(pix)
+
+
+class J2KMCLosslessCodec(J2KLosslessCodec):
+    """UID .92 — Part 2 multi-component lossless."""
+
+    _uid = uids.JPEG_2000_MC_LOSSLESS
+
+    def name(self) -> str:
+        return "JPEG 2000 Part 2 Multi-component Lossless"
+
+
+def register() -> None:
+    reg = get_global_registry()
+    reg.register_codec(uids.JPEG_2000_LOSSLESS, J2KLosslessCodec())
+    reg.register_codec(uids.JPEG_2000_MC_LOSSLESS, J2KMCLosslessCodec())

@@ -1,0 +1,373 @@
+"""JPEG 2000 Part 1 codec core — encoder + decoder orchestration.
+
+Role of reference jpeg2000/encoder.go (pipeline: pixel→planar int32, DC
+shift, RCT, per-tile DWT, per-codeblock T1, T2 packets, SOT/SOD framing)
+and jpeg2000/decoder.go + t2/tile_decoder.go (parse → packets → T1 →
+assemble subbands → IDWT → inverse MCT → pixels).
+
+TPU split per SURVEY.md §2.6: the transform stages (DC shift, RCT,
+multilevel 5/3 DWT) run batched on device (ops/), subband extraction is a
+slice of the packed-Mallat array, code-block stats come from one reduction
+(ops/blockstats), and the serial EBCOT/MQ stages run host-side per block.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..codestream import j2k
+from ..entropy.ebcot import T1Decoder, T1Encoder
+from ..errors import CorruptStreamError, UnsupportedFormatError
+from ..ops.dwt53 import fwd53_multilevel, inv53_multilevel
+from ..ops.mct import (dc_level_shift, inv_dc_level_shift, rct_forward,
+                       rct_inverse)
+from ..t2.packets import (BlockState, PrecinctState, decode_packet,
+                          encode_packet, progression_order)
+from .j2k_geometry import (BandGeom, ResolutionGeom, build_tile_geometry,
+                           band_gain, ceil_div)
+
+
+@dataclass
+class J2KEncodeParams:
+    """Encoder configuration (role of reference EncodeParams,
+    jpeg2000/encoder.go:17-99; lossless subset this round)."""
+    num_levels: int = 5
+    lossless: bool = True
+    cb_width: int = 64
+    cb_height: int = 64
+    progression: int = j2k.PROG_LRCP
+    num_layers: int = 1
+    tile_width: int = 0       # 0 = single tile covering the image
+    tile_height: int = 0
+    cb_style: int = 0
+    mct: Optional[bool] = None  # None = auto (RCT for 3 components)
+    precincts: Optional[List[Tuple[int, int]]] = None
+    comment: bytes = b"go-dicom-codec-tpu"
+    guard_bits: int = 2
+
+    def clamped_levels(self, w: int, h: int) -> int:
+        """Clamp levels so the coarsest LL stays ≥1 px (lossy/codec.go:392)."""
+        lv = self.num_levels
+        while lv > 0 and (min(w, h) >> lv) < 1:
+            lv -= 1
+        return lv
+
+
+def _band_index(r: int, band: int) -> int:
+    """QCD subband order: LL, then (HL, LH, HH) per resolution 1..L."""
+    if r == 0:
+        return 0
+    return 1 + (r - 1) * 3 + (band - 1)
+
+
+class J2KEncoder:
+    def __init__(self, params: Optional[J2KEncodeParams] = None) -> None:
+        self.params = params or J2KEncodeParams()
+
+    def encode(self, pixels, width: int, height: int, components: int,
+               bit_depth: int, signed: bool = False) -> bytes:
+        p = self.params
+        if not p.lossless:
+            raise UnsupportedFormatError(
+                "lossy path lives in J2KLossyEncoder")
+        if components not in (1, 3):
+            raise UnsupportedFormatError("components must be 1 or 3")
+
+        dt = (np.dtype("<i2") if signed else np.dtype("<u2")) \
+            if bit_depth > 8 else (np.int8 if signed else np.uint8)
+        if isinstance(pixels, (bytes, bytearray, memoryview)):
+            arr = np.frombuffer(pixels, dtype=dt,
+                                count=width * height * components)
+        else:
+            arr = np.asarray(pixels)
+        arr = arr.reshape(height, width, components).astype(np.int32)
+
+        levels = p.clamped_levels(width, height)
+        use_mct = p.mct if p.mct is not None else (components == 3)
+        tw = p.tile_width or width
+        th = p.tile_height or height
+
+        siz = j2k.SizInfo(
+            xsiz=width, ysiz=height, xtsiz=tw, ytsiz=th,
+            components=[(bit_depth, signed, 1, 1)] * components)
+        cod = j2k.CodInfo(
+            progression=p.progression, num_layers=p.num_layers,
+            mct=1 if (use_mct and components == 3) else 0,
+            num_levels=levels, cb_width=p.cb_width, cb_height=p.cb_height,
+            cb_style=p.cb_style, transform=1,
+            precinct_exps=list(p.precincts) if p.precincts else None)
+        qcd = j2k.QcdInfo(style=0, guard_bits=p.guard_bits)
+        for r in range(levels + 1):
+            for band in ([0] if r == 0 else [1, 2, 3]):
+                qcd.exponents.append(bit_depth + band_gain(band))
+
+        out = bytearray(b"\xff\x4f")  # SOC
+        out += j2k.write_siz(siz)
+        out += j2k.write_cod(cod)
+        out += j2k.write_qcd(qcd)
+        if p.comment:
+            out += j2k.write_com(p.comment)
+
+        ntx, nty = siz.num_tiles
+        tile_index = 0
+        for tj in range(nty):
+            for ti in range(ntx):
+                rect = siz.tile_rect(ti, tj)
+                body = self._encode_tile(arr, rect, cod, qcd,
+                                         bit_depth, signed, use_mct)
+                out += j2k.write_tile_part(tile_index, body)
+                tile_index += 1
+        out += (j2k.EOC).to_bytes(2, "big")
+        return bytes(out)
+
+    def _encode_tile(self, arr: np.ndarray, rect, cod: j2k.CodInfo,
+                     qcd: j2k.QcdInfo, bit_depth: int, signed: bool,
+                     use_mct: bool) -> bytes:
+        tx0, ty0, tx1, ty1 = rect
+        ncomp = arr.shape[2]
+        tile = arr[ty0:ty1, tx0:tx1, :]
+
+        # device stage: DC shift (+ RCT) + multilevel DWT over components
+        comps = jnp.asarray(np.moveaxis(tile, -1, 0))  # [C, H, W]
+        comps = dc_level_shift(comps, bit_depth, signed)
+        if use_mct and ncomp == 3:
+            y, u, v = rct_forward(comps[0], comps[1], comps[2])
+            comps = jnp.stack([y, u, v])
+        coeffs = np.asarray(fwd53_multilevel(comps, cod.num_levels,
+                                             x0=tx0, y0=ty0))
+
+        # host stage: per component geometry + T1 + packets
+        packets: List[bytes] = []
+        comp_res: List[List[ResolutionGeom]] = []
+        comp_states: List[Dict[Tuple[int, int], List[PrecinctState]]] = []
+        for c in range(ncomp):
+            resolutions = build_tile_geometry(
+                tx0, ty0, tx1, ty1, cod.num_levels, cod.cb_width,
+                cod.cb_height, cod.precinct_exp)
+            comp_res.append(resolutions)
+            states: Dict[Tuple[int, int], List[PrecinctState]] = {}
+            for res in resolutions:
+                for prec in res.precincts:
+                    plist = []
+                    for pb in prec.bands:
+                        bg = pb.band
+                        mb = (qcd.guard_bits
+                              + qcd.exponents[_band_index(res.r, bg.band)]
+                              - 1)
+                        blocks = []
+                        for g in pb.blocks:
+                            blk_data = coeffs[
+                                c,
+                                bg.row_off + (g.y0 - bg.y0):
+                                bg.row_off + (g.y1 - bg.y0),
+                                bg.col_off + (g.x0 - bg.x0):
+                                bg.col_off + (g.x1 - bg.x0)]
+                            enc = T1Encoder(g.width, g.height,
+                                            style=cod.cb_style,
+                                            orientation=bg.orient)
+                            stream, numbps, passes = enc.encode(blk_data)
+                            st = BlockState(cbx=g.cbx, cby=g.cby)
+                            if numbps > 0:
+                                st.numbps = numbps
+                                st.zero_bitplanes = mb - numbps
+                                if st.zero_bitplanes < 0:
+                                    raise UnsupportedFormatError(
+                                        f"block numbps {numbps} exceeds "
+                                        f"Mb {mb}")
+                                st.data = stream
+                                st.pass_rates = [pi.rate for pi in passes]
+                                st.pass_terms = [pi.terminated
+                                                 for pi in passes]
+                                # single flush: last rate = stream length
+                                if st.pass_rates:
+                                    st.pass_rates[-1] = len(stream)
+                            blocks.append(st)
+                        plist.append(PrecinctState(
+                            ncbw=pb.ncbw, ncbh=pb.ncbh, blocks=blocks,
+                            mb=mb))
+                    states[(res.r, prec.index)] = plist
+            comp_states.append(states)
+
+        def precinct_info(c: int, r: int):
+            res = comp_res[c][r]
+            out = []
+            for prec in res.precincts:
+                out.append((prec.index, prec.x0 << (cod.num_levels - r),
+                            prec.y0 << (cod.num_levels - r)))
+            return out
+
+        body = bytearray()
+        for (l, r, c, pidx) in progression_order(
+                cod.progression, cod.num_layers, cod.num_levels + 1,
+                ncomp, precinct_info):
+            header, pbody = encode_packet(comp_states[c][(r, pidx)], l,
+                                          cod.cb_style, cod.num_layers)
+            body += header
+            body += pbody
+        return bytes(body)
+
+
+class J2KDecoder:
+    """Codestream decoder (reference decoder.go:91-124, tile_decoder.go)."""
+
+    def __init__(self, resilient: bool = False) -> None:
+        self.resilient = resilient
+
+    def decode(self, data: bytes):
+        """→ (array [H, W, C] int32, SizInfo, CodInfo)."""
+        cs = j2k.parse_codestream(data)
+        siz = cs.siz
+        ncomp = len(siz.components)
+        depth0, signed0, _, _ = siz.components[0]
+        width = siz.xsiz - siz.xosiz
+        height = siz.ysiz - siz.yosiz
+        out = np.zeros((height, width, ncomp), dtype=np.int32)
+
+        ntx, nty = siz.num_tiles
+        for tidx, tile in sorted(cs.tiles.items()):
+            ti, tj = tidx % ntx, tidx // ntx
+            rect = siz.tile_rect(ti, tj)
+            cod = tile.cod or cs.cod
+            qcd = tile.qcd or cs.qcd
+            tile_arr = self._decode_tile(tile.data, rect, cod, qcd, ncomp,
+                                         depth0, signed0)
+            tx0, ty0, tx1, ty1 = rect
+            out[ty0 - siz.yosiz:ty1 - siz.yosiz,
+                tx0 - siz.xosiz:tx1 - siz.xosiz, :] = tile_arr
+        return out, siz, cs.cod
+
+    def _band_mb(self, qcd: j2k.QcdInfo, r: int, band: int,
+                 num_levels: int) -> int:
+        if qcd.style == 0:
+            idx = _band_index(r, band)
+            if idx < len(qcd.exponents):
+                return qcd.guard_bits + qcd.exponents[idx] - 1
+            return qcd.guard_bits + (qcd.exponents[-1] if qcd.exponents
+                                     else 8) - 1
+        if qcd.style == 1:
+            # scalar derived: exponent of band derived from the single value
+            e0 = qcd.steps[0][0]
+            nb = num_levels - r if r > 0 else num_levels
+            e = e0 - num_levels + (num_levels - nb)
+            return qcd.guard_bits + max(e, 1) - 1
+        idx = _band_index(r, band)
+        if idx < len(qcd.steps):
+            return qcd.guard_bits + qcd.steps[idx][0] - 1
+        return qcd.guard_bits + 8
+
+    def _decode_tile(self, body: bytes, rect, cod: j2k.CodInfo,
+                     qcd: j2k.QcdInfo, ncomp: int, depth: int,
+                     signed: bool) -> np.ndarray:
+        tx0, ty0, tx1, ty1 = rect
+        th, tw = ty1 - ty0, tx1 - tx0
+        if cod.cb_style & 0x40:
+            raise UnsupportedFormatError(
+                "HT (Part 15) code-blocks handled by the HTJ2K decoder")
+
+        comp_res = []
+        comp_states = []
+        for c in range(ncomp):
+            resolutions = build_tile_geometry(
+                tx0, ty0, tx1, ty1, cod.num_levels, cod.cb_width,
+                cod.cb_height, cod.precinct_exp)
+            comp_res.append(resolutions)
+            states = {}
+            for res in resolutions:
+                for prec in res.precincts:
+                    plist = []
+                    for pb in prec.bands:
+                        mb = self._band_mb(qcd, res.r, pb.band.band,
+                                           cod.num_levels)
+                        blocks = [BlockState(cbx=g.cbx, cby=g.cby)
+                                  for g in pb.blocks]
+                        plist.append(PrecinctState(
+                            ncbw=pb.ncbw, ncbh=pb.ncbh, blocks=blocks,
+                            mb=mb))
+                    states[(res.r, prec.index)] = plist
+            comp_states.append(states)
+
+        def precinct_info(c: int, r: int):
+            res = comp_res[c][r]
+            return [(prec.index, prec.x0 << (cod.num_levels - r),
+                     prec.y0 << (cod.num_levels - r))
+                    for prec in res.precincts]
+
+        pos = 0
+        for (l, r, c, pidx) in progression_order(
+                cod.progression, cod.num_layers, cod.num_levels + 1,
+                ncomp, precinct_info):
+            if pos >= len(body):
+                if self.resilient:
+                    break
+                if l > 0:
+                    break  # truncated layered stream: decode what we have
+                raise CorruptStreamError("tile body exhausted mid-packets")
+            try:
+                pos = decode_packet(body, pos, comp_states[c][(r, pidx)],
+                                    l, cod.cb_style,
+                                    use_sop=cod.use_sop, use_eph=cod.use_eph)
+            except CorruptStreamError:
+                if self.resilient:
+                    break
+                raise
+
+        # T1 decode + assemble packed coefficient array per component
+        tile_out = np.zeros((th, tw, ncomp), dtype=np.int32)
+        packed = np.zeros((ncomp, th, tw), dtype=np.int32)
+        for c in range(ncomp):
+            for res in comp_res[c]:
+                for prec in res.precincts:
+                    plist = comp_states[c][(res.r, prec.index)]
+                    for pb, ps in zip(prec.bands, plist):
+                        bg = pb.band
+                        for g, st in zip(pb.blocks, ps.blocks):
+                            if st.num_passes == 0 or st.numbps <= 0:
+                                continue
+                            dec = T1Decoder(g.width, g.height,
+                                            style=cod.cb_style,
+                                            orientation=bg.orient)
+                            try:
+                                blk = dec.decode(bytes(st.seg_data),
+                                                 st.num_passes, st.numbps,
+                                                 seg_lengths=st.seg_ends)
+                            except Exception:
+                                if not self.resilient:
+                                    raise
+                                blk = np.zeros((g.height, g.width),
+                                               dtype=np.int32)
+                            packed[c,
+                                   bg.row_off + (g.y0 - bg.y0):
+                                   bg.row_off + (g.y1 - bg.y0),
+                                   bg.col_off + (g.x0 - bg.x0):
+                                   bg.col_off + (g.x1 - bg.x0)] = blk
+
+        # device stage: inverse DWT (+ inverse RCT) + DC unshift
+        rec = inv53_multilevel(jnp.asarray(packed), cod.num_levels,
+                               x0=tx0, y0=ty0)
+        if cod.mct == 1 and ncomp >= 3:
+            r_, g_, b_ = rct_inverse(rec[0], rec[1], rec[2])
+            rec = jnp.stack([r_, g_, b_] + [rec[i] for i in range(3, ncomp)])
+        rec = inv_dc_level_shift(rec, depth, signed)
+        tile_out = np.moveaxis(np.asarray(rec), 0, -1)
+        return tile_out
+
+
+def decode_to_pixels(data: bytes):
+    """Decode a codestream → (pixel bytes, width, height, comps, depth,
+    signed), packing like reference decoder.go GetPixelData:777-947."""
+    arr, siz, cod = J2KDecoder().decode(data)
+    depth, signed, _, _ = siz.components[0]
+    h, w, c = arr.shape
+    if depth <= 8:
+        dt = np.int8 if signed else np.uint8
+    else:
+        dt = np.dtype("<i2") if signed else np.dtype("<u2")
+    lo, hi = (-(1 << (depth - 1)), (1 << (depth - 1)) - 1) if signed else \
+        (0, (1 << depth) - 1)
+    arr = np.clip(arr, lo, hi)
+    return (np.ascontiguousarray(arr.astype(dt)).tobytes(), w, h, c,
+            depth, signed)

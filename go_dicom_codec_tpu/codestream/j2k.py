@@ -1,0 +1,360 @@
+"""JPEG 2000 codestream marker IO (ISO/IEC 15444-1 Annex A).
+
+Role of reference jpeg2000/codestream/ (markers.go, parser.go, types.go)
+and the main-header writers in jpeg2000/encoder.go:1098-1822: SOC/SIZ/COD/
+COC/QCD/QCC/RGN/COM/CAP/POC main header, SOT/SOD tile-parts (merged by
+Isot/TPsot), EOC. The parser returns typed segments; per-tile COD/QCD
+overrides resolve against main-header defaults.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+from ..errors import CorruptStreamError
+
+# Marker codes (full 16-bit values)
+SOC = 0xFF4F
+SOT = 0xFF90
+SOD = 0xFF93
+EOC = 0xFFD9
+SIZ = 0xFF51
+COD = 0xFF52
+COC = 0xFF53
+TLM = 0xFF55
+PLM = 0xFF57
+PLT = 0xFF58
+QCD = 0xFF5C
+QCC = 0xFF5D
+RGN = 0xFF5E
+POC = 0xFF5F
+PPM = 0xFF60
+PPT = 0xFF61
+CRG = 0xFF63
+COM = 0xFF64
+CAP = 0xFF50
+SOP = 0xFF91
+EPH = 0xFF92
+
+# Progression orders (Table A.16)
+PROG_LRCP = 0
+PROG_RLCP = 1
+PROG_RPCL = 2
+PROG_PCRL = 3
+PROG_CPRL = 4
+PROG_NAMES = {0: "LRCP", 1: "RLCP", 2: "RPCL", 3: "PCRL", 4: "CPRL"}
+
+
+@dataclass
+class SizInfo:
+    xsiz: int
+    ysiz: int
+    xosiz: int = 0
+    yosiz: int = 0
+    xtsiz: int = 0
+    ytsiz: int = 0
+    xtosiz: int = 0
+    ytosiz: int = 0
+    # per component: (depth, signed, xrsiz, yrsiz)
+    components: List[Tuple[int, bool, int, int]] = field(default_factory=list)
+
+    @property
+    def num_tiles(self) -> Tuple[int, int]:
+        ntx = -(-(self.xsiz - self.xtosiz) // self.xtsiz)
+        nty = -(-(self.ysiz - self.ytosiz) // self.ytsiz)
+        return ntx, nty
+
+    def tile_rect(self, ti: int, tj: int) -> Tuple[int, int, int, int]:
+        """Tile (ti, tj) bounds on the reference grid (B.3)."""
+        tx0 = max(self.xtosiz + ti * self.xtsiz, self.xosiz)
+        ty0 = max(self.ytosiz + tj * self.ytsiz, self.yosiz)
+        tx1 = min(self.xtosiz + (ti + 1) * self.xtsiz, self.xsiz)
+        ty1 = min(self.ytosiz + (tj + 1) * self.ytsiz, self.ysiz)
+        return tx0, ty0, tx1, ty1
+
+
+@dataclass
+class CodInfo:
+    progression: int = PROG_LRCP
+    num_layers: int = 1
+    mct: int = 0                 # 1 = RCT/ICT applied to components 0-2
+    num_levels: int = 5
+    cb_width: int = 64
+    cb_height: int = 64
+    cb_style: int = 0            # Table A.18 flags; 0x40 ⇒ HT (Part 15)
+    transform: int = 1           # 1 = 5/3 reversible, 0 = 9/7 irreversible
+    precinct_exps: Optional[List[Tuple[int, int]]] = None  # (PPx, PPy)/res
+    use_sop: bool = False
+    use_eph: bool = False
+
+    def precinct_exp(self, res: int) -> Tuple[int, int]:
+        if self.precinct_exps is None or res >= len(self.precinct_exps):
+            return 15, 15
+        return self.precinct_exps[res]
+
+
+@dataclass
+class QcdInfo:
+    style: int = 0               # 0 none, 1 scalar derived, 2 scalar expounded
+    guard_bits: int = 2
+    exponents: List[int] = field(default_factory=list)       # style 0
+    steps: List[Tuple[int, int]] = field(default_factory=list)  # (expn, mant)
+
+    def num_bands_encoded(self) -> int:
+        return len(self.exponents) if self.style == 0 else len(self.steps)
+
+
+@dataclass
+class TileInfo:
+    index: int
+    data: bytes = b""
+    cod: Optional[CodInfo] = None
+    qcd: Optional[QcdInfo] = None
+
+
+@dataclass
+class Codestream:
+    siz: SizInfo
+    cod: CodInfo
+    qcd: QcdInfo
+    tiles: Dict[int, TileInfo] = field(default_factory=dict)
+    comments: List[bytes] = field(default_factory=list)
+    rgn_shifts: Dict[int, int] = field(default_factory=dict)  # comp → SPrgn
+    cap: Optional[bytes] = None
+    mct_segments: List[bytes] = field(default_factory=list)
+    mcc_segments: List[bytes] = field(default_factory=list)
+    mco_segments: List[bytes] = field(default_factory=list)
+
+
+# ---- writers ---------------------------------------------------------------
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+
+def write_siz(siz: SizInfo) -> bytes:
+    payload = struct.pack(">HIIIIIIIIH", 0, siz.xsiz, siz.ysiz, siz.xosiz,
+                          siz.yosiz, siz.xtsiz, siz.ytsiz, siz.xtosiz,
+                          siz.ytosiz, len(siz.components))
+    for depth, signed, xr, yr in siz.components:
+        ssiz = (depth - 1) | (0x80 if signed else 0)
+        payload += struct.pack(">BBB", ssiz, xr, yr)
+    return _seg(SIZ, payload)
+
+
+def write_cod(cod: CodInfo) -> bytes:
+    scod = 0
+    if cod.precinct_exps is not None:
+        scod |= 0x01
+    if cod.use_sop:
+        scod |= 0x02
+    if cod.use_eph:
+        scod |= 0x04
+    payload = struct.pack(">BBHB", scod, cod.progression, cod.num_layers,
+                          cod.mct)
+    payload += struct.pack(
+        ">BBBBB", cod.num_levels,
+        cod.cb_width.bit_length() - 3, cod.cb_height.bit_length() - 3,
+        cod.cb_style, cod.transform)
+    if cod.precinct_exps is not None:
+        for (ppx, ppy) in cod.precinct_exps:
+            payload += struct.pack(">B", (ppy << 4) | ppx)
+    return _seg(COD, payload)
+
+
+def write_qcd(qcd: QcdInfo) -> bytes:
+    sqcd = (qcd.guard_bits << 5) | (qcd.style & 0x1F)
+    payload = struct.pack(">B", sqcd)
+    if qcd.style == 0:
+        for e in qcd.exponents:
+            payload += struct.pack(">B", (e << 3) & 0xFF)
+    else:
+        for (e, m) in qcd.steps:
+            payload += struct.pack(">H", ((e & 0x1F) << 11) | (m & 0x7FF))
+    return _seg(QCD, payload)
+
+
+def write_com(text: bytes, binary: bool = False) -> bytes:
+    return _seg(COM, struct.pack(">H", 0 if binary else 1) + text)
+
+
+def write_rgn(comp: int, shift: int, num_components: int) -> bytes:
+    if num_components <= 256:
+        payload = struct.pack(">BBB", comp, 0, shift)
+    else:
+        payload = struct.pack(">HBB", comp, 0, shift)
+    return _seg(RGN, payload)
+
+
+def write_tile_part(index: int, tile_data: bytes, tpsot: int = 0,
+                    tnsot: int = 1) -> bytes:
+    """SOT + SOD + data (reference encoder.go:2105-2133 framing)."""
+    psot = 12 + 2 + len(tile_data)  # SOT segment + SOD marker + body
+    sot = struct.pack(">HHHIBB", SOT, 10, index, psot, tpsot, tnsot)
+    return sot + struct.pack(">H", SOD) + tile_data
+
+
+def write_cap(pcap: int, ccap: List[int]) -> bytes:
+    payload = struct.pack(">I", pcap)
+    for c in ccap:
+        payload += struct.pack(">H", c)
+    return _seg(CAP, payload)
+
+
+# ---- parser ----------------------------------------------------------------
+
+def parse_codestream(data: bytes) -> Codestream:
+    """Parse main header + tile-parts (reference codestream/parser.go:24-520).
+
+    Tile-part bodies with the same Isot are concatenated in TPsot order.
+    """
+    if len(data) < 4 or struct.unpack_from(">H", data, 0)[0] != SOC:
+        raise CorruptStreamError("missing SOC marker")
+    pos = 2
+    siz = cod = qcd = None
+    comments: List[bytes] = []
+    rgn: Dict[int, int] = {}
+    cap = None
+    mct_segments: List[bytes] = []
+    mcc_segments: List[bytes] = []
+    mco_segments: List[bytes] = []
+    tiles: Dict[int, Dict[int, TileInfo]] = {}
+
+    def read_seg(p):
+        if p + 4 > len(data):
+            raise CorruptStreamError("truncated marker segment")
+        marker, length = struct.unpack_from(">HH", data, p)
+        if length < 2 or p + 2 + length > len(data):
+            raise CorruptStreamError(f"truncated segment 0x{marker:04X}")
+        return marker, data[p + 4 : p + 2 + length], p + 2 + length
+
+    while pos < len(data):
+        if pos + 2 > len(data):
+            raise CorruptStreamError("truncated codestream")
+        try:
+            marker = _next_marker(data, pos)
+        except struct.error as e:
+            raise CorruptStreamError(f"truncated codestream: {e}") from e
+        if marker == EOC:
+            break
+        if marker == SOT:
+            _, payload, body_start = read_seg(pos)
+            if len(payload) < 8 or body_start + 2 > len(data):
+                raise CorruptStreamError("truncated SOT segment")
+            isot, psot, tpsot, tnsot = struct.unpack(">HIBB", payload)
+            if struct.unpack_from(">H", data, body_start)[0] != SOD:
+                # skip per-tile segments (COD/QCD/COM…) before SOD
+                tcod = tqcd = None
+                p = body_start
+                while struct.unpack_from(">H", data, p)[0] != SOD:
+                    m, pl, p = read_seg(p)
+                    if m == COD:
+                        tcod = parse_cod(pl)
+                    elif m == QCD:
+                        tqcd = parse_qcd(pl)
+                body_start = p
+            else:
+                tcod = tqcd = None
+            body_end = pos + psot if psot else len(data)
+            if body_end > len(data):
+                body_end = len(data)
+            body = data[body_start + 2 : body_end]
+            part = TileInfo(index=isot, data=body, cod=tcod, qcd=tqcd)
+            tiles.setdefault(isot, {})[tpsot] = part
+            pos = body_end
+            continue
+        m, payload, pos = read_seg(pos)
+        if m == SIZ:
+            siz = parse_siz(payload)
+        elif m == COD:
+            cod = parse_cod(payload)
+        elif m == QCD:
+            qcd = parse_qcd(payload)
+        elif m == COM:
+            comments.append(payload[2:])
+        elif m == RGN:
+            if len(payload) >= 3:
+                rgn[payload[0]] = payload[2]
+        elif m == CAP:
+            cap = payload
+        elif m == 0xFF74:
+            mct_segments.append(payload)
+        elif m == 0xFF75:
+            mcc_segments.append(payload)
+        elif m == 0xFF77:
+            mco_segments.append(payload)
+        # TLM/PLM/POC/others skipped
+
+    if siz is None or cod is None or qcd is None:
+        raise CorruptStreamError("codestream missing SIZ/COD/QCD")
+
+    merged: Dict[int, TileInfo] = {}
+    for isot, parts in tiles.items():
+        body = b"".join(parts[k].data for k in sorted(parts))
+        first = parts[min(parts)]
+        merged[isot] = TileInfo(index=isot, data=body, cod=first.cod,
+                                qcd=first.qcd)
+    return Codestream(siz=siz, cod=cod, qcd=qcd, tiles=merged,
+                      comments=comments, rgn_shifts=rgn, cap=cap,
+                      mct_segments=mct_segments, mcc_segments=mcc_segments,
+                      mco_segments=mco_segments)
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    return struct.unpack_from(">H", data, pos)[0]
+
+
+def parse_siz(payload: bytes) -> SizInfo:
+    if len(payload) < 36:
+        raise CorruptStreamError("SIZ too short")
+    (_, xsiz, ysiz, xo, yo, xt, yt, xto, yto, csiz) = struct.unpack_from(
+        ">HIIIIIIIIH", payload, 0)
+    comps = []
+    off = 36
+    for _ in range(csiz):
+        ssiz, xr, yr = struct.unpack_from(">BBB", payload, off)
+        comps.append(((ssiz & 0x7F) + 1, bool(ssiz & 0x80), xr, yr))
+        off += 3
+    return SizInfo(xsiz=xsiz, ysiz=ysiz, xosiz=xo, yosiz=yo, xtsiz=xt,
+                   ytsiz=yt, xtosiz=xto, ytosiz=yto, components=comps)
+
+
+def parse_cod(payload: bytes) -> CodInfo:
+    if len(payload) < 10:
+        raise CorruptStreamError("COD too short")
+    scod, prog, layers, mct = struct.unpack_from(">BBHB", payload, 0)
+    levels, cbw_e, cbh_e, cb_style, transform = struct.unpack_from(
+        ">BBBBB", payload, 5)
+    cod = CodInfo(progression=prog, num_layers=layers, mct=mct,
+                  num_levels=levels, cb_width=1 << (cbw_e + 2),
+                  cb_height=1 << (cbh_e + 2), cb_style=cb_style,
+                  transform=transform, use_sop=bool(scod & 2),
+                  use_eph=bool(scod & 4))
+    if scod & 0x01:
+        exps = []
+        for i in range(levels + 1):
+            if 10 + i >= len(payload):
+                break
+            b = payload[10 + i]
+            exps.append((b & 0x0F, b >> 4))
+        cod.precinct_exps = exps
+    return cod
+
+
+def parse_qcd(payload: bytes) -> QcdInfo:
+    if not payload:
+        raise CorruptStreamError("QCD empty")
+    sqcd = payload[0]
+    style = sqcd & 0x1F
+    guard = sqcd >> 5
+    q = QcdInfo(style=style, guard_bits=guard)
+    body = payload[1:]
+    if style == 0:
+        q.exponents = [b >> 3 for b in body]
+    else:
+        for i in range(0, len(body) - 1, 2):
+            v = (body[i] << 8) | body[i + 1]
+            q.steps.append((v >> 11, v & 0x7FF))
+    return q

@@ -1,0 +1,78 @@
+"""Packet-header bit IO with JPEG 2000 bit-stuffing (ISO B.10.1).
+
+Role of reference jpeg2000/t2/packet_header_bitio.go: MSB-first bit
+writer/reader where a byte equal to 0xFF is followed by a 7-bit byte
+(the stuffed 0 bit), matching OpenJPEG opj_bio.
+"""
+
+from __future__ import annotations
+
+from ..errors import CorruptStreamError
+
+
+class BioWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.out = 0
+        self.ct = 8
+
+    def write_bit(self, bit: int) -> None:
+        if self.ct == 0:
+            self._byte_out()
+        self.ct -= 1
+        if bit:
+            self.out |= 1 << self.ct
+
+    def write_bits(self, value: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.write_bit((value >> i) & 1)
+
+    def _byte_out(self) -> None:
+        self.out = (self.out << 8) & 0xFFFF
+        self.ct = 7 if self.out == 0xFF00 else 8
+        self.buf.append((self.out >> 8) & 0xFF)
+
+    def flush(self) -> bytes:
+        self._byte_out()
+        if self.ct == 7:
+            self._byte_out()
+        return bytes(self.buf)
+
+
+class BioReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.buf = 0
+        self.ct = 0
+
+    def read_bit(self) -> int:
+        if self.ct == 0:
+            self._byte_in()
+        self.ct -= 1
+        return (self.buf >> self.ct) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_to_byte(self) -> None:
+        """opj_bio_inalign: consume the stuffed bit after a 0xFF byte."""
+        if self.ct == 0:
+            return
+        if (self.buf & 0xFF) == 0xFF:
+            self._byte_in()
+        self.ct = 0
+
+    def bytes_read(self) -> int:
+        return self.pos
+
+    def _byte_in(self) -> None:
+        if self.pos >= len(self.data):
+            raise CorruptStreamError("packet header bit reader: end of data")
+        self.buf = (self.buf << 8) & 0xFFFF
+        self.ct = 7 if self.buf == 0xFF00 else 8
+        self.buf |= self.data[self.pos]
+        self.pos += 1

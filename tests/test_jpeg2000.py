@@ -1,0 +1,182 @@
+"""JPEG 2000 lossless vertical slice: geometry, T2, full roundtrips.
+
+Mirrors reference coverage: jpeg2000/roundtrip_test.go, precinct/tagtree
+tests, size_boundary_test.go, progression orders, multi-tile.
+"""
+
+import numpy as np
+import pytest
+
+from go_dicom_codec_tpu.codecs.j2k_geometry import (band_rect,
+                                                    build_tile_geometry,
+                                                    packed_band_layout,
+                                                    resolution_rect)
+from go_dicom_codec_tpu.codecs.jpeg2000 import (J2KDecoder, J2KEncodeParams,
+                                                J2KEncoder, decode_to_pixels)
+from go_dicom_codec_tpu.codestream import j2k
+from go_dicom_codec_tpu.t2.bitio import BioReader, BioWriter
+from go_dicom_codec_tpu.t2.tagtree import TagTree
+
+
+# ---- bit IO & tag trees ----------------------------------------------------
+
+def test_bio_stuffing_roundtrip(rng):
+    bits = rng.integers(0, 2, size=300).tolist()
+    # force some 0xFF bytes: long runs of ones
+    bits[:40] = [1] * 40
+    bw = BioWriter()
+    for b in bits:
+        bw.write_bit(b)
+    data = bw.flush()
+    br = BioReader(data)
+    got = [br.read_bit() for _ in bits]
+    assert got == bits
+
+
+def test_tagtree_roundtrip(rng):
+    for (w, h) in [(1, 1), (3, 2), (4, 4), (7, 5)]:
+        vals = rng.integers(0, 6, size=(h, w))
+        enc = TagTree(w, h)
+        for y in range(h):
+            for x in range(w):
+                enc.set_value(x, y, int(vals[y, x]))
+        bw = BioWriter()
+        order = [(x, y) for y in range(h) for x in range(w)]
+        for (x, y) in order:
+            enc.encode(bw, x, y, 999)
+        data = bw.flush()
+        dec = TagTree(w, h)
+        br = BioReader(data)
+        for (x, y) in order:
+            thr = 1
+            while dec.decode(br, x, y, thr) >= thr:
+                thr += 1
+            assert dec.decode(br, x, y, thr) == vals[y, x]
+
+
+# ---- geometry --------------------------------------------------------------
+
+def test_resolution_and_band_rects():
+    # 64x64 tile, 2 levels
+    assert resolution_rect(0, 0, 64, 64, 2, 2) == (0, 0, 64, 64)
+    assert resolution_rect(0, 0, 64, 64, 2, 1) == (0, 0, 32, 32)
+    assert resolution_rect(0, 0, 64, 64, 2, 0) == (0, 0, 16, 16)
+    assert band_rect(0, 0, 64, 64, 2, 0, 0) == (0, 0, 16, 16)
+    assert band_rect(0, 0, 64, 64, 2, 2, 1) == (0, 0, 32, 32)  # HL res 2
+
+
+@pytest.mark.parametrize("rect,levels", [
+    ((0, 0, 64, 64), 3), ((0, 0, 127, 129), 4), ((3, 5, 61, 67), 2),
+    ((17, 9, 33, 20), 3), ((0, 0, 8, 8), 1),
+])
+def test_packed_layout_consistency(rect, levels):
+    tx0, ty0, tx1, ty1 = rect
+    bands = packed_band_layout(tx0, ty0, tx1, ty1, levels)
+    # every sample of the tile is covered exactly once
+    total = sum(b.width * b.height for b in bands)
+    assert total == (tx1 - tx0) * (ty1 - ty0)
+
+
+def test_geometry_codeblocks_cover_band():
+    res = build_tile_geometry(0, 0, 200, 130, 3, 64, 64, lambda r: (15, 15))
+    for rg in res:
+        for prec in rg.precincts:
+            for pb in prec.bands:
+                area = sum(b.width * b.height for b in pb.blocks)
+                bg = pb.band
+                assert area == bg.width * bg.height
+
+
+# ---- end-to-end lossless roundtrips ---------------------------------------
+
+def _roundtrip(img, components=1, bit_depth=16, signed=False, **kw):
+    h, w = img.shape[:2]
+    enc = J2KEncoder(J2KEncodeParams(**kw))
+    data = enc.encode(img.tobytes(), w, h, components, bit_depth, signed)
+    pix, ow, oh, oc, depth, osigned = decode_to_pixels(data)
+    assert (ow, oh, oc, depth, osigned) == (w, h, components, bit_depth,
+                                            signed)
+    assert pix == img.tobytes()
+    return data
+
+
+@pytest.mark.parametrize("size", [(32, 32), (64, 64), (33, 29), (13, 7)])
+def test_gray16_lossless(size, rng):
+    h, w = size
+    img = rng.integers(0, 1 << 12, size=(h, w)).astype("<u2")
+    data = _roundtrip(img, num_levels=3)
+    assert data[:2] == b"\xff\x4f" and data[-2:] == b"\xff\xd9"
+
+
+def test_gray8_lossless(rng):
+    img = rng.integers(0, 256, size=(40, 56)).astype(np.uint8)
+    _roundtrip(img, bit_depth=8, num_levels=5)
+
+
+def test_signed16_lossless(rng):
+    img = rng.integers(-2048, 2048, size=(32, 32)).astype("<i2")
+    _roundtrip(img, bit_depth=12, signed=True, num_levels=2)
+
+
+def test_rgb_rct_lossless(rng):
+    img = rng.integers(0, 256, size=(32, 48, 3)).astype(np.uint8)
+    _roundtrip(img, components=3, bit_depth=8, num_levels=3)
+
+
+def test_smooth_compresses(rng):
+    base = np.cumsum(rng.integers(-4, 5, size=(64, 64)), axis=1)
+    img = (base - base.min()).astype("<u2")
+    data = _roundtrip(img, num_levels=5)
+    assert len(data) < img.nbytes  # beats raw
+
+
+def test_multitile_lossless(rng):
+    img = rng.integers(0, 1 << 10, size=(70, 90)).astype("<u2")
+    data = _roundtrip(img, num_levels=2, tile_width=32, tile_height=48)
+    cs = j2k.parse_codestream(data)
+    assert len(cs.tiles) == 6  # 3x2 tile grid
+
+
+@pytest.mark.parametrize("prog", [0, 1, 2, 3, 4])
+def test_progression_orders(prog, rng):
+    img = rng.integers(0, 4096, size=(48, 48)).astype("<u2")
+    _roundtrip(img, bit_depth=12, num_levels=2, progression=prog)
+
+
+@pytest.mark.parametrize("style", [0x04, 0x01, 0x05, 0x02, 0x20])
+def test_codeblock_styles(style, rng):
+    """TERMALL / LAZY / both / RESET / SEGSYM survive T2 roundtrip."""
+    img = rng.integers(0, 4096, size=(40, 40)).astype("<u2")
+    _roundtrip(img, bit_depth=12, num_levels=2, cb_style=style)
+
+
+def test_small_codeblocks(rng):
+    img = rng.integers(0, 1 << 10, size=(40, 40)).astype("<u2")
+    _roundtrip(img, num_levels=2, cb_width=16, cb_height=16)
+
+
+def test_custom_precincts(rng):
+    img = rng.integers(0, 1 << 10, size=(64, 64)).astype("<u2")
+    _roundtrip(img, num_levels=2, cb_width=32, cb_height=32,
+               precincts=[(6, 6), (6, 6), (6, 6)])
+
+
+def test_extreme_values(rng):
+    img = np.zeros((16, 16), dtype="<u2")
+    img[0, 0] = 0xFFFF
+    img[15, 15] = 1
+    img[7, 8] = 0x8000
+    _roundtrip(img, num_levels=2)
+
+
+def test_all_zero_image():
+    img = np.zeros((32, 32), dtype="<u2")
+    data = _roundtrip(img, num_levels=3)
+    assert len(data) < 400
+
+
+def test_decoder_rejects_garbage():
+    with pytest.raises(Exception):
+        J2KDecoder().decode(b"\x00" * 40)
+    with pytest.raises(Exception):
+        J2KDecoder().decode(b"\xff\x4f\xff\xd9")
