@@ -14,6 +14,7 @@ _CODEC_MODULES = [
     "jpeg_baseline",
     "jpeg_extended",
     "jpeg_lossless",
+    "jpegls",
     "j2k_adapters",
 ]
 

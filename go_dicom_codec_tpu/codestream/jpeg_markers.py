@@ -114,16 +114,21 @@ class JpegReader:
         self.pos += length
         return payload
 
-    def find_scan_end(self) -> Tuple[bytes, int]:
+    def find_scan_end(self, ls_mode: bool = False) -> Tuple[bytes, int]:
         """From pos (just after SOS payload), return (entropy bytes incl.
-        RSTn markers, new pos at next non-RST marker)."""
+        RSTn markers, new pos at next non-RST marker).
+
+        ls_mode: JPEG-LS bit-stuffing (T.87 A.1) allows 0xFF followed by
+        any byte < 0x80 inside the scan; only 0xFF + >=0x80 is a marker.
+        Classic JPEG only stuffs 0xFF 0x00.
+        """
         d, n = self.data, len(self.data)
         i = self.pos
         start = i
         while i < n:
             if d[i] == 0xFF and i + 1 < n:
                 m = d[i + 1]
-                if m == 0x00 or is_rst(m):
+                if m == 0x00 or is_rst(m) or (ls_mode and m < 0x80):
                     i += 2
                     continue
                 break
