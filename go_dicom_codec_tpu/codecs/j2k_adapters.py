@@ -55,6 +55,7 @@ def _params_from(parameters: Optional[Parameters],
     p.tile_height = geti("tile_height", 0)
     p.num_layers = geti("num_layers", 1)
     p.cb_style = geti("cb_style", 0)
+    p.quality = geti("quality", p.quality)
     return p
 
 
@@ -109,7 +110,77 @@ class J2KMCLosslessCodec(J2KLosslessCodec):
         return "JPEG 2000 Part 2 Multi-component Lossless"
 
 
+class J2KLossyParameters(Parameters):
+    """Reference jpeg2000/lossy parameter surface subset."""
+
+    def __init__(self, quality: int = 85, num_levels: int = 5, **kw):
+        super().__init__(quality=quality, num_levels=num_levels, **kw)
+
+    @property
+    def quality(self) -> int:
+        return int(self.get_parameter("quality", 85))
+
+    def with_quality(self, q: int):
+        return self.with_("quality", q)
+
+    def validate(self) -> None:
+        require_range("quality", self.quality, 1, 100)
+
+
+class J2KLossyCodec(Codec):
+    """UID .91 (reference jpeg2000/lossy/codec.go:221-237): 9/7 + scalar
+    quantization; signed pixels rejected like the reference
+    (lossy/codec.go:73-180)."""
+
+    _uid = uids.JPEG_2000_LOSSY
+
+    def name(self) -> str:
+        return "JPEG 2000 Lossy"
+
+    def transfer_syntax(self) -> str:
+        return self._uid
+
+    def get_default_parameters(self) -> Parameters:
+        return J2KLossyParameters()
+
+    def encode(self, old_pixel_data: PixelData, new_pixel_data: PixelData,
+               parameters: Optional[Parameters] = None) -> None:
+        info = old_pixel_data.get_frame_info()
+        if info.is_signed:
+            raise UnsupportedFormatError(
+                "JPEG 2000 lossy rejects signed pixel data "
+                "(reference lossy/codec.go:73-180)")
+        params = _params_from(parameters, lossless=False)
+        # small-image level clamp (reference lossy/codec.go:392)
+        enc = J2KEncoder(params)
+        for i in range(old_pixel_data.frame_count()):
+            frame = old_pixel_data.get_frame(i)
+            if info.samples_per_pixel == 3 and info.planar_configuration == 1:
+                frame = np.ascontiguousarray(
+                    frame_to_array(frame, info)).tobytes()
+            new_pixel_data.add_frame(enc.encode(
+                frame, info.width, info.height, info.samples_per_pixel,
+                info.bits_stored, False))
+
+    def decode(self, old_pixel_data: PixelData, new_pixel_data: PixelData,
+               parameters: Optional[Parameters] = None) -> None:
+        for i in range(old_pixel_data.frame_count()):
+            pix, *_ = decode_to_pixels(old_pixel_data.get_frame(i))
+            new_pixel_data.add_frame(pix)
+
+
+class J2KMCLossyCodec(J2KLossyCodec):
+    """UID .93 — Part 2 multi-component lossy."""
+
+    _uid = uids.JPEG_2000_MC_LOSSY
+
+    def name(self) -> str:
+        return "JPEG 2000 Part 2 Multi-component Lossy"
+
+
 def register() -> None:
     reg = get_global_registry()
     reg.register_codec(uids.JPEG_2000_LOSSLESS, J2KLosslessCodec())
     reg.register_codec(uids.JPEG_2000_MC_LOSSLESS, J2KMCLosslessCodec())
+    reg.register_codec(uids.JPEG_2000_LOSSY, J2KLossyCodec())
+    reg.register_codec(uids.JPEG_2000_MC_LOSSY, J2KMCLossyCodec())

@@ -23,10 +23,12 @@ from ..codestream import j2k
 from ..entropy.ebcot import T1Decoder, T1Encoder
 from ..errors import CorruptStreamError, UnsupportedFormatError
 from ..ops.dwt53 import fwd53_multilevel, inv53_multilevel
-from ..ops.mct import (dc_level_shift, inv_dc_level_shift, rct_forward,
-                       rct_inverse)
+from ..ops.dwt97 import fwd97_multilevel, inv97_multilevel
+from ..ops.mct import (dc_level_shift, ict_forward, ict_inverse,
+                       inv_dc_level_shift, rct_forward, rct_inverse)
 from ..t2.packets import (BlockState, PrecinctState, decode_packet,
                           encode_packet, progression_order)
+from . import j2k_quant as jq
 from .j2k_geometry import (BandGeom, ResolutionGeom, build_tile_geometry,
                            band_gain, ceil_div)
 
@@ -37,6 +39,7 @@ class J2KEncodeParams:
     jpeg2000/encoder.go:17-99; lossless subset this round)."""
     num_levels: int = 5
     lossless: bool = True
+    quality: int = 85          # lossy only: drives the step-size curve
     cb_width: int = 64
     cb_height: int = 64
     progression: int = j2k.PROG_LRCP
@@ -64,6 +67,26 @@ def _band_index(r: int, band: int) -> int:
     return 1 + (r - 1) * 3 + (band - 1)
 
 
+def band_mb(qcd: j2k.QcdInfo, r: int, band: int, num_levels: int) -> int:
+    """Max bit-planes for a band: guard + ε_b − 1 (B.10.5 Mb)."""
+    if qcd.style == 0:
+        idx = _band_index(r, band)
+        if idx < len(qcd.exponents):
+            return qcd.guard_bits + qcd.exponents[idx] - 1
+        return qcd.guard_bits + (qcd.exponents[-1] if qcd.exponents
+                                 else 8) - 1
+    if qcd.style == 1:
+        # scalar derived: ε_b = ε_0 − num_levels + n_b (E-5)
+        e0 = qcd.steps[0][0] if qcd.steps else 8
+        nb = (num_levels - r + 1) if r > 0 else num_levels
+        e = e0 - num_levels + nb if r > 0 else e0
+        return qcd.guard_bits + max(e, 1) - 1
+    idx = _band_index(r, band)
+    if idx < len(qcd.steps):
+        return qcd.guard_bits + qcd.steps[idx][0] - 1
+    return qcd.guard_bits + 8
+
+
 class J2KEncoder:
     def __init__(self, params: Optional[J2KEncodeParams] = None) -> None:
         self.params = params or J2KEncodeParams()
@@ -71,9 +94,6 @@ class J2KEncoder:
     def encode(self, pixels, width: int, height: int, components: int,
                bit_depth: int, signed: bool = False) -> bytes:
         p = self.params
-        if not p.lossless:
-            raise UnsupportedFormatError(
-                "lossy path lives in J2KLossyEncoder")
         if components not in (1, 3):
             raise UnsupportedFormatError("components must be 1 or 3")
 
@@ -98,12 +118,21 @@ class J2KEncoder:
             progression=p.progression, num_layers=p.num_layers,
             mct=1 if (use_mct and components == 3) else 0,
             num_levels=levels, cb_width=p.cb_width, cb_height=p.cb_height,
-            cb_style=p.cb_style, transform=1,
+            cb_style=p.cb_style, transform=1 if p.lossless else 0,
             precinct_exps=list(p.precincts) if p.precincts else None)
-        qcd = j2k.QcdInfo(style=0, guard_bits=p.guard_bits)
-        for r in range(levels + 1):
-            for band in ([0] if r == 0 else [1, 2, 3]):
-                qcd.exponents.append(bit_depth + band_gain(band))
+        if p.lossless:
+            qcd = j2k.QcdInfo(style=0, guard_bits=p.guard_bits)
+            for r in range(levels + 1):
+                for band in ([0] if r == 0 else [1, 2, 3]):
+                    qcd.exponents.append(bit_depth + band_gain(band))
+        else:
+            # scalar expounded (style 2): (ε, μ) per subband
+            # (reference writeQCD encoder.go:1719-1733, quantization.go)
+            qcd = j2k.QcdInfo(style=2, guard_bits=p.guard_bits)
+            for step, (r, band) in zip(jq.step_sizes_97(levels, p.quality),
+                                       jq.band_sequence(levels)):
+                rb = bit_depth + band_gain(band)
+                qcd.steps.append(jq.encode_step(step, rb))
 
         out = bytearray(b"\xff\x4f")  # SOC
         out += j2k.write_siz(siz)
@@ -131,14 +160,32 @@ class J2KEncoder:
         ncomp = arr.shape[2]
         tile = arr[ty0:ty1, tx0:tx1, :]
 
-        # device stage: DC shift (+ RCT) + multilevel DWT over components
+        # device stage: DC shift (+ MCT) + multilevel DWT over components
         comps = jnp.asarray(np.moveaxis(tile, -1, 0))  # [C, H, W]
         comps = dc_level_shift(comps, bit_depth, signed)
-        if use_mct and ncomp == 3:
-            y, u, v = rct_forward(comps[0], comps[1], comps[2])
-            comps = jnp.stack([y, u, v])
-        coeffs = np.asarray(fwd53_multilevel(comps, cod.num_levels,
-                                             x0=tx0, y0=ty0))
+        lossless = cod.transform == 1
+        if lossless:
+            if use_mct and ncomp == 3:
+                y, u, v = rct_forward(comps[0], comps[1], comps[2])
+                comps = jnp.stack([y, u, v])
+            coeffs = np.asarray(fwd53_multilevel(comps, cod.num_levels,
+                                                 x0=tx0, y0=ty0))
+        else:
+            if use_mct and ncomp == 3:
+                y, cb, cr = ict_forward(comps[0], comps[1], comps[2])
+                comps = jnp.stack([y, cb, cr])
+            fcoeffs = np.asarray(fwd97_multilevel(comps, cod.num_levels,
+                                                  x0=tx0, y0=ty0))
+            # per-band deadzone quantization with the QCD-encoded steps
+            coeffs = np.zeros_like(fcoeffs, dtype=np.int32)
+            band_steps = self._band_deltas(qcd, cod.num_levels, bit_depth)
+            from .j2k_geometry import packed_band_layout
+            for bg in packed_band_layout(tx0, ty0, tx1, ty1, cod.num_levels):
+                delta = band_steps[_band_index(bg.resolution, bg.band)]
+                sl = (slice(None),
+                      slice(bg.row_off, bg.row_off + bg.height),
+                      slice(bg.col_off, bg.col_off + bg.width))
+                coeffs[sl] = jq.deadzone_quantize(fcoeffs[sl], delta)
 
         # host stage: per component geometry + T1 + packets
         packets: List[bytes] = []
@@ -155,9 +202,7 @@ class J2KEncoder:
                     plist = []
                     for pb in prec.bands:
                         bg = pb.band
-                        mb = (qcd.guard_bits
-                              + qcd.exponents[_band_index(res.r, bg.band)]
-                              - 1)
+                        mb = band_mb(qcd, res.r, bg.band, cod.num_levels)
                         blocks = []
                         for g in pb.blocks:
                             blk_data = coeffs[
@@ -211,6 +256,17 @@ class J2KEncoder:
         return bytes(body)
 
 
+    @staticmethod
+    def _band_deltas(qcd: j2k.QcdInfo, num_levels: int,
+                     bit_depth: int) -> List[float]:
+        out = []
+        for i, (r, band) in enumerate(jq.band_sequence(num_levels)):
+            rb = bit_depth + band_gain(band)
+            e, m = qcd.steps[i] if i < len(qcd.steps) else (rb, 0)
+            out.append(jq.decode_step(e, m, rb))
+        return out
+
+
 class J2KDecoder:
     """Codestream decoder (reference decoder.go:91-124, tile_decoder.go)."""
 
@@ -240,25 +296,6 @@ class J2KDecoder:
                 tx0 - siz.xosiz:tx1 - siz.xosiz, :] = tile_arr
         return out, siz, cs.cod
 
-    def _band_mb(self, qcd: j2k.QcdInfo, r: int, band: int,
-                 num_levels: int) -> int:
-        if qcd.style == 0:
-            idx = _band_index(r, band)
-            if idx < len(qcd.exponents):
-                return qcd.guard_bits + qcd.exponents[idx] - 1
-            return qcd.guard_bits + (qcd.exponents[-1] if qcd.exponents
-                                     else 8) - 1
-        if qcd.style == 1:
-            # scalar derived: exponent of band derived from the single value
-            e0 = qcd.steps[0][0]
-            nb = num_levels - r if r > 0 else num_levels
-            e = e0 - num_levels + (num_levels - nb)
-            return qcd.guard_bits + max(e, 1) - 1
-        idx = _band_index(r, band)
-        if idx < len(qcd.steps):
-            return qcd.guard_bits + qcd.steps[idx][0] - 1
-        return qcd.guard_bits + 8
-
     def _decode_tile(self, body: bytes, rect, cod: j2k.CodInfo,
                      qcd: j2k.QcdInfo, ncomp: int, depth: int,
                      signed: bool) -> np.ndarray:
@@ -280,8 +317,8 @@ class J2KDecoder:
                 for prec in res.precincts:
                     plist = []
                     for pb in prec.bands:
-                        mb = self._band_mb(qcd, res.r, pb.band.band,
-                                           cod.num_levels)
+                        mb = band_mb(qcd, res.r, pb.band.band,
+                                     cod.num_levels)
                         blocks = [BlockState(cbx=g.cbx, cby=g.cby)
                                   for g in pb.blocks]
                         plist.append(PrecinctState(
@@ -345,12 +382,32 @@ class J2KDecoder:
                                    bg.col_off + (g.x0 - bg.x0):
                                    bg.col_off + (g.x1 - bg.x0)] = blk
 
-        # device stage: inverse DWT (+ inverse RCT) + DC unshift
-        rec = inv53_multilevel(jnp.asarray(packed), cod.num_levels,
-                               x0=tx0, y0=ty0)
-        if cod.mct == 1 and ncomp >= 3:
-            r_, g_, b_ = rct_inverse(rec[0], rec[1], rec[2])
-            rec = jnp.stack([r_, g_, b_] + [rec[i] for i in range(3, ncomp)])
+        # device stage: inverse DWT (+ inverse MCT) + DC unshift
+        if cod.transform == 1:
+            rec = inv53_multilevel(jnp.asarray(packed), cod.num_levels,
+                                   x0=tx0, y0=ty0)
+            if cod.mct == 1 and ncomp >= 3:
+                r_, g_, b_ = rct_inverse(rec[0], rec[1], rec[2])
+                rec = jnp.stack([r_, g_, b_]
+                                + [rec[i] for i in range(3, ncomp)])
+        else:
+            # irreversible: per-band dequantization → float 9/7 inverse
+            from .j2k_geometry import packed_band_layout
+            deltas = J2KEncoder._band_deltas(qcd, cod.num_levels, depth)
+            fpacked = np.zeros(packed.shape, dtype=np.float32)
+            for bg in packed_band_layout(tx0, ty0, tx1, ty1, cod.num_levels):
+                delta = deltas[_band_index(bg.resolution, bg.band)]
+                sl = (slice(None),
+                      slice(bg.row_off, bg.row_off + bg.height),
+                      slice(bg.col_off, bg.col_off + bg.width))
+                fpacked[sl] = jq.dequantize(packed[sl], delta)
+            rec = inv97_multilevel(jnp.asarray(fpacked), cod.num_levels,
+                                   x0=tx0, y0=ty0)
+            if cod.mct == 1 and ncomp >= 3:
+                r_, g_, b_ = ict_inverse(rec[0], rec[1], rec[2])
+                rec = jnp.stack([r_, g_, b_]
+                                + [rec[i] for i in range(3, ncomp)])
+            rec = jnp.round(rec).astype(jnp.int32)
         rec = inv_dc_level_shift(rec, depth, signed)
         tile_out = np.moveaxis(np.asarray(rec), 0, -1)
         return tile_out
