@@ -16,6 +16,7 @@ _CODEC_MODULES = [
     "jpeg_lossless",
     "jpegls",
     "j2k_adapters",
+    "htj2k",
 ]
 
 _REGISTERED = False

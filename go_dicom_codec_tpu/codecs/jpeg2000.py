@@ -47,6 +47,7 @@ class J2KEncodeParams:
     tile_width: int = 0       # 0 = single tile covering the image
     tile_height: int = 0
     cb_style: int = 0
+    htj2k: bool = False        # Part 15 HT block coding (cb_style 0x40)
     mct: Optional[bool] = None  # None = auto (RCT for 3 components)
     precincts: Optional[List[Tuple[int, int]]] = None
     comment: bytes = b"go-dicom-codec-tpu"
@@ -114,11 +115,12 @@ class J2KEncoder:
         siz = j2k.SizInfo(
             xsiz=width, ysiz=height, xtsiz=tw, ytsiz=th,
             components=[(bit_depth, signed, 1, 1)] * components)
+        cb_style = p.cb_style | (0x40 if p.htj2k else 0)
         cod = j2k.CodInfo(
             progression=p.progression, num_layers=p.num_layers,
             mct=1 if (use_mct and components == 3) else 0,
             num_levels=levels, cb_width=p.cb_width, cb_height=p.cb_height,
-            cb_style=p.cb_style, transform=1 if p.lossless else 0,
+            cb_style=cb_style, transform=1 if p.lossless else 0,
             precinct_exps=list(p.precincts) if p.precincts else None)
         if p.lossless:
             qcd = j2k.QcdInfo(style=0, guard_bits=p.guard_bits)
@@ -136,6 +138,16 @@ class J2KEncoder:
 
         out = bytearray(b"\xff\x4f")  # SOC
         out += j2k.write_siz(siz)
+        if p.htj2k:
+            # CAP: Pcap bit for Part 15 + Ccap15 flags (encoder.go:1187-1217)
+            ccap15 = 0x0002
+            if components > 1:
+                ccap15 |= 0x0001
+            if bit_depth > 8:
+                ccap15 |= 0x0008
+            if not p.lossless:
+                ccap15 |= 0x0020
+            out += j2k.write_cap(0x00020000, [ccap15])
         out += j2k.write_cod(cod)
         out += j2k.write_qcd(qcd)
         if p.comment:
@@ -211,11 +223,26 @@ class J2KEncoder:
                                 bg.row_off + (g.y1 - bg.y0),
                                 bg.col_off + (g.x0 - bg.x0):
                                 bg.col_off + (g.x1 - bg.x0)]
+                            st = BlockState(cbx=g.cbx, cby=g.cby)
+                            if cod.cb_style & 0x40:
+                                # HT block: cleanup pass only, Kmax = Mb,
+                                # zbp = Mb-1 (encoder.go:3374-3383)
+                                from ..entropy.htcleanup import \
+                                    HTCleanupEncoder
+                                blob = HTCleanupEncoder(
+                                    g.width, g.height, mb).encode(blk_data)
+                                if blob is not None:
+                                    st.numbps = 1
+                                    st.zero_bitplanes = mb - 1
+                                    st.data = blob
+                                    st.pass_rates = [len(blob)]
+                                    st.pass_terms = [True]
+                                blocks.append(st)
+                                continue
                             enc = T1Encoder(g.width, g.height,
                                             style=cod.cb_style,
                                             orientation=bg.orient)
                             stream, numbps, passes = enc.encode(blk_data)
-                            st = BlockState(cbx=g.cbx, cby=g.cby)
                             if numbps > 0:
                                 st.numbps = numbps
                                 st.zero_bitplanes = mb - numbps
@@ -301,9 +328,7 @@ class J2KDecoder:
                      signed: bool) -> np.ndarray:
         tx0, ty0, tx1, ty1 = rect
         th, tw = ty1 - ty0, tx1 - tx0
-        if cod.cb_style & 0x40:
-            raise UnsupportedFormatError(
-                "HT (Part 15) code-blocks handled by the HTJ2K decoder")
+        is_ht = bool(cod.cb_style & 0x40)
 
         comp_res = []
         comp_states = []
@@ -364,13 +389,22 @@ class J2KDecoder:
                         for g, st in zip(pb.blocks, ps.blocks):
                             if st.num_passes == 0 or st.numbps <= 0:
                                 continue
-                            dec = T1Decoder(g.width, g.height,
-                                            style=cod.cb_style,
-                                            orientation=bg.orient)
                             try:
-                                blk = dec.decode(bytes(st.seg_data),
-                                                 st.num_passes, st.numbps,
-                                                 seg_lengths=st.seg_ends)
+                                if is_ht:
+                                    from ..entropy.htcleanup import \
+                                        HTCleanupDecoder
+                                    blk = HTCleanupDecoder(
+                                        g.width, g.height, ps.mb,
+                                        ps.mb - st.numbps).decode(
+                                            bytes(st.seg_data))
+                                else:
+                                    dec = T1Decoder(g.width, g.height,
+                                                    style=cod.cb_style,
+                                                    orientation=bg.orient)
+                                    blk = dec.decode(bytes(st.seg_data),
+                                                     st.num_passes,
+                                                     st.numbps,
+                                                     seg_lengths=st.seg_ends)
                             except Exception:
                                 if not self.resilient:
                                     raise
