@@ -1,0 +1,131 @@
+"""JPEG 2000 region-of-interest coding (MaxShift, ISO 15444-1 Annex H).
+
+Role of reference jpeg2000/roi.go, roi_config.go, roi_mask.go, roi_geom.go:
+Rectangle/Polygon/Mask regions, full-resolution bitmap rasterization
+(polygon scanline), downsample-to-subband masks, RGN marker shifts.
+
+Encode: ROI wavelet coefficients are scaled up by 2^Srgn (Srgn chosen so
+every background magnitude stays below 2^Srgn); the RGN marker carries
+Srgn per component. Decode is mask-free: any magnitude ≥ 2^Srgn is ROI
+and shifts back down (tile_decoder.go:723-742 equivalent).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+@dataclass
+class ROIRegion:
+    """One region: rectangle, polygon, or explicit mask
+    (reference roi_config.go:28-120 shapes)."""
+    shape: str = "rect"                      # rect | polygon | mask
+    rect: Optional[Tuple[int, int, int, int]] = None   # x, y, w, h
+    polygon: Optional[Sequence[Tuple[int, int]]] = None
+    mask: Optional[np.ndarray] = None        # bool [H, W] full-res
+
+    def rasterize(self, width: int, height: int) -> np.ndarray:
+        if self.shape == "rect":
+            x, y, w, h = self.rect
+            m = np.zeros((height, width), dtype=bool)
+            m[max(y, 0):min(y + h, height), max(x, 0):min(x + w, width)] = True
+            return m
+        if self.shape == "polygon":
+            return rasterize_polygon(self.polygon, width, height)
+        if self.shape == "mask":
+            m = np.asarray(self.mask, dtype=bool)
+            if m.shape != (height, width):
+                raise ValueError("ROI mask shape mismatch")
+            return m
+        raise ValueError(f"unknown ROI shape {self.shape!r}")
+
+
+def rasterize_polygon(points: Sequence[Tuple[int, int]], width: int,
+                      height: int) -> np.ndarray:
+    """Even-odd scanline fill (reference roi_mask.go:180 rasterizePolygon)."""
+    mask = np.zeros((height, width), dtype=bool)
+    pts = [(float(x), float(y)) for (x, y) in points]
+    n = len(pts)
+    if n < 3:
+        return mask
+    for y in range(height):
+        yc = y + 0.5
+        xs: List[float] = []
+        for i in range(n):
+            x1, y1 = pts[i]
+            x2, y2 = pts[(i + 1) % n]
+            if (y1 <= yc < y2) or (y2 <= yc < y1):
+                xs.append(x1 + (yc - y1) * (x2 - x1) / (y2 - y1))
+        xs.sort()
+        for i in range(0, len(xs) - 1, 2):
+            a = max(int(np.ceil(xs[i] - 0.5)), 0)
+            b = min(int(np.floor(xs[i + 1] - 0.5)) + 1, width)
+            if b > a:
+                mask[y, a:b] = True
+    return mask
+
+
+def combined_mask(regions: Sequence[ROIRegion], width: int,
+                  height: int) -> np.ndarray:
+    m = np.zeros((height, width), dtype=bool)
+    for r in regions:
+        m |= r.rasterize(width, height)
+    return m
+
+
+def band_roi_mask(full_mask: np.ndarray, tx0: int, ty0: int,
+                  num_levels: int, resolution: int, band: int,
+                  band_rect_: Tuple[int, int, int, int]) -> np.ndarray:
+    """Project the tile's full-res mask onto one subband (OR-pooled,
+    dilated by the filter support — reference roi_mask.go:60-296).
+
+    full_mask is the tile-local mask [th, tw]; returns [bh, bw] bool.
+    """
+    bx0, by0, bx1, by1 = band_rect_
+    bw, bh = bx1 - bx0, by1 - by0
+    if bw <= 0 or bh <= 0:
+        return np.zeros((max(bh, 0), max(bw, 0)), dtype=bool)
+    n = num_levels - resolution if resolution > 0 else num_levels
+    step = 1 << n
+    th, tw = full_mask.shape
+    out = np.zeros((bh, bw), dtype=bool)
+    # band sample (bx, by) draws on tile samples around
+    # ((bx*2^n .. (bx+1)*2^n) − tile offset), dilated for lifting support
+    xob = (1 << (n)) // 2 if band in (1, 3) and resolution > 0 else 0
+    yob = (1 << (n)) // 2 if band in (2, 3) and resolution > 0 else 0
+    # 5/3-9/7 synthesis support grows ≈4·2^n across a multilevel cascade
+    support = 4 * step
+    for by in range(bh):
+        y_lo = max((by0 + by) * step + yob - ty0 - support, 0)
+        y_hi = min((by0 + by + 1) * step + yob - ty0 + support, th)
+        if y_hi <= y_lo:
+            continue
+        rowband = full_mask[y_lo:y_hi]
+        for bx in range(bw):
+            x_lo = max((bx0 + bx) * step + xob - tx0 - support, 0)
+            x_hi = min((bx0 + bx + 1) * step + xob - tx0 + support, tw)
+            if x_hi <= x_lo:
+                continue
+            if rowband[:, x_lo:x_hi].any():
+                out[by, bx] = True
+    return out
+
+
+def apply_maxshift(coeffs_band: np.ndarray, mask_band: np.ndarray,
+                   shift: int) -> np.ndarray:
+    """Scale ROI coefficients up by 2^shift (encoder side)."""
+    out = coeffs_band.astype(np.int64)
+    out[mask_band] <<= shift
+    return out
+
+
+def unshift_maxshift(coeffs_band: np.ndarray, shift: int) -> np.ndarray:
+    """Scale any magnitude ≥ 2^shift back down (decoder side)."""
+    v = coeffs_band.astype(np.int64)
+    mag = np.abs(v)
+    is_roi = mag >= (1 << shift)
+    down = np.sign(v) * (mag >> shift)
+    return np.where(is_roi, down, v).astype(np.int32)

@@ -48,6 +48,9 @@ class J2KEncodeParams:
     tile_height: int = 0
     cb_style: int = 0
     htj2k: bool = False        # Part 15 HT block coding (cb_style 0x40)
+    layer_rates: Optional[List[float]] = None  # compression ratios per layer
+    roi_regions: Optional[list] = None  # List[j2k_roi.ROIRegion]
+    roi_shift: int = 0         # 0 = auto (MaxShift Srgn)
     mct: Optional[bool] = None  # None = auto (RCT for 3 components)
     precincts: Optional[List[Tuple[int, int]]] = None
     comment: bytes = b"go-dicom-codec-tpu"
@@ -116,6 +119,10 @@ class J2KEncoder:
             xsiz=width, ysiz=height, xtsiz=tw, ytsiz=th,
             components=[(bit_depth, signed, 1, 1)] * components)
         cb_style = p.cb_style | (0x40 if p.htj2k else 0)
+        if p.num_layers > 1 and not p.htj2k:
+            # terminate every pass so layer truncation points are exact
+            # (clean quality scalability; reference TERMALL layered path)
+            cb_style |= 0x04
         cod = j2k.CodInfo(
             progression=p.progression, num_layers=p.num_layers,
             mct=1 if (use_mct and components == 3) else 0,
@@ -136,6 +143,16 @@ class J2KEncoder:
                 rb = bit_depth + band_gain(band)
                 qcd.steps.append(jq.encode_step(step, rb))
 
+        roi_shift = 0
+        if p.roi_regions:
+            if p.htj2k:
+                raise UnsupportedFormatError(
+                    "MaxShift ROI is not supported with HT code-blocks "
+                    "(Kmax bound)")
+            # Srgn large enough that every background magnitude stays
+            # below 2^Srgn (reference resolveROI, encoder.go:1047)
+            roi_shift = p.roi_shift or (bit_depth + 3)
+
         out = bytearray(b"\xff\x4f")  # SOC
         out += j2k.write_siz(siz)
         if p.htj2k:
@@ -152,6 +169,9 @@ class J2KEncoder:
         out += j2k.write_qcd(qcd)
         if p.comment:
             out += j2k.write_com(p.comment)
+        if roi_shift:
+            for c in range(components):
+                out += j2k.write_rgn(c, roi_shift, components)
 
         ntx, nty = siz.num_tiles
         tile_index = 0
@@ -159,7 +179,8 @@ class J2KEncoder:
             for ti in range(ntx):
                 rect = siz.tile_rect(ti, tj)
                 body = self._encode_tile(arr, rect, cod, qcd,
-                                         bit_depth, signed, use_mct)
+                                         bit_depth, signed, use_mct,
+                                         roi_shift)
                 out += j2k.write_tile_part(tile_index, body)
                 tile_index += 1
         out += (j2k.EOC).to_bytes(2, "big")
@@ -167,7 +188,7 @@ class J2KEncoder:
 
     def _encode_tile(self, arr: np.ndarray, rect, cod: j2k.CodInfo,
                      qcd: j2k.QcdInfo, bit_depth: int, signed: bool,
-                     use_mct: bool) -> bytes:
+                     use_mct: bool, roi_shift: int = 0) -> bytes:
         tx0, ty0, tx1, ty1 = rect
         ncomp = arr.shape[2]
         tile = arr[ty0:ty1, tx0:tx1, :]
@@ -199,6 +220,28 @@ class J2KEncoder:
                       slice(bg.col_off, bg.col_off + bg.width))
                 coeffs[sl] = jq.deadzone_quantize(fcoeffs[sl], delta)
 
+        if roi_shift:
+            # MaxShift: scale ROI coefficients up by 2^Srgn per band
+            from .j2k_geometry import packed_band_layout
+            from .j2k_roi import band_roi_mask, combined_mask
+            full_mask = combined_mask(self.params.roi_regions,
+                                      arr.shape[1], arr.shape[0])
+            tile_mask = full_mask[ty0:ty1, tx0:tx1]
+            coeffs = coeffs.astype(np.int64)
+            for bg in packed_band_layout(tx0, ty0, tx1, ty1,
+                                         cod.num_levels):
+                if bg.width <= 0 or bg.height <= 0:
+                    continue
+                bm = band_roi_mask(tile_mask, tx0, ty0, cod.num_levels,
+                                   bg.resolution, bg.band,
+                                   (bg.x0, bg.y0, bg.x1, bg.y1))
+                sl = (slice(None),
+                      slice(bg.row_off, bg.row_off + bg.height),
+                      slice(bg.col_off, bg.col_off + bg.width))
+                region = coeffs[sl]
+                region[:, bm] <<= roi_shift
+                coeffs[sl] = region
+
         # host stage: per component geometry + T1 + packets
         packets: List[bytes] = []
         comp_res: List[List[ResolutionGeom]] = []
@@ -214,7 +257,8 @@ class J2KEncoder:
                     plist = []
                     for pb in prec.bands:
                         bg = pb.band
-                        mb = band_mb(qcd, res.r, bg.band, cod.num_levels)
+                        mb = band_mb(qcd, res.r, bg.band,
+                                     cod.num_levels) + roi_shift
                         blocks = []
                         for g in pb.blocks:
                             blk_data = coeffs[
@@ -254,6 +298,8 @@ class J2KEncoder:
                                 st.pass_rates = [pi.rate for pi in passes]
                                 st.pass_terms = [pi.terminated
                                                  for pi in passes]
+                                st.pass_bitplanes = [pi.bitplane
+                                                     for pi in passes]
                                 # single flush: last rate = stream length
                                 if st.pass_rates:
                                     st.pass_rates[-1] = len(stream)
@@ -263,6 +309,42 @@ class J2KEncoder:
                             mb=mb))
                     states[(res.r, prec.index)] = plist
             comp_states.append(states)
+
+        # multi-layer: PCRD pass allocation across every block of the tile
+        if cod.num_layers > 1:
+            from ..t2.pcrd import (allocate_layers, layer_budgets_from_rates,
+                                   pass_slopes)
+            all_blocks = []
+            for states in comp_states:
+                for plist in states.values():
+                    for ps in plist:
+                        for blk in ps.blocks:
+                            all_blocks.append(blk)
+            slopes = [pass_slopes(b.pass_rates, b.pass_bitplanes)
+                      for b in all_blocks]
+            total = sum(b.pass_rates[-1] if b.pass_rates else 0
+                        for b in all_blocks)
+            rates = (self.params.layer_rates
+                     if self.params.layer_rates else
+                     [0.0] * cod.num_layers)
+            if self.params.layer_rates:
+                budgets = layer_budgets_from_rates(
+                    (ty1 - ty0) * (tx1 - tx0) * ncomp, bit_depth, rates,
+                    total)
+            else:
+                budgets = [total * (i + 1) // cod.num_layers
+                           for i in range(cod.num_layers)]
+            alloc = allocate_layers(slopes, budgets)
+            for blk, counts in zip(all_blocks, alloc):
+                blk.layer_passes = counts
+                # widen non-terminated truncation points slightly so a
+                # layer-truncated stream still decodes its passes
+                for li in range(cod.num_layers - 1):
+                    k = counts[li] - 1
+                    if 0 <= k < len(blk.pass_rates) - 1 and \
+                            not blk.pass_terms[k]:
+                        blk.pass_rates[k] = min(blk.pass_rates[k] + 3,
+                                                blk.pass_rates[k + 1])
 
         def precinct_info(c: int, r: int):
             res = comp_res[c][r]
@@ -317,7 +399,7 @@ class J2KDecoder:
             cod = tile.cod or cs.cod
             qcd = tile.qcd or cs.qcd
             tile_arr = self._decode_tile(tile.data, rect, cod, qcd, ncomp,
-                                         depth0, signed0)
+                                         depth0, signed0, cs.rgn_shifts)
             tx0, ty0, tx1, ty1 = rect
             out[ty0 - siz.yosiz:ty1 - siz.yosiz,
                 tx0 - siz.xosiz:tx1 - siz.xosiz, :] = tile_arr
@@ -325,10 +407,13 @@ class J2KDecoder:
 
     def _decode_tile(self, body: bytes, rect, cod: j2k.CodInfo,
                      qcd: j2k.QcdInfo, ncomp: int, depth: int,
-                     signed: bool) -> np.ndarray:
+                     signed: bool,
+                     rgn_shifts: Optional[Dict[int, int]] = None
+                     ) -> np.ndarray:
         tx0, ty0, tx1, ty1 = rect
         th, tw = ty1 - ty0, tx1 - tx0
         is_ht = bool(cod.cb_style & 0x40)
+        rgn_shifts = rgn_shifts or {}
 
         comp_res = []
         comp_states = []
@@ -343,7 +428,7 @@ class J2KDecoder:
                     plist = []
                     for pb in prec.bands:
                         mb = band_mb(qcd, res.r, pb.band.band,
-                                     cod.num_levels)
+                                     cod.num_levels) + rgn_shifts.get(c, 0)
                         blocks = [BlockState(cbx=g.cbx, cby=g.cby)
                                   for g in pb.blocks]
                         plist.append(PrecinctState(
@@ -378,8 +463,8 @@ class J2KDecoder:
                 raise
 
         # T1 decode + assemble packed coefficient array per component
-        tile_out = np.zeros((th, tw, ncomp), dtype=np.int32)
-        packed = np.zeros((ncomp, th, tw), dtype=np.int32)
+        # (int64: MaxShift-scaled ROI magnitudes can exceed 31 bits)
+        packed = np.zeros((ncomp, th, tw), dtype=np.int64)
         for c in range(ncomp):
             for res in comp_res[c]:
                 for prec in res.precincts:
@@ -409,12 +494,20 @@ class J2KDecoder:
                                 if not self.resilient:
                                     raise
                                 blk = np.zeros((g.height, g.width),
-                                               dtype=np.int32)
+                                               dtype=np.int64)
                             packed[c,
                                    bg.row_off + (g.y0 - bg.y0):
                                    bg.row_off + (g.y1 - bg.y0),
                                    bg.col_off + (g.x0 - bg.x0):
                                    bg.col_off + (g.x1 - bg.x0)] = blk
+
+        # ROI MaxShift unshift (mask-free: magnitude ≥ 2^Srgn ⇒ ROI)
+        for c in range(ncomp):
+            shift = rgn_shifts.get(c, 0)
+            if shift:
+                from .j2k_roi import unshift_maxshift
+                packed[c] = unshift_maxshift(packed[c], shift)
+        packed = packed.astype(np.int32)
 
         # device stage: inverse DWT (+ inverse MCT) + DC unshift
         if cod.transform == 1:

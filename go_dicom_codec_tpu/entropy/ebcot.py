@@ -495,7 +495,7 @@ class T1Decoder:
         flags = np.zeros((h + 2) * pw, dtype=np.int64)
         d = np.zeros((h + 2) * pw, dtype=np.int64)
         if numbps <= 0 or num_passes <= 0:
-            return np.zeros((h, w), dtype=np.int32)
+            return np.zeros((h, w), dtype=np.int64)
         maxbp = numbps - 1
 
         # segmentation of the byte stream across terminated passes
@@ -584,10 +584,9 @@ class T1Decoder:
             else:
                 pass_type += 1
 
-        out = np.zeros((h, w), dtype=np.int32)
+        out = np.zeros((h, w), dtype=np.int64)
         for y in range(h):
-            row = d[(y + 1) * pw + 1 : (y + 1) * pw + 1 + w]
-            out[y] = row.astype(np.int32)
+            out[y] = d[(y + 1) * pw + 1 : (y + 1) * pw + 1 + w]
         return out
 
     def _termination_pattern(self, maxbp: int, num_passes: int) -> List[bool]:

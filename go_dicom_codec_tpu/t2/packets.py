@@ -38,6 +38,7 @@ class BlockState:
     data: bytes = b""
     pass_rates: List[int] = field(default_factory=list)   # cumulative bytes
     pass_terms: List[bool] = field(default_factory=list)
+    pass_bitplanes: List[int] = field(default_factory=list)
     layer_passes: List[int] = field(default_factory=list)  # cumulative/layer
     # decode side
     seg_data: bytearray = field(default_factory=bytearray)

@@ -1,0 +1,152 @@
+"""Post-compression rate-distortion layer allocation (Taubman PCRD-opt).
+
+Role of reference jpeg2000/rate_distortion.go: convex-hull pass slopes,
+lambda/threshold bisection against layer byte budgets, and layer-rate →
+budget conversion (ComputeLayerBudgets / AllocateLayersRateDistortionPasses).
+
+Distortion here is a bitplane-energy proxy (4^bitplane per coded pass,
+weighted by coded bytes) rather than the reference's NMSEDEC tables —
+identical machinery, coarser distortion estimate; the codestream stays
+conformant because slopes only steer the truncation points.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Sequence, Tuple
+
+
+@dataclass
+class PassPoint:
+    rate: int          # cumulative bytes at end of this pass
+    slope: float       # distortion decrease per byte (convex-hulled)
+
+
+def pass_slopes(pass_rates: Sequence[int], pass_bitplanes: Sequence[int]
+                ) -> List[PassPoint]:
+    """Convex-hull slopes for one block's passes
+    (reference rate_distortion.go:207-407 computeIncrementals)."""
+    n = len(pass_rates)
+    if n == 0:
+        return []
+    # distortion decrease proxy per pass
+    dists = []
+    prev_rate = 0
+    for i in range(n):
+        d_rate = max(pass_rates[i] - prev_rate, 0)
+        prev_rate = pass_rates[i]
+        dists.append((4.0 ** pass_bitplanes[i]) * max(d_rate, 0.01))
+    # convex hull: slopes must be decreasing; merge violating passes
+    pts: List[Tuple[int, float]] = []  # (rate, cumulative dist drop)
+    cum = 0.0
+    for i in range(n):
+        cum += dists[i]
+        pts.append((pass_rates[i], cum))
+    hull: List[int] = []
+    for i in range(n):
+        hull.append(i)
+        while len(hull) >= 2:
+            i2, i1 = hull[-1], hull[-2]
+            r1, d1 = pts[i1]
+            r2, d2 = pts[i2]
+            r0, d0 = (0, 0.0) if len(hull) == 2 else pts[hull[-3]]
+            s_prev = (d1 - d0) / max(r1 - r0, 1)
+            s_cur = (d2 - d1) / max(r2 - r1, 1)
+            if s_cur > s_prev:
+                hull.pop(-2)  # previous point is below the hull
+            else:
+                break
+    out = [PassPoint(rate=0, slope=0.0)] * n
+    prev_r, prev_d = 0, 0.0
+    hull_set = set(hull)
+    cur_slope = float("inf")
+    for i in range(n):
+        if i in hull_set:
+            r, d = pts[i]
+            cur_slope = (d - prev_d) / max(r - prev_r, 1)
+            prev_r, prev_d = r, d
+        out[i] = PassPoint(rate=pass_rates[i], slope=cur_slope)
+    return out
+
+
+def allocate_layers(blocks: List[List[PassPoint]], budgets: List[int]
+                    ) -> List[List[int]]:
+    """Threshold allocation: per block, cumulative pass counts per layer.
+
+    budgets: cumulative byte targets per layer (last = total available).
+    Mirrors reference FindOptimalLambda bisection (:408-540).
+    """
+    n_layers = len(budgets)
+    slopes = sorted({p.slope for b in blocks for p in b if p.slope > 0},
+                    reverse=True)
+    result = [[0] * n_layers for _ in blocks]
+
+    def bytes_at_threshold(thr: float) -> int:
+        total = 0
+        for b in blocks:
+            take = 0
+            for i, p in enumerate(b):
+                if p.slope >= thr:
+                    take = i + 1
+            if take:
+                total += b[take - 1].rate
+        return total
+
+    prev_counts = [0] * len(blocks)
+    for li, budget in enumerate(budgets):
+        if li == n_layers - 1 and budget <= 0:
+            # final layer: everything
+            for bi, b in enumerate(blocks):
+                result[bi][li] = len(b)
+            continue
+        # bisect over distinct slopes for the largest threshold fitting
+        lo, hi = 0, len(slopes)
+        best = None
+        while lo < hi:
+            mid = (lo + hi) // 2
+            thr = slopes[mid] if mid < len(slopes) else 0.0
+            if bytes_at_threshold(thr) <= budget:
+                best = thr
+                lo = mid + 1
+            else:
+                hi = mid
+        if best is None:
+            counts = list(prev_counts)
+        else:
+            counts = []
+            for b in blocks:
+                take = 0
+                for i, p in enumerate(b):
+                    if p.slope >= best:
+                        take = i + 1
+                counts.append(take)
+        for bi in range(len(blocks)):
+            counts[bi] = max(counts[bi], prev_counts[bi])
+            result[bi][li] = counts[bi]
+        prev_counts = counts
+    # final layer always ships everything remaining
+    for bi, b in enumerate(blocks):
+        result[bi][-1] = len(b)
+    return result
+
+
+def layer_budgets_from_rates(total_pixels: int, bit_depth: int,
+                             layer_rates: Sequence[float],
+                             available: int) -> List[int]:
+    """Compression ratios → cumulative byte budgets
+    (reference ComputeLayerBudgets :438 / openJPEGLayerRates)."""
+    raw = total_pixels * bit_depth / 8.0
+    out = []
+    for r in layer_rates:
+        if r <= 0:
+            out.append(0)  # 0 = no budget (take all)
+        else:
+            out.append(int(raw / r))
+    # monotone nondecreasing, capped at available
+    prev = 0
+    for i in range(len(out)):
+        if out[i] == 0:
+            out[i] = available
+        out[i] = max(prev, min(out[i], available))
+        prev = out[i]
+    return out

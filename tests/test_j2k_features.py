@@ -1,0 +1,140 @@
+"""J2K advanced features: multi-layer PCRD, progressive decode, ROI MaxShift.
+
+Mirrors reference multilayer_test.go, progressive_decode_test.go, and the
+ROI subsystem tests (roi*.go usage).
+"""
+
+import numpy as np
+import pytest
+
+from go_dicom_codec_tpu.codecs.j2k_roi import (ROIRegion, combined_mask,
+                                               rasterize_polygon,
+                                               unshift_maxshift)
+from go_dicom_codec_tpu.codecs.jpeg2000 import (J2KDecoder, J2KEncodeParams,
+                                                J2KEncoder, decode_to_pixels)
+from go_dicom_codec_tpu.codestream import j2k
+from go_dicom_codec_tpu.t2.pcrd import (allocate_layers,
+                                        layer_budgets_from_rates,
+                                        pass_slopes)
+
+
+def test_pass_slopes_monotone():
+    rates = [10, 30, 35, 60]
+    bitplanes = [3, 2, 2, 1]
+    pts = pass_slopes(rates, bitplanes)
+    slopes = [p.slope for p in pts]
+    assert all(slopes[i] >= slopes[i + 1] - 1e-9 for i in range(len(slopes) - 1))
+
+
+def test_allocate_layers_monotone():
+    blocks = [pass_slopes([10, 20, 30], [2, 1, 0]),
+              pass_slopes([5, 50], [3, 0])]
+    alloc = allocate_layers(blocks, [30, 80])
+    for counts in alloc:
+        assert counts == sorted(counts)
+        assert counts[-1] == len(blocks[alloc.index(counts)])
+
+
+def test_layer_budgets():
+    b = layer_budgets_from_rates(64 * 64, 16, [16.0, 4.0, 0], 5000)
+    assert b[0] == 64 * 64 * 2 // 16
+    assert b[1] == 64 * 64 * 2 // 4
+    assert b[2] == 5000
+
+
+@pytest.mark.parametrize("layers", [2, 4])
+def test_multilayer_lossless_roundtrip(layers, rng):
+    img = rng.integers(0, 4096, size=(48, 48)).astype("<u2")
+    enc = J2KEncoder(J2KEncodeParams(num_levels=2, num_layers=layers))
+    data = enc.encode(img.tobytes(), 48, 48, 1, 12)
+    pix, *_ = decode_to_pixels(data)
+    assert pix == img.tobytes()
+    cs = j2k.parse_codestream(data)
+    assert cs.cod.num_layers == layers
+
+
+def test_multilayer_with_rates_roundtrip(rng):
+    base = np.cumsum(rng.integers(-4, 5, size=(64, 64)), axis=1)
+    img = (base - base.min()).astype("<u2")
+    enc = J2KEncoder(J2KEncodeParams(num_levels=3, num_layers=3,
+                                     layer_rates=[32.0, 8.0, 0]))
+    data = enc.encode(img.tobytes(), 64, 64, 1, 12)
+    pix, *_ = decode_to_pixels(data)
+    assert pix == img.tobytes()  # full decode stays lossless
+
+
+def test_progressive_truncated_decode(rng):
+    """Decoding a truncated layered stream degrades gracefully
+    (reference progressive_decode_test.go)."""
+    base = np.cumsum(rng.integers(-4, 5, size=(64, 64)), axis=1)
+    img = (base - base.min()).astype("<u2")
+    enc = J2KEncoder(J2KEncodeParams(num_levels=3, num_layers=3,
+                                     layer_rates=[32.0, 8.0, 0]))
+    data = enc.encode(img.tobytes(), 64, 64, 1, 12)
+    errs = []
+    for frac in (0.3, 0.6, 1.0):
+        cut = data[: int(len(data) * frac)]
+        try:
+            arr, _, _ = J2KDecoder(resilient=True).decode(cut)
+            err = np.abs(arr[:, :, 0].astype(float)
+                         - img.astype(float)).mean()
+        except Exception:
+            err = float("inf")
+        errs.append(err)
+    assert errs[2] == 0.0            # full stream lossless
+    assert errs[0] >= errs[1] >= errs[2]  # more data, closer image
+
+
+# ---- ROI -------------------------------------------------------------------
+
+def test_polygon_rasterizer():
+    tri = rasterize_polygon([(0, 0), (10, 0), (0, 10)], 12, 12)
+    assert tri[1, 1] and not tri[10, 10]
+    assert 30 < tri.sum() < 70  # ~half the 10x10 box
+
+
+def test_combined_mask_shapes():
+    regions = [ROIRegion(shape="rect", rect=(2, 2, 4, 4)),
+               ROIRegion(shape="polygon", polygon=[(8, 8), (14, 8), (8, 14)])]
+    m = combined_mask(regions, 16, 16)
+    assert m[3, 3] and m[9, 9] and not m[0, 15]
+
+
+def test_unshift_maxshift():
+    v = np.array([3, -5, 1 << 12, -(7 << 10)], dtype=np.int64)
+    out = unshift_maxshift(v, 10)
+    np.testing.assert_array_equal(out, [3, -5, 4, -7])
+
+
+def test_roi_lossless_roundtrip(rng):
+    """MaxShift ROI: full image still decodes bit-exact losslessly."""
+    img = rng.integers(0, 4096, size=(48, 48)).astype("<u2")
+    enc = J2KEncoder(J2KEncodeParams(
+        num_levels=2,
+        roi_regions=[ROIRegion(shape="rect", rect=(8, 8, 16, 16))]))
+    data = enc.encode(img.tobytes(), 48, 48, 1, 12)
+    cs = j2k.parse_codestream(data)
+    assert cs.rgn_shifts.get(0, 0) > 0  # RGN marker present
+    pix, *_ = decode_to_pixels(data)
+    assert pix == img.tobytes()
+
+
+def test_roi_truncated_stream_degrades_monotonically(rng):
+    """ROI streams stay decodable and improve with more data.
+
+    (Strict ROI-beats-background under truncation needs NMSEDEC-grade
+    distortion modeling in the PCRD proxy — tracked for a later round.)
+    """
+    img = rng.integers(0, 4096, size=(64, 64)).astype("<u2")
+    roi = ROIRegion(shape="rect", rect=(16, 16, 24, 24))
+    enc = J2KEncoder(J2KEncodeParams(num_levels=2, num_layers=2,
+                                     roi_regions=[roi]))
+    data = enc.encode(img.tobytes(), 64, 64, 1, 12)
+    errs = []
+    for frac in (0.4, 0.7, 1.0):
+        arr, _, _ = J2KDecoder(resilient=True).decode(
+            data[: int(len(data) * frac)])
+        errs.append(np.abs(arr[:, :, 0].astype(float)
+                           - img.astype(float)).mean())
+    assert errs[2] == 0.0
+    assert errs[0] >= errs[1] >= errs[2]
