@@ -56,6 +56,11 @@ def _params_from(parameters: Optional[Parameters],
     p.num_layers = geti("num_layers", 1)
     p.cb_style = geti("cb_style", 0)
     p.quality = geti("quality", p.quality)
+    # Part 2 MCT bindings (reference lossless/codec.go:187-240)
+    for key in ("mct_matrix", "mct_inverse", "mct_offsets"):
+        v = parameters.get_parameter(key)
+        if v is not None:
+            setattr(p, key, v)
     return p
 
 

@@ -52,6 +52,10 @@ class J2KEncodeParams:
     roi_regions: Optional[list] = None  # List[j2k_roi.ROIRegion]
     roi_shift: int = 0         # 0 = auto (MaxShift Srgn)
     mct: Optional[bool] = None  # None = auto (RCT for 3 components)
+    # Part 2 custom multi-component transform (MCT/MCC/MCO markers)
+    mct_matrix: Optional[List[List[float]]] = None    # forward N×N
+    mct_inverse: Optional[List[List[float]]] = None   # inverse N×N
+    mct_offsets: Optional[List[float]] = None
     precincts: Optional[List[Tuple[int, int]]] = None
     comment: bytes = b"go-dicom-codec-tpu"
     guard_bits: int = 2
@@ -112,6 +116,11 @@ class J2KEncoder:
 
         levels = p.clamped_levels(width, height)
         use_mct = p.mct if p.mct is not None else (components == 3)
+        if p.mct_matrix is not None:
+            if len(p.mct_matrix) != components:
+                raise UnsupportedFormatError(
+                    "MCT matrix size must match component count")
+            use_mct = False  # custom matrix replaces RCT/ICT
         tw = p.tile_width or width
         th = p.tile_height or height
 
@@ -169,6 +178,27 @@ class J2KEncoder:
         out += j2k.write_qcd(qcd)
         if p.comment:
             out += j2k.write_com(p.comment)
+        if p.mct_matrix is not None:
+            # Part 2 markers: MCT (inverse matrix + offsets), MCC, MCO
+            # (reference writeMCTAndMCC, encoder.go:668-784)
+            inv = p.mct_inverse
+            if inv is None:
+                inv = np.linalg.inv(np.asarray(p.mct_matrix)).tolist()
+            flat_inv = [v for row in inv for v in row]
+            out += j2k.write_mct_record(1, j2k.MCT_ARRAY_DECORRELATE,
+                                        j2k.MCT_ELEM_F32, flat_inv)
+            off_idx = 0
+            next_idx = 2
+            if p.mct_offsets:
+                off_idx = next_idx
+                next_idx += 1
+                out += j2k.write_mct_record(off_idx, j2k.MCT_ARRAY_OFFSET,
+                                            j2k.MCT_ELEM_F32,
+                                            list(p.mct_offsets))
+            mcc_idx = next_idx
+            out += j2k.write_mcc_record(mcc_idx, list(range(components)),
+                                        p.lossless, 1, off_idx)
+            out += j2k.write_mco_record([mcc_idx])
         if roi_shift:
             for c in range(components):
                 out += j2k.write_rgn(c, roi_shift, components)
@@ -197,14 +227,25 @@ class J2KEncoder:
         comps = jnp.asarray(np.moveaxis(tile, -1, 0))  # [C, H, W]
         comps = dc_level_shift(comps, bit_depth, signed)
         lossless = cod.transform == 1
+        if self.params.mct_matrix is not None:
+            from ..ops.mct import mct_matrix_forward
+            m = jnp.asarray(np.asarray(self.params.mct_matrix,
+                                       dtype=np.float32))
+            offs = (jnp.asarray(np.asarray(self.params.mct_offsets,
+                                           dtype=np.float32))
+                    if self.params.mct_offsets else None)
+            comps = mct_matrix_forward(comps, m, offs)
+            if lossless:
+                comps = jnp.round(comps).astype(jnp.int32)
         if lossless:
-            if use_mct and ncomp == 3:
+            if use_mct and ncomp == 3 and self.params.mct_matrix is None:
                 y, u, v = rct_forward(comps[0], comps[1], comps[2])
                 comps = jnp.stack([y, u, v])
-            coeffs = np.asarray(fwd53_multilevel(comps, cod.num_levels,
+            coeffs = np.asarray(fwd53_multilevel(comps.astype(jnp.int32),
+                                                 cod.num_levels,
                                                  x0=tx0, y0=ty0))
         else:
-            if use_mct and ncomp == 3:
+            if use_mct and ncomp == 3 and self.params.mct_matrix is None:
                 y, cb, cr = ict_forward(comps[0], comps[1], comps[2])
                 comps = jnp.stack([y, cb, cr])
             fcoeffs = np.asarray(fwd97_multilevel(comps, cod.num_levels,
@@ -392,6 +433,21 @@ class J2KDecoder:
         height = siz.ysiz - siz.yosiz
         out = np.zeros((height, width, ncomp), dtype=np.int32)
 
+        # Part 2 custom MCT: decode inverse matrix + offsets from markers
+        # (reference decoder.go:206-353 extractMCTFromMarkers/extractBindings)
+        custom_inv = None
+        custom_offs = None
+        if cs.mct_segments:
+            for seg in cs.mct_segments:
+                idx, atype, etype, vals = j2k.parse_mct_segment(seg)
+                if atype == j2k.MCT_ARRAY_DECORRELATE and custom_inv is None \
+                        and len(vals) == ncomp * ncomp:
+                    custom_inv = np.asarray(vals, dtype=np.float32
+                                            ).reshape(ncomp, ncomp)
+                elif atype == j2k.MCT_ARRAY_OFFSET and custom_offs is None \
+                        and len(vals) == ncomp:
+                    custom_offs = np.asarray(vals, dtype=np.float32)
+
         ntx, nty = siz.num_tiles
         for tidx, tile in sorted(cs.tiles.items()):
             ti, tj = tidx % ntx, tidx // ntx
@@ -399,7 +455,8 @@ class J2KDecoder:
             cod = tile.cod or cs.cod
             qcd = tile.qcd or cs.qcd
             tile_arr = self._decode_tile(tile.data, rect, cod, qcd, ncomp,
-                                         depth0, signed0, cs.rgn_shifts)
+                                         depth0, signed0, cs.rgn_shifts,
+                                         custom_inv, custom_offs)
             tx0, ty0, tx1, ty1 = rect
             out[ty0 - siz.yosiz:ty1 - siz.yosiz,
                 tx0 - siz.xosiz:tx1 - siz.xosiz, :] = tile_arr
@@ -408,7 +465,9 @@ class J2KDecoder:
     def _decode_tile(self, body: bytes, rect, cod: j2k.CodInfo,
                      qcd: j2k.QcdInfo, ncomp: int, depth: int,
                      signed: bool,
-                     rgn_shifts: Optional[Dict[int, int]] = None
+                     rgn_shifts: Optional[Dict[int, int]] = None,
+                     custom_inv: Optional[np.ndarray] = None,
+                     custom_offs: Optional[np.ndarray] = None
                      ) -> np.ndarray:
         tx0, ty0, tx1, ty1 = rect
         th, tw = ty1 - ty0, tx1 - tx0
@@ -513,7 +572,14 @@ class J2KDecoder:
         if cod.transform == 1:
             rec = inv53_multilevel(jnp.asarray(packed), cod.num_levels,
                                    x0=tx0, y0=ty0)
-            if cod.mct == 1 and ncomp >= 3:
+            if custom_inv is not None:
+                from ..ops.mct import mct_matrix_inverse
+                rec = jnp.round(mct_matrix_inverse(
+                    rec, jnp.asarray(custom_inv),
+                    jnp.asarray(custom_offs)
+                    if custom_offs is not None else None)
+                ).astype(jnp.int32)
+            elif cod.mct == 1 and ncomp >= 3:
                 r_, g_, b_ = rct_inverse(rec[0], rec[1], rec[2])
                 rec = jnp.stack([r_, g_, b_]
                                 + [rec[i] for i in range(3, ncomp)])
@@ -530,7 +596,13 @@ class J2KDecoder:
                 fpacked[sl] = jq.dequantize(packed[sl], delta)
             rec = inv97_multilevel(jnp.asarray(fpacked), cod.num_levels,
                                    x0=tx0, y0=ty0)
-            if cod.mct == 1 and ncomp >= 3:
+            if custom_inv is not None:
+                from ..ops.mct import mct_matrix_inverse
+                rec = mct_matrix_inverse(
+                    rec, jnp.asarray(custom_inv),
+                    jnp.asarray(custom_offs)
+                    if custom_offs is not None else None)
+            elif cod.mct == 1 and ncomp >= 3:
                 r_, g_, b_ = ict_inverse(rec[0], rec[1], rec[2])
                 rec = jnp.stack([r_, g_, b_]
                                 + [rec[i] for i in range(3, ncomp)])

@@ -203,6 +203,102 @@ def write_cap(pcap: int, ccap: List[int]) -> bytes:
     return _seg(CAP, payload)
 
 
+# ---- Part 2 multi-component transform markers (ISO 15444-2 Annex A) --------
+
+MCT_MARKER = 0xFF74
+MCC_MARKER = 0xFF75
+MCO_MARKER = 0xFF77
+
+MCT_ARRAY_DECORRELATE = 0
+MCT_ARRAY_OFFSET = 2
+MCT_ELEM_I16, MCT_ELEM_I32, MCT_ELEM_F32, MCT_ELEM_F64 = 0, 1, 2, 3
+
+_ELEM_FMT = {MCT_ELEM_I16: ">h", MCT_ELEM_I32: ">i",
+             MCT_ELEM_F32: ">f", MCT_ELEM_F64: ">d"}
+
+
+def write_mct_record(index: int, array_type: int, elem_type: int,
+                     values: List[float]) -> bytes:
+    """MCT segment (reference encoder.go:863-882 layout)."""
+    fmt = _ELEM_FMT[elem_type]
+    data = b"".join(struct.pack(fmt, int(v) if elem_type < 2 else float(v))
+                    for v in values)
+    imct = (index & 0xFF) | (array_type << 8) | (elem_type << 10)
+    payload = struct.pack(">HHH", 0, imct, 0) + data
+    return _seg(MCT_MARKER, payload)
+
+
+def write_mcc_record(index: int, comp_ids: List[int], reversible: bool,
+                     deco_index: int, offset_index: int) -> bytes:
+    """MCC segment (reference encoder.go:884-942 layout)."""
+    wide = any(c > 255 for c in comp_ids)
+    payload = struct.pack(">HBHHB", 0, index, 0, 1, 1)
+    n = len(comp_ids) | (0x8000 if wide else 0)
+    ids = b"".join(struct.pack(">H" if wide else ">B", c) for c in comp_ids)
+    payload += struct.pack(">H", n) + ids
+    payload += struct.pack(">H", n) + ids
+    tmcc = (deco_index & 0xFF) | ((offset_index & 0xFF) << 8) | \
+        ((1 << 16) if reversible else 0)
+    payload += bytes([(tmcc >> 16) & 0xFF, (tmcc >> 8) & 0xFF, tmcc & 0xFF])
+    return _seg(MCC_MARKER, payload)
+
+
+def write_mco_record(order: List[int]) -> bytes:
+    """MCO segment (reference encoder.go:944-964)."""
+    return _seg(MCO_MARKER, bytes([len(order)]) + bytes(order))
+
+
+def parse_mct_segment(payload: bytes):
+    """→ (index, array_type, elem_type, [values])."""
+    if len(payload) < 6:
+        raise CorruptStreamError("MCT segment too short")
+    _, imct, _ = struct.unpack_from(">HHH", payload, 0)
+    index = imct & 0xFF
+    array_type = (imct >> 8) & 0x3
+    elem_type = (imct >> 10) & 0x3
+    fmt = _ELEM_FMT[elem_type]
+    size = struct.calcsize(fmt)
+    body = payload[6:]
+    vals = [struct.unpack_from(fmt, body, i)[0]
+            for i in range(0, len(body) - size + 1, size)]
+    return index, array_type, elem_type, vals
+
+
+def parse_mcc_segment(payload: bytes):
+    """→ (index, comp_ids, reversible, deco_index, offset_index)."""
+    if len(payload) < 8:
+        raise CorruptStreamError("MCC segment too short")
+    _, index, _, _, _ = struct.unpack_from(">HBHHB", payload, 0)
+    off = 8
+    n = struct.unpack_from(">H", payload, off)[0]
+    off += 2
+    wide = bool(n & 0x8000)
+    count = n & 0x7FFF
+    ids = []
+    for _ in range(count):
+        if wide:
+            ids.append(struct.unpack_from(">H", payload, off)[0])
+            off += 2
+        else:
+            ids.append(payload[off])
+            off += 1
+    # skip the mirrored Mmcci list
+    m = struct.unpack_from(">H", payload, off)[0]
+    off += 2 + (m & 0x7FFF) * (2 if m & 0x8000 else 1)
+    if off + 3 > len(payload):
+        raise CorruptStreamError("MCC segment truncated")
+    tmcc = (payload[off] << 16) | (payload[off + 1] << 8) | payload[off + 2]
+    return (index, ids, bool(tmcc & 0x10000), tmcc & 0xFF,
+            (tmcc >> 8) & 0xFF)
+
+
+def parse_mco_segment(payload: bytes) -> List[int]:
+    if not payload:
+        return []
+    n = payload[0]
+    return list(payload[1 : 1 + n])
+
+
 # ---- parser ----------------------------------------------------------------
 
 def parse_codestream(data: bytes) -> Codestream:

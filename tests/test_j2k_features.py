@@ -138,3 +138,32 @@ def test_roi_truncated_stream_degrades_monotonically(rng):
                            - img.astype(float)).mean())
     assert errs[2] == 0.0
     assert errs[0] >= errs[1] >= errs[2]
+
+
+# ---- Part 2 custom MCT -----------------------------------------------------
+
+def test_part2_custom_mct_markers_and_roundtrip(rng):
+    """MCT/MCC/MCO markers roundtrip a custom decorrelation matrix
+    (reference encoder.go:668-784, decoder.go:206-353)."""
+    img = rng.integers(0, 256, size=(32, 32, 3)).astype(np.uint8)
+    M = [[0.6, 0.5, 0.5], [0.5, 0.6, -0.5], [0.5, -0.5, 0.6]]
+    Minv = np.linalg.inv(M).tolist()
+    enc = J2KEncoder(J2KEncodeParams(num_levels=2, mct_matrix=M,
+                                     mct_inverse=Minv))
+    data = enc.encode(img.tobytes(), 32, 32, 3, 8)
+    assert b"\xff\x74" in data and b"\xff\x75" in data and b"\xff\x77" in data
+    cs = j2k.parse_codestream(data)
+    assert len(cs.mct_segments) == 1 and len(cs.mcc_segments) == 1
+    idx, atype, etype, vals = j2k.parse_mct_segment(cs.mct_segments[0])
+    assert atype == j2k.MCT_ARRAY_DECORRELATE and len(vals) == 9
+    np.testing.assert_allclose(np.array(vals).reshape(3, 3), Minv, atol=1e-6)
+    pix, *_ = decode_to_pixels(data)
+    got = np.frombuffer(pix, np.uint8).reshape(32, 32, 3).astype(int)
+    assert np.abs(got - img.astype(int)).max() <= 1  # float matrix rounding
+
+
+def test_mcc_segment_parser_roundtrip():
+    seg = j2k.write_mcc_record(3, [0, 1, 2], True, 1, 2)
+    payload = seg[4:]  # strip marker+length
+    idx, ids, rev, deco, off = j2k.parse_mcc_segment(payload)
+    assert (idx, ids, rev, deco, off) == (3, [0, 1, 2], True, 1, 2)
