@@ -218,9 +218,17 @@ class J2KEncoder:
 
     def _encode_tile(self, arr: np.ndarray, rect, cod: j2k.CodInfo,
                      qcd: j2k.QcdInfo, bit_depth: int, signed: bool,
-                     use_mct: bool, roi_shift: int = 0) -> bytes:
+                     use_mct: bool, roi_shift: int = 0,
+                     precomputed_coeffs: Optional[np.ndarray] = None
+                     ) -> bytes:
         tx0, ty0, tx1, ty1 = rect
-        ncomp = arr.shape[2]
+        ncomp = arr.shape[2] if arr is not None else \
+            precomputed_coeffs.shape[0]
+        if precomputed_coeffs is not None:
+            # device stage ran elsewhere (pipelined batch path)
+            coeffs = np.asarray(precomputed_coeffs)
+            return self._encode_tile_entropy(coeffs, rect, cod, qcd,
+                                             bit_depth, roi_shift)
         tile = arr[ty0:ty1, tx0:tx1, :]
 
         # device stage: DC shift (+ MCT) + multilevel DWT over components
@@ -283,8 +291,15 @@ class J2KEncoder:
                 region[:, bm] <<= roi_shift
                 coeffs[sl] = region
 
-        # host stage: per component geometry + T1 + packets
-        packets: List[bytes] = []
+        return self._encode_tile_entropy(coeffs, rect, cod, qcd, bit_depth,
+                                         roi_shift)
+
+    def _encode_tile_entropy(self, coeffs: np.ndarray, rect,
+                             cod: j2k.CodInfo, qcd: j2k.QcdInfo,
+                             bit_depth: int, roi_shift: int = 0) -> bytes:
+        """Host stage: per component geometry + T1 + packets."""
+        tx0, ty0, tx1, ty1 = rect
+        ncomp = coeffs.shape[0]
         comp_res: List[List[ResolutionGeom]] = []
         comp_states: List[Dict[Tuple[int, int], List[PrecinctState]]] = []
         for c in range(ncomp):

