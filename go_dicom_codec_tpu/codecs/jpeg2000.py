@@ -339,10 +339,21 @@ class J2KEncoder:
                                     st.pass_terms = [True]
                                 blocks.append(st)
                                 continue
-                            enc = T1Encoder(g.width, g.height,
-                                            style=cod.cb_style,
-                                            orientation=bg.orient)
-                            stream, numbps, passes = enc.encode(blk_data)
+                            from ..native import t1_encode_native
+                            native = t1_encode_native(
+                                np.ascontiguousarray(blk_data),
+                                cod.cb_style, bg.orient)
+                            if native is not None:
+                                (stream, numbps, rates, terms,
+                                 bitplanes) = native
+                            else:
+                                enc = T1Encoder(g.width, g.height,
+                                                style=cod.cb_style,
+                                                orientation=bg.orient)
+                                stream, numbps, passes = enc.encode(blk_data)
+                                rates = [pi.rate for pi in passes]
+                                terms = [pi.terminated for pi in passes]
+                                bitplanes = [pi.bitplane for pi in passes]
                             if numbps > 0:
                                 st.numbps = numbps
                                 st.zero_bitplanes = mb - numbps
@@ -351,11 +362,9 @@ class J2KEncoder:
                                         f"block numbps {numbps} exceeds "
                                         f"Mb {mb}")
                                 st.data = stream
-                                st.pass_rates = [pi.rate for pi in passes]
-                                st.pass_terms = [pi.terminated
-                                                 for pi in passes]
-                                st.pass_bitplanes = [pi.bitplane
-                                                     for pi in passes]
+                                st.pass_rates = list(rates)
+                                st.pass_terms = list(terms)
+                                st.pass_bitplanes = list(bitplanes)
                                 # single flush: last rate = stream length
                                 if st.pass_rates:
                                     st.pass_rates[-1] = len(stream)
@@ -557,13 +566,21 @@ class J2KDecoder:
                                         ps.mb - st.numbps).decode(
                                             bytes(st.seg_data))
                                 else:
-                                    dec = T1Decoder(g.width, g.height,
-                                                    style=cod.cb_style,
-                                                    orientation=bg.orient)
-                                    blk = dec.decode(bytes(st.seg_data),
-                                                     st.num_passes,
-                                                     st.numbps,
-                                                     seg_lengths=st.seg_ends)
+                                    from ..native import t1_decode_native
+                                    blk = t1_decode_native(
+                                        bytes(st.seg_data), g.width,
+                                        g.height, cod.cb_style, bg.orient,
+                                        st.num_passes, st.numbps,
+                                        seg_ends=st.seg_ends)
+                                    if blk is None:
+                                        dec = T1Decoder(
+                                            g.width, g.height,
+                                            style=cod.cb_style,
+                                            orientation=bg.orient)
+                                        blk = dec.decode(
+                                            bytes(st.seg_data),
+                                            st.num_passes, st.numbps,
+                                            seg_lengths=st.seg_ends)
                             except Exception:
                                 if not self.resilient:
                                     raise

@@ -194,6 +194,8 @@ class MQEncoder:
             self.c = 0
 
     def bypass_flush(self, erterm: bool) -> None:
+        if self.ct == _RAW_CT_INIT:
+            return  # no raw bits written (matches Go bypassCtInit guard)
         if self.ct < 7 or (self.ct == 7 and (
                 erterm or (self.bp > 0 and self.buf[self.bp - 1] != 0xFF))):
             bit = 0

@@ -1,0 +1,99 @@
+"""Native C++ EBCOT/MQ equivalence vs the Python reference implementation.
+
+Byte-exact encoder parity and value-exact decoder parity across the style
+matrix, sizes, and dynamic ranges.
+"""
+
+import numpy as np
+import pytest
+
+from go_dicom_codec_tpu.entropy.ebcot import (STYLE_LAZY, STYLE_RESET,
+                                              STYLE_SEGSYM, STYLE_TERMALL,
+                                              T1Decoder, T1Encoder)
+from go_dicom_codec_tpu.native import (get_lib, t1_decode_native,
+                                       t1_encode_native)
+
+pytestmark = pytest.mark.skipif(get_lib() is None,
+                                reason="native toolchain unavailable")
+
+STYLES = [0, STYLE_TERMALL, STYLE_RESET, STYLE_SEGSYM, STYLE_LAZY,
+          STYLE_LAZY | STYLE_TERMALL, STYLE_TERMALL | STYLE_RESET]
+SIZES = [(4, 4), (8, 8), (64, 64), (5, 7), (33, 29), (1, 16), (16, 1)]
+
+
+@pytest.mark.parametrize("style", STYLES)
+@pytest.mark.parametrize("size", SIZES[:4])
+def test_encoder_byte_parity(style, size, rng):
+    h, w = size
+    for orient in (0, 3):
+        data = rng.integers(-3000, 3000, size=(h, w)).astype(np.int32)
+        py_stream, py_numbps, py_passes = T1Encoder(
+            w, h, style=style, orientation=orient).encode(data)
+        native = t1_encode_native(data, style, orient)
+        assert native is not None
+        n_stream, n_numbps, n_rates, n_terms, n_bps = native
+        assert n_numbps == py_numbps
+        assert n_stream == py_stream, (
+            f"stream mismatch style={style} orient={orient}")
+        assert n_rates == [p.rate for p in py_passes]
+        assert n_terms == [p.terminated for p in py_passes]
+        assert n_bps == [p.bitplane for p in py_passes]
+
+
+@pytest.mark.parametrize("style", STYLES)
+@pytest.mark.parametrize("size", SIZES)
+def test_native_roundtrip(style, size, rng):
+    h, w = size
+    data = rng.integers(-30000, 30000, size=(h, w)).astype(np.int32)
+    stream, numbps, rates, terms, bps = t1_encode_native(data, style, 0)
+    segs = [r for r, t in zip(rates, terms) if t]
+    got = t1_decode_native(stream, w, h, style, 0, len(rates), numbps,
+                           seg_ends=segs)
+    np.testing.assert_array_equal(got, data)
+
+
+@pytest.mark.parametrize("style", STYLES[:4])
+def test_cross_decode(style, rng):
+    """Python decodes native streams; native decodes Python streams."""
+    h = w = 16
+    data = rng.integers(-500, 500, size=(h, w)).astype(np.int32)
+    py_stream, numbps, py_passes = T1Encoder(w, h, style=style).encode(data)
+    segs = [p.rate for p in py_passes if p.terminated]
+    native_dec = t1_decode_native(py_stream, w, h, style, 0,
+                                  len(py_passes), numbps, seg_ends=segs)
+    np.testing.assert_array_equal(native_dec, data)
+
+    n_stream, n_numbps, n_rates, n_terms, _ = t1_encode_native(data, style, 0)
+    py_dec = T1Decoder(w, h, style=style).decode(
+        n_stream, len(n_rates), n_numbps,
+        seg_lengths=[r for r, t in zip(n_rates, n_terms) if t])
+    np.testing.assert_array_equal(py_dec, data)
+
+
+def test_native_sparse_and_zero(rng):
+    data = np.zeros((32, 32), dtype=np.int32)
+    stream, numbps, rates, terms, bps = t1_encode_native(data, 0, 0)
+    assert numbps == 0 and rates == []
+    got = t1_decode_native(b"", 32, 32, 0, 0, 0, 0)
+    np.testing.assert_array_equal(got, data)
+
+    data[5, 5] = 1 << 20
+    data[0, 0] = -1
+    stream, numbps, rates, terms, bps = t1_encode_native(data, 0, 0)
+    got = t1_decode_native(stream, 32, 32, 0, 0, len(rates), numbps)
+    np.testing.assert_array_equal(got, data)
+
+
+def test_native_speedup(rng):
+    """Native T1 should be at least 10x the Python path on a 64x64 block."""
+    import time
+
+    data = rng.integers(-2000, 2000, size=(64, 64)).astype(np.int32)
+    t0 = time.perf_counter()
+    T1Encoder(64, 64).encode(data)
+    t_py = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(10):
+        t1_encode_native(data, 0, 0)
+    t_native = (time.perf_counter() - t0) / 10
+    assert t_native * 10 < t_py, (t_py, t_native)
