@@ -543,13 +543,17 @@ def encode(pixels: bytes, width: int, height: int, components: int,
 
     maxval = (1 << bit_depth) - 1
     traits = Traits(maxval=maxval, near=near)
-    scan = _Scan(traits)
-    gw = GolombWriter()
-    if components == 1:
-        _code_component(scan, gw, img[:, :, 0], encode=True)
-    else:
-        _code_interleaved(scan, gw, img, encode=True)
-    scan_bytes = gw.finish()
+    from ..native import jls_encode_scan_native
+    scan_bytes = jls_encode_scan_native(img, maxval, near, traits.reset,
+                                        traits.t1, traits.t2, traits.t3)
+    if scan_bytes is None:
+        scan = _Scan(traits)
+        gw = GolombWriter()
+        if components == 1:
+            _code_component(scan, gw, img[:, :, 0], encode=True)
+        else:
+            _code_interleaved(scan, gw, img, encode=True)
+        scan_bytes = gw.finish()
 
     w = mk.JpegWriter()
     w.write_marker(mk.SOI)
@@ -624,15 +628,20 @@ def decode(data: bytes):
     else:
         traits = Traits(maxval=maxval, near=near)
 
-    img = np.zeros((h, w, nc), dtype=np.int64)
-    gr = GolombReader(scan_bytes)
-    if nc == 1 or ilv == 0:
-        for c in range(nc):
+    from ..native import jls_decode_scan_native
+    img = jls_decode_scan_native(scan_bytes, w, h, nc, traits.maxval,
+                                 near, traits.reset, traits.t1, traits.t2,
+                                 traits.t3, ilv)
+    if img is None:
+        img = np.zeros((h, w, nc), dtype=np.int64)
+        gr = GolombReader(scan_bytes)
+        if nc == 1 or ilv == 0:
+            for c in range(nc):
+                scan = _Scan(traits)
+                _code_component(scan, gr, img[:, :, c], encode=False)
+        else:
             scan = _Scan(traits)
-            _code_component(scan, gr, img[:, :, c], encode=False)
-    else:
-        scan = _Scan(traits)
-        _code_interleaved(scan, gr, img, encode=False)
+            _code_interleaved(scan, gr, img, encode=False)
 
     dt = np.uint8 if depth <= 8 else np.dtype("<u2")
     return (np.ascontiguousarray(img.astype(dt)).tobytes(), w, h, nc,

@@ -70,6 +70,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
             u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             i32p, ctypes.c_int, i64p]
+        lib.jls_encode_scan.restype = ctypes.c_int
+        lib.jls_encode_scan.argtypes = [
+            i64p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, u8p, ctypes.c_int]
+        lib.jls_decode_scan.restype = ctypes.c_int
+        lib.jls_decode_scan.argtypes = [
+            u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, i64p]
         _LIB = lib
         return _LIB
 
@@ -99,6 +109,42 @@ def t1_encode_native(data: np.ndarray, style: int, orient: int,
     k = npasses.value
     return (out[:n].tobytes(), numbps.value, rates[:k].tolist(),
             terms[:k].astype(bool).tolist(), bps[:k].tolist())
+
+
+def jls_encode_scan_native(img: np.ndarray, maxval: int, near: int,
+                           reset: int, t1: int, t2: int, t3: int):
+    """Native JPEG-LS scan encode. img: [h, w, comps] int; returns scan
+    bytes (no markers) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    h, w, comps = img.shape
+    buf = np.ascontiguousarray(img, dtype=np.int64).reshape(-1)
+    cap = max(w * h * comps * 4 + 4096, 8192)
+    out = np.zeros(cap, dtype=np.uint8)
+    n = lib.jls_encode_scan(buf, w, h, comps, maxval, near, reset,
+                            t1, t2, t3, out, cap)
+    if n < 0:
+        return None
+    return out[:n].tobytes()
+
+
+def jls_decode_scan_native(data: bytes, w: int, h: int, comps: int,
+                           maxval: int, near: int, reset: int,
+                           t1: int, t2: int, t3: int, ilv: int):
+    """Native JPEG-LS scan decode → int64 [h, w, comps], or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf = np.ascontiguousarray(np.frombuffer(data, dtype=np.uint8))
+    if buf.size == 0:
+        buf = np.zeros(1, dtype=np.uint8)
+    out = np.zeros(h * w * comps, dtype=np.int64)
+    r = lib.jls_decode_scan(buf, len(data), w, h, comps, maxval, near,
+                            reset, t1, t2, t3, ilv, out)
+    if r != 0:
+        return None
+    return out.reshape(h, w, comps)
 
 
 def t1_decode_native(stream: bytes, w: int, h: int, style: int, orient: int,

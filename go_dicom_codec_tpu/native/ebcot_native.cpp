@@ -800,3 +800,577 @@ int t1_decode(const uint8_t* stream, int stream_len, int w, int h, int style,
 }
 
 }  // extern "C"
+
+// ============================================================================
+// JPEG-LS scan coder fast path — exact mirror of codecs/jpegls.py
+// (CharLS-compatible LOCO-I; the Python module is the behavioral reference,
+// pinned by tests/test_native.py equivalence tests).
+// ============================================================================
+
+namespace jls {
+
+const int J_[32] = {0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3,
+                    4, 4, 5, 5, 6, 6, 7, 7, 8, 9, 10, 11, 12, 13, 14, 15};
+
+struct Traits {
+  int maxval, near_, reset, t1, t2, t3;
+  int range_, qbpp, limit;
+
+  void init() {
+    range_ = near_ == 0 ? maxval + 1
+                        : (maxval + 2 * near_) / (2 * near_ + 1) + 1;
+    auto log2ceil = [](int n) {
+      if (n <= 1) return 1;
+      int L = 0; n--;
+      while (n > 0) { n >>= 1; L++; }
+      return L;
+    };
+    qbpp = log2ceil(range_);
+    int bpp = log2ceil(maxval);
+    limit = 2 * (bpp + (bpp > 8 ? bpp : 8));
+  }
+
+  int quantize(int e) const {
+    if (near_ == 0) return e;
+    if (e > 0) return (e + near_) / (2 * near_ + 1);
+    return -((near_ - e) / (2 * near_ + 1));
+  }
+  int dequantize(int e) const { return e * (2 * near_ + 1); }
+  int modulo_range(int e) const {
+    if (e < 0) e += range_;
+    if (e >= (range_ + 1) / 2) e -= range_;
+    return e;
+  }
+  int compute_error(int e) const { return modulo_range(quantize(e)); }
+  int correct_prediction(int p) const {
+    return p < 0 ? 0 : (p > maxval ? maxval : p);
+  }
+  int fix_reconstructed(int v) const {
+    if (near_ == 0 && ((maxval + 1) & maxval) == 0) return v & maxval;
+    if (v < -near_) v += range_ * (2 * near_ + 1);
+    else if (v > maxval + near_) v -= range_ * (2 * near_ + 1);
+    return correct_prediction(v);
+  }
+  int reconstruct(int pred, int err) const {
+    return fix_reconstructed(pred + dequantize(err));
+  }
+  int qgrad(int d) const {
+    if (d <= -t3) return -4;
+    if (d <= -t2) return -3;
+    if (d <= -t1) return -2;
+    if (d < -near_) return -1;
+    if (d <= near_) return 0;
+    if (d < t1) return 1;
+    if (d < t2) return 2;
+    if (d < t3) return 3;
+    return 4;
+  }
+  bool is_near(int a, int b) const {
+    int d = a - b;
+    return (d < 0 ? -d : d) <= near_;
+  }
+};
+
+inline int map_error(int e) { return e < 0 ? -2 * e - 1 : 2 * e; }
+inline int unmap_error(int v) { return (v & 1) ? -((v + 1) >> 1) : v >> 1; }
+inline int apply_sign(int i, int s) { return (s ^ i) - s; }
+inline int sgn(int n) { return n < 0 ? -1 : 1; }
+
+struct Ctx {
+  int a, b, c, n;
+  void init(int range_) {
+    a = (range_ + 32) / 64;
+    if (a < 2) a = 2;
+    b = 0; c = 0; n = 1;
+  }
+  int golomb_k() const {
+    int k = 0;
+    while ((n << k) < a && k < 16) k++;
+    return k;
+  }
+  int error_correction(int k, int near_) const {
+    if (k != 0 || near_ != 0) return 0;
+    return 2 * b + n - 1 < 0 ? -1 : 0;
+  }
+  void update(int err, int near_, int reset) {
+    a += err < 0 ? -err : err;
+    b += err * (2 * near_ + 1);
+    const int lim = 65536 * 256;
+    if (a >= lim) a = lim - 1;
+    if (b >= lim) b = lim - 1;
+    else if (b <= -lim) b = -lim + 1;
+    if (n == reset) { a >>= 1; b >>= 1; n >>= 1; }
+    n++;
+    if (b + n <= 0) {
+      b += n;
+      if (b <= -n) b = -n + 1;
+      if (c > -128) c--;
+    } else if (b > 0) {
+      b -= n;
+      if (b > 0) b = 0;
+      if (c < 127) c++;
+    }
+  }
+};
+
+struct RunCtx {
+  int rtype, a, n, nn;
+  void init(int rt, int range_) {
+    rtype = rt;
+    a = (range_ + 32) / 64;
+    if (a < 2) a = 2;
+    n = 1; nn = 0;
+  }
+  int golomb_k() const {
+    int temp = a + (n >> 1) * rtype;
+    int ntest = n, k = 0;
+    while (ntest < temp) { ntest <<= 1; if (++k > 32) break; }
+    return k;
+  }
+  bool compute_map(int err, int k) const {
+    if (k == 0 && err > 0 && 2 * nn < n) return true;
+    if (err < 0 && 2 * nn >= n) return true;
+    if (err < 0 && k != 0) return true;
+    return false;
+  }
+  int error_from_mapped(int temp, int k) const {
+    int map_bit = temp & 1;
+    int err_abs = (temp + map_bit) / 2;
+    bool cond = (k != 0) || (2 * nn >= n);
+    if (cond == (map_bit != 0)) return -err_abs;
+    return err_abs;
+  }
+  void update(int err, int emapped, int reset) {
+    if (err < 0) nn++;
+    a += (emapped + 1 - rtype) >> 1;
+    if (n == reset) { a >>= 1; n >>= 1; nn >>= 1; }
+    n++;
+  }
+};
+
+struct GWriter {
+  std::vector<uint8_t> buf;
+  uint32_t bitbuf = 0;
+  int free_ = 32;
+  bool ff = false;
+
+  void write_bits(uint32_t bits, int n) {
+    free_ -= n;
+    if (free_ >= 0) bitbuf |= bits << free_;
+    else {
+      bitbuf |= bits >> -free_;
+      flush();
+      if (free_ < 0) { bitbuf |= bits >> -free_; flush(); }
+      bitbuf |= bits << free_;
+    }
+  }
+  void flush() {
+    for (int i = 0; i < 4; i++) {
+      if (free_ >= 32) { free_ = 32; break; }
+      uint8_t b;
+      if (ff) { b = (bitbuf >> 25) & 0x7F; bitbuf <<= 7; free_ += 7; }
+      else { b = (bitbuf >> 24) & 0xFF; bitbuf <<= 8; free_ += 8; }
+      buf.push_back(b);
+      ff = b == 0xFF;
+    }
+  }
+  void finish() {
+    flush();
+    if (ff) write_bits(0, (free_ - 1) % 8);
+    flush();
+  }
+  void write_unary(int n) {
+    while (n + 1 > 31) { write_bits(0, 31); n -= 31; }
+    write_bits(1, n + 1);
+  }
+  void write_zeros(int n) {
+    while (n > 0) { int c = n > 31 ? 31 : n; write_bits(0, c); n -= c; }
+  }
+  void encode_mapped(int k, int mapped, int limit, int qbpp) {
+    int high = mapped >> k;
+    if (high < limit - (qbpp + 1)) {
+      if (high + 1 > 31) { write_zeros(high / 2); high -= high / 2; }
+      write_unary(high);
+      if (k > 0) write_bits(mapped & ((1 << k) - 1), k);
+      return;
+    }
+    int escape = limit - qbpp;
+    if (escape > 31) { write_zeros(31); write_unary(escape - 31 - 1); }
+    else write_unary(escape - 1);
+    write_bits((mapped - 1) & ((1 << qbpp) - 1), qbpp);
+  }
+};
+
+struct GReader {
+  const uint8_t* data;
+  int len, pos = 0;
+  uint64_t cache = 0;
+  int valid = 0;
+
+  void fill() {
+    while (valid < 56) {
+      if (pos >= len) {
+        if (valid <= 0) { cache = (cache << 8) | 0xFF; valid += 8; continue; }
+        break;
+      }
+      uint8_t b = data[pos];
+      bool prev_ff = pos > 0 && data[pos - 1] == 0xFF;
+      pos++;
+      if (prev_ff) { cache = (cache << 7) | (b & 0x7F); valid += 7; }
+      else { cache = (cache << 8) | b; valid += 8; }
+    }
+  }
+  int read_bit() {
+    if (valid == 0) { fill(); if (valid == 0) return 1; }
+    valid--;
+    return (cache >> valid) & 1;
+  }
+  int read_bits(int n) {
+    int v = 0;
+    for (int i = 0; i < n; i++) v = (v << 1) | read_bit();
+    return v;
+  }
+  int decode_value(int k, int limit, int qbpp) {
+    int high = 0;
+    while (read_bit() == 0) { if (++high > 100000) return -1; }
+    if (high >= limit - (qbpp + 1)) return read_bits(qbpp) + 1;
+    if (k == 0) return high;
+    return (high << k) + read_bits(k);
+  }
+};
+
+struct Scan {
+  Traits t;
+  std::vector<Ctx> ctx;
+  RunCtx rctx[2];
+  int run_index = 0;
+
+  void init() {
+    ctx.resize(365);
+    for (auto& c : ctx) c.init(t.range_);
+    rctx[0].init(0, t.range_);
+    rctx[1].init(1, t.range_);
+    run_index = 0;
+  }
+  void inc_run() { if (run_index < 31) run_index++; }
+  void dec_run() { if (run_index > 0) run_index--; }
+
+  int context_id(int ra, int rb, int rc, int rd) const {
+    int q1 = t.qgrad(rd - rb), q2 = t.qgrad(rb - rc), q3 = t.qgrad(rc - ra);
+    return (q1 * 9 + q2) * 9 + q3;
+  }
+
+  int encode_regular(GWriter& gw, int x, int qs, int ra, int rb, int rc) {
+    int sign = qs < 0 ? -1 : 0;
+    Ctx& c = ctx[apply_sign(qs, sign)];
+    int k = c.golomb_k();
+    int pred = t.correct_prediction(
+        [&] {
+          if (rc >= (ra > rb ? ra : rb)) return ra < rb ? ra : rb;
+          if (rc <= (ra < rb ? ra : rb)) return ra > rb ? ra : rb;
+          return ra + rb - rc;
+        }() + apply_sign(c.c, sign));
+    int err = t.compute_error(apply_sign(x - pred, sign));
+    int mapped = map_error(c.error_correction(k, t.near_) ^ err);
+    gw.encode_mapped(k, mapped, t.limit, t.qbpp);
+    c.update(err, t.near_, t.reset);
+    return t.reconstruct(pred, apply_sign(err, sign));
+  }
+
+  int decode_regular(GReader& gr, int qs, int ra, int rb, int rc) {
+    int sign = qs < 0 ? -1 : 0;
+    Ctx& c = ctx[apply_sign(qs, sign)];
+    int k = c.golomb_k();
+    int pred = t.correct_prediction(
+        [&] {
+          if (rc >= (ra > rb ? ra : rb)) return ra < rb ? ra : rb;
+          if (rc <= (ra < rb ? ra : rb)) return ra > rb ? ra : rb;
+          return ra + rb - rc;
+        }() + apply_sign(c.c, sign));
+    int mapped = gr.decode_value(k, t.limit, t.qbpp);
+    int err = c.error_correction(k, t.near_) ^ unmap_error(mapped);
+    c.update(err, t.near_, t.reset);
+    return t.reconstruct(pred, apply_sign(err, sign));
+  }
+
+  void encode_run_length(GWriter& gw, int run, bool eol) {
+    while (run >= (1 << J_[run_index])) {
+      gw.write_bits(1, 1);
+      run -= 1 << J_[run_index];
+      inc_run();
+    }
+    if (eol) { if (run != 0) gw.write_bits(1, 1); return; }
+    gw.write_bits(run, J_[run_index] + 1);
+  }
+
+  int decode_run_length(GReader& gr, int remaining) {
+    int run = 0;
+    for (;;) {
+      if (gr.read_bit() == 1) {
+        int chunk = 1 << J_[run_index];
+        int cnt = chunk < remaining - run ? chunk : remaining - run;
+        run += cnt;
+        if (cnt == chunk) inc_run();
+        if (run >= remaining) return remaining;
+      } else break;
+    }
+    if (J_[run_index] > 0) run += gr.read_bits(J_[run_index]);
+    if (run > remaining) return -1;
+    return run;
+  }
+
+  void encode_run_interruption(GWriter& gw, RunCtx& rc, int err) {
+    int k = rc.golomb_k();
+    bool map_bit = rc.compute_map(err, k);
+    int emapped = 2 * (err < 0 ? -err : err) - rc.rtype - (map_bit ? 1 : 0);
+    gw.encode_mapped(k, emapped, t.limit - J_[run_index] - 1, t.qbpp);
+    rc.update(err, emapped, t.reset);
+  }
+
+  int decode_run_interruption(GReader& gr, RunCtx& rc) {
+    int k = rc.golomb_k();
+    int mapped = gr.decode_value(k, t.limit - J_[run_index] - 1, t.qbpp);
+    int err = rc.error_from_mapped(mapped + rc.rtype, k);
+    rc.update(err, mapped, t.reset);
+    return err;
+  }
+};
+
+// single-component scan (encode=true writes to gw, else reads gr)
+template <bool ENC>
+void code_component(Scan& s, GWriter* gw, GReader* gr, int64_t* plane,
+                    int w, int h) {
+  Traits& t = s.t;
+  int prev_first = 0, prev_prev_first = 0;
+  for (int y = 0; y < h; y++) {
+    int64_t* row = plane + (size_t)y * w;
+    int64_t* above = y > 0 ? plane + (size_t)(y - 1) * w : nullptr;
+    int x = 0;
+    while (x < w) {
+      int ra, rb, rc, rd;
+      if (x == 0) {
+        ra = prev_first;
+        rb = y > 0 ? prev_first : 0;
+        rc = prev_prev_first;
+        rd = (y > 0 && w > 1) ? (int)above[1] : rb;
+      } else {
+        ra = (int)row[x - 1];
+        rb = y > 0 ? (int)above[x] : 0;
+        rc = y > 0 ? (int)above[x - 1] : 0;
+        rd = y > 0 ? (int)above[x + 1 < w ? x + 1 : w - 1] : rb;
+      }
+      int qs = s.context_id(ra, rb, rc, rd);
+      if (qs != 0) {
+        if (ENC) row[x] = s.encode_regular(*gw, (int)row[x], qs, ra, rb, rc);
+        else row[x] = s.decode_regular(*gr, qs, ra, rb, rc);
+        x++;
+        continue;
+      }
+      int remaining = w - x;
+      if (ENC) {
+        int run = 0;
+        while (run < remaining && t.is_near((int)row[x + run], ra)) {
+          row[x + run] = ra;
+          run++;
+        }
+        s.encode_run_length(*gw, run, run == remaining);
+        if (run == remaining) { x += run; break; }
+        int xi = (int)row[x + run];
+        int rb2 = y > 0 ? (int)above[x + run] : 0;
+        if (t.is_near(ra, rb2)) {
+          int err = t.compute_error(xi - ra);
+          s.encode_run_interruption(*gw, s.rctx[1], err);
+          row[x + run] = t.reconstruct(ra, err);
+        } else {
+          int sg = sgn(rb2 - ra);
+          int err = t.compute_error((xi - rb2) * sg);
+          s.encode_run_interruption(*gw, s.rctx[0], err);
+          row[x + run] = t.reconstruct(rb2, err * sg);
+        }
+        s.dec_run();
+        x += run + 1;
+      } else {
+        int run = s.decode_run_length(*gr, remaining);
+        if (run < 0) run = remaining;
+        for (int i = 0; i < run; i++) row[x + i] = ra;
+        if (run >= remaining) { x += run; break; }
+        int rb2 = y > 0 ? (int)above[x + run] : 0;
+        if (t.is_near(ra, rb2)) {
+          int err = s.decode_run_interruption(*gr, s.rctx[1]);
+          err = t.modulo_range(err);
+          row[x + run] = t.reconstruct(ra, err);
+        } else {
+          int err = s.decode_run_interruption(*gr, s.rctx[0]);
+          err = t.modulo_range(err * sgn(rb2 - ra));
+          row[x + run] = t.reconstruct(rb2, err);
+        }
+        s.dec_run();
+        x += run + 1;
+      }
+    }
+    prev_prev_first = prev_first;
+    prev_first = (int)plane[(size_t)y * w];
+  }
+}
+
+// sample-interleaved scan (ILV=2), ncomp components
+template <bool ENC>
+void code_interleaved(Scan& s, GWriter* gw, GReader* gr, int64_t* img,
+                      int w, int h, int ncomp) {
+  Traits& t = s.t;
+  std::vector<int> prev_first(ncomp, 0), prev_prev_first(ncomp, 0);
+  auto px = [&](int x, int y, int c) -> int64_t& {
+    return img[((size_t)y * w + x) * ncomp + c];
+  };
+  auto neighbors = [&](int x, int y, int c, int& ra, int& rb, int& rc,
+                       int& rd) {
+    if (x == 0) {
+      ra = prev_first[c];
+      rb = y > 0 ? prev_first[c] : 0;
+      rc = prev_prev_first[c];
+      rd = (y > 0 && w > 1) ? (int)px(1, y - 1, c) : rb;
+      return;
+    }
+    ra = (int)px(x - 1, y, c);
+    rb = y > 0 ? (int)px(x, y - 1, c) : 0;
+    rc = y > 0 ? (int)px(x - 1, y - 1, c) : 0;
+    rd = y > 0 ? (int)px(x + 1 < w ? x + 1 : w - 1, y - 1, c) : rb;
+  };
+
+  for (int y = 0; y < h; y++) {
+    int x = 0;
+    while (x < w) {
+      int ra[4], rb[4], rc[4], rd[4], qs[4];
+      bool any = false;
+      for (int c = 0; c < ncomp; c++) {
+        neighbors(x, y, c, ra[c], rb[c], rc[c], rd[c]);
+        qs[c] = s.context_id(ra[c], rb[c], rc[c], rd[c]);
+        if (qs[c] != 0) any = true;
+      }
+      if (any) {
+        for (int c = 0; c < ncomp; c++) {
+          if (ENC)
+            px(x, y, c) = s.encode_regular(*gw, (int)px(x, y, c), qs[c],
+                                           ra[c], rb[c], rc[c]);
+          else
+            px(x, y, c) = s.decode_regular(*gr, qs[c], ra[c], rb[c], rc[c]);
+        }
+        x++;
+        continue;
+      }
+      int remaining = w - x;
+      if (ENC) {
+        int run = 0;
+        while (run < remaining) {
+          bool ok = true;
+          int left[4];
+          for (int c = 0; c < ncomp; c++) {
+            int a_, b_, c_, d_;
+            neighbors(x + run, y, c, a_, b_, c_, d_);
+            left[c] = a_;
+            if (!t.is_near((int)px(x + run, y, c), a_)) { ok = false; break; }
+          }
+          if (!ok) break;
+          for (int c = 0; c < ncomp; c++) px(x + run, y, c) = left[c];
+          run++;
+        }
+        s.encode_run_length(*gw, run, run == remaining);
+        if (run == remaining) { x += run; break; }
+        for (int c = 0; c < ncomp; c++) {
+          int a_, b_, c_, d_;
+          neighbors(x + run, y, c, a_, b_, c_, d_);
+          int xi = (int)px(x + run, y, c);
+          int sg = sgn(b_ - a_);
+          int err = t.compute_error(sg * (xi - b_));
+          s.encode_run_interruption(*gw, s.rctx[0], err);
+          px(x + run, y, c) = t.reconstruct(b_, err * sg);
+        }
+        s.dec_run();
+        x += run + 1;
+      } else {
+        int run = s.decode_run_length(*gr, remaining);
+        if (run < 0) run = remaining;
+        for (int i = 0; i < run; i++)
+          for (int c = 0; c < ncomp; c++) {
+            int a_, b_, c_, d_;
+            neighbors(x + i, y, c, a_, b_, c_, d_);
+            px(x + i, y, c) = a_;
+          }
+        if (run >= remaining) { x += run; break; }
+        for (int c = 0; c < ncomp; c++) {
+          int a_, b_, c_, d_;
+          neighbors(x + run, y, c, a_, b_, c_, d_);
+          int sg = sgn(b_ - a_);
+          int err = s.decode_run_interruption(*gr, s.rctx[0]);
+          err = t.modulo_range(err * sg);
+          px(x + run, y, c) = t.reconstruct(b_, err);
+        }
+        s.dec_run();
+        x += run + 1;
+      }
+    }
+    for (int c = 0; c < ncomp; c++) {
+      prev_prev_first[c] = prev_first[c];
+      prev_first[c] = (int)px(0, y, c);
+    }
+  }
+}
+
+}  // namespace jls
+
+extern "C" {
+
+// Encode a JPEG-LS scan (entropy bytes only, no markers).
+// img: [h*w*comps] interleaved samples (modified: reconstruction).
+// Returns byte length, or -1 on error.
+int jls_encode_scan(int64_t* img, int w, int h, int comps, int maxval,
+                    int near_, int reset, int t1, int t2, int t3,
+                    uint8_t* out, int cap) {
+  if (comps < 1 || comps > 4) return -1;
+  jls::Scan s;
+  s.t = jls::Traits{maxval, near_, reset, t1, t2, t3};
+  s.t.init();
+  s.init();
+  jls::GWriter gw;
+  if (comps == 1)
+    jls::code_component<true>(s, &gw, nullptr, img, w, h);
+  else
+    jls::code_interleaved<true>(s, &gw, nullptr, img, w, h, comps);
+  gw.finish();
+  if ((int)gw.buf.size() > cap) return -1;
+  memcpy(out, gw.buf.data(), gw.buf.size());
+  return (int)gw.buf.size();
+}
+
+// Decode a JPEG-LS scan. ilv: 0 = component-planar scans in sequence,
+// 2 = sample interleaved. out: [h*w*comps] interleaved.
+int jls_decode_scan(const uint8_t* data, int len, int w, int h, int comps,
+                    int maxval, int near_, int reset, int t1, int t2, int t3,
+                    int ilv, int64_t* out) {
+  if (comps < 1 || comps > 4) return -1;
+  jls::GReader gr{data, len};
+  if (comps == 1 || ilv == 0) {
+    std::vector<int64_t> plane((size_t)w * h);
+    for (int c = 0; c < comps; c++) {
+      jls::Scan s;
+      s.t = jls::Traits{maxval, near_, reset, t1, t2, t3};
+      s.t.init();
+      s.init();
+      memset(plane.data(), 0, plane.size() * sizeof(int64_t));
+      jls::code_component<false>(s, nullptr, &gr, plane.data(), w, h);
+      for (int y = 0; y < h; y++)
+        for (int x = 0; x < w; x++)
+          out[((size_t)y * w + x) * comps + c] = plane[(size_t)y * w + x];
+    }
+    return 0;
+  }
+  jls::Scan s;
+  s.t = jls::Traits{maxval, near_, reset, t1, t2, t3};
+  s.t.init();
+  s.init();
+  memset(out, 0, (size_t)w * h * comps * sizeof(int64_t));
+  jls::code_interleaved<false>(s, nullptr, &gr, out, w, h, comps);
+  return 0;
+}
+
+}  // extern "C"

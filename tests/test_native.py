@@ -97,3 +97,72 @@ def test_native_speedup(rng):
         t1_encode_native(data, 0, 0)
     t_native = (time.perf_counter() - t0) / 10
     assert t_native * 10 < t_py, (t_py, t_native)
+
+
+# ---- JPEG-LS native equivalence ---------------------------------------------
+
+from go_dicom_codec_tpu.codecs.jpegls import (Traits, _Scan, _code_component,
+                                              _code_interleaved)
+from go_dicom_codec_tpu.entropy.golomb import GolombWriter
+from go_dicom_codec_tpu.native import (jls_decode_scan_native,
+                                       jls_encode_scan_native)
+
+
+@pytest.mark.parametrize("near", [0, 2])
+@pytest.mark.parametrize("size", [(8, 8), (17, 23), (1, 32)])
+def test_jls_native_byte_parity(near, size, rng):
+    h, w = size
+    img = rng.integers(0, 256, size=(h, w, 1)).astype(np.int64)
+    t = Traits(maxval=255, near=near)
+    native = jls_encode_scan_native(img.copy(), 255, near, t.reset,
+                                    t.t1, t.t2, t.t3)
+    scan = _Scan(t)
+    gw = GolombWriter()
+    py_img = img.copy()
+    _code_component(scan, gw, py_img[:, :, 0], encode=True)
+    py_bytes = gw.finish()
+    assert native == py_bytes
+
+
+@pytest.mark.parametrize("near", [0, 3])
+def test_jls_native_rgb_parity(near, rng):
+    img = rng.integers(0, 256, size=(12, 16, 3)).astype(np.int64)
+    t = Traits(maxval=255, near=near)
+    native = jls_encode_scan_native(img.copy(), 255, near, t.reset,
+                                    t.t1, t.t2, t.t3)
+    scan = _Scan(t)
+    gw = GolombWriter()
+    _code_interleaved(scan, gw, img.copy(), encode=True)
+    assert native == gw.finish()
+
+
+@pytest.mark.parametrize("near", [0, 1])
+def test_jls_native_roundtrip_16bit(near, rng):
+    img = rng.integers(0, 1 << 16, size=(24, 20, 1)).astype(np.int64)
+    t = Traits(maxval=(1 << 16) - 1, near=near)
+    data = jls_encode_scan_native(img.copy(), t.maxval, near, t.reset,
+                                  t.t1, t.t2, t.t3)
+    out = jls_decode_scan_native(data, 20, 24, 1, t.maxval, near, t.reset,
+                                 t.t1, t.t2, t.t3, 0)
+    if near == 0:
+        np.testing.assert_array_equal(out, img)
+    else:
+        assert np.abs(out - img).max() <= near
+
+
+def test_jls_codec_uses_native_speed(rng):
+    """512x512 JPEG-LS through the codec should be fast with native."""
+    import time
+
+    from go_dicom_codec_tpu.codecs.jpegls import decode as jls_decode
+    from go_dicom_codec_tpu.codecs.jpegls import encode as jls_encode
+
+    img = rng.integers(0, 4096, size=(512, 512)).astype("<u2")
+    t0 = time.perf_counter()
+    data = jls_encode(img.tobytes(), 512, 512, 1, 12, 0)
+    t_enc = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out, *_ = jls_decode(data)
+    t_dec = time.perf_counter() - t0
+    assert out == img.tobytes()
+    assert t_enc < 1.0 and t_dec < 1.0, (t_enc, t_dec)
