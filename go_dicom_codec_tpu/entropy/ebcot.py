@@ -183,6 +183,18 @@ def _mr_context(flags: int) -> int:
     return CTX_MR_START
 
 
+# VSC (vertically stripe-causal, style 0x08): at the bottom row of each
+# 4-row stripe, the stripe below is treated as insignificant when forming
+# contexts (T.800 D.3; OpenJPEG opj_t1_getctxno_* vsc variants).
+_VSC_MASK = ~(F_SIG_S | F_SIG_SW | F_SIG_SE | F_SIGN_S)
+
+
+def _ctx_flags(f: int, y: int, vsc: bool) -> int:
+    if vsc and (y & 3) == 3:
+        return f & _VSC_MASK
+    return f
+
+
 @dataclass
 class PassInfo:
     """One coding pass: type (0 SPP / 1 MRP / 2 CP), bitplane, whether the
@@ -326,13 +338,15 @@ class T1Encoder:
     def _spp(self, mqe, d, flags, bp, raw):
         w, h, pw = self.w, self.h, self.w + 2
         orient = self.orient
+        vsc = bool(self.style & STYLE_VSC)
         zc = ZC_LUT[orient]
         for k in range(0, h, 4):
             for x in range(w):
                 for y in range(k, min(k + 4, h)):
                     idx = (y + 1) * pw + x + 1
                     f = int(flags[idx])
-                    if f & F_SIG or not (f & F_SIG_NEIGH):
+                    cf = _ctx_flags(f, y, vsc)
+                    if f & F_SIG or not (cf & F_SIG_NEIGH):
                         continue
                     v = int(d[idx])
                     av = -v if v < 0 else v
@@ -340,7 +354,7 @@ class T1Encoder:
                     if raw:
                         mqe.bypass_encode(sig)
                     else:
-                        mqe.encode(sig, int(zc[_zc_index(f)]))
+                        mqe.encode(sig, int(zc[_zc_index(cf)]))
                     flags[idx] |= F_VISIT
                     if sig:
                         sign = 1 if v < 0 else 0
@@ -349,7 +363,7 @@ class T1Encoder:
                         if raw:
                             mqe.bypass_encode(sign)
                         else:
-                            si = _sc_index(f)
+                            si = _sc_index(cf)
                             mqe.encode(sign ^ int(SPB_LUT[si]),
                                        int(SC_LUT[si]))
                         flags[idx] |= F_SIG
@@ -370,12 +384,14 @@ class T1Encoder:
                     if raw:
                         mqe.bypass_encode(bit)
                     else:
-                        mqe.encode(bit, _mr_context(f))
+                        mqe.encode(bit, _mr_context(
+                            _ctx_flags(f, y, bool(self.style & STYLE_VSC))))
                     flags[idx] |= F_REFINE
 
     def _cp(self, mqe, d, flags, bp):
         w, h, pw = self.w, self.h, self.w + 2
         orient = self.orient
+        vsc = bool(self.style & STYLE_VSC)
         zc = ZC_LUT[orient]
         for k in range(0, h, 4):
             for x in range(w):
@@ -385,7 +401,8 @@ class T1Encoder:
                     for dy in range(4):
                         idx = (k + dy + 1) * pw + x + 1
                         f = int(flags[idx])
-                        if f & (F_VISIT | F_SIG) or f & F_SIG_NEIGH:
+                        cf = _ctx_flags(f, k + dy, vsc)
+                        if f & (F_VISIT | F_SIG) or cf & F_SIG_NEIGH:
                             can_rl = False
                             break
                         if rl_pos < 0:
@@ -414,12 +431,13 @@ class T1Encoder:
                                 partial = False
                             else:
                                 sig = (av >> bp) & 1
-                                mqe.encode(sig, int(zc[_zc_index(f)]))
+                                cf = _ctx_flags(f, y, vsc)
+                                mqe.encode(sig, int(zc[_zc_index(cf)]))
                             if sig:
                                 sign = 1 if v < 0 else 0
                                 if sign:
                                     flags[idx] |= F_SIGN
-                                si = _sc_index(f)
+                                si = _sc_index(_ctx_flags(f, y, vsc))
                                 mqe.encode(sign ^ int(SPB_LUT[si]),
                                            int(SC_LUT[si]))
                                 flags[idx] |= F_SIG
@@ -435,12 +453,13 @@ class T1Encoder:
                     v = int(d[idx])
                     av = -v if v < 0 else v
                     sig = (av >> bp) & 1
-                    mqe.encode(sig, int(zc[_zc_index(f)]))
+                    cf = _ctx_flags(f, y, vsc)
+                    mqe.encode(sig, int(zc[_zc_index(cf)]))
                     if sig:
                         sign = 1 if v < 0 else 0
                         if sign:
                             flags[idx] |= F_SIGN
-                        si = _sc_index(f)
+                        si = _sc_index(cf)
                         mqe.encode(sign ^ int(SPB_LUT[si]), int(SC_LUT[si]))
                         flags[idx] |= F_SIG
                         self._update_neighbors(flags, x, y, idx)
@@ -629,24 +648,26 @@ class T1Decoder:
 
     def _spp(self, mqd, rawd, d, flags, bp, raw):
         w, h, pw = self.w, self.h, self.w + 2
+        vsc = bool(self.style & STYLE_VSC)
         zc = ZC_LUT[self.orient]
         for k in range(0, h, 4):
             for x in range(w):
                 for y in range(k, min(k + 4, h)):
                     idx = (y + 1) * pw + x + 1
                     f = int(flags[idx])
-                    if f & F_SIG or not (f & F_SIG_NEIGH):
+                    cf = _ctx_flags(f, y, vsc)
+                    if f & F_SIG or not (cf & F_SIG_NEIGH):
                         continue
                     if raw:
                         sig = rawd.decode()
                     else:
-                        sig = mqd.decode(int(zc[_zc_index(f)]))
+                        sig = mqd.decode(int(zc[_zc_index(cf)]))
                     flags[idx] |= F_VISIT
                     if sig:
                         if raw:
                             sign = rawd.decode()
                         else:
-                            si = _sc_index(f)
+                            si = _sc_index(cf)
                             sign = mqd.decode(int(SC_LUT[si])) ^ int(SPB_LUT[si])
                         if sign:
                             flags[idx] |= F_SIGN
@@ -663,12 +684,14 @@ class T1Decoder:
                     f = int(flags[idx])
                     if not (f & F_SIG) or (f & F_VISIT):
                         continue
-                    bit = rawd.decode() if raw else mqd.decode(_mr_context(f))
+                    bit = rawd.decode() if raw else mqd.decode(_mr_context(
+                        _ctx_flags(f, y, bool(self.style & STYLE_VSC))))
                     d[idx] = self._recon_ref(int(d[idx]), bp, bit)
                     flags[idx] |= F_REFINE
 
     def _cp(self, mqd, d, flags, bp):
         w, h, pw = self.w, self.h, self.w + 2
+        vsc = bool(self.style & STYLE_VSC)
         zc = ZC_LUT[self.orient]
         for k in range(0, h, 4):
             for x in range(w):
@@ -677,7 +700,8 @@ class T1Decoder:
                     for dy in range(4):
                         idx = (k + dy + 1) * pw + x + 1
                         f = int(flags[idx])
-                        if f & (F_VISIT | F_SIG) or f & F_SIG_NEIGH:
+                        cf = _ctx_flags(f, k + dy, vsc)
+                        if f & (F_VISIT | F_SIG) or cf & F_SIG_NEIGH:
                             can_rl = False
                             break
                     if can_rl:
@@ -696,9 +720,10 @@ class T1Decoder:
                                 sig = 1
                                 partial = False
                             else:
-                                sig = mqd.decode(int(zc[_zc_index(f)]))
+                                sig = mqd.decode(int(zc[_zc_index(
+                                    _ctx_flags(f, y, vsc))]))
                             if sig:
-                                si = _sc_index(f)
+                                si = _sc_index(_ctx_flags(f, y, vsc))
                                 sign = mqd.decode(int(SC_LUT[si])) ^ int(SPB_LUT[si])
                                 if sign:
                                     flags[idx] |= F_SIGN
@@ -713,9 +738,10 @@ class T1Decoder:
                     if f & (F_VISIT | F_SIG):
                         flags[idx] &= ~F_VISIT
                         continue
-                    sig = mqd.decode(int(zc[_zc_index(f)]))
+                    sig = mqd.decode(int(zc[_zc_index(
+                        _ctx_flags(f, y, vsc))]))
                     if sig:
-                        si = _sc_index(f)
+                        si = _sc_index(_ctx_flags(f, y, vsc))
                         sign = mqd.decode(int(SC_LUT[si])) ^ int(SPB_LUT[si])
                         if sign:
                             flags[idx] |= F_SIGN

@@ -38,8 +38,8 @@ const uint8_t SWITCH_[47] = {1, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 1, 0,
 const int CTX_RL = 17, CTX_UNI = 18, NUMCTX = 19;
 
 // style flags
-const int S_LAZY = 0x01, S_RESET = 0x02, S_TERMALL = 0x04, S_PTERM = 0x10,
-          S_SEGSYM = 0x20;
+const int S_LAZY = 0x01, S_RESET = 0x02, S_TERMALL = 0x04, S_VSC = 0x08,
+          S_PTERM = 0x10, S_SEGSYM = 0x20;
 
 // flag bits
 const int64_t F_SIG = 0x0001, F_REFINE = 0x0002, F_VISIT = 0x0004;
@@ -136,6 +136,12 @@ inline int mr_context(int64_t f) {
   if (f & F_REFINE) return 16;
   if (f & F_SIG_NEIGH) return 15;
   return 14;
+}
+
+// VSC: stripe-bottom rows see the stripe below as insignificant
+const int64_t VSC_MASK = ~(F_SIG_S | F_SIG_SW | F_SIG_SE | F_SIGN_S);
+inline int64_t ctx_flags(int64_t f, int y, bool vsc) {
+  return (vsc && (y & 3) == 3) ? (f & VSC_MASK) : f;
 }
 
 // ---- MQ encoder -------------------------------------------------------------
@@ -440,25 +446,27 @@ int t1_encode(const int64_t* src, int w, int h, int style, int orient,
       prev_term = false;
     }
 
+    bool vsc = (style & S_VSC) != 0;
     if (pass_type == 0) {  // SPP
       for (int k = 0; k < h; k += 4)
         for (int x = 0; x < w; x++)
           for (int y = k; y < k + 4 && y < h; y++) {
             int idx = (y + 1) * pw + x + 1;
             int64_t f = flags[idx];
-            if ((f & F_SIG) || !(f & F_SIG_NEIGH)) continue;
+            int64_t cf = ctx_flags(f, y, vsc);
+            if ((f & F_SIG) || !(cf & F_SIG_NEIGH)) continue;
             int64_t v = data[idx];
             int64_t av = v < 0 ? -v : v;
             int sig = (int)((av >> bitplane) & 1);
             if (raw) mq.bypass_encode(sig);
-            else mq.encode(sig, zc[zc_index(f)]);
+            else mq.encode(sig, zc[zc_index(cf)]);
             flags[idx] |= F_VISIT;
             if (sig) {
               int sign = v < 0;
               if (sign) flags[idx] |= F_SIGN;
               if (raw) mq.bypass_encode(sign);
               else {
-                int si = sc_index(f);
+                int si = sc_index(cf);
                 mq.encode(sign ^ SPB_LUT[si], SC_LUT[si]);
               }
               flags[idx] |= F_SIG;
@@ -476,7 +484,7 @@ int t1_encode(const int64_t* src, int w, int h, int style, int orient,
             int64_t av = v < 0 ? -v : v;
             int bit = (int)((av >> bitplane) & 1);
             if (raw) mq.bypass_encode(bit);
-            else mq.encode(bit, mr_context(f));
+            else mq.encode(bit, mr_context(ctx_flags(f, y, vsc)));
             flags[idx] |= F_REFINE;
           }
     } else {  // CP
@@ -489,7 +497,8 @@ int t1_encode(const int64_t* src, int w, int h, int style, int orient,
             for (int dy = 0; dy < 4; dy++) {
               int idx = (k + dy + 1) * pw + x + 1;
               int64_t f = flags[idx];
-              if ((f & (F_VISIT | F_SIG)) || (f & F_SIG_NEIGH)) {
+              int64_t cf = ctx_flags(f, k + dy, vsc);
+              if ((f & (F_VISIT | F_SIG)) || (cf & F_SIG_NEIGH)) {
                 can_rl = false; break;
               }
               if (rl_pos < 0) {
@@ -513,15 +522,16 @@ int t1_encode(const int64_t* src, int w, int h, int style, int orient,
                   int64_t v = data[idx];
                   int64_t av = v < 0 ? -v : v;
                   int sig;
+                  int64_t cf = ctx_flags(f, y, vsc);
                   if (partial) { sig = 1; partial = false; }
                   else {
                     sig = (int)((av >> bitplane) & 1);
-                    mq.encode(sig, zc[zc_index(f)]);
+                    mq.encode(sig, zc[zc_index(cf)]);
                   }
                   if (sig) {
                     int sign = v < 0;
                     if (sign) flags[idx] |= F_SIGN;
-                    int si = sc_index(f);
+                    int si = sc_index(cf);
                     mq.encode(sign ^ SPB_LUT[si], SC_LUT[si]);
                     flags[idx] |= F_SIG;
                     t.update_neighbors(x, y, idx);
@@ -539,11 +549,12 @@ int t1_encode(const int64_t* src, int w, int h, int style, int orient,
               int64_t v = data[idx];
               int64_t av = v < 0 ? -v : v;
               int sig = (int)((av >> bitplane) & 1);
-              mq.encode(sig, zc[zc_index(f)]);
+              int64_t cf = ctx_flags(f, y, vsc);
+              mq.encode(sig, zc[zc_index(cf)]);
               if (sig) {
                 int sign = v < 0;
                 if (sign) flags[idx] |= F_SIGN;
-                int si = sc_index(f);
+                int si = sc_index(cf);
                 mq.encode(sign ^ SPB_LUT[si], SC_LUT[si]);
                 flags[idx] |= F_SIG;
                 t.update_neighbors(x, y, idx);
@@ -669,20 +680,22 @@ int t1_decode(const uint8_t* stream, int stream_len, int w, int h, int style,
       need_new = false;
     }
 
+    bool vsc = (style & S_VSC) != 0;
     if (pass_type == 0) {
       for (int k = 0; k < h; k += 4)
         for (int x = 0; x < w; x++)
           for (int y = k; y < k + 4 && y < h; y++) {
             int idx = (y + 1) * pw + x + 1;
             int64_t f = flags[idx];
-            if ((f & F_SIG) || !(f & F_SIG_NEIGH)) continue;
-            int sig = raw ? rd.decode() : mq.decode(zc[zc_index(f)]);
+            int64_t cf = ctx_flags(f, y, vsc);
+            if ((f & F_SIG) || !(cf & F_SIG_NEIGH)) continue;
+            int sig = raw ? rd.decode() : mq.decode(zc[zc_index(cf)]);
             flags[idx] |= F_VISIT;
             if (sig) {
               int sign;
               if (raw) sign = rd.decode();
               else {
-                int si = sc_index(f);
+                int si = sc_index(cf);
                 sign = mq.decode(SC_LUT[si]) ^ SPB_LUT[si];
               }
               if (sign) flags[idx] |= F_SIGN;
@@ -698,7 +711,8 @@ int t1_decode(const uint8_t* stream, int stream_len, int w, int h, int style,
             int idx = (y + 1) * pw + x + 1;
             int64_t f = flags[idx];
             if (!(f & F_SIG) || (f & F_VISIT)) continue;
-            int bit = raw ? rd.decode() : mq.decode(mr_context(f));
+            int bit = raw ? rd.decode()
+                          : mq.decode(mr_context(ctx_flags(f, y, vsc)));
             data[idx] = recon_ref(data[idx], bitplane, bit);
             flags[idx] |= F_REFINE;
           }
@@ -711,7 +725,8 @@ int t1_decode(const uint8_t* stream, int stream_len, int w, int h, int style,
             for (int dy = 0; dy < 4; dy++) {
               int idx = (k + dy + 1) * pw + x + 1;
               int64_t f = flags[idx];
-              if ((f & (F_VISIT | F_SIG)) || (f & F_SIG_NEIGH)) {
+              int64_t cf = ctx_flags(f, k + dy, vsc);
+              if ((f & (F_VISIT | F_SIG)) || (cf & F_SIG_NEIGH)) {
                 can_rl = false; break;
               }
             }
@@ -726,10 +741,11 @@ int t1_decode(const uint8_t* stream, int stream_len, int w, int h, int style,
                   int64_t f = flags[idx];
                   if (f & (F_VISIT | F_SIG)) { flags[idx] &= ~F_VISIT; continue; }
                   int sig;
+                  int64_t cf = ctx_flags(f, y, vsc);
                   if (partial) { sig = 1; partial = false; }
-                  else sig = mq.decode(zc[zc_index(f)]);
+                  else sig = mq.decode(zc[zc_index(cf)]);
                   if (sig) {
-                    int si = sc_index(f);
+                    int si = sc_index(cf);
                     int sign = mq.decode(SC_LUT[si]) ^ SPB_LUT[si];
                     if (sign) flags[idx] |= F_SIGN;
                     data[idx] = recon_sig(bitplane, sign);
@@ -746,9 +762,10 @@ int t1_decode(const uint8_t* stream, int stream_len, int w, int h, int style,
               int idx = (y + 1) * pw + x + 1;
               int64_t f = flags[idx];
               if (f & (F_VISIT | F_SIG)) { flags[idx] &= ~F_VISIT; continue; }
-              int sig = mq.decode(zc[zc_index(f)]);
+              int64_t cf = ctx_flags(f, y, vsc);
+              int sig = mq.decode(zc[zc_index(cf)]);
               if (sig) {
-                int si = sc_index(f);
+                int si = sc_index(cf);
                 int sign = mq.decode(SC_LUT[si]) ^ SPB_LUT[si];
                 if (sign) flags[idx] |= F_SIGN;
                 data[idx] = recon_sig(bitplane, sign);

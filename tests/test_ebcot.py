@@ -9,7 +9,7 @@ import pytest
 
 from go_dicom_codec_tpu.entropy.ebcot import (
     SC_LUT, SPB_LUT, STYLE_LAZY, STYLE_RESET, STYLE_SEGSYM, STYLE_TERMALL,
-    ZC_LUT, T1Decoder, T1Encoder, max_bitplanes)
+    STYLE_VSC, ZC_LUT, T1Decoder, T1Encoder, max_bitplanes)
 from go_dicom_codec_tpu.entropy.mq import MQDecoder, MQEncoder
 
 
@@ -108,7 +108,8 @@ def test_t1_roundtrip_sizes(size, orient, rng):
 
 @pytest.mark.parametrize("style", [0, STYLE_TERMALL, STYLE_RESET,
                                    STYLE_TERMALL | STYLE_RESET, STYLE_SEGSYM,
-                                   STYLE_LAZY, STYLE_LAZY | STYLE_TERMALL])
+                                   STYLE_LAZY, STYLE_LAZY | STYLE_TERMALL,
+                                   STYLE_VSC, STYLE_VSC | STYLE_SEGSYM])
 def test_t1_roundtrip_styles(style, rng):
     data = rng.integers(-4000, 4000, size=(16, 16)).astype(np.int32)
     _t1_roundtrip(data, style=style)

@@ -9,7 +9,8 @@ import pytest
 
 from go_dicom_codec_tpu.entropy.ebcot import (STYLE_LAZY, STYLE_RESET,
                                               STYLE_SEGSYM, STYLE_TERMALL,
-                                              T1Decoder, T1Encoder)
+                                              STYLE_VSC, T1Decoder,
+                                              T1Encoder)
 from go_dicom_codec_tpu.native import (get_lib, t1_decode_native,
                                        t1_encode_native)
 
@@ -17,7 +18,8 @@ pytestmark = pytest.mark.skipif(get_lib() is None,
                                 reason="native toolchain unavailable")
 
 STYLES = [0, STYLE_TERMALL, STYLE_RESET, STYLE_SEGSYM, STYLE_LAZY,
-          STYLE_LAZY | STYLE_TERMALL, STYLE_TERMALL | STYLE_RESET]
+          STYLE_LAZY | STYLE_TERMALL, STYLE_TERMALL | STYLE_RESET,
+          STYLE_VSC, STYLE_VSC | STYLE_TERMALL]
 SIZES = [(4, 4), (8, 8), (64, 64), (5, 7), (33, 29), (1, 16), (16, 1)]
 
 
