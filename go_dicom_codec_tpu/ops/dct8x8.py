@@ -39,20 +39,28 @@ def _dct_matrix() -> np.ndarray:
     return d
 
 
-_D = jnp.asarray(_dct_matrix(), dtype=jnp.float32)
+_D_np = _dct_matrix().astype(np.float32)
+
+
+def _d() -> jnp.ndarray:
+    # lazy: creating a device array at import time would initialize the
+    # JAX backend before callers can choose a platform
+    return jnp.asarray(_D_np)
 
 
 def fdct8x8(blocks: jnp.ndarray) -> jnp.ndarray:
     """[..., 8, 8] float32 (level-shifted samples) → DCT coefficients."""
     x = blocks.astype(jnp.float32)
-    return jnp.einsum("ux,...xy,vy->...uv", _D, x, _D,
+    d = _d()
+    return jnp.einsum("ux,...xy,vy->...uv", d, x, d,
                       preferred_element_type=jnp.float32)
 
 
 def idct8x8(coeffs: jnp.ndarray) -> jnp.ndarray:
     """Inverse of fdct8x8 (Dᵀ F D)."""
     f = coeffs.astype(jnp.float32)
-    return jnp.einsum("ux,...uv,vy->...xy", _D, f, _D,
+    d = _d()
+    return jnp.einsum("ux,...uv,vy->...xy", d, f, d,
                       preferred_element_type=jnp.float32)
 
 
