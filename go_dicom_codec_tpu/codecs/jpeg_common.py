@@ -302,7 +302,16 @@ def decode_scan(scan_bytes: bytes,
     Mirrors reference jpeg/baseline/decoder.go:359-498 but with proper
     restart handling (byte-align + DC predictor reset at RSTn).
     """
-    br = BitReader(destuff_ff(scan_bytes))
+    destuffed = destuff_ff(scan_bytes)
+    from ..native import jpg_decode_scan_native
+
+    native = jpg_decode_scan_native(destuffed, comp_layout, dc_tables,
+                                    ac_tables, mcu_cols, mcu_rows,
+                                    restart_interval)
+    if native is not None:
+        return native
+
+    br = BitReader(destuffed)
     ncomp = len(comp_layout)
     out = []
     for (h, v, _, _, bpr) in comp_layout:

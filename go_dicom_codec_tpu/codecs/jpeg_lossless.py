@@ -158,18 +158,27 @@ def decode(data: bytes):
         tables.append(dc_tables[td])
 
     # serial stage: Huffman-decode every difference
-    br = BitReader(destuff_ff(scan_bytes))
+    destuffed = destuff_ff(scan_bytes)
+    from ..native import jpg_lossless_decode_scan_native
+
+    tids = [td for (_, td) in scan_sel]
+    native = jpg_lossless_decode_scan_native(destuffed, width, height, nc,
+                                             tids, dc_tables)
     n = width * height
-    diffs = np.zeros(n * nc, dtype=np.int64)
-    for i in range(n * nc):
-        t = tables[i % nc]
-        cat = t.decode(br)
-        if cat == 0:
-            continue
-        if cat == 16:
-            diffs[i] = -32768
-        else:
-            diffs[i] = hf.receive_extend(br.take(cat), cat)
+    if native is not None:
+        diffs = native.astype(np.int64)
+    else:
+        br = BitReader(destuffed)
+        diffs = np.zeros(n * nc, dtype=np.int64)
+        for i in range(n * nc):
+            t = tables[i % nc]
+            cat = t.decode(br)
+            if cat == 0:
+                continue
+            if cat == 16:
+                diffs[i] = -32768
+            else:
+                diffs[i] = hf.receive_extend(br.take(cat), cat)
 
     # vectorized stage: reconstruct each component plane
     planes = []

@@ -80,8 +80,98 @@ def get_lib() -> Optional[ctypes.CDLL]:
             u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, i64p]
+        lib.jpg_decode_scan.restype = ctypes.c_int
+        lib.jpg_decode_scan.argtypes = [
+            u8p, ctypes.c_long, ctypes.c_int, i32p, i32p, i32p, i32p, i32p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            u8p, u8p, i32p, u8p, u8p, i32p, i32p, i64p]
+        lib.jpg_lossless_decode_scan.restype = ctypes.c_int
+        lib.jpg_lossless_decode_scan.argtypes = [
+            u8p, ctypes.c_long, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            i32p, u8p, u8p, i32p, i32p]
         _LIB = lib
         return _LIB
+
+
+def _pack_tables(tables: dict):
+    """4-slot Huffman table pack: ([4,16] bits, [4,256] vals, [4] counts)."""
+    bits = np.zeros((4, 16), dtype=np.uint8)
+    vals = np.zeros((4, 256), dtype=np.uint8)
+    counts = np.zeros(4, dtype=np.int32)
+    for tid, tab in tables.items():
+        if not (0 <= tid < 4):
+            return None
+        bits[tid] = np.asarray(tab.bits, dtype=np.uint8)
+        v = np.asarray(tab.values, dtype=np.uint8)
+        if v.size > 256:
+            return None
+        vals[tid, : v.size] = v
+        counts[tid] = v.size
+    return bits.reshape(-1), vals.reshape(-1), counts
+
+
+def jpg_decode_scan_native(destuffed: np.ndarray, comp_layout,
+                           dc_tables: dict, ac_tables: dict,
+                           mcu_cols: int, mcu_rows: int, restart: int):
+    """Native sequential-DCT scan decode.
+
+    comp_layout: per component (h, v, dc_tid, ac_tid, blocks_per_row).
+    Returns list of [nblocks, 64] int32 arrays, or None if unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    dcp = _pack_tables(dc_tables)
+    acp = _pack_tables(ac_tables)
+    if dcp is None or acp is None:
+        return None
+    ncomp = len(comp_layout)
+    ch = np.asarray([c[0] for c in comp_layout], dtype=np.int32)
+    cv = np.asarray([c[1] for c in comp_layout], dtype=np.int32)
+    cd = np.asarray([c[2] for c in comp_layout], dtype=np.int32)
+    ca = np.asarray([c[3] for c in comp_layout], dtype=np.int32)
+    cb = np.asarray([c[4] for c in comp_layout], dtype=np.int32)
+    sizes = [mcu_rows * int(cv[i]) * int(cb[i]) * 64 for i in range(ncomp)]
+    offsets = np.zeros(ncomp, dtype=np.int64)
+    total = 0
+    for i in range(ncomp):
+        offsets[i] = total
+        total += sizes[i]
+    out = np.zeros(total, dtype=np.int32)
+    buf = np.ascontiguousarray(destuffed, dtype=np.uint8)
+    if buf.size == 0:
+        buf = np.zeros(1, dtype=np.uint8)
+    r = lib.jpg_decode_scan(buf, int(destuffed.size), ncomp, ch, cv, cd, ca,
+                            cb, mcu_cols, mcu_rows, restart,
+                            dcp[0], dcp[1], dcp[2], acp[0], acp[1], acp[2],
+                            out, offsets)
+    if r != 0:
+        return None
+    return [out[offsets[i] : offsets[i] + sizes[i]].reshape(-1, 64)
+            for i in range(ncomp)]
+
+
+def jpg_lossless_decode_scan_native(destuffed: np.ndarray, w: int, h: int,
+                                    ncomp: int, comp_tids, tables: dict):
+    """Native lossless-P14 difference decode → int64-ready int32 diffs
+    [h*w*ncomp], or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    packed = _pack_tables(tables)
+    if packed is None:
+        return None
+    tid = np.asarray(comp_tids, dtype=np.int32)
+    diffs = np.zeros(h * w * ncomp, dtype=np.int32)
+    buf = np.ascontiguousarray(destuffed, dtype=np.uint8)
+    if buf.size == 0:
+        buf = np.zeros(1, dtype=np.uint8)
+    r = lib.jpg_lossless_decode_scan(buf, int(destuffed.size), w, h, ncomp,
+                                     tid, packed[0], packed[1], packed[2],
+                                     diffs)
+    if r != 0:
+        return None
+    return diffs
 
 
 def t1_encode_native(data: np.ndarray, style: int, orient: int,

@@ -1391,3 +1391,173 @@ int jls_decode_scan(const uint8_t* data, int len, int w, int h, int comps,
 }
 
 }  // extern "C"
+
+// ============================================================================
+// Classic-JPEG scan decoders (baseline/extended sequential + lossless P14)
+// — exact mirrors of codecs/jpeg_common.decode_scan and
+// codecs/jpeg_lossless.decode's serial Huffman stage.
+// Input is the DESTUFFED entropy byte array (utils/npbits.destuff_ff);
+// restart boundaries byte-align and reset DC predictors.
+// ============================================================================
+
+namespace jpg {
+
+struct BitRd {
+  const uint8_t* data;
+  long nbits;
+  long pos = 0;
+
+  inline uint32_t win32(long p) const {
+    long byte = p >> 3;
+    // reads beyond the stream return 1-bits (JPEG padding)
+    auto get = [&](long i) -> uint32_t {
+      long n = (nbits + 7) >> 3;
+      return i < n ? data[i] : 0xFF;
+    };
+    return (get(byte) << 24) | (get(byte + 1) << 16) | (get(byte + 2) << 8) |
+           get(byte + 3);
+  }
+  inline int peek16() const { return (win32(pos) >> (16 - (pos & 7))) & 0xFFFF; }
+  inline int take(int n) {
+    int v = (win32(pos) >> (32 - (pos & 7) - n)) & ((1 << n) - 1);
+    pos += n;
+    return v;
+  }
+  inline void skip(int n) { pos += n; }
+  inline void align() { pos = (pos + 7) & ~7L; }
+};
+
+struct HuffLut {
+  std::vector<int32_t> lut;  // (len<<8)|sym, 0 invalid
+  void build(const uint8_t* bits16, const uint8_t* vals, int nvals) {
+    lut.assign(1 << 16, 0);
+    int code = 0, k = 0;
+    for (int length = 1; length <= 16; length++) {
+      for (int i = 0; i < bits16[length - 1] && k < nvals; i++) {
+        int sym = vals[k];
+        long lo = (long)code << (16 - length);
+        long hi = (long)(code + 1) << (16 - length);
+        for (long j = lo; j < hi; j++) lut[j] = (length << 8) | sym;
+        code++;
+        k++;
+      }
+      code <<= 1;
+    }
+  }
+  inline int decode(BitRd& br, bool* ok) const {
+    int e = lut[br.peek16()];
+    if (e == 0) { *ok = false; return 0; }
+    br.skip(e >> 8);
+    return e & 0xFF;
+  }
+};
+
+inline int receive_extend(int v, int s) {
+  if (s == 0) return 0;
+  if (v < (1 << (s - 1))) return v - (1 << s) + 1;
+  return v;
+}
+
+}  // namespace jpg
+
+extern "C" {
+
+// Sequential-DCT scan decode (mirror of jpeg_common.decode_scan).
+// tables: dc_bits/ac_bits are [4][16]; dc_vals/ac_vals are [4][256] with
+// dc_nvals/ac_nvals counts; table slots without data have nvals 0.
+// out: concatenated per-component zigzag blocks, comp c starting at
+// out_offsets[c], laid out [mcu_rows*v*bpr][64] int32.
+int jpg_decode_scan(const uint8_t* destuffed, long nbytes, int ncomp,
+                    const int32_t* comp_h, const int32_t* comp_v,
+                    const int32_t* comp_dc, const int32_t* comp_ac,
+                    const int32_t* comp_bpr, int mcu_cols, int mcu_rows,
+                    int restart,
+                    const uint8_t* dc_bits, const uint8_t* dc_vals,
+                    const int32_t* dc_nvals,
+                    const uint8_t* ac_bits, const uint8_t* ac_vals,
+                    const int32_t* ac_nvals,
+                    int32_t* out, const int64_t* out_offsets) {
+  jpg::BitRd br{destuffed, nbytes * 8};
+  jpg::HuffLut dct[4], act[4];
+  for (int t = 0; t < 4; t++) {
+    if (dc_nvals[t] > 0) dct[t].build(dc_bits + t * 16, dc_vals + t * 256,
+                                      dc_nvals[t]);
+    if (ac_nvals[t] > 0) act[t].build(ac_bits + t * 16, ac_vals + t * 256,
+                                      ac_nvals[t]);
+  }
+  std::vector<int> dc_pred(ncomp, 0);
+  long mcu_index = 0;
+  bool ok = true;
+  for (int my = 0; my < mcu_rows; my++)
+    for (int mx = 0; mx < mcu_cols; mx++) {
+      if (restart > 0 && mcu_index > 0 && mcu_index % restart == 0) {
+        br.align();
+        std::fill(dc_pred.begin(), dc_pred.end(), 0);
+      }
+      mcu_index++;
+      for (int ci = 0; ci < ncomp; ci++) {
+        const jpg::HuffLut& dtab = dct[comp_dc[ci]];
+        const jpg::HuffLut& atab = act[comp_ac[ci]];
+        if (dtab.lut.empty() || atab.lut.empty()) return -2;
+        for (int bv = 0; bv < comp_v[ci]; bv++)
+          for (int bh = 0; bh < comp_h[ci]; bh++) {
+            int bx = mx * comp_h[ci] + bh;
+            int by = my * comp_v[ci] + bv;
+            int32_t coef[64] = {0};
+            int s = dtab.decode(br, &ok);
+            if (!ok) return -1;
+            int diff = s ? jpg::receive_extend(br.take(s), s) : 0;
+            dc_pred[ci] += diff;
+            coef[0] = dc_pred[ci];
+            int k = 1;
+            while (k < 64) {
+              int rs = atab.decode(br, &ok);
+              if (!ok) return -1;
+              int r = rs >> 4, sz = rs & 0xF;
+              if (sz == 0) {
+                if (r == 15) { k += 16; continue; }
+                break;
+              }
+              k += r;
+              if (k >= 64) return -1;
+              coef[k] = jpg::receive_extend(br.take(sz), sz);
+              k++;
+            }
+            if (bx < comp_bpr[ci]) {
+              int64_t off = out_offsets[ci] +
+                            ((int64_t)by * comp_bpr[ci] + bx) * 64;
+              memcpy(out + off, coef, sizeof(coef));
+            }
+          }
+      }
+    }
+  return 0;
+}
+
+// Lossless P14 scan decode (mirror of jpeg_lossless.decode's Huffman
+// stage): per pixel, per component: category + extend; cat 16 => -32768.
+// tables: [4][16]+[4][256]; comp_tid selects the table per component.
+int jpg_lossless_decode_scan(const uint8_t* destuffed, long nbytes,
+                             int w, int h, int ncomp,
+                             const int32_t* comp_tid,
+                             const uint8_t* bits, const uint8_t* vals,
+                             const int32_t* nvals, int32_t* diffs) {
+  jpg::BitRd br{destuffed, nbytes * 8};
+  jpg::HuffLut tabs[4];
+  for (int t = 0; t < 4; t++)
+    if (nvals[t] > 0) tabs[t].build(bits + t * 16, vals + t * 256, nvals[t]);
+  bool ok = true;
+  long n = (long)w * h * ncomp;
+  for (long i = 0; i < n; i++) {
+    const jpg::HuffLut& tab = tabs[comp_tid[i % ncomp]];
+    if (tab.lut.empty()) return -2;
+    int cat = tab.decode(br, &ok);
+    if (!ok) return -1;
+    if (cat == 0) { diffs[i] = 0; continue; }
+    if (cat == 16) { diffs[i] = -32768; continue; }
+    diffs[i] = jpg::receive_extend(br.take(cat), cat);
+  }
+  return 0;
+}
+
+}  // extern "C"
