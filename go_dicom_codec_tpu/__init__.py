@@ -24,6 +24,7 @@ Reference layer map: see SURVEY.md §1 and /root/reference layering
 from .errors import (
     CodecError,
     CodecNotFoundError,
+    CorruptStreamError,
     InvalidParameterError,
     InvalidQualityError,
     UnsupportedFormatError,
@@ -55,6 +56,7 @@ register_all_codecs()
 __all__ = [
     "CodecError",
     "CodecNotFoundError",
+    "CorruptStreamError",
     "InvalidParameterError",
     "InvalidQualityError",
     "UnsupportedFormatError",

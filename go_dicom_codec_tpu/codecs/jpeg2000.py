@@ -204,15 +204,20 @@ class J2KEncoder:
                 out += j2k.write_rgn(c, roi_shift, components)
 
         ntx, nty = siz.num_tiles
-        tile_index = 0
+        bodies = []
         for tj in range(nty):
             for ti in range(ntx):
                 rect = siz.tile_rect(ti, tj)
-                body = self._encode_tile(arr, rect, cod, qcd,
-                                         bit_depth, signed, use_mct,
-                                         roi_shift)
-                out += j2k.write_tile_part(tile_index, body)
-                tile_index += 1
+                bodies.append(self._encode_tile(arr, rect, cod, qcd,
+                                                bit_depth, signed, use_mct,
+                                                roi_shift))
+        if p.htj2k:
+            # TLM tile-part index for fast HT tile access (encoder.go
+            # writeTLM :1219-1244): Ptlm = SOT(12) + SOD(2) + body
+            out += j2k.write_tlm(0, [(i, 14 + len(b))
+                                     for i, b in enumerate(bodies)])
+        for tile_index, body in enumerate(bodies):
+            out += j2k.write_tile_part(tile_index, body)
         out += (j2k.EOC).to_bytes(2, "big")
         return bytes(out)
 
@@ -476,42 +481,45 @@ class J2KDecoder:
         for tidx, tile in sorted(cs.tiles.items()):
             ti, tj = tidx % ntx, tidx // ntx
             rect = siz.tile_rect(ti, tj)
-            cod = tile.cod or cs.cod
-            qcd = tile.qcd or cs.qcd
-            tile_arr = self._decode_tile(tile.data, rect, cod, qcd, ncomp,
+            cods = [cs.cod_for(c, tile) for c in range(ncomp)]
+            qcds = [cs.qcd_for(c, tile) for c in range(ncomp)]
+            tile_arr = self._decode_tile(tile.data, rect, cods, qcds, ncomp,
                                          depth0, signed0, cs.rgn_shifts,
-                                         custom_inv, custom_offs)
+                                         custom_inv, custom_offs,
+                                         poc=cs.poc_for(tile))
             tx0, ty0, tx1, ty1 = rect
             out[ty0 - siz.yosiz:ty1 - siz.yosiz,
                 tx0 - siz.xosiz:tx1 - siz.xosiz, :] = tile_arr
         return out, siz, cs.cod
 
-    def _decode_tile(self, body: bytes, rect, cod: j2k.CodInfo,
-                     qcd: j2k.QcdInfo, ncomp: int, depth: int,
-                     signed: bool,
+    def _decode_tile(self, body: bytes, rect, cods, qcds, ncomp: int,
+                     depth: int, signed: bool,
                      rgn_shifts: Optional[Dict[int, int]] = None,
                      custom_inv: Optional[np.ndarray] = None,
-                     custom_offs: Optional[np.ndarray] = None
-                     ) -> np.ndarray:
+                     custom_offs: Optional[np.ndarray] = None,
+                     poc=None) -> np.ndarray:
+        """cods/qcds: effective per-component CodInfo/QcdInfo (COD+COC,
+        QCD+QCC resolution done by Codestream.cod_for/qcd_for)."""
         tx0, ty0, tx1, ty1 = rect
         th, tw = ty1 - ty0, tx1 - tx0
-        is_ht = bool(cod.cb_style & 0x40)
+        cod0 = cods[0]  # progression/layers are COD-only fields
         rgn_shifts = rgn_shifts or {}
 
         comp_res = []
         comp_states = []
         for c in range(ncomp):
+            cod_c, qcd_c = cods[c], qcds[c]
             resolutions = build_tile_geometry(
-                tx0, ty0, tx1, ty1, cod.num_levels, cod.cb_width,
-                cod.cb_height, cod.precinct_exp)
+                tx0, ty0, tx1, ty1, cod_c.num_levels, cod_c.cb_width,
+                cod_c.cb_height, cod_c.precinct_exp)
             comp_res.append(resolutions)
             states = {}
             for res in resolutions:
                 for prec in res.precincts:
                     plist = []
                     for pb in prec.bands:
-                        mb = band_mb(qcd, res.r, pb.band.band,
-                                     cod.num_levels) + rgn_shifts.get(c, 0)
+                        mb = band_mb(qcd_c, res.r, pb.band.band,
+                                     cod_c.num_levels) + rgn_shifts.get(c, 0)
                         blocks = [BlockState(cbx=g.cbx, cby=g.cby)
                                   for g in pb.blocks]
                         plist.append(PrecinctState(
@@ -521,15 +529,24 @@ class J2KDecoder:
             comp_states.append(states)
 
         def precinct_info(c: int, r: int):
+            if r >= len(comp_res[c]):
+                return []
             res = comp_res[c][r]
-            return [(prec.index, prec.x0 << (cod.num_levels - r),
-                     prec.y0 << (cod.num_levels - r))
+            lv = cods[c].num_levels
+            return [(prec.index, prec.x0 << (lv - r), prec.y0 << (lv - r))
                     for prec in res.precincts]
 
+        max_res = max(cc.num_levels for cc in cods) + 1
+        if poc:
+            from ..t2.packets import poc_progression_order
+            order = poc_progression_order(poc, cod0.num_layers, max_res,
+                                          ncomp, precinct_info)
+        else:
+            order = progression_order(cod0.progression, cod0.num_layers,
+                                      max_res, ncomp, precinct_info)
+
         pos = 0
-        for (l, r, c, pidx) in progression_order(
-                cod.progression, cod.num_layers, cod.num_levels + 1,
-                ncomp, precinct_info):
+        for (l, r, c, pidx) in order:
             if pos >= len(body):
                 if self.resilient:
                     break
@@ -538,8 +555,9 @@ class J2KDecoder:
                 raise CorruptStreamError("tile body exhausted mid-packets")
             try:
                 pos = decode_packet(body, pos, comp_states[c][(r, pidx)],
-                                    l, cod.cb_style,
-                                    use_sop=cod.use_sop, use_eph=cod.use_eph)
+                                    l, cods[c].cb_style,
+                                    use_sop=cod0.use_sop,
+                                    use_eph=cod0.use_eph)
             except CorruptStreamError:
                 if self.resilient:
                     break
@@ -549,6 +567,8 @@ class J2KDecoder:
         # (int64: MaxShift-scaled ROI magnitudes can exceed 31 bits)
         packed = np.zeros((ncomp, th, tw), dtype=np.int64)
         for c in range(ncomp):
+            cod = cods[c]
+            is_ht = bool(cod.cb_style & 0x40)
             for res in comp_res[c]:
                 for prec in res.precincts:
                     plist = comp_states[c][(res.r, prec.index)]
@@ -600,8 +620,15 @@ class J2KDecoder:
                 packed[c] = unshift_maxshift(packed[c], shift)
         packed = packed.astype(np.int32)
 
-        # device stage: inverse DWT (+ inverse MCT) + DC unshift
-        if cod.transform == 1:
+        # device stage: inverse DWT (+ inverse MCT) + DC unshift.
+        # Homogeneous tiles (no COC variation — the common case) run the
+        # whole component stack in one launch; heterogeneous per-component
+        # styles reconstruct each component separately first.
+        cod = cod0
+        homogeneous = all(
+            cc.transform == cod0.transform
+            and cc.num_levels == cod0.num_levels for cc in cods)
+        if homogeneous and cod.transform == 1:
             rec = inv53_multilevel(jnp.asarray(packed), cod.num_levels,
                                    x0=tx0, y0=ty0)
             if custom_inv is not None:
@@ -615,17 +642,19 @@ class J2KDecoder:
                 r_, g_, b_ = rct_inverse(rec[0], rec[1], rec[2])
                 rec = jnp.stack([r_, g_, b_]
                                 + [rec[i] for i in range(3, ncomp)])
-        else:
+        elif homogeneous:
             # irreversible: per-band dequantization → float 9/7 inverse
             from .j2k_geometry import packed_band_layout
-            deltas = J2KEncoder._band_deltas(qcd, cod.num_levels, depth)
             fpacked = np.zeros(packed.shape, dtype=np.float32)
-            for bg in packed_band_layout(tx0, ty0, tx1, ty1, cod.num_levels):
-                delta = deltas[_band_index(bg.resolution, bg.band)]
-                sl = (slice(None),
-                      slice(bg.row_off, bg.row_off + bg.height),
-                      slice(bg.col_off, bg.col_off + bg.width))
-                fpacked[sl] = jq.dequantize(packed[sl], delta)
+            for c in range(ncomp):
+                deltas = J2KEncoder._band_deltas(qcds[c], cod.num_levels,
+                                                 depth)
+                for bg in packed_band_layout(tx0, ty0, tx1, ty1,
+                                             cod.num_levels):
+                    delta = deltas[_band_index(bg.resolution, bg.band)]
+                    sl = (slice(bg.row_off, bg.row_off + bg.height),
+                          slice(bg.col_off, bg.col_off + bg.width))
+                    fpacked[c][sl] = jq.dequantize(packed[c][sl], delta)
             rec = inv97_multilevel(jnp.asarray(fpacked), cod.num_levels,
                                    x0=tx0, y0=ty0)
             if custom_inv is not None:
@@ -639,6 +668,34 @@ class J2KDecoder:
                 rec = jnp.stack([r_, g_, b_]
                                 + [rec[i] for i in range(3, ncomp)])
             rec = jnp.round(rec).astype(jnp.int32)
+        else:
+            # COC-heterogeneous: per-component inverse transforms (MCT is
+            # undefined across mixed transforms — components are
+            # reconstructed independently, matching the reference's
+            # per-component fallback in tile_decoder.go)
+            from .j2k_geometry import packed_band_layout
+            recs = []
+            for c in range(ncomp):
+                cod_c = cods[c]
+                if cod_c.transform == 1:
+                    rc = inv53_multilevel(
+                        jnp.asarray(packed[c:c + 1]), cod_c.num_levels,
+                        x0=tx0, y0=ty0)[0]
+                else:
+                    deltas = J2KEncoder._band_deltas(
+                        qcds[c], cod_c.num_levels, depth)
+                    fp = np.zeros((th, tw), dtype=np.float32)
+                    for bg in packed_band_layout(tx0, ty0, tx1, ty1,
+                                                 cod_c.num_levels):
+                        delta = deltas[_band_index(bg.resolution, bg.band)]
+                        sl = (slice(bg.row_off, bg.row_off + bg.height),
+                              slice(bg.col_off, bg.col_off + bg.width))
+                        fp[sl] = jq.dequantize(packed[c][sl], delta)
+                    rc = jnp.round(inv97_multilevel(
+                        jnp.asarray(fp[None]), cod_c.num_levels,
+                        x0=tx0, y0=ty0)[0]).astype(jnp.int32)
+                recs.append(rc)
+            rec = jnp.stack(recs)
         rec = inv_dc_level_shift(rec, depth, signed)
         tile_out = np.moveaxis(np.asarray(rec), 0, -1)
         return tile_out

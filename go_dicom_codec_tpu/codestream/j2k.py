@@ -107,11 +107,48 @@ class QcdInfo:
 
 
 @dataclass
+class CocInfo:
+    """Per-component coding style (COC, T.800 A.6.2) — overrides only the
+    SPcod half of COD; progression/layers/MCT stay with COD (reference
+    codestream/types.go TileCOD fallback logic)."""
+    comp: int = 0
+    num_levels: int = 5
+    cb_width: int = 64
+    cb_height: int = 64
+    cb_style: int = 0
+    transform: int = 1
+    precinct_exps: Optional[List[Tuple[int, int]]] = None
+
+
+@dataclass
+class PocEntry:
+    """One progression-order change (POC, T.800 A.6.6)."""
+    rs: int      # RSpoc: first resolution
+    cs: int      # CSpoc: first component
+    lye: int     # LYEpoc: layer bound (exclusive)
+    re: int      # REpoc: resolution bound (exclusive)
+    ce: int      # CEpoc: component bound (exclusive)
+    prog: int    # Ppoc: progression order for this span
+
+
+@dataclass
 class TileInfo:
     index: int
     data: bytes = b""
     cod: Optional[CodInfo] = None
     qcd: Optional[QcdInfo] = None
+    coc: Dict[int, CocInfo] = field(default_factory=dict)
+    qcc: Dict[int, QcdInfo] = field(default_factory=dict)
+    poc: List[PocEntry] = field(default_factory=list)
+
+
+def _overlay_coc(base: CodInfo, coc: CocInfo) -> CodInfo:
+    """COD with its coding-style half replaced by a COC override."""
+    import dataclasses
+    return dataclasses.replace(
+        base, num_levels=coc.num_levels, cb_width=coc.cb_width,
+        cb_height=coc.cb_height, cb_style=coc.cb_style,
+        transform=coc.transform, precinct_exps=coc.precinct_exps)
 
 
 @dataclass
@@ -126,6 +163,38 @@ class Codestream:
     mct_segments: List[bytes] = field(default_factory=list)
     mcc_segments: List[bytes] = field(default_factory=list)
     mco_segments: List[bytes] = field(default_factory=list)
+    coc: Dict[int, CocInfo] = field(default_factory=dict)
+    qcc: Dict[int, QcdInfo] = field(default_factory=dict)
+    poc: List[PocEntry] = field(default_factory=list)
+
+    def cod_for(self, comp: int, tile: Optional[TileInfo] = None) -> CodInfo:
+        """Effective coding style for a component (T.800 precedence:
+        tile COC > tile COD > main COC > main COD; reference
+        codestream/types.go:200-280 resolution chain)."""
+        if tile is not None and comp in tile.coc:
+            return _overlay_coc(tile.cod or self.cod, tile.coc[comp])
+        if tile is not None and tile.cod is not None:
+            return tile.cod
+        if comp in self.coc:
+            return _overlay_coc(self.cod, self.coc[comp])
+        return self.cod
+
+    def qcd_for(self, comp: int, tile: Optional[TileInfo] = None) -> QcdInfo:
+        """Effective quantization for a component (tile QCC > tile QCD >
+        main QCC > main QCD)."""
+        if tile is not None and comp in tile.qcc:
+            return tile.qcc[comp]
+        if tile is not None and tile.qcd is not None:
+            return tile.qcd
+        if comp in self.qcc:
+            return self.qcc[comp]
+        return self.qcd
+
+    def poc_for(self, tile: Optional[TileInfo] = None) -> List[PocEntry]:
+        """Effective progression-order changes (tile POC replaces main)."""
+        if tile is not None and tile.poc:
+            return tile.poc
+        return self.poc
 
 
 # ---- writers ---------------------------------------------------------------
@@ -174,6 +243,163 @@ def write_qcd(qcd: QcdInfo) -> bytes:
         for (e, m) in qcd.steps:
             payload += struct.pack(">H", ((e & 0x1F) << 11) | (m & 0x7FF))
     return _seg(QCD, payload)
+
+
+def _comp_fmt(num_components: int) -> str:
+    return ">B" if num_components < 257 else ">H"
+
+
+def write_coc(coc: CocInfo, num_components: int) -> bytes:
+    """COC segment (T.800 A.6.2)."""
+    payload = struct.pack(_comp_fmt(num_components), coc.comp)
+    payload += struct.pack(">B", 0x01 if coc.precinct_exps is not None else 0)
+    payload += struct.pack(
+        ">BBBBB", coc.num_levels,
+        coc.cb_width.bit_length() - 3, coc.cb_height.bit_length() - 3,
+        coc.cb_style, coc.transform)
+    if coc.precinct_exps is not None:
+        for (ppx, ppy) in coc.precinct_exps:
+            payload += struct.pack(">B", (ppy << 4) | ppx)
+    return _seg(COC, payload)
+
+
+def write_qcc(comp: int, qcd: QcdInfo, num_components: int) -> bytes:
+    """QCC segment (T.800 A.6.5): Cqcc + the QCD body."""
+    payload = struct.pack(_comp_fmt(num_components), comp)
+    payload += struct.pack(">B", (qcd.guard_bits << 5) | (qcd.style & 0x1F))
+    if qcd.style == 0:
+        for e in qcd.exponents:
+            payload += struct.pack(">B", (e << 3) & 0xFF)
+    else:
+        for (e, m) in qcd.steps:
+            payload += struct.pack(">H", ((e & 0x1F) << 11) | (m & 0x7FF))
+    return _seg(QCC, payload)
+
+
+def write_poc(entries: List[PocEntry], num_components: int) -> bytes:
+    """POC segment (T.800 A.6.6)."""
+    cf = _comp_fmt(num_components)
+    payload = b""
+    for e in entries:
+        payload += struct.pack(">B", e.rs) + struct.pack(cf, e.cs)
+        payload += struct.pack(">HB", e.lye, e.re) + struct.pack(cf, e.ce)
+        payload += struct.pack(">B", e.prog)
+    return _seg(POC, payload)
+
+
+def write_plt(zplt: int, packet_lengths: List[int]) -> bytes:
+    """PLT segment (T.800 A.8.2): 7-bit big-endian varint packet lengths."""
+    payload = bytearray([zplt & 0xFF])
+    for n in packet_lengths:
+        chunk = bytearray([n & 0x7F])
+        n >>= 7
+        while n:
+            chunk.insert(0, 0x80 | (n & 0x7F))
+            n >>= 7
+        payload += chunk
+    return _seg(PLT, bytes(payload))
+
+
+def write_tlm(ztlm: int, entries: List[Tuple[int, int]]) -> bytes:
+    """TLM segment (T.800 A.7.1): (Ttlm, Ptlm) with ST=2, SP=1
+    (16-bit tile index, 32-bit tile-part length — reference
+    encoder.go writeTLM)."""
+    stlm = (2 << 4) | (1 << 6)
+    payload = struct.pack(">BB", ztlm & 0xFF, stlm)
+    for (ttlm, ptlm) in entries:
+        payload += struct.pack(">HI", ttlm, ptlm)
+    return _seg(TLM, payload)
+
+
+def parse_coc(payload: bytes, num_components: int) -> CocInfo:
+    wide = num_components >= 257
+    off = 2 if wide else 1
+    if len(payload) < off + 6:
+        raise CorruptStreamError("COC too short")
+    comp = struct.unpack_from(_comp_fmt(num_components), payload, 0)[0]
+    scoc = payload[off]
+    levels, cbw_e, cbh_e, cb_style, transform = struct.unpack_from(
+        ">BBBBB", payload, off + 1)
+    coc = CocInfo(comp=comp, num_levels=levels, cb_width=1 << (cbw_e + 2),
+                  cb_height=1 << (cbh_e + 2), cb_style=cb_style,
+                  transform=transform)
+    if scoc & 0x01:
+        exps = []
+        for i in range(levels + 1):
+            p = off + 6 + i
+            if p >= len(payload):
+                break
+            b = payload[p]
+            exps.append((b & 0x0F, b >> 4))
+        coc.precinct_exps = exps
+    return coc
+
+
+def parse_qcc(payload: bytes, num_components: int) -> Tuple[int, QcdInfo]:
+    wide = num_components >= 257
+    off = 2 if wide else 1
+    if len(payload) < off + 1:
+        raise CorruptStreamError("QCC too short")
+    comp = struct.unpack_from(_comp_fmt(num_components), payload, 0)[0]
+    return comp, parse_qcd(payload[off:])
+
+
+def parse_poc(payload: bytes, num_components: int) -> List[PocEntry]:
+    cf = _comp_fmt(num_components)
+    cw = 2 if num_components >= 257 else 1
+    step = 1 + cw + 2 + 1 + cw + 1
+    entries = []
+    off = 0
+    while off + step <= len(payload):
+        rs = payload[off]
+        cs = struct.unpack_from(cf, payload, off + 1)[0]
+        lye, re = struct.unpack_from(">HB", payload, off + 1 + cw)
+        ce = struct.unpack_from(cf, payload, off + 4 + cw)[0]
+        prog = payload[off + 4 + 2 * cw]
+        entries.append(PocEntry(rs=rs, cs=cs, lye=lye, re=re, ce=ce,
+                                prog=prog))
+        off += step
+    return entries
+
+
+def parse_plt(payload: bytes) -> Tuple[int, List[int]]:
+    """→ (Zplt, packet lengths)."""
+    if not payload:
+        raise CorruptStreamError("PLT empty")
+    zplt = payload[0]
+    lengths = []
+    n = 0
+    for b in payload[1:]:
+        n = (n << 7) | (b & 0x7F)
+        if not (b & 0x80):
+            lengths.append(n)
+            n = 0
+    return zplt, lengths
+
+
+def parse_tlm(payload: bytes) -> Tuple[int, List[Tuple[int, int]]]:
+    """→ (Ztlm, [(Ttlm, Ptlm)])."""
+    if len(payload) < 2:
+        raise CorruptStreamError("TLM too short")
+    ztlm, stlm = payload[0], payload[1]
+    st = (stlm >> 4) & 0x3
+    sp = 4 if (stlm >> 6) & 0x1 else 2
+    entries = []
+    off = 2
+    i = 0
+    while off + st + sp <= len(payload):
+        if st == 0:
+            ttlm = i
+        elif st == 1:
+            ttlm = payload[off]
+        else:
+            ttlm = struct.unpack_from(">H", payload, off)[0]
+        ptlm = struct.unpack_from(">I" if sp == 4 else ">H",
+                                  payload, off + st)[0]
+        entries.append((ttlm, ptlm))
+        off += st + sp
+        i += 1
+    return ztlm, entries
 
 
 def write_com(text: bytes, binary: bool = False) -> bytes:
@@ -316,7 +542,15 @@ def parse_codestream(data: bytes) -> Codestream:
     mct_segments: List[bytes] = []
     mcc_segments: List[bytes] = []
     mco_segments: List[bytes] = []
+    main_coc: Dict[int, CocInfo] = {}
+    main_qcc: Dict[int, QcdInfo] = {}
+    main_poc: List[PocEntry] = []
     tiles: Dict[int, Dict[int, TileInfo]] = {}
+
+    def ncomp():
+        if siz is None:
+            raise CorruptStreamError("COC/QCC/POC before SIZ")
+        return len(siz.components)
 
     def read_seg(p):
         if p + 4 > len(data):
@@ -340,9 +574,12 @@ def parse_codestream(data: bytes) -> Codestream:
             if len(payload) < 8 or body_start + 2 > len(data):
                 raise CorruptStreamError("truncated SOT segment")
             isot, psot, tpsot, tnsot = struct.unpack(">HIBB", payload)
+            tcod = tqcd = None
+            tcoc: Dict[int, CocInfo] = {}
+            tqcc: Dict[int, QcdInfo] = {}
+            tpoc: List[PocEntry] = []
             if struct.unpack_from(">H", data, body_start)[0] != SOD:
-                # skip per-tile segments (COD/QCD/COM…) before SOD
-                tcod = tqcd = None
+                # per-tile segments (COD/COC/QCD/QCC/POC/COM…) before SOD
                 p = body_start
                 while struct.unpack_from(">H", data, p)[0] != SOD:
                     m, pl, p = read_seg(p)
@@ -350,14 +587,21 @@ def parse_codestream(data: bytes) -> Codestream:
                         tcod = parse_cod(pl)
                     elif m == QCD:
                         tqcd = parse_qcd(pl)
+                    elif m == COC:
+                        ci = parse_coc(pl, ncomp())
+                        tcoc[ci.comp] = ci
+                    elif m == QCC:
+                        cc, qq = parse_qcc(pl, ncomp())
+                        tqcc[cc] = qq
+                    elif m == POC:
+                        tpoc = parse_poc(pl, ncomp())
                 body_start = p
-            else:
-                tcod = tqcd = None
             body_end = pos + psot if psot else len(data)
             if body_end > len(data):
                 body_end = len(data)
             body = data[body_start + 2 : body_end]
-            part = TileInfo(index=isot, data=body, cod=tcod, qcd=tqcd)
+            part = TileInfo(index=isot, data=body, cod=tcod, qcd=tqcd,
+                            coc=tcoc, qcc=tqcc, poc=tpoc)
             tiles.setdefault(isot, {})[tpsot] = part
             pos = body_end
             continue
@@ -381,7 +625,16 @@ def parse_codestream(data: bytes) -> Codestream:
             mcc_segments.append(payload)
         elif m == 0xFF77:
             mco_segments.append(payload)
-        # TLM/PLM/POC/others skipped
+        elif m == COC:
+            ci = parse_coc(payload, ncomp())
+            main_coc[ci.comp] = ci
+        elif m == QCC:
+            cc, qq = parse_qcc(payload, ncomp())
+            main_qcc[cc] = qq
+        elif m == POC:
+            main_poc = parse_poc(payload, ncomp())
+        # TLM/PLM/PLT informational segments skipped (parse_tlm/parse_plt
+        # available for tooling)
 
     if siz is None or cod is None or qcd is None:
         raise CorruptStreamError("codestream missing SIZ/COD/QCD")
@@ -391,11 +644,13 @@ def parse_codestream(data: bytes) -> Codestream:
         body = b"".join(parts[k].data for k in sorted(parts))
         first = parts[min(parts)]
         merged[isot] = TileInfo(index=isot, data=body, cod=first.cod,
-                                qcd=first.qcd)
+                                qcd=first.qcd, coc=first.coc, qcc=first.qcc,
+                                poc=first.poc)
     return Codestream(siz=siz, cod=cod, qcd=qcd, tiles=merged,
                       comments=comments, rgn_shifts=rgn, cap=cap,
                       mct_segments=mct_segments, mcc_segments=mcc_segments,
-                      mco_segments=mco_segments)
+                      mco_segments=mco_segments, coc=main_coc, qcc=main_qcc,
+                      poc=main_poc)
 
 
 def _next_marker(data: bytes, pos: int) -> int:

@@ -337,3 +337,37 @@ def progression_order(progression: int, num_layers: int, num_res: int,
                 yield (l, r, c, p)
     else:
         raise CorruptStreamError(f"unknown progression order {progression}")
+
+
+def poc_progression_order(entries, num_layers: int, num_res: int,
+                          num_comps: int,
+                          precinct_info: Callable[[int, int],
+                                                  List[Tuple[int, int, int]]]
+                          ) -> Iterator[Tuple[int, int, int, int]]:
+    """Packet order under progression-order changes (T.800 A.6.6 / B.12.2).
+
+    Each POC entry emits its Ppoc order restricted to
+    layers [0, LYEpoc) × resolutions [RSpoc, REpoc) ×
+    components [CSpoc, CEpoc); packets already emitted by an earlier
+    entry are skipped (the reference parses POC at
+    codestream/parser.go:104-306; the iteration semantics follow the
+    spec since the reference decoder replays packets in stored order).
+    """
+    seen = set()
+    for e in entries:
+        re_ = min(e.re, num_res)
+        ce = min(e.ce, num_comps)
+        lye = min(e.lye, num_layers)
+
+        def sub_info(c, r, _e=e, _re=re_, _ce=ce):
+            if not (_e.rs <= r < _re and _e.cs <= c < _ce):
+                return []
+            return precinct_info(c, r)
+
+        for (l, r, c, p) in progression_order(e.prog, lye, re_, ce,
+                                              sub_info):
+            key = (l, r, c, p)
+            if key in seen:
+                continue
+            seen.add(key)
+            yield key
