@@ -79,8 +79,12 @@ def combined_mask(regions: Sequence[ROIRegion], width: int,
 def band_roi_mask(full_mask: np.ndarray, tx0: int, ty0: int,
                   num_levels: int, resolution: int, band: int,
                   band_rect_: Tuple[int, int, int, int]) -> np.ndarray:
-    """Project the tile's full-res mask onto one subband (OR-pooled,
-    dilated by the filter support — reference roi_mask.go:60-296).
+    """Project the tile's full-res mask onto one subband (OR-pooled over
+    each coefficient's step×step image block — reference
+    roi_mask.go:60-110 downsample semantics, no filter-support dilation;
+    MaxShift stays losslessly invertible because the decoder unshifts by
+    magnitude, and keeping the shifted set tight preserves the rate
+    advantage of the background).
 
     full_mask is the tile-local mask [th, tw]; returns [bh, bw] bool.
     """
@@ -88,25 +92,26 @@ def band_roi_mask(full_mask: np.ndarray, tx0: int, ty0: int,
     bw, bh = bx1 - bx0, by1 - by0
     if bw <= 0 or bh <= 0:
         return np.zeros((max(bh, 0), max(bw, 0)), dtype=bool)
-    n = num_levels - resolution if resolution > 0 else num_levels
+    # Subbands at resolution r > 0 come from DWT level num_levels−r+1 and
+    # decimate the image grid by 2^level; the r = 0 LL band by 2^num_levels.
+    n = num_levels - resolution + 1 if resolution > 0 else num_levels
     step = 1 << n
     th, tw = full_mask.shape
     out = np.zeros((bh, bw), dtype=bool)
-    # band sample (bx, by) draws on tile samples around
-    # ((bx*2^n .. (bx+1)*2^n) − tile offset), dilated for lifting support
-    xob = (1 << (n)) // 2 if band in (1, 3) and resolution > 0 else 0
-    yob = (1 << (n)) // 2 if band in (2, 3) and resolution > 0 else 0
-    # 5/3-9/7 synthesis support grows ≈4·2^n across a multilevel cascade
-    support = 4 * step
+    # band sample (bx, by) draws on tile samples in
+    # ((bx*2^n .. (bx+1)*2^n) − tile offset), offset by the band's
+    # half-step phase (HL/HH in x, LH/HH in y)
+    xob = (1 << n) // 2 if band in (1, 3) and resolution > 0 else 0
+    yob = (1 << n) // 2 if band in (2, 3) and resolution > 0 else 0
     for by in range(bh):
-        y_lo = max((by0 + by) * step + yob - ty0 - support, 0)
-        y_hi = min((by0 + by + 1) * step + yob - ty0 + support, th)
+        y_lo = max((by0 + by) * step + yob - ty0, 0)
+        y_hi = min((by0 + by + 1) * step + yob - ty0, th)
         if y_hi <= y_lo:
             continue
         rowband = full_mask[y_lo:y_hi]
         for bx in range(bw):
-            x_lo = max((bx0 + bx) * step + xob - tx0 - support, 0)
-            x_hi = min((bx0 + bx + 1) * step + xob - tx0 + support, tw)
+            x_lo = max((bx0 + bx) * step + xob - tx0, 0)
+            x_hi = min((bx0 + bx + 1) * step + xob - tx0, tw)
             if x_hi <= x_lo:
                 continue
             if rowband[:, x_lo:x_hi].any():

@@ -75,6 +75,25 @@ def _band_index(r: int, band: int) -> int:
     return 1 + (r - 1) * 3 + (band - 1)
 
 
+def _distortion_weight(cod: j2k.CodInfo, qcd: j2k.QcdInfo, r: int,
+                       band: int, bit_depth: int) -> float:
+    """Per-band NMSEDEC→MSE weight (reference encoder.go
+    openJPEGDistortionWeight :3455-3473): lossless norm²/8192; lossy
+    (norm·Δ/gain)²/8192 with the band's 2^log2gain."""
+    from ..ops.dwt97 import dwt53_norm, dwt97_norm
+    level = cod.num_levels - r if r > 0 else cod.num_levels
+    if cod.transform == 1:
+        n = dwt53_norm(level, band)
+        return n * n / 8192.0
+    steps = J2KEncoder._band_deltas(qcd, cod.num_levels, bit_depth)
+    delta = steps[_band_index(r, band)]
+    if delta <= 0:
+        delta = 1.0
+    gain = 4.0 if band == 3 else (2.0 if band != 0 else 1.0)
+    w = dwt97_norm(level, band) * (delta / gain)
+    return w * w / 8192.0
+
+
 def band_mb(qcd: j2k.QcdInfo, r: int, band: int, num_levels: int) -> int:
     """Max bit-planes for a band: guard + ε_b − 1 (B.10.5 Mb)."""
     if qcd.style == 0:
@@ -127,11 +146,12 @@ class J2KEncoder:
         siz = j2k.SizInfo(
             xsiz=width, ysiz=height, xtsiz=tw, ytsiz=th,
             components=[(bit_depth, signed, 1, 1)] * components)
+        # Layered streams rely on non-terminated truncation points with
+        # +3-byte MQ lookahead widening at layer boundaries (OpenJPEG
+        # semantics; the widened segment stays within the next pass's
+        # bytes so the full stream is unchanged). TERMALL is NOT forced —
+        # it costs ~2 bytes per pass across every block.
         cb_style = p.cb_style | (0x40 if p.htj2k else 0)
-        if p.num_layers > 1 and not p.htj2k:
-            # terminate every pass so layer truncation points are exact
-            # (clean quality scalability; reference TERMALL layered path)
-            cb_style |= 0x04
         cod = j2k.CodInfo(
             progression=p.progression, num_layers=p.num_layers,
             mct=1 if (use_mct and components == 3) else 0,
@@ -320,6 +340,8 @@ class J2KEncoder:
                         bg = pb.band
                         mb = band_mb(qcd, res.r, bg.band,
                                      cod.num_levels) + roi_shift
+                        dw = _distortion_weight(cod, qcd, res.r, bg.band,
+                                                bit_depth)
                         blocks = []
                         for g in pb.blocks:
                             blk_data = coeffs[
@@ -350,7 +372,7 @@ class J2KEncoder:
                                 cod.cb_style, bg.orient)
                             if native is not None:
                                 (stream, numbps, rates, terms,
-                                 bitplanes) = native
+                                 bitplanes, nmsedecs) = native
                             else:
                                 enc = T1Encoder(g.width, g.height,
                                                 style=cod.cb_style,
@@ -359,6 +381,7 @@ class J2KEncoder:
                                 rates = [pi.rate for pi in passes]
                                 terms = [pi.terminated for pi in passes]
                                 bitplanes = [pi.bitplane for pi in passes]
+                                nmsedecs = [pi.nmsedec for pi in passes]
                             if numbps > 0:
                                 st.numbps = numbps
                                 st.zero_bitplanes = mb - numbps
@@ -370,9 +393,24 @@ class J2KEncoder:
                                 st.pass_rates = list(rates)
                                 st.pass_terms = list(terms)
                                 st.pass_bitplanes = list(bitplanes)
+                                st.pass_nmsedecs = list(nmsedecs)
+                                st.dist_weight = dw
                                 # single flush: last rate = stream length
                                 if st.pass_rates:
                                     st.pass_rates[-1] = len(stream)
+                                # OpenJPEG lookahead correction: a
+                                # non-terminated truncation point needs
+                                # ~3 extra bytes so the MQ decoder's
+                                # byte-ahead reads stay in-segment.
+                                # Widening up front (monotonicity is
+                                # preserved) keeps PCRD's measured
+                                # packet bytes identical to the final
+                                # emission.
+                                for _k in range(len(st.pass_rates) - 1):
+                                    if not st.pass_terms[_k]:
+                                        st.pass_rates[_k] = min(
+                                            st.pass_rates[_k] + 3,
+                                            len(stream))
                             blocks.append(st)
                         plist.append(PrecinctState(
                             ncbw=pb.ncbw, ncbh=pb.ncbh, blocks=blocks,
@@ -390,13 +428,17 @@ class J2KEncoder:
                     for ps in plist:
                         for blk in ps.blocks:
                             all_blocks.append(blk)
-            slopes = [pass_slopes(b.pass_rates, b.pass_bitplanes)
+            slopes = [pass_slopes(b.pass_rates, b.pass_bitplanes,
+                                  b.pass_nmsedecs, b.dist_weight)
                       for b in all_blocks]
             total = sum(b.pass_rates[-1] if b.pass_rates else 0
                         for b in all_blocks)
             rates = (self.params.layer_rates
                      if self.params.layer_rates else
                      [0.0] * cod.num_layers)
+            # fewer rates than layers: missing layers take everything
+            # left (rate 0 = no budget); extra rates are ignored
+            rates = (list(rates) + [0.0] * cod.num_layers)[:cod.num_layers]
             if self.params.layer_rates:
                 budgets = layer_budgets_from_rates(
                     (ty1 - ty0) * (tx1 - tx0) * ncomp, bit_depth, rates,
@@ -404,17 +446,41 @@ class J2KEncoder:
             else:
                 budgets = [total * (i + 1) // cod.num_layers
                            for i in range(cod.num_layers)]
-            alloc = allocate_layers(slopes, budgets)
+            def precinct_info(c: int, r: int):
+                res = comp_res[c][r]
+                return [(prec.index, prec.x0 << (cod.num_levels - r),
+                         prec.y0 << (cod.num_levels - r))
+                        for prec in res.precincts]
+
+            def measured_bytes(counts_by_layer):
+                # Trial-encode packets for layers 0..li on cloned state so
+                # the byte target covers real emitted bytes — packet
+                # headers included (OpenJPEG measured-packet bisection).
+                import copy
+                trial = copy.deepcopy(comp_states)
+                tblocks = []
+                for states in trial:
+                    for plist in states.values():
+                        for ps in plist:
+                            tblocks.extend(ps.blocks)
+                nl = len(counts_by_layer)
+                for bi, blk in enumerate(tblocks):
+                    blk.layer_passes = [counts_by_layer[li][bi]
+                                        for li in range(nl)]
+                total = 0
+                for (l, r, c, pidx) in progression_order(
+                        cod.progression, nl, cod.num_levels + 1, ncomp,
+                        precinct_info):
+                    header, pbody = encode_packet(trial[c][(r, pidx)], l,
+                                                  cod.cb_style,
+                                                  cod.num_layers)
+                    total += len(header) + len(pbody)
+                return total
+
+            alloc = allocate_layers(slopes, budgets,
+                                    measure=measured_bytes)
             for blk, counts in zip(all_blocks, alloc):
                 blk.layer_passes = counts
-                # widen non-terminated truncation points slightly so a
-                # layer-truncated stream still decodes its passes
-                for li in range(cod.num_layers - 1):
-                    k = counts[li] - 1
-                    if 0 <= k < len(blk.pass_rates) - 1 and \
-                            not blk.pass_terms[k]:
-                        blk.pass_rates[k] = min(blk.pass_rates[k] + 3,
-                                                blk.pass_rates[k + 1])
 
         def precinct_info(c: int, r: int):
             res = comp_res[c][r]

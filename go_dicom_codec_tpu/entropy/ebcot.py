@@ -198,11 +198,61 @@ def _ctx_flags(f: int, y: int, vsc: bool) -> int:
 @dataclass
 class PassInfo:
     """One coding pass: type (0 SPP / 1 MRP / 2 CP), bitplane, whether the
-    encoder terminated after it, and cumulative byte length at its end."""
+    encoder terminated after it, cumulative byte length at its end, and the
+    pass's NMSEDEC distortion-decrease sum (integer, 1/8192 units of
+    4^bitplane — T.800 J.4 fixed point)."""
     pass_type: int
     bitplane: int
     terminated: bool
     rate: int
+    nmsedec: int = 0
+
+
+# ---- NMSEDEC distortion tables (T.800 J.4; same fixed point as
+#      OpenJPEG t1_generate_luts / reference t1/nmsedec.go:84-112) ----------
+# t = index/64 is the sample magnitude normalized to the current bitplane
+# (1 integer bit + 6 fraction bits). Entries are round(64·f)·(8192/64):
+#   sig  : f = t² − (t−1.5)²  = 3t − 2.25   (new significance, recon at 1.5)
+#   sig0 : f = t²                           (bitplane-0 variant)
+#   ref  : f = 0.75−t (t<1) / t−1.25 (t≥1)  (refinement recon midpoint move)
+#   ref0 : f = (t−1)²                       (bitplane-0 variant)
+_NMSEDEC_FRAC = 6
+
+
+def _gen_nmsedec():
+    n = 1 << 7
+    sig = np.zeros(n, np.int32)
+    sig0 = np.zeros(n, np.int32)
+    ref = np.zeros(n, np.int32)
+    ref0 = np.zeros(n, np.int32)
+    for i in range(n):
+        t = i / 64.0
+        sig[i] = max(0, int(np.floor((3.0 * t - 2.25) * 64 + 0.5))) * 128
+        sig0[i] = max(0, int(np.floor(t * t * 64 + 0.5))) * 128
+        f = (0.75 - t) if t < 1.0 else (t - 1.25)
+        ref[i] = max(0, int(np.floor(f * 64 + 0.5))) * 128
+        u = t - 1.0
+        ref0[i] = max(0, int(np.floor(u * u * 64 + 0.5))) * 128
+    return sig, sig0, ref, ref0
+
+
+NMSEDEC_SIG, NMSEDEC_SIG0, NMSEDEC_REF, NMSEDEC_REF0 = _gen_nmsedec()
+
+
+def nmsedec_sig(av: int, bp: int) -> int:
+    """Distortion decrease for a sample becoming significant at plane bp."""
+    x = av << _NMSEDEC_FRAC
+    if bp > 0:
+        return int(NMSEDEC_SIG[(x >> bp) & 127])
+    return int(NMSEDEC_SIG0[x & 127])
+
+
+def nmsedec_ref(av: int, bp: int) -> int:
+    """Distortion decrease for refining a significant sample at plane bp."""
+    x = av << _NMSEDEC_FRAC
+    if bp > 0:
+        return int(NMSEDEC_REF[(x >> bp) & 127])
+    return int(NMSEDEC_REF0[x & 127])
 
 
 def _is_lazy_raw(bitplane: int, maxbp: int, pass_type: int, style: int) -> bool:
@@ -291,11 +341,11 @@ class T1Encoder:
                 prev_terminated = False
 
             if pass_type == 0:
-                self._spp(mqe, d, flags, bitplane, raw)
+                nmsedec = self._spp(mqe, d, flags, bitplane, raw)
             elif pass_type == 1:
-                self._mrp(mqe, d, flags, bitplane, raw)
+                nmsedec = self._mrp(mqe, d, flags, bitplane, raw)
             else:
-                self._cp(mqe, d, flags, bitplane)
+                nmsedec = self._cp(mqe, d, flags, bitplane)
                 if self.style & STYLE_SEGSYM:
                     for i in (1, 0, 1, 0):
                         mqe.encode(i, CTX_UNI)
@@ -311,7 +361,7 @@ class T1Encoder:
                 prev_terminated = True
 
             passes.append(PassInfo(pass_type, bitplane, terminated,
-                                   mqe.num_bytes()))
+                                   mqe.num_bytes(), nmsedec))
 
             if self.style & STYLE_RESET:
                 mqe.reset_contexts()
@@ -340,6 +390,7 @@ class T1Encoder:
         orient = self.orient
         vsc = bool(self.style & STYLE_VSC)
         zc = ZC_LUT[orient]
+        nm = 0
         for k in range(0, h, 4):
             for x in range(w):
                 for y in range(k, min(k + 4, h)):
@@ -368,9 +419,12 @@ class T1Encoder:
                                        int(SC_LUT[si]))
                         flags[idx] |= F_SIG
                         self._update_neighbors(flags, x, y, idx)
+                        nm += nmsedec_sig(av, bp)
+        return nm
 
     def _mrp(self, mqe, d, flags, bp, raw):
         w, h, pw = self.w, self.h, self.w + 2
+        nm = 0
         for k in range(0, h, 4):
             for x in range(w):
                 for y in range(k, min(k + 4, h)):
@@ -387,12 +441,15 @@ class T1Encoder:
                         mqe.encode(bit, _mr_context(
                             _ctx_flags(f, y, bool(self.style & STYLE_VSC))))
                     flags[idx] |= F_REFINE
+                    nm += nmsedec_ref(av, bp)
+        return nm
 
     def _cp(self, mqe, d, flags, bp):
         w, h, pw = self.w, self.h, self.w + 2
         orient = self.orient
         vsc = bool(self.style & STYLE_VSC)
         zc = ZC_LUT[orient]
+        nm = 0
         for k in range(0, h, 4):
             for x in range(w):
                 if k + 3 < h:
@@ -442,6 +499,7 @@ class T1Encoder:
                                            int(SC_LUT[si]))
                                 flags[idx] |= F_SIG
                                 self._update_neighbors(flags, x, y, idx)
+                                nm += nmsedec_sig(av, bp)
                             flags[idx] &= ~F_VISIT
                         continue
                 for y in range(k, min(k + 4, h)):
@@ -463,7 +521,9 @@ class T1Encoder:
                         mqe.encode(sign ^ int(SPB_LUT[si]), int(SC_LUT[si]))
                         flags[idx] |= F_SIG
                         self._update_neighbors(flags, x, y, idx)
+                        nm += nmsedec_sig(av, bp)
                     flags[idx] &= ~F_VISIT
+        return nm
 
     def _update_neighbors(self, flags, x, y, idx):
         pw = self.w + 2

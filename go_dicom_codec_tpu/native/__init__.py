@@ -64,7 +64,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
             i64p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, u8p, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
-            i32p, u8p, i32p, ctypes.c_int]
+            i32p, u8p, i32p, i32p, ctypes.c_int]
         lib.t1_decode.restype = ctypes.c_int
         lib.t1_decode.argtypes = [
             u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -176,8 +176,8 @@ def jpg_lossless_decode_scan_native(destuffed: np.ndarray, w: int, h: int,
 
 def t1_encode_native(data: np.ndarray, style: int, orient: int,
                      roishift: int = 0):
-    """Native T1 encode; returns (bytes, numbps, rates, terms, bitplanes)
-    or None when the native path is unavailable."""
+    """Native T1 encode; returns (bytes, numbps, rates, terms, bitplanes,
+    nmsedecs) or None when the native path is unavailable."""
     lib = get_lib()
     if lib is None:
         return None
@@ -189,16 +189,18 @@ def t1_encode_native(data: np.ndarray, style: int, orient: int,
     rates = np.zeros(max_passes, dtype=np.int32)
     terms = np.zeros(max_passes, dtype=np.uint8)
     bps = np.zeros(max_passes, dtype=np.int32)
+    nmse = np.zeros(max_passes, dtype=np.int32)
     numbps = ctypes.c_int(0)
     npasses = ctypes.c_int(0)
     n = lib.t1_encode(src, w, h, style, orient, roishift, out, cap,
                       ctypes.byref(numbps), ctypes.byref(npasses),
-                      rates, terms, bps, max_passes)
+                      rates, terms, bps, nmse, max_passes)
     if n < 0:
         return None
     k = npasses.value
     return (out[:n].tobytes(), numbps.value, rates[:k].tolist(),
-            terms[:k].astype(bool).tolist(), bps[:k].tolist())
+            terms[:k].astype(bool).tolist(), bps[:k].tolist(),
+            nmse[:k].tolist())
 
 
 def jls_encode_scan_native(img: np.ndarray, maxval: int, near: int,

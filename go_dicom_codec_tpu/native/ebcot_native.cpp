@@ -10,6 +10,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <cmath>
 #include <vector>
 
 namespace {
@@ -142,6 +143,36 @@ inline int mr_context(int64_t f) {
 const int64_t VSC_MASK = ~(F_SIG_S | F_SIG_SW | F_SIG_SE | F_SIGN_S);
 inline int64_t ctx_flags(int64_t f, int y, bool vsc) {
   return (vsc && (y & 3) == 3) ? (f & VSC_MASK) : f;
+}
+
+// ---- NMSEDEC distortion tables (T.800 J.4; same fixed point as the
+//      Python entropy/ebcot.py generator) ------------------------------------
+static int nmse_sig[128], nmse_sig0[128], nmse_ref[128], nmse_ref0[128];
+static bool nmse_ready = false;
+inline int nmse_q(double f) {
+  long v = (long)std::floor(f * 64.0 + 0.5);
+  return v > 0 ? (int)(v * 128) : 0;
+}
+void build_nmse() {
+  if (nmse_ready) return;
+  for (int i = 0; i < 128; i++) {
+    double t = i / 64.0;
+    nmse_sig[i] = nmse_q(3.0 * t - 2.25);
+    nmse_sig0[i] = nmse_q(t * t);
+    nmse_ref[i] = nmse_q(t < 1.0 ? 0.75 - t : t - 1.25);
+    nmse_ref0[i] = nmse_q((t - 1.0) * (t - 1.0));
+  }
+  nmse_ready = true;
+}
+inline int nmsedec_sig(uint64_t av, int bp) {
+  uint64_t x = av << 6;
+  if (bp > 0) return nmse_sig[(x >> bp) & 127];
+  return nmse_sig0[x & 127];
+}
+inline int nmsedec_ref(uint64_t av, int bp) {
+  uint64_t x = av << 6;
+  if (bp > 0) return nmse_ref[(x >> bp) & 127];
+  return nmse_ref0[x & 127];
 }
 
 // ---- MQ encoder -------------------------------------------------------------
@@ -401,8 +432,9 @@ extern "C" {
 int t1_encode(const int64_t* src, int w, int h, int style, int orient,
               int roishift, uint8_t* out, int out_cap, int* numbps_out,
               int* npasses_out, int* pass_rates, uint8_t* pass_terms,
-              int* pass_bitplanes, int max_passes) {
+              int* pass_bitplanes, int* pass_nmsedec, int max_passes) {
   build_luts();
+  build_nmse();
   T1 t(w, h, style, orient);
   int64_t maxabs = 0;
   for (int y = 0; y < h; y++)
@@ -447,6 +479,7 @@ int t1_encode(const int64_t* src, int w, int h, int style, int orient,
     }
 
     bool vsc = (style & S_VSC) != 0;
+    int64_t nm = 0;
     if (pass_type == 0) {  // SPP
       for (int k = 0; k < h; k += 4)
         for (int x = 0; x < w; x++)
@@ -471,6 +504,7 @@ int t1_encode(const int64_t* src, int w, int h, int style, int orient,
               }
               flags[idx] |= F_SIG;
               t.update_neighbors(x, y, idx);
+              nm += nmsedec_sig((uint64_t)av, bitplane);
             }
           }
     } else if (pass_type == 1) {  // MRP
@@ -486,6 +520,7 @@ int t1_encode(const int64_t* src, int w, int h, int style, int orient,
             if (raw) mq.bypass_encode(bit);
             else mq.encode(bit, mr_context(ctx_flags(f, y, vsc)));
             flags[idx] |= F_REFINE;
+            nm += nmsedec_ref((uint64_t)av, bitplane);
           }
     } else {  // CP
       for (int k = 0; k < h; k += 4)
@@ -535,6 +570,7 @@ int t1_encode(const int64_t* src, int w, int h, int style, int orient,
                     mq.encode(sign ^ SPB_LUT[si], SC_LUT[si]);
                     flags[idx] |= F_SIG;
                     t.update_neighbors(x, y, idx);
+                    nm += nmsedec_sig((uint64_t)av, bitplane);
                   }
                   flags[idx] &= ~F_VISIT;
                 }
@@ -558,6 +594,7 @@ int t1_encode(const int64_t* src, int w, int h, int style, int orient,
                 mq.encode(sign ^ SPB_LUT[si], SC_LUT[si]);
                 flags[idx] |= F_SIG;
                 t.update_neighbors(x, y, idx);
+                nm += nmsedec_sig((uint64_t)av, bitplane);
               }
               flags[idx] &= ~F_VISIT;
             }
@@ -579,6 +616,7 @@ int t1_encode(const int64_t* src, int w, int h, int style, int orient,
     pass_rates[pass_idx] = mq.num_bytes();
     pass_terms[pass_idx] = term ? 1 : 0;
     pass_bitplanes[pass_idx] = bitplane;
+    pass_nmsedec[pass_idx] = (int)nm;
 
     if (style & S_RESET) {
       memset(mq.ctx, 0, NUMCTX);

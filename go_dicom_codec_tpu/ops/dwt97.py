@@ -156,3 +156,24 @@ def dwt97_norm(level: int, orient: int) -> float:
     if not (0 <= orient <= 3):
         return 1.0
     return DWT97_NORMS[orient][level]
+
+
+# OpenJPEG 5/3 per-band L2 norms (opj_dwt_norms; reference
+# quantization.go:10-15), used for NMSEDEC distortion weighting.
+DWT53_NORMS = (
+    (1.000, 1.500, 2.750, 5.375, 10.68, 21.34, 42.67, 85.33, 170.7, 341.3),
+    (1.038, 1.592, 2.919, 5.703, 11.33, 22.64, 45.25, 90.48, 180.9, 0.0),
+    (1.038, 1.592, 2.919, 5.703, 11.33, 22.64, 45.25, 90.48, 180.9, 0.0),
+    (.7186, .9218, 1.586, 3.043, 6.019, 12.01, 24.00, 47.97, 95.93, 0.0),
+)
+
+
+def dwt53_norm(level: int, orient: int) -> float:
+    level = max(level, 0)
+    if orient == 0:
+        level = min(level, 9)
+    else:
+        level = min(level, 8)
+    if not (0 <= orient <= 3):
+        return 1.0
+    return DWT53_NORMS[orient][level]

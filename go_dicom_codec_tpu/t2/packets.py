@@ -39,6 +39,8 @@ class BlockState:
     pass_rates: List[int] = field(default_factory=list)   # cumulative bytes
     pass_terms: List[bool] = field(default_factory=list)
     pass_bitplanes: List[int] = field(default_factory=list)
+    pass_nmsedecs: List[int] = field(default_factory=list)  # T.800 J.4 ints
+    dist_weight: float = 1.0   # band weight: (norm·Δ/gain)²/8192
     layer_passes: List[int] = field(default_factory=list)  # cumulative/layer
     # decode side
     seg_data: bytearray = field(default_factory=bytearray)

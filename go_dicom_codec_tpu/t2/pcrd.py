@@ -4,16 +4,18 @@ Role of reference jpeg2000/rate_distortion.go: convex-hull pass slopes,
 lambda/threshold bisection against layer byte budgets, and layer-rate →
 budget conversion (ComputeLayerBudgets / AllocateLayersRateDistortionPasses).
 
-Distortion here is a bitplane-energy proxy (4^bitplane per coded pass,
-weighted by coded bytes) rather than the reference's NMSEDEC tables —
-identical machinery, coarser distortion estimate; the codestream stays
-conformant because slopes only steer the truncation points.
+Distortion uses the T.800 J.4 NMSEDEC sums accumulated per coding pass by
+the T1 encoder (entropy/ebcot.py tables; reference t1/nmsedec.go +
+encoder_layered.go:120-130), weighted per band by (norm·Δ/gain)²/8192
+(reference openJPEGDistortionWeight encoder.go:3455). A bitplane-energy
+proxy (4^bitplane · coded bytes) remains as fallback for callers without
+NMSEDEC data.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 
 @dataclass
@@ -22,20 +24,28 @@ class PassPoint:
     slope: float       # distortion decrease per byte (convex-hulled)
 
 
-def pass_slopes(pass_rates: Sequence[int], pass_bitplanes: Sequence[int]
-                ) -> List[PassPoint]:
+def pass_slopes(pass_rates: Sequence[int], pass_bitplanes: Sequence[int],
+                pass_nmsedecs: Optional[Sequence[int]] = None,
+                weight: float = 1.0) -> List[PassPoint]:
     """Convex-hull slopes for one block's passes
-    (reference rate_distortion.go:207-407 computeIncrementals)."""
+    (reference rate_distortion.go:207-407 computeIncrementals).
+
+    With pass_nmsedecs, distortion decrease per pass is the real NMSEDEC
+    measure nmsedec·weight·4^bitplane; otherwise a bitplane-energy proxy.
+    """
     n = len(pass_rates)
     if n == 0:
         return []
-    # distortion decrease proxy per pass
     dists = []
     prev_rate = 0
     for i in range(n):
         d_rate = max(pass_rates[i] - prev_rate, 0)
         prev_rate = pass_rates[i]
-        dists.append((4.0 ** pass_bitplanes[i]) * max(d_rate, 0.01))
+        if pass_nmsedecs is not None and i < len(pass_nmsedecs):
+            dists.append(float(pass_nmsedecs[i]) * weight
+                         * (4.0 ** pass_bitplanes[i]))
+        else:
+            dists.append((4.0 ** pass_bitplanes[i]) * max(d_rate, 0.01))
     # convex hull: slopes must be decreasing; merge violating passes
     pts: List[Tuple[int, float]] = []  # (rate, cumulative dist drop)
     cum = 0.0
@@ -69,35 +79,52 @@ def pass_slopes(pass_rates: Sequence[int], pass_bitplanes: Sequence[int]
     return out
 
 
-def allocate_layers(blocks: List[List[PassPoint]], budgets: List[int]
-                    ) -> List[List[int]]:
+def allocate_layers(blocks: List[List[PassPoint]], budgets: List[int],
+                    measure=None) -> List[List[int]]:
     """Threshold allocation: per block, cumulative pass counts per layer.
 
     budgets: cumulative byte targets per layer (last = total available).
     Mirrors reference FindOptimalLambda bisection (:408-540).
+
+    measure: optional callable(counts_by_layer) → measured cumulative
+    bytes through the candidate layer, where counts_by_layer[l][bi] is
+    block bi's cumulative pass count at layer l. When given, the
+    bisection targets actual emitted bytes — packet headers included —
+    like OpenJPEG's measured-packet threshold search (reference
+    rate_distortion.go "OpenJPEG threshold w/ measured packet bytes").
+    Default measures pass bytes only.
     """
     n_layers = len(budgets)
     slopes = sorted({p.slope for b in blocks for p in b if p.slope > 0},
                     reverse=True)
     result = [[0] * n_layers for _ in blocks]
 
-    def bytes_at_threshold(thr: float) -> int:
-        total = 0
+    def take_at(thr: float) -> List[int]:
+        counts = []
         for b in blocks:
             take = 0
             for i, p in enumerate(b):
                 if p.slope >= thr:
                     take = i + 1
-            if take:
-                total += b[take - 1].rate
-        return total
+            counts.append(take)
+        return counts
 
+    layer_counts: List[List[int]] = []  # finalized per-layer counts
     prev_counts = [0] * len(blocks)
+
+    def size_of(counts: List[int]) -> int:
+        counts = [max(c, p) for c, p in zip(counts, prev_counts)]
+        if measure is not None:
+            return measure(layer_counts + [counts])
+        return sum(b[c - 1].rate for b, c in zip(blocks, counts) if c)
+
     for li, budget in enumerate(budgets):
         if li == n_layers - 1 and budget <= 0:
             # final layer: everything
-            for bi, b in enumerate(blocks):
-                result[bi][li] = len(b)
+            counts = [len(b) for b in blocks]
+            for bi in range(len(blocks)):
+                result[bi][li] = counts[bi]
+            layer_counts.append(counts)
             continue
         # bisect over distinct slopes for the largest threshold fitting
         lo, hi = 0, len(slopes)
@@ -105,24 +132,16 @@ def allocate_layers(blocks: List[List[PassPoint]], budgets: List[int]
         while lo < hi:
             mid = (lo + hi) // 2
             thr = slopes[mid] if mid < len(slopes) else 0.0
-            if bytes_at_threshold(thr) <= budget:
+            if size_of(take_at(thr)) <= budget:
                 best = thr
                 lo = mid + 1
             else:
                 hi = mid
-        if best is None:
-            counts = list(prev_counts)
-        else:
-            counts = []
-            for b in blocks:
-                take = 0
-                for i, p in enumerate(b):
-                    if p.slope >= best:
-                        take = i + 1
-                counts.append(take)
+        counts = list(prev_counts) if best is None else take_at(best)
         for bi in range(len(blocks)):
             counts[bi] = max(counts[bi], prev_counts[bi])
             result[bi][li] = counts[bi]
+        layer_counts.append(counts)
         prev_counts = counts
     # final layer always ships everything remaining
     for bi, b in enumerate(blocks):

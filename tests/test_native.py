@@ -33,13 +33,14 @@ def test_encoder_byte_parity(style, size, rng):
             w, h, style=style, orientation=orient).encode(data)
         native = t1_encode_native(data, style, orient)
         assert native is not None
-        n_stream, n_numbps, n_rates, n_terms, n_bps = native
+        n_stream, n_numbps, n_rates, n_terms, n_bps, n_nmse = native
         assert n_numbps == py_numbps
         assert n_stream == py_stream, (
             f"stream mismatch style={style} orient={orient}")
         assert n_rates == [p.rate for p in py_passes]
         assert n_terms == [p.terminated for p in py_passes]
         assert n_bps == [p.bitplane for p in py_passes]
+        assert n_nmse == [p.nmsedec for p in py_passes]
 
 
 @pytest.mark.parametrize("style", STYLES)
@@ -47,7 +48,7 @@ def test_encoder_byte_parity(style, size, rng):
 def test_native_roundtrip(style, size, rng):
     h, w = size
     data = rng.integers(-30000, 30000, size=(h, w)).astype(np.int32)
-    stream, numbps, rates, terms, bps = t1_encode_native(data, style, 0)
+    stream, numbps, rates, terms, bps, _ = t1_encode_native(data, style, 0)
     segs = [r for r, t in zip(rates, terms) if t]
     got = t1_decode_native(stream, w, h, style, 0, len(rates), numbps,
                            seg_ends=segs)
@@ -65,7 +66,7 @@ def test_cross_decode(style, rng):
                                   len(py_passes), numbps, seg_ends=segs)
     np.testing.assert_array_equal(native_dec, data)
 
-    n_stream, n_numbps, n_rates, n_terms, _ = t1_encode_native(data, style, 0)
+    n_stream, n_numbps, n_rates, n_terms, _, _ = t1_encode_native(data, style, 0)
     py_dec = T1Decoder(w, h, style=style).decode(
         n_stream, len(n_rates), n_numbps,
         seg_lengths=[r for r, t in zip(n_rates, n_terms) if t])
@@ -74,14 +75,14 @@ def test_cross_decode(style, rng):
 
 def test_native_sparse_and_zero(rng):
     data = np.zeros((32, 32), dtype=np.int32)
-    stream, numbps, rates, terms, bps = t1_encode_native(data, 0, 0)
+    stream, numbps, rates, terms, bps, _ = t1_encode_native(data, 0, 0)
     assert numbps == 0 and rates == []
     got = t1_decode_native(b"", 32, 32, 0, 0, 0, 0)
     np.testing.assert_array_equal(got, data)
 
     data[5, 5] = 1 << 20
     data[0, 0] = -1
-    stream, numbps, rates, terms, bps = t1_encode_native(data, 0, 0)
+    stream, numbps, rates, terms, bps, _ = t1_encode_native(data, 0, 0)
     got = t1_decode_native(stream, 32, 32, 0, 0, len(rates), numbps)
     np.testing.assert_array_equal(got, data)
 
