@@ -26,6 +26,8 @@ class ROIRegion:
     rect: Optional[Tuple[int, int, int, int]] = None   # x, y, w, h
     polygon: Optional[Sequence[Tuple[int, int]]] = None
     mask: Optional[np.ndarray] = None        # bool [H, W] full-res
+    style: str = "maxshift"                  # maxshift | general
+    components: Optional[List[int]] = None   # None = all components
 
     def rasterize(self, width: int, height: int) -> np.ndarray:
         if self.shape == "rect":
@@ -69,11 +71,87 @@ def rasterize_polygon(points: Sequence[Tuple[int, int]], width: int,
 
 
 def combined_mask(regions: Sequence[ROIRegion], width: int,
-                  height: int) -> np.ndarray:
+                  height: int, component: Optional[int] = None
+                  ) -> np.ndarray:
     m = np.zeros((height, width), dtype=bool)
     for r in regions:
+        if component is not None and r.components is not None \
+                and component not in r.components:
+            continue
         m |= r.rasterize(width, height)
     return m
+
+
+# ---- private ROI COM metadata ("JP2ROI" v1 — reference encoder.go
+#      writeCOM :1819-1914, decoder.go parseROIFromCOMData :964-1060) --------
+
+ROI_COM_MAGIC = b"JP2ROI"
+
+
+def write_roi_com(regions: Sequence[ROIRegion], ncomp: int) -> bytes:
+    """COM payload (after Rcom) carrying ROI geometry so a decoder can
+    rebuild General-Scaling masks without external parameters."""
+    import struct
+    out = bytearray(ROI_COM_MAGIC)
+    out.append(1)  # version
+    out += struct.pack(">H", len(regions))
+    for r in regions:
+        shape = {"rect": 0, "polygon": 1, "mask": 2}[r.shape]
+        out.append(shape)
+        comps = list(r.components) if r.components else list(range(ncomp))
+        out.append(len(comps))
+        out += bytes(comps)
+        if shape == 0:
+            x, y, w, h = r.rect
+            out += struct.pack(">IIII", x, y, x + w, y + h)
+        elif shape == 1:
+            out += struct.pack(">H", len(r.polygon))
+            for (x, y) in r.polygon:
+                out += struct.pack(">II", int(x), int(y))
+        else:
+            # mask: dimensions only (raw mask too large for COM; the
+            # reference does the same — decoder needs an external mask)
+            mh, mw = r.mask.shape
+            out += struct.pack(">II", mw, mh)
+    return bytes(out)
+
+
+def parse_roi_com(payload: bytes) -> Optional[List[ROIRegion]]:
+    """Parse a JP2ROI COM payload → regions, or None if not ours."""
+    import struct
+    if len(payload) < 9 or payload[:6] != ROI_COM_MAGIC or payload[6] != 1:
+        return None
+    n = struct.unpack_from(">H", payload, 7)[0]
+    off = 9
+    regions: List[ROIRegion] = []
+    try:
+        for _ in range(n):
+            shape = payload[off]
+            ncomps = payload[off + 1]
+            off += 2
+            comps = list(payload[off : off + ncomps])
+            off += ncomps
+            if shape == 0:
+                x0, y0, x1, y1 = struct.unpack_from(">IIII", payload, off)
+                off += 16
+                regions.append(ROIRegion(shape="rect",
+                                         rect=(x0, y0, x1 - x0, y1 - y0),
+                                         components=comps))
+            elif shape == 1:
+                npts = struct.unpack_from(">H", payload, off)[0]
+                off += 2
+                pts = []
+                for _ in range(npts):
+                    x, y = struct.unpack_from(">II", payload, off)
+                    off += 8
+                    pts.append((x, y))
+                regions.append(ROIRegion(shape="polygon", polygon=pts,
+                                         components=comps))
+            else:
+                off += 8  # mask placeholder: dimensions only
+    except struct.error:
+        return None
+    return regions
 
 
 def band_roi_mask(full_mask: np.ndarray, tx0: int, ty0: int,
@@ -134,3 +212,14 @@ def unshift_maxshift(coeffs_band: np.ndarray, shift: int) -> np.ndarray:
     is_roi = mag >= (1 << shift)
     down = np.sign(v) * (mag >> shift)
     return np.where(is_roi, down, v).astype(np.int32)
+
+
+def unshift_general(coeffs_band: np.ndarray, mask_band: np.ndarray,
+                    shift: int) -> np.ndarray:
+    """General Scaling inverse: divide masked coefficients by 2^shift,
+    truncating toward zero (reference
+    applyInverseGeneralScalingMasked tile_decoder.go:1092-1110)."""
+    v = coeffs_band.astype(np.int64)
+    mag = np.abs(v)
+    down = np.sign(v) * (mag >> shift)
+    return np.where(mask_band, down, v)

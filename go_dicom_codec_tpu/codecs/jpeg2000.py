@@ -51,6 +51,7 @@ class J2KEncodeParams:
     layer_rates: Optional[List[float]] = None  # compression ratios per layer
     roi_regions: Optional[list] = None  # List[j2k_roi.ROIRegion]
     roi_shift: int = 0         # 0 = auto (MaxShift Srgn)
+    roi_style: str = "maxshift"  # maxshift | general (Srgn 0 / 1)
     mct: Optional[bool] = None  # None = auto (RCT for 3 components)
     # Part 2 custom multi-component transform (MCT/MCC/MCO markers)
     mct_matrix: Optional[List[List[float]]] = None    # forward N×N
@@ -173,14 +174,27 @@ class J2KEncoder:
                 qcd.steps.append(jq.encode_step(step, rb))
 
         roi_shift = 0
+        roi_style = 0
         if p.roi_regions:
             if p.htj2k:
                 raise UnsupportedFormatError(
                     "MaxShift ROI is not supported with HT code-blocks "
                     "(Kmax bound)")
-            # Srgn large enough that every background magnitude stays
-            # below 2^Srgn (reference resolveROI, encoder.go:1047)
-            roi_shift = p.roi_shift or (bit_depth + 3)
+            if p.roi_style == "general":
+                # General Scaling (Srgn=1): any shift works — the decoder
+                # unshifts by the COM-carried geometry mask, not magnitude
+                roi_style = 1
+                roi_shift = p.roi_shift or 4
+            else:
+                # Srgn large enough that every background magnitude stays
+                # below 2^Srgn (reference resolveROI, encoder.go:1047)
+                roi_shift = p.roi_shift or (bit_depth + 3)
+        # components covered by at least one region (RGN written per comp)
+        roi_comps = set()
+        if p.roi_regions:
+            for rr in p.roi_regions:
+                roi_comps |= set(rr.components if rr.components
+                                 else range(components))
 
         out = bytearray(b"\xff\x4f")  # SOC
         out += j2k.write_siz(siz)
@@ -198,6 +212,12 @@ class J2KEncoder:
         out += j2k.write_qcd(qcd)
         if p.comment:
             out += j2k.write_com(p.comment)
+        if p.roi_regions:
+            # private JP2ROI COM: geometry for mask-based decode
+            # (reference writeCOM encoder.go:1819-1914)
+            from .j2k_roi import write_roi_com
+            out += j2k.write_com(write_roi_com(p.roi_regions, components),
+                                 binary=True)
         if p.mct_matrix is not None:
             # Part 2 markers: MCT (inverse matrix + offsets), MCC, MCO
             # (reference writeMCTAndMCC, encoder.go:668-784)
@@ -220,17 +240,18 @@ class J2KEncoder:
                                         p.lossless, 1, off_idx)
             out += j2k.write_mco_record([mcc_idx])
         if roi_shift:
-            for c in range(components):
-                out += j2k.write_rgn(c, roi_shift, components)
+            for c in sorted(roi_comps):
+                out += j2k.write_rgn(c, roi_shift, components,
+                                     style=roi_style)
 
         ntx, nty = siz.num_tiles
         bodies = []
         for tj in range(nty):
             for ti in range(ntx):
                 rect = siz.tile_rect(ti, tj)
-                bodies.append(self._encode_tile(arr, rect, cod, qcd,
-                                                bit_depth, signed, use_mct,
-                                                roi_shift))
+                bodies.append(self._encode_tile(
+                    arr, rect, cod, qcd, bit_depth, signed, use_mct,
+                    {c: roi_shift for c in roi_comps} if roi_shift else {}))
         if p.htj2k:
             # TLM tile-part index for fast HT tile access (encoder.go
             # writeTLM :1219-1244): Ptlm = SOT(12) + SOD(2) + body
@@ -243,9 +264,11 @@ class J2KEncoder:
 
     def _encode_tile(self, arr: np.ndarray, rect, cod: j2k.CodInfo,
                      qcd: j2k.QcdInfo, bit_depth: int, signed: bool,
-                     use_mct: bool, roi_shift: int = 0,
+                     use_mct: bool,
+                     roi_shifts: Optional[Dict[int, int]] = None,
                      precomputed_coeffs: Optional[np.ndarray] = None
                      ) -> bytes:
+        roi_shifts = roi_shifts or {}
         tx0, ty0, tx1, ty1 = rect
         ncomp = arr.shape[2] if arr is not None else \
             precomputed_coeffs.shape[0]
@@ -253,7 +276,7 @@ class J2KEncoder:
             # device stage ran elsewhere (pipelined batch path)
             coeffs = np.asarray(precomputed_coeffs)
             return self._encode_tile_entropy(coeffs, rect, cod, qcd,
-                                             bit_depth, roi_shift)
+                                             bit_depth, roi_shifts)
         tile = arr[ty0:ty1, tx0:tx1, :]
 
         # device stage: DC shift (+ MCT) + multilevel DWT over components
@@ -294,34 +317,40 @@ class J2KEncoder:
                       slice(bg.col_off, bg.col_off + bg.width))
                 coeffs[sl] = jq.deadzone_quantize(fcoeffs[sl], delta)
 
-        if roi_shift:
-            # MaxShift: scale ROI coefficients up by 2^Srgn per band
+        if roi_shifts:
+            # ROI: scale region coefficients up by 2^Srgn per band, per
+            # component (MaxShift and General Scaling share this encode
+            # path; they differ only in how the decoder unshifts)
             from .j2k_geometry import packed_band_layout
             from .j2k_roi import band_roi_mask, combined_mask
-            full_mask = combined_mask(self.params.roi_regions,
-                                      arr.shape[1], arr.shape[0])
-            tile_mask = full_mask[ty0:ty1, tx0:tx1]
             coeffs = coeffs.astype(np.int64)
-            for bg in packed_band_layout(tx0, ty0, tx1, ty1,
-                                         cod.num_levels):
-                if bg.width <= 0 or bg.height <= 0:
-                    continue
-                bm = band_roi_mask(tile_mask, tx0, ty0, cod.num_levels,
-                                   bg.resolution, bg.band,
-                                   (bg.x0, bg.y0, bg.x1, bg.y1))
-                sl = (slice(None),
-                      slice(bg.row_off, bg.row_off + bg.height),
-                      slice(bg.col_off, bg.col_off + bg.width))
-                region = coeffs[sl]
-                region[:, bm] <<= roi_shift
-                coeffs[sl] = region
+            for c, shift in roi_shifts.items():
+                full_mask = combined_mask(self.params.roi_regions,
+                                          arr.shape[1], arr.shape[0],
+                                          component=c)
+                tile_mask = full_mask[ty0:ty1, tx0:tx1]
+                for bg in packed_band_layout(tx0, ty0, tx1, ty1,
+                                             cod.num_levels):
+                    if bg.width <= 0 or bg.height <= 0:
+                        continue
+                    bm = band_roi_mask(tile_mask, tx0, ty0, cod.num_levels,
+                                       bg.resolution, bg.band,
+                                       (bg.x0, bg.y0, bg.x1, bg.y1))
+                    region = coeffs[
+                        c,
+                        bg.row_off : bg.row_off + bg.height,
+                        bg.col_off : bg.col_off + bg.width]
+                    region[bm] <<= shift
 
         return self._encode_tile_entropy(coeffs, rect, cod, qcd, bit_depth,
-                                         roi_shift)
+                                         roi_shifts)
 
     def _encode_tile_entropy(self, coeffs: np.ndarray, rect,
                              cod: j2k.CodInfo, qcd: j2k.QcdInfo,
-                             bit_depth: int, roi_shift: int = 0) -> bytes:
+                             bit_depth: int,
+                             roi_shifts: Optional[Dict[int, int]] = None
+                             ) -> bytes:
+        roi_shifts = roi_shifts or {}
         """Host stage: per component geometry + T1 + packets."""
         tx0, ty0, tx1, ty1 = rect
         ncomp = coeffs.shape[0]
@@ -339,7 +368,7 @@ class J2KEncoder:
                     for pb in prec.bands:
                         bg = pb.band
                         mb = band_mb(qcd, res.r, bg.band,
-                                     cod.num_levels) + roi_shift
+                                     cod.num_levels) + roi_shifts.get(c, 0)
                         dw = _distortion_weight(cod, qcd, res.r, bg.band,
                                                 bit_depth)
                         blocks = []
@@ -543,16 +572,39 @@ class J2KDecoder:
                         and len(vals) == ncomp:
                     custom_offs = np.asarray(vals, dtype=np.float32)
 
+        # private JP2ROI COM: region geometry for General-Scaling unshift
+        # (reference extractROIFromCOM decoder.go:167-204)
+        roi_regions = None
+        if any(st == 1 for st in cs.rgn_styles.values()):
+            from .j2k_roi import parse_roi_com
+            for com in cs.comments:
+                rr = parse_roi_com(com)
+                if rr:
+                    roi_regions = rr
+                    break
+
         ntx, nty = siz.num_tiles
         for tidx, tile in sorted(cs.tiles.items()):
             ti, tj = tidx % ntx, tidx // ntx
             rect = siz.tile_rect(ti, tj)
             cods = [cs.cod_for(c, tile) for c in range(ncomp)]
             qcds = [cs.qcd_for(c, tile) for c in range(ncomp)]
+            # tile-local General-Scaling masks per styled component
+            gs_masks = {}
+            if roi_regions is not None:
+                from .j2k_roi import combined_mask
+                tx0, ty0, tx1, ty1 = rect
+                for c, st in cs.rgn_styles.items():
+                    if st == 1 and cs.rgn_shifts.get(c, 0) > 0:
+                        fm = combined_mask(roi_regions, width, height,
+                                           component=c)
+                        gs_masks[c] = fm[ty0 - siz.yosiz:ty1 - siz.yosiz,
+                                         tx0 - siz.xosiz:tx1 - siz.xosiz]
             tile_arr = self._decode_tile(tile.data, rect, cods, qcds, ncomp,
                                          depth0, signed0, cs.rgn_shifts,
                                          custom_inv, custom_offs,
-                                         poc=cs.poc_for(tile))
+                                         poc=cs.poc_for(tile),
+                                         gs_masks=gs_masks)
             tx0, ty0, tx1, ty1 = rect
             out[ty0 - siz.yosiz:ty1 - siz.yosiz,
                 tx0 - siz.xosiz:tx1 - siz.xosiz, :] = tile_arr
@@ -563,9 +615,10 @@ class J2KDecoder:
                      rgn_shifts: Optional[Dict[int, int]] = None,
                      custom_inv: Optional[np.ndarray] = None,
                      custom_offs: Optional[np.ndarray] = None,
-                     poc=None) -> np.ndarray:
+                     poc=None, gs_masks=None) -> np.ndarray:
         """cods/qcds: effective per-component CodInfo/QcdInfo (COD+COC,
-        QCD+QCC resolution done by Codestream.cod_for/qcd_for)."""
+        QCD+QCC resolution done by Codestream.cod_for/qcd_for).
+        gs_masks: tile-local bool masks per General-Scaling component."""
         tx0, ty0, tx1, ty1 = rect
         th, tw = ty1 - ty0, tx1 - tx0
         cod0 = cods[0]  # progression/layers are COD-only fields
@@ -678,10 +731,31 @@ class J2KDecoder:
                                    bg.col_off + (g.x0 - bg.x0):
                                    bg.col_off + (g.x1 - bg.x0)] = blk
 
-        # ROI MaxShift unshift (mask-free: magnitude ≥ 2^Srgn ⇒ ROI)
+        # ROI unshift: MaxShift is mask-free (magnitude ≥ 2^Srgn ⇒ ROI);
+        # General Scaling (Srgn=1) unshifts only coefficients under the
+        # COM-carried geometry masks (reference tile_decoder.go:723-742)
+        gs_masks = gs_masks or {}
         for c in range(ncomp):
             shift = rgn_shifts.get(c, 0)
-            if shift:
+            if not shift:
+                continue
+            if c in gs_masks:
+                from .j2k_geometry import packed_band_layout
+                from .j2k_roi import band_roi_mask, unshift_general
+                for bg in packed_band_layout(tx0, ty0, tx1, ty1,
+                                             cods[c].num_levels):
+                    if bg.width <= 0 or bg.height <= 0:
+                        continue
+                    bm = band_roi_mask(gs_masks[c], tx0, ty0,
+                                       cods[c].num_levels, bg.resolution,
+                                       bg.band,
+                                       (bg.x0, bg.y0, bg.x1, bg.y1))
+                    region = packed[
+                        c,
+                        bg.row_off : bg.row_off + bg.height,
+                        bg.col_off : bg.col_off + bg.width]
+                    region[:] = unshift_general(region, bm, shift)
+            else:
                 from .j2k_roi import unshift_maxshift
                 packed[c] = unshift_maxshift(packed[c], shift)
         packed = packed.astype(np.int32)

@@ -159,6 +159,7 @@ class Codestream:
     tiles: Dict[int, TileInfo] = field(default_factory=dict)
     comments: List[bytes] = field(default_factory=list)
     rgn_shifts: Dict[int, int] = field(default_factory=dict)  # comp → SPrgn
+    rgn_styles: Dict[int, int] = field(default_factory=dict)  # comp → Srgn
     cap: Optional[bytes] = None
     mct_segments: List[bytes] = field(default_factory=list)
     mcc_segments: List[bytes] = field(default_factory=list)
@@ -406,11 +407,14 @@ def write_com(text: bytes, binary: bool = False) -> bytes:
     return _seg(COM, struct.pack(">H", 0 if binary else 1) + text)
 
 
-def write_rgn(comp: int, shift: int, num_components: int) -> bytes:
+def write_rgn(comp: int, shift: int, num_components: int,
+              style: int = 0) -> bytes:
+    """RGN segment; style (Srgn): 0 = implicit MaxShift, 1 = General
+    Scaling (reference encoder.go:1765-1775)."""
     if num_components <= 256:
-        payload = struct.pack(">BBB", comp, 0, shift)
+        payload = struct.pack(">BBB", comp, style, shift)
     else:
-        payload = struct.pack(">HBB", comp, 0, shift)
+        payload = struct.pack(">HBB", comp, style, shift)
     return _seg(RGN, payload)
 
 
@@ -538,6 +542,7 @@ def parse_codestream(data: bytes) -> Codestream:
     siz = cod = qcd = None
     comments: List[bytes] = []
     rgn: Dict[int, int] = {}
+    rgn_style: Dict[int, int] = {}
     cap = None
     mct_segments: List[bytes] = []
     mcc_segments: List[bytes] = []
@@ -617,6 +622,7 @@ def parse_codestream(data: bytes) -> Codestream:
         elif m == RGN:
             if len(payload) >= 3:
                 rgn[payload[0]] = payload[2]
+                rgn_style[payload[0]] = payload[1]
         elif m == CAP:
             cap = payload
         elif m == 0xFF74:
@@ -647,7 +653,8 @@ def parse_codestream(data: bytes) -> Codestream:
                                 qcd=first.qcd, coc=first.coc, qcc=first.qcc,
                                 poc=first.poc)
     return Codestream(siz=siz, cod=cod, qcd=qcd, tiles=merged,
-                      comments=comments, rgn_shifts=rgn, cap=cap,
+                      comments=comments, rgn_shifts=rgn,
+                      rgn_styles=rgn_style, cap=cap,
                       mct_segments=mct_segments, mcc_segments=mcc_segments,
                       mco_segments=mco_segments, coc=main_coc, qcc=main_qcc,
                       poc=main_poc)

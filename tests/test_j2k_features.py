@@ -166,6 +166,51 @@ def test_roi_beats_background_at_layer_boundary(rng):
     assert roi_err(with_roi) < roi_err(plain)
 
 
+def test_general_scaling_roi_lossless(rng):
+    """Srgn=1 General Scaling: encoder shifts masked coefficients by an
+    arbitrary Srgn; decoder rebuilds the mask from the JP2ROI COM marker
+    and unshifts exactly those (reference roi_config.go styles +
+    tile_decoder.go applyInverseGeneralScalingMasked)."""
+    img = rng.integers(0, 4096, size=(96, 96)).astype("<u2")
+    roi = ROIRegion(shape="rect", rect=(24, 24, 40, 40))
+    enc = J2KEncoder(J2KEncodeParams(num_levels=2, roi_regions=[roi],
+                                     roi_style="general", roi_shift=4))
+    data = enc.encode(img.tobytes(), 96, 96, 1, 12)
+    cs = j2k.parse_codestream(data)
+    assert cs.rgn_styles.get(0) == 1      # Srgn = General Scaling
+    assert cs.rgn_shifts.get(0) == 4
+    arr, _, _ = J2KDecoder().decode(data)
+    np.testing.assert_array_equal(arr[:, :, 0], img.astype(np.int32))
+
+
+def test_general_scaling_component_filter(rng):
+    """Regions limited to a component subset shift (and unshift) only
+    those components."""
+    rgb = rng.integers(0, 256, size=(64, 64, 3)).astype(np.uint8)
+    roi = ROIRegion(shape="rect", rect=(16, 16, 24, 24), components=[0, 2])
+    enc = J2KEncoder(J2KEncodeParams(num_levels=2, roi_regions=[roi],
+                                     roi_style="general", roi_shift=3,
+                                     mct=False))
+    data = enc.encode(rgb.tobytes(), 64, 64, 3, 8)
+    cs = j2k.parse_codestream(data)
+    assert set(cs.rgn_shifts) == {0, 2}   # RGN only for covered comps
+    arr, _, _ = J2KDecoder().decode(data)
+    np.testing.assert_array_equal(arr, rgb.astype(np.int32))
+
+
+def test_roi_com_metadata_roundtrip():
+    from go_dicom_codec_tpu.codecs.j2k_roi import (parse_roi_com,
+                                                   write_roi_com)
+    regs = [ROIRegion(shape="rect", rect=(10, 20, 30, 40), components=[0]),
+            ROIRegion(shape="polygon", polygon=[(1, 2), (50, 3), (25, 60)])]
+    back = parse_roi_com(write_roi_com(regs, 3))
+    assert back[0].rect == (10, 20, 30, 40)
+    assert back[0].components == [0]
+    assert back[1].polygon == [(1, 2), (50, 3), (25, 60)]
+    assert back[1].components == [0, 1, 2]
+    assert parse_roi_com(b"not-roi-data") is None
+
+
 # ---- Part 2 custom MCT -----------------------------------------------------
 
 def test_part2_custom_mct_markers_and_roundtrip(rng):
