@@ -56,8 +56,15 @@ def _params_from(parameters: Optional[Parameters],
     p.num_layers = geti("num_layers", 1)
     p.cb_style = geti("cb_style", 0)
     p.quality = geti("quality", p.quality)
-    # Part 2 MCT bindings (reference lossless/codec.go:187-240)
-    for key in ("mct_matrix", "mct_inverse", "mct_offsets"):
+    tr = parameters.get_parameter("target_ratio")
+    if tr is not None:
+        p.target_ratio = float(tr)
+    if parameters.get_parameter("append_lossless_layer"):
+        p.append_lossless_layer = True
+    # Part 2 MCT bindings (reference lossless/codec.go:187-240), layered
+    # rates, ROI config and precincts pass through as-is
+    for key in ("mct_matrix", "mct_inverse", "mct_offsets", "layer_rates",
+                "roi_regions", "roi_shift", "roi_style", "precincts"):
         v = parameters.get_parameter(key)
         if v is not None:
             setattr(p, key, v)

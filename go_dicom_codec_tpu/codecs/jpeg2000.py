@@ -49,6 +49,8 @@ class J2KEncodeParams:
     cb_style: int = 0
     htj2k: bool = False        # Part 15 HT block coding (cb_style 0x40)
     layer_rates: Optional[List[float]] = None  # compression ratios per layer
+    target_ratio: float = 0.0  # orig/compressed; 0 = off (PCRD truncation)
+    append_lossless_layer: bool = False  # final rate-0 layer after rates
     roi_regions: Optional[list] = None  # List[j2k_roi.ROIRegion]
     roi_shift: int = 0         # 0 = auto (MaxShift Srgn)
     roi_style: str = "maxshift"  # maxshift | general (Srgn 0 / 1)
@@ -153,8 +155,23 @@ class J2KEncoder:
         # bytes so the full stream is unchanged). TERMALL is NOT forced —
         # it costs ~2 bytes per pass across every block.
         cb_style = p.cb_style | (0x40 if p.htj2k else 0)
+        # Resolve effective layers/rates: target_ratio fills in an
+        # EXPONENTIAL rate ladder ending at the target (reference
+        # LayerBudgetStrategy default + encodeFrameWithTargetRatio
+        # lossy/codec.go:378-388); append_lossless_layer adds a final
+        # rate-0 (take-all) layer (reference initRDLayerConfig
+        # encoder.go:2674-2684).
+        num_layers = p.num_layers
+        eff_rates = list(p.layer_rates) if p.layer_rates else None
+        if p.target_ratio > 0 and eff_rates is None:
+            eff_rates = [p.target_ratio * (1 << (num_layers - 1 - i))
+                         for i in range(num_layers)]
+        if p.append_lossless_layer and eff_rates and eff_rates[-1] != 0:
+            num_layers += 1
+            eff_rates.append(0.0)
+        self._eff_rates = eff_rates
         cod = j2k.CodInfo(
-            progression=p.progression, num_layers=p.num_layers,
+            progression=p.progression, num_layers=num_layers,
             mct=1 if (use_mct and components == 3) else 0,
             num_levels=levels, cb_width=p.cb_width, cb_height=p.cb_height,
             cb_style=cb_style, transform=1 if p.lossless else 0,
@@ -447,8 +464,12 @@ class J2KEncoder:
                     states[(res.r, prec.index)] = plist
             comp_states.append(states)
 
-        # multi-layer: PCRD pass allocation across every block of the tile
-        if cod.num_layers > 1:
+        # PCRD pass allocation: layered streams, and single-layer
+        # target-ratio truncation (reference encoder.go:2469-2610)
+        eff_rates = getattr(self, "_eff_rates", None) or \
+            self.params.layer_rates
+        if cod.num_layers > 1 or (eff_rates and any(r > 0
+                                                    for r in eff_rates)):
             from ..t2.pcrd import (allocate_layers, layer_budgets_from_rates,
                                    pass_slopes)
             all_blocks = []
@@ -462,19 +483,17 @@ class J2KEncoder:
                       for b in all_blocks]
             total = sum(b.pass_rates[-1] if b.pass_rates else 0
                         for b in all_blocks)
-            rates = (self.params.layer_rates
-                     if self.params.layer_rates else
-                     [0.0] * cod.num_layers)
+            rates = eff_rates if eff_rates else [0.0] * cod.num_layers
             # fewer rates than layers: missing layers take everything
             # left (rate 0 = no budget); extra rates are ignored
             rates = (list(rates) + [0.0] * cod.num_layers)[:cod.num_layers]
-            if self.params.layer_rates:
+            if any(r > 0 for r in rates):
                 budgets = layer_budgets_from_rates(
                     (ty1 - ty0) * (tx1 - tx0) * ncomp, bit_depth, rates,
                     total)
             else:
                 budgets = [total * (i + 1) // cod.num_layers
-                           for i in range(cod.num_layers)]
+                           for i in range(cod.num_layers - 1)] + [0]
             def precinct_info(c: int, r: int):
                 res = comp_res[c][r]
                 return [(prec.index, prec.x0 << (cod.num_levels - r),

@@ -143,9 +143,11 @@ def allocate_layers(blocks: List[List[PassPoint]], budgets: List[int],
             result[bi][li] = counts[bi]
         layer_counts.append(counts)
         prev_counts = counts
-    # final layer always ships everything remaining
-    for bi, b in enumerate(blocks):
-        result[bi][-1] = len(b)
+    # an unbudgeted final layer (rate 0 / take-all) ships everything;
+    # a budgeted one keeps its bisected truncation (target-ratio mode)
+    if budgets[-1] <= 0:
+        for bi, b in enumerate(blocks):
+            result[bi][-1] = len(b)
     return result
 
 
@@ -161,10 +163,14 @@ def layer_budgets_from_rates(total_pixels: int, bit_depth: int,
             out.append(0)  # 0 = no budget (take all)
         else:
             out.append(int(raw / r))
-    # monotone nondecreasing, capped at available
+    # monotone nondecreasing, capped at available; a trailing 0 stays 0
+    # (take-all sentinel for allocate_layers — a budgeted final layer
+    # truncates, target-ratio mode)
     prev = 0
     for i in range(len(out)):
         if out[i] == 0:
+            if i == len(out) - 1:
+                break
             out[i] = available
         out[i] = max(prev, min(out[i], available))
         prev = out[i]

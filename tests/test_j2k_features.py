@@ -39,7 +39,10 @@ def test_layer_budgets():
     b = layer_budgets_from_rates(64 * 64, 16, [16.0, 4.0, 0], 5000)
     assert b[0] == 64 * 64 * 2 // 16
     assert b[1] == 64 * 64 * 2 // 4
-    assert b[2] == 5000
+    assert b[2] == 0  # trailing rate-0: take-all sentinel
+    # a budgeted final layer keeps its byte target (target-ratio mode)
+    b2 = layer_budgets_from_rates(64 * 64, 16, [16.0, 4.0], 5000)
+    assert b2[1] == 64 * 64 * 2 // 4
 
 
 @pytest.mark.parametrize("layers", [2, 4])
@@ -164,6 +167,40 @@ def test_roi_beats_background_at_layer_boundary(rng):
     # the ROI-prioritized stream reconstructs the ROI better than a plain
     # stream at the same truncation point
     assert roi_err(with_roi) < roi_err(plain)
+
+
+def test_target_ratio_truncation(rng):
+    """target_ratio > 0 bounds the stream near raw/ratio via PCRD
+    truncation (reference encodeFrameWithTargetRatio
+    lossy/codec.go:378-388; budgeted final layer)."""
+    img = rng.integers(0, 4096, size=(128, 128)).astype("<u2")
+    raw = 128 * 128 * 12 / 8
+    prev_size = None
+    for ratio in (8.0, 16.0):
+        data = J2KEncoder(J2KEncodeParams(num_levels=3, target_ratio=ratio)
+                          ).encode(img.tobytes(), 128, 128, 1, 12)
+        # within headers + pass granularity of the byte target
+        assert len(data) < raw / ratio + 400, (ratio, len(data))
+        arr, _, _ = J2KDecoder().decode(data)
+        assert arr.shape == (128, 128, 1)
+        if prev_size is not None:
+            assert len(data) < prev_size   # higher ratio ⇒ smaller stream
+        prev_size = len(data)
+
+
+def test_append_lossless_layer(rng):
+    """append_lossless_layer adds a final take-all layer: the stream has
+    an extra layer in COD and full decode is bit-exact (reference
+    initRDLayerConfig encoder.go:2674-2684)."""
+    img = rng.integers(0, 4096, size=(64, 64)).astype("<u2")
+    data = J2KEncoder(J2KEncodeParams(num_levels=2, num_layers=2,
+                                      layer_rates=[32.0, 8.0],
+                                      append_lossless_layer=True)
+                      ).encode(img.tobytes(), 64, 64, 1, 12)
+    cs = j2k.parse_codestream(data)
+    assert cs.cod.num_layers == 3
+    arr, _, _ = J2KDecoder().decode(data)
+    np.testing.assert_array_equal(arr[:, :, 0], img.astype(np.int32))
 
 
 def test_general_scaling_roi_lossless(rng):
