@@ -619,11 +619,21 @@ class J2KDecoder:
                                            component=c)
                         gs_masks[c] = fm[ty0 - siz.yosiz:ty1 - siz.yosiz,
                                          tx0 - siz.xosiz:tx1 - siz.xosiz]
+            # per-component grids under XRsiz/YRsiz subsampling
+            # (reference tile_decoder.go:330-392 ceilDiv component bounds)
+            tx0, ty0, tx1, ty1 = rect
+            comp_rects = []
+            for c in range(ncomp):
+                _, _, xr, yr = siz.components[c]
+                xr, yr = max(xr, 1), max(yr, 1)
+                comp_rects.append((-(-tx0 // xr), -(-ty0 // yr),
+                                   -(-tx1 // xr), -(-ty1 // yr)))
             tile_arr = self._decode_tile(tile.data, rect, cods, qcds, ncomp,
                                          depth0, signed0, cs.rgn_shifts,
                                          custom_inv, custom_offs,
                                          poc=cs.poc_for(tile),
-                                         gs_masks=gs_masks)
+                                         gs_masks=gs_masks,
+                                         comp_rects=comp_rects)
             tx0, ty0, tx1, ty1 = rect
             out[ty0 - siz.yosiz:ty1 - siz.yosiz,
                 tx0 - siz.xosiz:tx1 - siz.xosiz, :] = tile_arr
@@ -634,21 +644,27 @@ class J2KDecoder:
                      rgn_shifts: Optional[Dict[int, int]] = None,
                      custom_inv: Optional[np.ndarray] = None,
                      custom_offs: Optional[np.ndarray] = None,
-                     poc=None, gs_masks=None) -> np.ndarray:
+                     poc=None, gs_masks=None,
+                     comp_rects=None) -> np.ndarray:
         """cods/qcds: effective per-component CodInfo/QcdInfo (COD+COC,
         QCD+QCC resolution done by Codestream.cod_for/qcd_for).
-        gs_masks: tile-local bool masks per General-Scaling component."""
+        gs_masks: tile-local bool masks per General-Scaling component.
+        comp_rects: per-component grid bounds (XRsiz/YRsiz-subsampled
+        tile rect); defaults to the tile rect for every component."""
         tx0, ty0, tx1, ty1 = rect
         th, tw = ty1 - ty0, tx1 - tx0
         cod0 = cods[0]  # progression/layers are COD-only fields
         rgn_shifts = rgn_shifts or {}
+        comp_rects = comp_rects or [tuple(rect)] * ncomp
+        uniform = all(tuple(cr) == tuple(rect) for cr in comp_rects)
 
         comp_res = []
         comp_states = []
         for c in range(ncomp):
             cod_c, qcd_c = cods[c], qcds[c]
+            ctx0, cty0, ctx1, cty1 = comp_rects[c]
             resolutions = build_tile_geometry(
-                tx0, ty0, tx1, ty1, cod_c.num_levels, cod_c.cb_width,
+                ctx0, cty0, ctx1, cty1, cod_c.num_levels, cod_c.cb_width,
                 cod_c.cb_height, cod_c.precinct_exp)
             comp_res.append(resolutions)
             states = {}
@@ -701,9 +717,11 @@ class J2KDecoder:
                     break
                 raise
 
-        # T1 decode + assemble packed coefficient array per component
+        # T1 decode + assemble packed coefficient arrays per component
         # (int64: MaxShift-scaled ROI magnitudes can exceed 31 bits)
-        packed = np.zeros((ncomp, th, tw), dtype=np.int64)
+        packed_list = [
+            np.zeros((cr[3] - cr[1], cr[2] - cr[0]), dtype=np.int64)
+            for cr in comp_rects]
         for c in range(ncomp):
             cod = cods[c]
             is_ht = bool(cod.cb_style & 0x40)
@@ -744,11 +762,11 @@ class J2KDecoder:
                                     raise
                                 blk = np.zeros((g.height, g.width),
                                                dtype=np.int64)
-                            packed[c,
-                                   bg.row_off + (g.y0 - bg.y0):
-                                   bg.row_off + (g.y1 - bg.y0),
-                                   bg.col_off + (g.x0 - bg.x0):
-                                   bg.col_off + (g.x1 - bg.x0)] = blk
+                            packed_list[c][
+                                bg.row_off + (g.y0 - bg.y0):
+                                bg.row_off + (g.y1 - bg.y0),
+                                bg.col_off + (g.x0 - bg.x0):
+                                bg.col_off + (g.x1 - bg.x0)] = blk
 
         # ROI unshift: MaxShift is mask-free (magnitude ≥ 2^Srgn ⇒ ROI);
         # General Scaling (Srgn=1) unshifts only coefficients under the
@@ -758,7 +776,7 @@ class J2KDecoder:
             shift = rgn_shifts.get(c, 0)
             if not shift:
                 continue
-            if c in gs_masks:
+            if c in gs_masks and uniform:
                 from .j2k_geometry import packed_band_layout
                 from .j2k_roi import band_roi_mask, unshift_general
                 for bg in packed_band_layout(tx0, ty0, tx1, ty1,
@@ -769,22 +787,24 @@ class J2KDecoder:
                                        cods[c].num_levels, bg.resolution,
                                        bg.band,
                                        (bg.x0, bg.y0, bg.x1, bg.y1))
-                    region = packed[
-                        c,
+                    region = packed_list[c][
                         bg.row_off : bg.row_off + bg.height,
                         bg.col_off : bg.col_off + bg.width]
                     region[:] = unshift_general(region, bm, shift)
             else:
                 from .j2k_roi import unshift_maxshift
-                packed[c] = unshift_maxshift(packed[c], shift)
-        packed = packed.astype(np.int32)
+                packed_list[c] = unshift_maxshift(
+                    packed_list[c], shift).astype(np.int64)
+        packed = None
+        if uniform:
+            packed = np.stack(packed_list).astype(np.int32)
 
         # device stage: inverse DWT (+ inverse MCT) + DC unshift.
         # Homogeneous tiles (no COC variation — the common case) run the
         # whole component stack in one launch; heterogeneous per-component
         # styles reconstruct each component separately first.
         cod = cod0
-        homogeneous = all(
+        homogeneous = uniform and all(
             cc.transform == cod0.transform
             and cc.num_levels == cod0.num_levels for cc in cods)
         if homogeneous and cod.transform == 1:
@@ -828,31 +848,43 @@ class J2KDecoder:
                                 + [rec[i] for i in range(3, ncomp)])
             rec = jnp.round(rec).astype(jnp.int32)
         else:
-            # COC-heterogeneous: per-component inverse transforms (MCT is
-            # undefined across mixed transforms — components are
-            # reconstructed independently, matching the reference's
-            # per-component fallback in tile_decoder.go)
+            # COC-heterogeneous styles and/or XRsiz/YRsiz-subsampled
+            # grids: per-component inverse transforms on each component's
+            # own grid (MCT is undefined across mixed transforms —
+            # components reconstruct independently, matching the
+            # reference's per-component fallback in tile_decoder.go);
+            # subsampled components upsample to the tile grid by sample
+            # replication for interleaved output
             from .j2k_geometry import packed_band_layout
             recs = []
             for c in range(ncomp):
                 cod_c = cods[c]
+                ctx0, cty0, ctx1, cty1 = comp_rects[c]
+                cth, ctw = cty1 - cty0, ctx1 - ctx0
+                pk = packed_list[c].astype(np.int32)
                 if cod_c.transform == 1:
                     rc = inv53_multilevel(
-                        jnp.asarray(packed[c:c + 1]), cod_c.num_levels,
-                        x0=tx0, y0=ty0)[0]
+                        jnp.asarray(pk[None]), cod_c.num_levels,
+                        x0=ctx0, y0=cty0)[0]
                 else:
                     deltas = J2KEncoder._band_deltas(
                         qcds[c], cod_c.num_levels, depth)
-                    fp = np.zeros((th, tw), dtype=np.float32)
-                    for bg in packed_band_layout(tx0, ty0, tx1, ty1,
+                    fp = np.zeros((cth, ctw), dtype=np.float32)
+                    for bg in packed_band_layout(ctx0, cty0, ctx1, cty1,
                                                  cod_c.num_levels):
                         delta = deltas[_band_index(bg.resolution, bg.band)]
                         sl = (slice(bg.row_off, bg.row_off + bg.height),
                               slice(bg.col_off, bg.col_off + bg.width))
-                        fp[sl] = jq.dequantize(packed[c][sl], delta)
+                        fp[sl] = jq.dequantize(pk[sl], delta)
                     rc = jnp.round(inv97_multilevel(
                         jnp.asarray(fp[None]), cod_c.num_levels,
-                        x0=tx0, y0=ty0)[0]).astype(jnp.int32)
+                        x0=ctx0, y0=cty0)[0]).astype(jnp.int32)
+                if (cth, ctw) != (th, tw):
+                    up = np.asarray(rc)
+                    ry = -(-th // max(cth, 1))
+                    rx = -(-tw // max(ctw, 1))
+                    up = np.repeat(np.repeat(up, ry, axis=0), rx, axis=1)
+                    rc = jnp.asarray(up[:th, :tw])
                 recs.append(rc)
             rec = jnp.stack(recs)
         rec = inv_dc_level_shift(rec, depth, signed)

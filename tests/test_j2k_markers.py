@@ -241,6 +241,47 @@ def test_heterogeneous_coc_qcc_decode():
     np.testing.assert_array_equal(arr[:, :, 1], img_b.astype(np.int32))
 
 
+def test_subsampled_component_decode():
+    """XRsiz/YRsiz component subsampling: remux a full-res and a
+    2×2-subsampled component into one stream; the decoder builds each
+    component's ceil-divided grid (reference tile_decoder.go:330-392)
+    and upsamples by replication for interleaved output."""
+    rng = np.random.default_rng(5)
+    img_a = rng.integers(0, 4096, (64, 64), dtype=np.uint16)
+    img_b = rng.integers(0, 4096, (32, 32), dtype=np.uint16)
+
+    def enc_gray(img):
+        h, w = img.shape
+        return J2KEncoder(J2KEncodeParams(num_levels=2)).encode(
+            img.astype("<u2").tobytes(), w, h, 1, 16, False)
+
+    cs_a = j2k.parse_codestream(enc_gray(img_a))
+    cs_b = j2k.parse_codestream(enc_gray(img_b))
+    pk_a = _split_packets(cs_a.tiles[0].data, cs_a.siz.tile_rect(0, 0),
+                          cs_a.cod, cs_a.qcd)
+    pk_b = _split_packets(cs_b.tiles[0].data, cs_b.siz.tile_rect(0, 0),
+                          cs_b.cod, cs_b.qcd)
+    tagged = [(r, 0, blob) for (r, blob) in pk_a] + \
+             [(r, 1, blob) for (r, blob) in pk_b]
+    tagged.sort(key=lambda t: (t[0], t[1]))
+    body = b"".join(blob for (_, _, blob) in tagged)
+
+    siz = j2k.SizInfo(xsiz=64, ysiz=64, xtsiz=64, ytsiz=64,
+                      components=[(16, False, 1, 1), (16, False, 2, 2)])
+    out = bytearray(b"\xff\x4f")
+    out += j2k.write_siz(siz)
+    out += j2k.write_cod(cs_a.cod)
+    out += j2k.write_qcd(cs_a.qcd)
+    out += j2k.write_tile_part(0, body)
+    out += j2k.EOC.to_bytes(2, "big")
+
+    arr = _decode(bytes(out))
+    assert arr.shape == (64, 64, 2)
+    np.testing.assert_array_equal(arr[:, :, 0], img_a.astype(np.int32))
+    np.testing.assert_array_equal(
+        arr[:, :, 1], np.repeat(np.repeat(img_b, 2, 0), 2, 1).astype(np.int32))
+
+
 def test_htj2k_emits_tlm():
     rng = np.random.default_rng(4)
     img = rng.integers(0, 4096, (64, 64), dtype=np.uint16)
