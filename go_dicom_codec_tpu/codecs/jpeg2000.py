@@ -262,13 +262,33 @@ class J2KEncoder:
                                      style=roi_style)
 
         ntx, nty = siz.num_tiles
+        shifts = {c: roi_shift for c in roi_comps} if roi_shift else {}
+        rects = [siz.tile_rect(ti, tj)
+                 for tj in range(nty) for ti in range(ntx)]
+        use_global_pcrd = len(rects) > 1 and (
+            num_layers > 1 or (eff_rates and any(r > 0 for r in eff_rates)))
         bodies = []
-        for tj in range(nty):
-            for ti in range(ntx):
-                rect = siz.tile_rect(ti, tj)
-                bodies.append(self._encode_tile(
-                    arr, rect, cod, qcd, bit_depth, signed, use_mct,
-                    {c: roi_shift for c in roi_comps} if roi_shift else {}))
+        if use_global_pcrd:
+            # Global multi-tile PCRD: pool every tile's coding passes and
+            # allocate one shared byte budget so bits flow to the tiles
+            # that need them (reference useGlobalPCRD encoder.go:2004).
+            ctxs = []
+            for rect in rects:
+                coeffs = self._tile_coeffs(arr, rect, cod, qcd, bit_depth,
+                                           signed, use_mct, shifts)
+                comp_res, comp_states = self._tile_block_states(
+                    coeffs, rect, cod, qcd, bit_depth, shifts)
+                ctxs.append((comp_res, comp_states, components))
+            self._pcrd_allocate(ctxs, cod, bit_depth,
+                                width * height * components)
+            for (comp_res, comp_states, nc) in ctxs:
+                bodies.append(self._assemble_tile_packets(
+                    comp_res, comp_states, cod, nc))
+        else:
+            for rect in rects:
+                bodies.append(self._encode_tile(arr, rect, cod, qcd,
+                                                bit_depth, signed, use_mct,
+                                                shifts))
         if p.htj2k:
             # TLM tile-part index for fast HT tile access (encoder.go
             # writeTLM :1219-1244): Ptlm = SOT(12) + SOD(2) + body
@@ -285,15 +305,26 @@ class J2KEncoder:
                      roi_shifts: Optional[Dict[int, int]] = None,
                      precomputed_coeffs: Optional[np.ndarray] = None
                      ) -> bytes:
+        coeffs = self._tile_coeffs(arr, rect, cod, qcd, bit_depth, signed,
+                                   use_mct, roi_shifts, precomputed_coeffs)
+        return self._encode_tile_entropy(coeffs, rect, cod, qcd, bit_depth,
+                                         roi_shifts)
+
+    def _tile_coeffs(self, arr: np.ndarray, rect, cod: j2k.CodInfo,
+                     qcd: j2k.QcdInfo, bit_depth: int, signed: bool,
+                     use_mct: bool,
+                     roi_shifts: Optional[Dict[int, int]] = None,
+                     precomputed_coeffs: Optional[np.ndarray] = None
+                     ) -> np.ndarray:
+        """Device stage for one tile: DC shift (+MCT) + DWT (+quant,
+        +ROI pre-shift) → packed coefficient array [C, th, tw]."""
         roi_shifts = roi_shifts or {}
         tx0, ty0, tx1, ty1 = rect
         ncomp = arr.shape[2] if arr is not None else \
             precomputed_coeffs.shape[0]
         if precomputed_coeffs is not None:
             # device stage ran elsewhere (pipelined batch path)
-            coeffs = np.asarray(precomputed_coeffs)
-            return self._encode_tile_entropy(coeffs, rect, cod, qcd,
-                                             bit_depth, roi_shifts)
+            return np.asarray(precomputed_coeffs)
         tile = arr[ty0:ty1, tx0:tx1, :]
 
         # device stage: DC shift (+ MCT) + multilevel DWT over components
@@ -359,16 +390,30 @@ class J2KEncoder:
                         bg.col_off : bg.col_off + bg.width]
                     region[bm] <<= shift
 
-        return self._encode_tile_entropy(coeffs, rect, cod, qcd, bit_depth,
-                                         roi_shifts)
+        return coeffs
 
     def _encode_tile_entropy(self, coeffs: np.ndarray, rect,
                              cod: j2k.CodInfo, qcd: j2k.QcdInfo,
                              bit_depth: int,
                              roi_shifts: Optional[Dict[int, int]] = None
                              ) -> bytes:
+        """Host stage: per component geometry + T1 + PCRD + packets."""
+        ncomp = coeffs.shape[0]
+        comp_res, comp_states = self._tile_block_states(
+            coeffs, rect, cod, qcd, bit_depth, roi_shifts)
+        tx0, ty0, tx1, ty1 = rect
+        self._pcrd_allocate([(comp_res, comp_states, ncomp)], cod,
+                            bit_depth,
+                            (ty1 - ty0) * (tx1 - tx0) * ncomp)
+        return self._assemble_tile_packets(comp_res, comp_states, cod,
+                                           ncomp)
+
+    def _tile_block_states(self, coeffs: np.ndarray, rect,
+                           cod: j2k.CodInfo, qcd: j2k.QcdInfo,
+                           bit_depth: int,
+                           roi_shifts: Optional[Dict[int, int]] = None):
+        """Geometry + T1 for one tile → (comp_res, comp_states)."""
         roi_shifts = roi_shifts or {}
-        """Host stage: per component geometry + T1 + packets."""
         tx0, ty0, tx1, ty1 = rect
         ncomp = coeffs.shape[0]
         comp_res: List[List[ResolutionGeom]] = []
@@ -463,81 +508,91 @@ class J2KEncoder:
                             mb=mb))
                     states[(res.r, prec.index)] = plist
             comp_states.append(states)
+        return comp_res, comp_states
 
-        # PCRD pass allocation: layered streams, and single-layer
-        # target-ratio truncation (reference encoder.go:2469-2610)
+    @staticmethod
+    def _precinct_info_fn(comp_res, cod):
+        def precinct_info(c: int, r: int):
+            res = comp_res[c][r]
+            return [(prec.index, prec.x0 << (cod.num_levels - r),
+                     prec.y0 << (cod.num_levels - r))
+                    for prec in res.precincts]
+        return precinct_info
+
+    def _pcrd_allocate(self, tiles, cod: j2k.CodInfo, bit_depth: int,
+                       total_pixels: int) -> None:
+        """PCRD layer allocation over one or MANY tiles' blocks with one
+        shared byte budget (reference useGlobalPCRD encoder.go:2004 —
+        multi-tile streams pool every tile's passes so bits flow to the
+        tiles that need them). tiles: [(comp_res, comp_states, ncomp)].
+
+        No-op unless the stream is layered or carries a rate target.
+        """
         eff_rates = getattr(self, "_eff_rates", None) or \
             self.params.layer_rates
-        if cod.num_layers > 1 or (eff_rates and any(r > 0
-                                                    for r in eff_rates)):
-            from ..t2.pcrd import (allocate_layers, layer_budgets_from_rates,
-                                   pass_slopes)
-            all_blocks = []
+        if not (cod.num_layers > 1 or (eff_rates
+                                       and any(r > 0 for r in eff_rates))):
+            return
+        from ..t2.pcrd import (allocate_layers, layer_budgets_from_rates,
+                               pass_slopes)
+        all_blocks = []
+        for (comp_res, comp_states, ncomp) in tiles:
             for states in comp_states:
                 for plist in states.values():
                     for ps in plist:
-                        for blk in ps.blocks:
-                            all_blocks.append(blk)
-            slopes = [pass_slopes(b.pass_rates, b.pass_bitplanes,
-                                  b.pass_nmsedecs, b.dist_weight)
-                      for b in all_blocks]
-            total = sum(b.pass_rates[-1] if b.pass_rates else 0
-                        for b in all_blocks)
-            rates = eff_rates if eff_rates else [0.0] * cod.num_layers
-            # fewer rates than layers: missing layers take everything
-            # left (rate 0 = no budget); extra rates are ignored
-            rates = (list(rates) + [0.0] * cod.num_layers)[:cod.num_layers]
-            if any(r > 0 for r in rates):
-                budgets = layer_budgets_from_rates(
-                    (ty1 - ty0) * (tx1 - tx0) * ncomp, bit_depth, rates,
-                    total)
-            else:
-                budgets = [total * (i + 1) // cod.num_layers
-                           for i in range(cod.num_layers - 1)] + [0]
-            def precinct_info(c: int, r: int):
-                res = comp_res[c][r]
-                return [(prec.index, prec.x0 << (cod.num_levels - r),
-                         prec.y0 << (cod.num_levels - r))
-                        for prec in res.precincts]
+                        all_blocks.extend(ps.blocks)
+        slopes = [pass_slopes(b.pass_rates, b.pass_bitplanes,
+                              b.pass_nmsedecs, b.dist_weight)
+                  for b in all_blocks]
+        total = sum(b.pass_rates[-1] if b.pass_rates else 0
+                    for b in all_blocks)
+        rates = eff_rates if eff_rates else [0.0] * cod.num_layers
+        # fewer rates than layers: missing layers take everything left
+        # (rate 0 = no budget); extra rates are ignored
+        rates = (list(rates) + [0.0] * cod.num_layers)[:cod.num_layers]
+        if any(r > 0 for r in rates):
+            budgets = layer_budgets_from_rates(total_pixels, bit_depth,
+                                               rates, total)
+        else:
+            budgets = [total * (i + 1) // cod.num_layers
+                       for i in range(cod.num_layers - 1)] + [0]
 
-            def measured_bytes(counts_by_layer):
-                # Trial-encode packets for layers 0..li on cloned state so
-                # the byte target covers real emitted bytes — packet
-                # headers included (OpenJPEG measured-packet bisection).
-                import copy
+        def measured_bytes(counts_by_layer):
+            # Trial-encode packets for layers 0..li on cloned state so
+            # the byte target covers real emitted bytes — packet headers
+            # included (OpenJPEG measured-packet bisection).
+            import copy
+            nl = len(counts_by_layer)
+            total_b = 0
+            bi = 0
+            for (comp_res, comp_states, ncomp) in tiles:
                 trial = copy.deepcopy(comp_states)
                 tblocks = []
                 for states in trial:
                     for plist in states.values():
                         for ps in plist:
                             tblocks.extend(ps.blocks)
-                nl = len(counts_by_layer)
-                for bi, blk in enumerate(tblocks):
+                for blk in tblocks:
                     blk.layer_passes = [counts_by_layer[li][bi]
                                         for li in range(nl)]
-                total = 0
+                    bi += 1
+                pinfo = self._precinct_info_fn(comp_res, cod)
                 for (l, r, c, pidx) in progression_order(
                         cod.progression, nl, cod.num_levels + 1, ncomp,
-                        precinct_info):
+                        pinfo):
                     header, pbody = encode_packet(trial[c][(r, pidx)], l,
                                                   cod.cb_style,
                                                   cod.num_layers)
-                    total += len(header) + len(pbody)
-                return total
+                    total_b += len(header) + len(pbody)
+            return total_b
 
-            alloc = allocate_layers(slopes, budgets,
-                                    measure=measured_bytes)
-            for blk, counts in zip(all_blocks, alloc):
-                blk.layer_passes = counts
+        alloc = allocate_layers(slopes, budgets, measure=measured_bytes)
+        for blk, counts in zip(all_blocks, alloc):
+            blk.layer_passes = counts
 
-        def precinct_info(c: int, r: int):
-            res = comp_res[c][r]
-            out = []
-            for prec in res.precincts:
-                out.append((prec.index, prec.x0 << (cod.num_levels - r),
-                            prec.y0 << (cod.num_levels - r)))
-            return out
-
+    def _assemble_tile_packets(self, comp_res, comp_states,
+                               cod: j2k.CodInfo, ncomp: int) -> bytes:
+        precinct_info = self._precinct_info_fn(comp_res, cod)
         body = bytearray()
         for (l, r, c, pidx) in progression_order(
                 cod.progression, cod.num_layers, cod.num_levels + 1,

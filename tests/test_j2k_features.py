@@ -188,6 +188,34 @@ def test_target_ratio_truncation(rng):
         prev_size = len(data)
 
 
+def test_global_multitile_pcrd(rng):
+    """Multi-tile rate-targeted streams pool every tile's passes into
+    one global budget (reference useGlobalPCRD encoder.go:2004): bits
+    flow to complex tiles while the total honors the target."""
+    img = np.zeros((128, 128), dtype=np.uint16)
+    img[:, :64] = rng.integers(0, 4096, (128, 64))   # hard half
+    img[:, 64:] = 1000                               # easy half
+    raw = 128 * 128 * 12 / 8
+    data = J2KEncoder(J2KEncodeParams(num_levels=2, tile_width=64,
+                                      tile_height=64, target_ratio=8.0)
+                      ).encode(img.tobytes(), 128, 128, 1, 12)
+    assert len(data) < raw / 8 + 700    # 4 tile headers + pass granularity
+    arr, _, _ = J2KDecoder().decode(data)
+    err_hard = np.abs(arr[:, :64, 0].astype(float)
+                      - img[:, :64].astype(float)).mean()
+    err_easy = np.abs(arr[:, 64:, 0].astype(float)
+                      - img[:, 64:].astype(float)).mean()
+    # global allocation gives the easy half far better fidelity per bit
+    assert err_easy < err_hard
+    # multi-tile layered stream with take-all final layer stays lossless
+    d2 = J2KEncoder(J2KEncodeParams(num_levels=2, tile_width=64,
+                                    tile_height=64, num_layers=2,
+                                    layer_rates=[8.0, 0])
+                    ).encode(img.tobytes(), 128, 128, 1, 12)
+    a2, _, _ = J2KDecoder().decode(d2)
+    np.testing.assert_array_equal(a2[:, :, 0], img.astype(np.int32))
+
+
 def test_append_lossless_layer(rng):
     """append_lossless_layer adds a final take-all layer: the stream has
     an extra layer in COD and full decode is bit-exact (reference
