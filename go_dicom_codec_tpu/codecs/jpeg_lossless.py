@@ -69,18 +69,29 @@ def encode(pixels: bytes, width: int, height: int, components: int,
     # vectorized diffs per component, interleaved per pixel for the scan
     diffs = np.stack([encode_diffs(p, predictor, bit_depth) for p in planes],
                      axis=-1).reshape(-1)
-    cats = hf.categories(diffs)
-    ebits = hf.extend_bits(diffs, cats)
-    elens = np.where(cats == 16, 0, cats)  # cat 16 ⇒ -32768, no bits
-    ebits = np.where(cats == 16, 0, ebits)
+    from ..native import p14_cat_hist_native, p14_pack_scan_native
 
-    freq = np.bincount(cats, minlength=256)
-    table = hf.build_optimal_table(freq)
-    codes = table.code_of[cats]
-    lens = table.len_of[cats]
-    vals = np.stack([codes, ebits], axis=1).reshape(-1)
-    vl = np.stack([lens, elens], axis=1).reshape(-1)
-    scan = stuff_ff(pack_bits_msb(vals, vl))
+    hist = p14_cat_hist_native(diffs)
+    if hist is not None:
+        freq = np.zeros(256, dtype=np.int64)
+        freq[:17] = hist
+        table = hf.build_optimal_table(freq)
+        scan = p14_pack_scan_native(diffs, table.code_of[:17],
+                                    table.len_of[:17])
+    else:
+        scan = None
+    if scan is None:
+        cats = hf.categories(diffs)
+        ebits = hf.extend_bits(diffs, cats)
+        elens = np.where(cats == 16, 0, cats)  # cat 16 ⇒ -32768, no bits
+        ebits = np.where(cats == 16, 0, ebits)
+        freq = np.bincount(cats, minlength=256)
+        table = hf.build_optimal_table(freq)
+        codes = table.code_of[cats]
+        lens = table.len_of[cats]
+        vals = np.stack([codes, ebits], axis=1).reshape(-1)
+        vl = np.stack([lens, elens], axis=1).reshape(-1)
+        scan = stuff_ff(pack_bits_msb(vals, vl))
 
     w = mk.JpegWriter()
     w.write_marker(mk.SOI)

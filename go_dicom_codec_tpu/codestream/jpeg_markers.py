@@ -123,16 +123,21 @@ class JpegReader:
         Classic JPEG only stuffs 0xFF 0x00.
         """
         d, n = self.data, len(self.data)
-        i = self.pos
-        start = i
-        while i < n:
-            if d[i] == 0xFF and i + 1 < n:
-                m = d[i + 1]
-                if m == 0x00 or is_rst(m) or (ls_mode and m < 0x80):
-                    i += 2
-                    continue
-                break
-            i += 1
+        start = self.pos
+        # vectorized: the scan ends at the first 0xFF whose next byte is a
+        # real marker (not 0x00 stuffing / RSTn / LS-stuffed <0x80). The
+        # second byte of a consumed pair is never 0xFF in any mode, so the
+        # first such candidate IS the boundary — no pair-shadowing.
+        import numpy as np
+        a = np.frombuffer(d, dtype=np.uint8, count=n)
+        ffs = np.nonzero(a[start:n - 1] == 0xFF)[0] + start
+        nxt = a[ffs + 1]
+        if ls_mode:
+            stuffed = nxt < 0x80
+        else:
+            stuffed = (nxt == 0x00) | ((nxt >= 0xD0) & (nxt <= 0xD7))
+        cand = ffs[~stuffed]
+        i = int(cand[0]) if cand.size else n
         scan = d[start:i]
         self.pos = i
         return scan, i

@@ -53,6 +53,10 @@ def packbits_encode(seg: np.ndarray) -> bytes:
     n = seg.size
     if n == 0:
         return b""
+    from ..native import packbits_encode_native
+    native = packbits_encode_native(seg)
+    if native is not None:
+        return native
 
     # Run-length decomposition.
     change = np.nonzero(np.diff(seg))[0] + 1
@@ -123,6 +127,14 @@ def packbits_decode(data: bytes, expected_len: int) -> np.ndarray:
     Short streams pad with zeros (the reference's resilient stride-write
     leaves untouched bytes zero).
     """
+    from ..native import packbits_decode_native
+    native = packbits_decode_native(data, expected_len)
+    if isinstance(native, tuple):  # ("corrupt", code) — same errors as below
+        if native[1] == -1:
+            raise CorruptStreamError("RLE literal run exceeds input buffer")
+        raise CorruptStreamError("RLE replicate run missing value byte")
+    if native is not None:
+        return native
     src = np.frombuffer(data, dtype=np.uint8)
     out = np.zeros(expected_len, dtype=np.uint8)
     i, pos, n, end = 0, 0, expected_len, src.size

@@ -89,6 +89,20 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.jpg_lossless_decode_scan.argtypes = [
             u8p, ctypes.c_long, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             i32p, u8p, u8p, i32p, i32p]
+        lib.pack_bits_msb.restype = ctypes.c_int
+        lib.pack_bits_msb.argtypes = [
+            i64p, i64p, ctypes.c_long, ctypes.c_int, u8p, ctypes.c_long]
+        lib.packbits_decode.restype = ctypes.c_int
+        lib.packbits_decode.argtypes = [
+            u8p, ctypes.c_long, u8p, ctypes.c_long]
+        lib.packbits_encode.restype = ctypes.c_long
+        lib.packbits_encode.argtypes = [
+            u8p, ctypes.c_long, u8p, ctypes.c_long]
+        lib.p14_pack_scan.restype = ctypes.c_long
+        lib.p14_pack_scan.argtypes = [
+            i64p, ctypes.c_long, i32p, i32p, u8p, ctypes.c_long]
+        lib.p14_cat_hist.restype = None
+        lib.p14_cat_hist.argtypes = [i64p, ctypes.c_long, i64p]
         _LIB = lib
         return _LIB
 
@@ -172,6 +186,86 @@ def jpg_lossless_decode_scan_native(destuffed: np.ndarray, w: int, h: int,
     if r != 0:
         return None
     return diffs
+
+
+def pack_bits_msb_native(values: np.ndarray, lengths: np.ndarray,
+                         pad_bit: int = 1):
+    """Native MSB-first bit packing → uint8 array, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    v = np.ascontiguousarray(values, dtype=np.int64)
+    ln = np.ascontiguousarray(lengths, dtype=np.int64)
+    total_bits = int(ln[ln > 0].sum()) if ln.size else 0
+    cap = total_bits // 8 + 2
+    out = np.zeros(max(cap, 1), dtype=np.uint8)
+    n = lib.pack_bits_msb(v, ln, v.size, pad_bit, out, out.size)
+    if n < 0:
+        return None
+    return out[:n]
+
+
+def packbits_decode_native(data: bytes, expected_len: int):
+    """Native PackBits segment decode → uint8 array, or None; raises
+    nothing — error codes map to None so callers keep Python errors."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.frombuffer(data, dtype=np.uint8)
+    src = np.ascontiguousarray(src)
+    if src.size == 0:
+        src = np.zeros(1, dtype=np.uint8)
+    out = np.zeros(max(expected_len, 1), dtype=np.uint8)
+    r = lib.packbits_decode(src, len(data), out, expected_len)
+    if r != 0:
+        return ("corrupt", r)
+    return out[:expected_len]
+
+
+def p14_cat_hist_native(diffs: np.ndarray):
+    """Native 17-bin category histogram, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    d = np.ascontiguousarray(diffs, dtype=np.int64)
+    hist = np.zeros(17, dtype=np.int64)
+    if d.size == 0:
+        return hist
+    lib.p14_cat_hist(d, d.size, hist)
+    return hist
+
+
+def packbits_encode_native(seg: np.ndarray):
+    """Native PackBits segment encode → bytes, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    s = np.ascontiguousarray(seg, dtype=np.uint8)
+    if s.size == 0:
+        return b""
+    out = np.zeros(s.size + s.size // 128 + 16, dtype=np.uint8)
+    n = lib.packbits_encode(s, s.size, out, out.size)
+    if n < 0:
+        return None
+    return out[:n].tobytes()
+
+
+def p14_pack_scan_native(diffs: np.ndarray, codes: np.ndarray,
+                         lens: np.ndarray):
+    """Native one-pass P14 symbol+extend packing with FF stuffing →
+    bytes, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    d = np.ascontiguousarray(diffs, dtype=np.int64)
+    c = np.ascontiguousarray(codes, dtype=np.int32)
+    ln = np.ascontiguousarray(lens, dtype=np.int32)
+    cap = d.size * 5 + 1024
+    out = np.zeros(cap, dtype=np.uint8)
+    n = lib.p14_pack_scan(d, d.size, c, ln, out, cap)
+    if n < 0:
+        return None
+    return out[:n].tobytes()
 
 
 def t1_encode_native(data: np.ndarray, style: int, orient: int,

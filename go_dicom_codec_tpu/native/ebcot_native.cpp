@@ -639,6 +639,170 @@ int t1_encode(const int64_t* src, int w, int h, int style, int orient,
   return n;
 }
 
+// MSB-first bit writer with a 64-bit accumulator; optional JPEG
+// FF->FF00 stuffing on emitted bytes.
+struct BitW {
+  uint64_t acc = 0;
+  int nacc = 0;
+  uint8_t* out;
+  long cap;
+  long o = 0;
+  bool stuff;
+  BitW(uint8_t* out_, long cap_, bool stuff_)
+      : out(out_), cap(cap_), stuff(stuff_) {}
+  inline bool put(uint64_t v, int len) {  // len <= 32
+    acc = (acc << len) | (v & ((len >= 64) ? ~0ull : ((1ull << len) - 1)));
+    nacc += len;
+    while (nacc >= 8) {
+      uint8_t byte = (uint8_t)(acc >> (nacc - 8));
+      nacc -= 8;
+      if (o >= cap) return false;
+      out[o++] = byte;
+      if (stuff && byte == 0xFF) {
+        if (o >= cap) return false;
+        out[o++] = 0;
+      }
+    }
+    return true;
+  }
+  inline bool pad(int pad_bit) {
+    if (!nacc) return true;
+    int fill = 8 - nacc;
+    return put(pad_bit ? ((1ull << fill) - 1) : 0ull, fill);
+  }
+};
+
+// Pack (value, bit-length) pairs MSB-first into out. Returns byte count
+// or -1 on overflow. Mirrors utils/npbits.pack_bits_msb.
+int pack_bits_msb(const int64_t* values, const int64_t* lengths, long n,
+                  int pad_bit, uint8_t* out, long out_cap) {
+  BitW w(out, out_cap, false);
+  for (long i = 0; i < n; i++) {
+    int len = (int)lengths[i];
+    if (len <= 0) continue;
+    if (!w.put((uint64_t)values[i], len)) return -1;
+  }
+  if (!w.pad(pad_bit)) return -1;
+  return (int)w.o;
+}
+
+// PackBits (DICOM RLE Annex G) segment decode. Returns 0, -1 on literal
+// overrun, -2 on missing replicate byte. Mirrors rlepack.packbits_decode.
+int packbits_decode(const uint8_t* src, long src_len, uint8_t* out,
+                    long expected) {
+  long i = 0, pos = 0;
+  memset(out, 0, (size_t)expected);
+  while (i < src_len && pos < expected) {
+    int control = src[i++];
+    if (control < 128) {            // literal of control+1 bytes
+      long len = control + 1;
+      if (src_len - i < len) return -1;
+      long take = len < expected - pos ? len : expected - pos;
+      memcpy(out + pos, src + i, (size_t)take);
+      i += len;
+      pos += take;
+    } else if (control > 128) {     // replicate 257-control copies
+      long len = 257 - control;
+      if (i >= src_len) return -2;
+      long take = len < expected - pos ? len : expected - pos;
+      memset(out + pos, src[i], (size_t)take);
+      i += 1;
+      pos += take;
+    }                                // control == 128: no-op
+  }
+  return 0;
+}
+
+// PackBits (DICOM RLE Annex G) segment encode: runs >=3 replicate
+// (chunked <=128), shorter runs merge into literal regions (chunked
+// <=128) — byte-identical to entropy/rlepack.packbits_encode. Returns
+// output length or -1 on overflow.
+long packbits_encode(const uint8_t* seg, long n, uint8_t* out,
+                     long out_cap) {
+  long i = 0, o = 0;
+  long lit_start = -1;
+  auto flush_lit = [&](long end) -> bool {
+    while (lit_start >= 0 && lit_start < end) {
+      long len = end - lit_start;
+      if (len > 128) len = 128;
+      if (o + 1 + len > out_cap) return false;
+      out[o++] = (uint8_t)(len - 1);
+      memcpy(out + o, seg + lit_start, (size_t)len);
+      o += len;
+      lit_start += len;
+    }
+    lit_start = -1;
+    return true;
+  };
+  while (i < n) {
+    long j = i + 1;
+    while (j < n && seg[j] == seg[i]) j++;
+    long run = j - i;
+    if (run >= 3) {
+      if (!flush_lit(i)) return -1;
+      while (run > 0) {
+        long len = run > 128 ? 128 : run;
+        if (o + 2 > out_cap) return -1;
+        out[o++] = (uint8_t)((257 - len) & 0xFF);
+        out[o++] = seg[i];
+        run -= len;
+      }
+    } else {
+      if (lit_start < 0) lit_start = i;
+    }
+    i = j;
+  }
+  if (!flush_lit(n)) return -1;
+  return o;
+}
+
+// One-pass JPEG lossless (P14) scan pack: per diff, Huffman code of the
+// magnitude category + category extend bits, with 0xFF->0xFF00 stuffing.
+// codes/lens: [17] per-category Huffman code (MSB-aligned value) and
+// bit length. Category 16 = -32768, no extend bits (T.81 / reference
+// huffman_encoder.go:125-133). Returns byte count or -1 on overflow.
+long p14_pack_scan(const int64_t* diffs, long n, const int32_t* codes,
+                   const int32_t* lens, uint8_t* out, long out_cap) {
+  BitW w(out, out_cap, true);
+  for (long i = 0; i < n; i++) {
+    int64_t d = diffs[i];
+    int cat;
+    uint32_t ebits = 0;
+    if (d == -32768) {
+      cat = 16;
+    } else {
+      uint64_t a = (uint64_t)(d < 0 ? -d : d);
+      cat = a ? 64 - __builtin_clzll(a) : 0;
+      if (cat) {
+        ebits = (uint32_t)(d < 0 ? d + (1 << cat) - 1 : d);
+      }
+    }
+    if (!w.put((uint64_t)codes[cat], lens[cat])) return -1;
+    if (cat && cat != 16) {
+      if (!w.put(ebits, cat)) return -1;
+    }
+  }
+  if (!w.pad(1)) return -1;
+  return w.o;
+}
+
+// Histogram of P14 magnitude categories (17 bins) for optimal-table
+// construction.
+void p14_cat_hist(const int64_t* diffs, long n, int64_t* hist17) {
+  for (int i = 0; i < 17; i++) hist17[i] = 0;
+  for (long i = 0; i < n; i++) {
+    int64_t d = diffs[i];
+    int cat;
+    if (d == -32768) cat = 16;
+    else {
+      int64_t a = d < 0 ? -d : d;
+      cat = 0;
+      while (a) { cat++; a >>= 1; }
+    }
+    hist17[cat]++;
+  }
+}
+
 // Decode one code-block into out (int64 [h*w]). Returns 0, or -1 on error.
 int t1_decode(const uint8_t* stream, int stream_len, int w, int h, int style,
               int orient, int num_passes, int numbps, int roishift,

@@ -1,0 +1,131 @@
+"""Per-codec throughput + compression benchmark harness.
+
+Role of the reference's per-package `benchmark_test.go` files and the
+README throughput tables (BASELINE.md): measures encode/decode wall
+clock and compression ratio per transfer syntax on 512×512 grayscale
+frames (the reference's benchmark shape), printing one table and one
+JSON line per codec.
+
+Usage:
+    python -m go_dicom_codec_tpu.tools.benchmarks [--size 512]
+        [--frames 4] [--repeats 3] [--uids uid1,uid2,...]
+
+The device stage uses whatever JAX platform is active (TPU under axon,
+CPU elsewhere); entropy stages are host-side either way.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _synth_frame(size: int, bits: int, seed: int = 0) -> np.ndarray:
+    """Smooth-ish synthetic radiograph (matches the reference's
+    gradient-plus-texture benchmark inputs better than white noise)."""
+    rng = np.random.default_rng(seed)
+    y, x = np.mgrid[0:size, 0:size]
+    img = (np.sin(x / 23.0) + np.cos(y / 17.0)) * (1 << (bits - 3))
+    img += rng.normal(0, 1 << (bits - 6), (size, size))
+    img += (1 << (bits - 1))
+    return np.clip(img, 0, (1 << bits) - 1).astype(
+        "<u2" if bits > 8 else np.uint8)
+
+
+def bench_codec(uid: str, size: int, frames: int, repeats: int):
+    import go_dicom_codec_tpu as dc
+
+    reg = dc.get_global_registry()
+    codec = reg.get_codec(uid)
+    lossy = uid in (dc.uids.JPEG_BASELINE_8BIT, dc.uids.JPEG_EXTENDED_12BIT,
+                    dc.uids.JPEG_2000_LOSSY, dc.uids.HTJ2K,
+                    dc.uids.JPEG_LS_NEAR_LOSSLESS,
+                    dc.uids.JPEG_2000_MC_LOSSY)
+    bits = 8 if uid == dc.uids.JPEG_BASELINE_8BIT else 12
+    img = _synth_frame(size, bits)
+    info = dc.FrameInfo(width=size, height=size,
+                        bits_allocated=img.dtype.itemsize * 8,
+                        bits_stored=bits)
+    src = dc.MemoryPixelData(info=info)
+    for i in range(frames):
+        src.add_frame(img.tobytes())
+    raw_bytes = len(img.tobytes()) * frames
+
+    # warm (compile caches, native build)
+    enc = dc.MemoryPixelData(info=info, encapsulated=True)
+    codec.encode(src, enc)
+    dec = dc.MemoryPixelData(info=info)
+    codec.decode(enc, dec)
+
+    t_enc = []
+    t_dec = []
+    for _ in range(repeats):
+        enc = dc.MemoryPixelData(info=info, encapsulated=True)
+        t0 = time.perf_counter()
+        codec.encode(src, enc)
+        t_enc.append(time.perf_counter() - t0)
+        dec = dc.MemoryPixelData(info=info)
+        t0 = time.perf_counter()
+        codec.decode(enc, dec)
+        t_dec.append(time.perf_counter() - t0)
+
+    comp = sum(len(enc.get_frame(i)) for i in range(frames))
+    px = size * size * frames
+    te, td = min(t_enc), min(t_dec)
+    exact = all(dec.get_frame(i) == src.get_frame(i)
+                for i in range(frames)) if not lossy else None
+    return {
+        "uid": uid,
+        "name": codec.name(),
+        "encode_ms_per_frame": round(te * 1000 / frames, 2),
+        "decode_ms_per_frame": round(td * 1000 / frames, 2),
+        "encode_mpx_s": round(px / te / 1e6, 1),
+        "decode_mpx_s": round(px / td / 1e6, 1),
+        "ratio": round(raw_bytes / comp, 2),
+        "lossless_exact": exact,
+    }
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--frames", type=int, default=4)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--uids", type=str, default="")
+    args = ap.parse_args(argv)
+
+    import go_dicom_codec_tpu as dc
+
+    uids = (args.uids.split(",") if args.uids else [
+        dc.uids.RLE_LOSSLESS,
+        dc.uids.JPEG_BASELINE_8BIT,
+        dc.uids.JPEG_EXTENDED_12BIT,
+        dc.uids.JPEG_LOSSLESS_P14,
+        dc.uids.JPEG_LOSSLESS_SV1,
+        dc.uids.JPEG_LS_LOSSLESS,
+        dc.uids.JPEG_LS_NEAR_LOSSLESS,
+        dc.uids.JPEG_2000_LOSSLESS,
+        dc.uids.JPEG_2000_LOSSY,
+        dc.uids.HTJ2K_LOSSLESS,
+        dc.uids.HTJ2K,
+    ])
+    hdr = (f"{'codec':38s} {'enc ms':>7s} {'dec ms':>7s} "
+           f"{'enc Mpx/s':>10s} {'dec Mpx/s':>10s} {'ratio':>6s} exact")
+    print(hdr)
+    print("-" * len(hdr))
+    for uid in uids:
+        r = bench_codec(uid, args.size, args.frames, args.repeats)
+        print(f"{r['name'][:38]:38s} {r['encode_ms_per_frame']:7.2f} "
+              f"{r['decode_ms_per_frame']:7.2f} {r['encode_mpx_s']:10.1f} "
+              f"{r['decode_mpx_s']:10.1f} {r['ratio']:6.2f} "
+              f"{r['lossless_exact']}")
+        print("BENCH|" + json.dumps(r))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -38,6 +38,10 @@ def pack_bits_msb(values: np.ndarray, lengths: np.ndarray,
     """
     values = np.asarray(values, dtype=np.int64)
     lengths = np.asarray(lengths, dtype=np.int64)
+    from ..native import pack_bits_msb_native
+    native = pack_bits_msb_native(values, lengths, pad_bit)
+    if native is not None:
+        return native
     nz = lengths > 0
     values, lengths = values[nz], lengths[nz]
     if lengths.size == 0:
