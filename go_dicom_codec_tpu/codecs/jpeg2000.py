@@ -445,10 +445,17 @@ class J2KEncoder:
                             if cod.cb_style & 0x40:
                                 # HT block: cleanup pass only, Kmax = Mb,
                                 # zbp = Mb-1 (encoder.go:3374-3383)
-                                from ..entropy.htcleanup import \
-                                    HTCleanupEncoder
-                                blob = HTCleanupEncoder(
-                                    g.width, g.height, mb).encode(blk_data)
+                                from ..native import ht_cleanup_encode_native
+                                blob = ht_cleanup_encode_native(
+                                    np.ascontiguousarray(blk_data), mb)
+                                if blob == b"":
+                                    blob = None  # all-zero block
+                                elif blob is None:
+                                    from ..entropy.htcleanup import \
+                                        HTCleanupEncoder
+                                    blob = HTCleanupEncoder(
+                                        g.width, g.height,
+                                        mb).encode(blk_data)
                                 if blob is not None:
                                     st.numbps = 1
                                     st.zero_bitplanes = mb - 1
@@ -790,12 +797,23 @@ class J2KDecoder:
                                 continue
                             try:
                                 if is_ht:
-                                    from ..entropy.htcleanup import \
-                                        HTCleanupDecoder
-                                    blk = HTCleanupDecoder(
-                                        g.width, g.height, ps.mb,
-                                        ps.mb - st.numbps).decode(
-                                            bytes(st.seg_data))
+                                    from ..native import \
+                                        ht_cleanup_decode_native
+                                    blk = ht_cleanup_decode_native(
+                                        bytes(st.seg_data), g.width,
+                                        g.height, ps.mb,
+                                        ps.mb - st.numbps)
+                                    if isinstance(blk, tuple):
+                                        raise CorruptStreamError(
+                                            f"HT cleanup stream error "
+                                            f"{blk[1]}")
+                                    if blk is None:
+                                        from ..entropy.htcleanup import \
+                                            HTCleanupDecoder
+                                        blk = HTCleanupDecoder(
+                                            g.width, g.height, ps.mb,
+                                            ps.mb - st.numbps).decode(
+                                                bytes(st.seg_data))
                                 else:
                                     from ..native import t1_decode_native
                                     blk = t1_decode_native(

@@ -103,6 +103,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
             i64p, ctypes.c_long, i32p, i32p, u8p, ctypes.c_long]
         lib.p14_cat_hist.restype = None
         lib.p14_cat_hist.argtypes = [i64p, ctypes.c_long, i64p]
+        lib.ht_cleanup_encode.restype = ctypes.c_long
+        lib.ht_cleanup_encode.argtypes = [
+            i64p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            i32p, i32p, u8p, ctypes.c_long]
+        lib.ht_cleanup_decode.restype = ctypes.c_int
+        lib.ht_cleanup_decode.argtypes = [
+            u8p, ctypes.c_long, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, i32p, i32p, i64p]
         _LIB = lib
         return _LIB
 
@@ -220,6 +228,60 @@ def packbits_decode_native(data: bytes, expected_len: int):
     if r != 0:
         return ("corrupt", r)
     return out[:expected_len]
+
+
+_HT_LUTS = None
+
+
+def _ht_luts():
+    """int32 copies of the HT VLC LUTs (codecs/ht_tables.py is the
+    single source of truth; the native coder just consumes them)."""
+    global _HT_LUTS
+    if _HT_LUTS is None:
+        from ..codecs.ht_tables import (DEC_LUT0, DEC_LUT1, ENC_LUT0,
+                                        ENC_LUT1)
+        _HT_LUTS = (np.ascontiguousarray(ENC_LUT0, dtype=np.int32),
+                    np.ascontiguousarray(ENC_LUT1, dtype=np.int32),
+                    np.ascontiguousarray(DEC_LUT0, dtype=np.int32),
+                    np.ascontiguousarray(DEC_LUT1, dtype=np.int32))
+    return _HT_LUTS
+
+
+def ht_cleanup_encode_native(data: np.ndarray, kmax: int):
+    """Native HT cleanup encode → bytes, b"" for all-zero block, or
+    None when unavailable/failed."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    h, w = data.shape
+    src = np.ascontiguousarray(data, dtype=np.int64)
+    e0, e1, _, _ = _ht_luts()
+    cap = w * h * 8 + 4096
+    out = np.zeros(cap, dtype=np.uint8)
+    n = lib.ht_cleanup_encode(src, w, h, kmax, e0, e1, out, cap)
+    if n < 0:
+        return None
+    return out[:n].tobytes()
+
+
+def ht_cleanup_decode_native(codeblock: bytes, w: int, h: int, kmax: int,
+                             missing: int):
+    """Native HT cleanup decode → int32 [h, w], ("corrupt", code) on a
+    stream error (mapped to CorruptStreamError by the caller), or None
+    when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf = np.ascontiguousarray(np.frombuffer(codeblock, dtype=np.uint8))
+    if buf.size == 0:
+        buf = np.zeros(1, dtype=np.uint8)
+    _, _, d0, d1 = _ht_luts()
+    out = np.zeros(h * w, dtype=np.int64)
+    r = lib.ht_cleanup_decode(buf, len(codeblock), w, h, kmax, missing,
+                              d0, d1, out)
+    if r != 0:
+        return ("corrupt", r)
+    return out.reshape(h, w).astype(np.int32)
 
 
 def p14_cat_hist_native(diffs: np.ndarray):

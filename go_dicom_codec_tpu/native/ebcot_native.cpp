@@ -1763,3 +1763,645 @@ int jpg_lossless_decode_scan(const uint8_t* destuffed, long nbytes,
 }
 
 }  // extern "C"
+
+// ===========================================================================
+// HTJ2K cleanup-pass coder (ISO/IEC 15444-15, OpenJPH-parity) — native
+// mirror of entropy/htcleanup.py. LUTs are passed in from Python
+// (codecs/ht_tables.py stays the single source of truth).
+// ===========================================================================
+
+namespace htj2k {
+
+static const int MEL_E[13] = {0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 4, 5};
+
+struct MELWriter {
+  std::vector<uint8_t> buf;
+  int tmp = 0, rem = 8, run = 0, k = 0, threshold = 1;
+  inline void emit(int v) {
+    tmp = ((tmp << 1) | (v & 1)) & 0xFF;
+    if (--rem == 0) {
+      buf.push_back((uint8_t)tmp);
+      rem = tmp == 0xFF ? 7 : 8;
+      tmp = 0;
+    }
+  }
+  inline void encode(bool bit) {
+    if (!bit) {
+      if (++run >= threshold) {
+        emit(1);
+        run = 0;
+        if (k < 12) k++;
+        threshold = 1 << MEL_E[k];
+      }
+      return;
+    }
+    emit(0);
+    for (int t = MEL_E[k] - 1; t >= 0; t--) emit((run >> t) & 1);
+    run = 0;
+    if (k > 0) k--;
+    threshold = 1 << MEL_E[k];
+  }
+};
+
+struct VLCWriter {
+  std::vector<uint8_t> buf;
+  int used = 4, tmp = 0xF;
+  bool last_gt_8f = true;
+  VLCWriter() { buf.push_back(0xFF); }
+  inline void encode(int cwd, int n) {
+    while (n > 0) {
+      int avail = 8 - (last_gt_8f ? 1 : 0) - used;
+      int t = avail < n ? avail : n;
+      tmp |= (cwd & ((1 << t) - 1)) << used;
+      used += t;
+      avail -= t;
+      n -= t;
+      cwd >>= t;
+      if (avail == 0) {
+        if (last_gt_8f && tmp != 0x7F) {
+          last_gt_8f = false;
+          continue;
+        }
+        buf.push_back((uint8_t)(tmp & 0xFF));
+        last_gt_8f = tmp > 0x8F;
+        tmp = 0;
+        used = 0;
+      }
+    }
+  }
+};
+
+struct MagSgnWriter {
+  std::vector<uint8_t> buf;
+  int maxbits = 8, used = 0;
+  uint64_t tmp = 0;
+  inline void encode(uint64_t cwd, int n) {
+    while (n > 0) {
+      int t = maxbits - used < n ? maxbits - used : n;
+      tmp |= (cwd & ((1ull << t) - 1)) << used;
+      used += t;
+      cwd >>= t;
+      n -= t;
+      if (used >= maxbits) {
+        uint8_t b = (uint8_t)(tmp & 0xFF);
+        buf.push_back(b);
+        maxbits = b == 0xFF ? 7 : 8;
+        tmp = 0;
+        used = 0;
+      }
+    }
+  }
+  void terminate() {
+    if (used) {
+      int t = maxbits - used;
+      tmp |= (uint64_t)(0xFF & ((1 << t) - 1)) << used;
+      if ((tmp & 0xFF) != 0xFF) buf.push_back((uint8_t)(tmp & 0xFF));
+    } else if (maxbits == 7 && !buf.empty()) {
+      buf.pop_back();
+    }
+  }
+};
+
+inline void uvlc_code(int code, int* pre, int* pre_len, int* suf,
+                      int* suf_len) {
+  if (code <= 0) { *pre = 0; *pre_len = 0; *suf = 0; *suf_len = 0; return; }
+  if (code == 1) { *pre = 1; *pre_len = 1; *suf = 0; *suf_len = 0; return; }
+  if (code == 2) { *pre = 2; *pre_len = 2; *suf = 0; *suf_len = 0; return; }
+  if (code <= 4) { *pre = 4; *pre_len = 3; *suf = code - 3; *suf_len = 1;
+                   return; }
+  *pre = 0; *pre_len = 3; *suf = code - 5; *suf_len = 5;
+}
+
+struct Quad {
+  int rho = 0, eqmax = 0;
+  int eq[4] = {0, 0, 0, 0};
+  uint32_t s[4] = {0, 0, 0, 0};
+};
+
+struct HTEnc {
+  const uint32_t* cb;
+  int w, h, p;
+  const int32_t *lut0, *lut1;
+  MELWriter mel;
+  VLCWriter vlc;
+  MagSgnWriter ms;
+  std::vector<int> e_val, cx_val;
+
+  inline void sample(int x, int y, int idx, Quad& q) {
+    if (x >= w || y >= h) return;
+    uint32_t t = cb[(long)y * w + x];
+    uint32_t val = ((t + t) & 0xFFFFFFFFu) >> p;
+    val &= ~1u;
+    if (val == 0) return;
+    q.rho |= 1 << idx;
+    val -= 1;
+    int e = val ? 32 - __builtin_clz(val) : 0;
+    q.eq[idx] = e;
+    if (e > q.eqmax) q.eqmax = e;
+    val -= 1;
+    q.s[idx] = val + (t >> 31);
+  }
+  inline Quad quad(int x, int y) {
+    Quad q;
+    sample(x, y, 0, q);
+    sample(x, y + 1, 1, q);
+    sample(x + 1, y, 2, q);
+    sample(x + 1, y + 1, 3, q);
+    return q;
+  }
+  static inline int eps_of(const Quad& q, int u) {
+    if (u <= 0) return 0;
+    int e = 0;
+    for (int i = 0; i < 4; i++)
+      if (q.eq[i] == q.eqmax) e |= 1 << i;
+    return e;
+  }
+  inline int tuple_of(bool initial, int cq, int rho, int eps) {
+    if (rho == 0 && cq == 0) return 0;
+    const int32_t* lut = initial ? lut0 : lut1;
+    return lut[(cq << 8) | (rho << 4) | eps];
+  }
+  inline void magsgn(const Quad& q, int uq, int tup) {
+    for (int i = 0; i < 4; i++) {
+      if (!(q.rho & (1 << i))) continue;
+      int m = uq - ((tup >> i) & 1);
+      if (m < 0) m = 0;
+      ms.encode(q.s[i] & ((m >= 64) ? ~0ull : ((1ull << m) - 1)), m);
+    }
+  }
+  inline void uvlc_initial(int u0, int u1) {
+    int p0, l0, s0, sl0, p1, l1, s1, sl1;
+    if (u0 > 2 && u1 > 2) {
+      uvlc_code(u0 - 2, &p0, &l0, &s0, &sl0);
+      uvlc_code(u1 - 2, &p1, &l1, &s1, &sl1);
+      vlc.encode(p0, l0); vlc.encode(p1, l1);
+      vlc.encode(s0, sl0); vlc.encode(s1, sl1);
+    } else if (u0 > 2 && u1 > 0) {
+      uvlc_code(u0, &p0, &l0, &s0, &sl0);
+      vlc.encode(p0, l0);
+      vlc.encode(u1 - 1, 1);
+      vlc.encode(s0, sl0);
+    } else {
+      uvlc_code(u0, &p0, &l0, &s0, &sl0);
+      uvlc_code(u1, &p1, &l1, &s1, &sl1);
+      vlc.encode(p0, l0); vlc.encode(p1, l1);
+      vlc.encode(s0, sl0); vlc.encode(s1, sl1);
+    }
+  }
+  inline void uvlc_noninitial(int u0, int u1) {
+    int p0, l0, s0, sl0, p1, l1, s1, sl1;
+    uvlc_code(u0, &p0, &l0, &s0, &sl0);
+    uvlc_code(u1, &p1, &l1, &s1, &sl1);
+    vlc.encode(p0, l0); vlc.encode(p1, l1);
+    vlc.encode(s0, sl0); vlc.encode(s1, sl1);
+  }
+
+  void rows(bool initial) {
+    for (int y = initial ? 0 : 2; y < (initial ? 1 : h); y += 2) {
+      int lep = 0, lcxp = 0, cq0 = 0, max_e = 0, cq1 = 0;
+      if (initial) {
+        e_val[0] = 0;
+        cx_val[0] = 0;
+      } else {
+        max_e = (e_val[0] > e_val[1] ? e_val[0] : e_val[1]) - 1;
+        e_val[0] = 0;
+        cq0 = cx_val[0] + (cx_val[1] << 2);
+        cx_val[0] = 0;
+      }
+      for (int x = 0; x < w; x += 4) {
+        Quad q0 = quad(x, y);
+        int rho0 = q0.rho, uq0, u0;
+        if (initial) {
+          uq0 = q0.eqmax > 1 ? q0.eqmax : 1;
+          u0 = uq0 - 1;
+        } else {
+          int kappa = (rho0 & (rho0 - 1)) ? (max_e > 1 ? max_e : 1) : 1;
+          uq0 = q0.eqmax > kappa ? q0.eqmax : kappa;
+          u0 = uq0 - kappa;
+        }
+        int eps0 = eps_of(q0, u0);
+        if (q0.eq[1] > e_val[lep]) e_val[lep] = q0.eq[1];
+        lep++;
+        if (!initial)
+          max_e = (e_val[lep] > e_val[lep + 1] ? e_val[lep]
+                                               : e_val[lep + 1]) - 1;
+        e_val[lep] = q0.eq[3];
+        cx_val[lcxp] |= (rho0 & 2) >> 1;
+        lcxp++;
+        if (!initial) cq1 = cx_val[lcxp] + (cx_val[lcxp + 1] << 2);
+        cx_val[lcxp] = (rho0 & 8) >> 3;
+
+        int tup0 = tuple_of(initial, cq0, rho0, eps0);
+        vlc.encode(tup0 >> 8, (tup0 >> 4) & 7);
+        if (cq0 == 0) mel.encode(rho0 != 0);
+        magsgn(q0, uq0, tup0);
+
+        int u1 = 0, rho1 = 0;
+        if (x + 2 < w) {
+          Quad q1 = quad(x + 2, y);
+          rho1 = q1.rho;
+          int uq1;
+          if (initial) {
+            cq1 = (rho0 >> 1) | (rho0 & 1);
+            uq1 = q1.eqmax > 1 ? q1.eqmax : 1;
+            u1 = uq1 - 1;
+          } else {
+            cq1 |= ((rho0 & 4) >> 1) | ((rho0 & 8) >> 2);
+            int kappa = (rho1 & (rho1 - 1)) ? (max_e > 1 ? max_e : 1) : 1;
+            uq1 = q1.eqmax > kappa ? q1.eqmax : kappa;
+            u1 = uq1 - kappa;
+          }
+          int eps1 = eps_of(q1, u1);
+          if (q1.eq[1] > e_val[lep]) e_val[lep] = q1.eq[1];
+          lep++;
+          if (!initial)
+            max_e = (e_val[lep] > e_val[lep + 1] ? e_val[lep]
+                                                 : e_val[lep + 1]) - 1;
+          e_val[lep] = q1.eq[3];
+          cx_val[lcxp] |= (rho1 & 2) >> 1;
+          lcxp++;
+          if (!initial) cq0 = cx_val[lcxp] + (cx_val[lcxp + 1] << 2);
+          cx_val[lcxp] = (rho1 & 8) >> 3;
+
+          int tup1 = tuple_of(initial, cq1, rho1, eps1);
+          vlc.encode(tup1 >> 8, (tup1 >> 4) & 7);
+          if (cq1 == 0) mel.encode(rho1 != 0);
+          magsgn(q1, uq1, tup1);
+        }
+        if (initial) {
+          if (u0 > 0 && u1 > 0) mel.encode((u0 < u1 ? u0 : u1) > 2);
+          uvlc_initial(u0, u1);
+          cq0 = (rho1 >> 1) | (rho1 & 1);
+        } else {
+          uvlc_noninitial(u0, u1);
+          cq0 |= ((rho1 & 4) >> 1) | ((rho1 & 8) >> 2);
+        }
+      }
+      if (initial) e_val[lep + 1] = 0;
+    }
+  }
+};
+
+struct MELReader {
+  const uint8_t* data;
+  long len, pos = 0, size;
+  bool unstuff = false;
+  int k = 0;
+  uint64_t bitbuf = 0;
+  int nbits = 0;
+  MELReader(const uint8_t* d, long n) : data(d), len(n), size(n - 1) {}
+  inline int read_bit() {
+    if (nbits == 0) {
+      if (size <= 0) return 1;
+      int d = 0xFF;
+      if (pos < len) {
+        d = data[pos++];
+        if (size == 1) d |= 0x0F;
+        size--;
+      }
+      int valid = unstuff ? 7 : 8;
+      bitbuf = (uint64_t)(d & ((1 << valid) - 1));
+      nbits = valid;
+      unstuff = d == 0xFF;
+    }
+    nbits--;
+    return (int)((bitbuf >> nbits) & 1);
+  }
+  int get_run() {
+    int e = MEL_E[k];
+    if (read_bit() == 1) {
+      int run = ((1 << e) - 1) << 1;
+      if (k < 12) k++;
+      return run;
+    }
+    int run = 0;
+    for (int i = 0; i < e; i++) run = (run << 1) | read_bit();
+    if (k > 0) k--;
+    return (run << 1) + 1;
+  }
+};
+
+struct VLCReader {
+  const uint8_t* data;  // reversed segment
+  long len, pos = 1;
+  uint64_t bitpool = 0;
+  int nbits = 0;
+  bool unstuff = false, first = true;
+  VLCReader(const uint8_t* d, long n) : data(d), len(n) {}
+  inline void load_byte() {
+    int b = pos < len ? data[pos++] : 0xFF;
+    int n, bits;
+    if (first) {
+      first = false;
+      int nib = b >> 4;
+      n = 4 - (((nib & 7) == 7) ? 1 : 0);
+      bits = nib & ((1 << n) - 1);
+      unstuff = (b | 0x0F) > 0x8F;
+    } else {
+      n = 8;
+      if (unstuff && (b & 0x7F) == 0x7F) n = 7;
+      bits = b & ((1 << n) - 1);
+      unstuff = b > 0x8F;
+    }
+    bitpool |= (uint64_t)bits << nbits;
+    nbits += n;
+  }
+  inline int peek(int n) {
+    while (nbits < n) load_byte();
+    return (int)(bitpool & ((1ull << n) - 1));
+  }
+  inline void advance(int n) {
+    while (nbits < n) load_byte();
+    bitpool >>= n;
+    nbits -= n;
+  }
+  inline int read_bits(int n) {
+    if (!n) return 0;
+    int v = peek(n);
+    advance(n);
+    return v;
+  }
+};
+
+struct MagSgnReader {
+  const uint8_t* data;
+  long len, pos = 0;
+  uint64_t bitpool = 0;
+  int nbits = 0;
+  bool prev_ff = false;
+  MagSgnReader(const uint8_t* d, long n) : data(d), len(n) {}
+  inline uint32_t fetch(int n) {
+    while (nbits < n) {
+      int b = pos < len ? data[pos++] : 0xFF;
+      int valid = prev_ff ? 7 : 8;
+      bitpool |= (uint64_t)(b & ((1 << valid) - 1)) << nbits;
+      nbits += valid;
+      prev_ff = b == 0xFF;
+    }
+    uint32_t v = n ? (uint32_t)(bitpool & ((1ull << n) - 1)) : 0;
+    bitpool >>= n;
+    nbits -= n;
+    return v;
+  }
+};
+
+}  // namespace htj2k
+
+extern "C" {
+
+// Encode one HT cleanup codeblock. data: int64 [h*w]. Returns byte
+// count, 0 for an all-zero block, -1 on error/overflow.
+long ht_cleanup_encode(const int64_t* data, int w, int h, int kmax,
+                       const int32_t* enc_lut0, const int32_t* enc_lut1,
+                       uint8_t* out, long out_cap) {
+  using namespace htj2k;
+  if (kmax <= 0 || kmax >= 31) return -1;
+  int shift = 31 - kmax;
+  std::vector<uint32_t> cb((size_t)w * h);
+  uint64_t maxmag = 0;
+  for (long i = 0; i < (long)w * h; i++) {
+    int64_t v = data[i];
+    uint64_t mag = (uint64_t)(v < 0 ? -v : v) << shift;
+    if (mag > maxmag) maxmag = mag;
+    cb[i] = (uint32_t)((v < 0 ? 0x80000000u : 0u) | (mag & 0x7FFFFFFFu));
+  }
+  if (maxmag < (1ull << shift)) return 0;
+
+  HTEnc enc;
+  enc.cb = cb.data();
+  enc.w = w;
+  enc.h = h;
+  enc.p = 30 - (kmax - 1);
+  enc.lut0 = enc_lut0;
+  enc.lut1 = enc_lut1;
+  int npairs = (w + 1) / 2 + 2;
+  enc.e_val.assign(npairs + 2, 0);
+  enc.cx_val.assign(npairs + 2, 0);
+  enc.rows(true);
+  enc.rows(false);
+
+  // terminate: fuse trailing MEL/VLC bytes when possible
+  MELWriter& mel = enc.mel;
+  VLCWriter& vlc = enc.vlc;
+  if (mel.run > 0) mel.emit(1);
+  int mel_tmp = (mel.tmp << mel.rem) & 0xFF;
+  int mel_mask = (0xFF << mel.rem) & 0xFF;
+  int vlc_mask = vlc.used > 0 ? (0xFF >> (8 - vlc.used)) : 0;
+  if ((mel_mask | vlc_mask) != 0) {
+    int fuse = mel_tmp | vlc.tmp;
+    if (((((fuse ^ mel_tmp) & mel_mask) |
+          ((fuse ^ vlc.tmp) & vlc_mask)) == 0) &&
+        fuse != 0xFF && vlc.buf.size() > 1) {
+      mel.buf.push_back((uint8_t)(fuse & 0xFF));
+    } else {
+      mel.buf.push_back((uint8_t)mel_tmp);
+      vlc.buf.push_back((uint8_t)(vlc.tmp & 0xFF));
+    }
+  }
+  enc.ms.terminate();
+
+  long scup = (long)mel.buf.size() + (long)vlc.buf.size();
+  if (scup == 0) return -1;
+  long total = (long)enc.ms.buf.size() + scup;
+  if (total > out_cap || total < 2) return -1;
+  long o = 0;
+  memcpy(out + o, enc.ms.buf.data(), enc.ms.buf.size());
+  o += enc.ms.buf.size();
+  memcpy(out + o, mel.buf.data(), mel.buf.size());
+  o += mel.buf.size();
+  // VLC segment: bytes after index 0 reversed, then byte 0 (0xFF) last
+  for (long i = (long)vlc.buf.size() - 1; i >= 1; i--) out[o++] = vlc.buf[i];
+  out[o++] = vlc.buf[0];
+  out[o - 1] = (uint8_t)((scup >> 4) & 0xFF);
+  out[o - 2] = (uint8_t)((out[o - 2] & 0xF0) | (scup & 0x0F));
+  return o;
+}
+
+// Decode one HT cleanup codeblock into out (int64 [h*w]). Returns 0,
+// or a negative error code (-1 args, -2 stream, -3 U_q bound).
+int ht_cleanup_decode(const uint8_t* cbk, long n, int w, int h, int kmax,
+                      int missing, const int32_t* dec_lut0,
+                      const int32_t* dec_lut1, int64_t* out_data) {
+  using namespace htj2k;
+  memset(out_data, 0, sizeof(int64_t) * (size_t)w * h);
+  if (n == 0) return 0;
+  if (kmax <= 0 || missing < 0 || missing >= 30) return -1;
+  if (n < 2) return -2;
+  long scup = ((long)cbk[n - 1] << 4) | (cbk[n - 2] & 0x0F);
+  if (scup < 2 || scup > n) return -2;
+  const uint8_t* magsgn = cbk;
+  long ms_len = n - scup;
+  const uint8_t* cleanup = cbk + ms_len;
+
+  int p = 30 - missing;
+  MELReader mel(cleanup, scup);
+  std::vector<uint8_t> rev(scup);
+  for (long i = 0; i < scup; i++) rev[i] = cleanup[scup - 1 - i];
+  VLCReader vlc(rev.data(), scup);
+  int run = mel.get_run();
+
+  int nq = (w + 1) / 2;
+  int nrows = (h + 1) / 2;
+  // per quad per row: entry (info) and u
+  std::vector<int> inf_all((size_t)nrows * nq, 0);
+  std::vector<int> u_all((size_t)nrows * nq, 0);
+  std::vector<int> rhos_prev(nq, 0), rhos_cur(nq, 0);
+
+  for (int row = 0; row < nrows; row++) {
+    bool initial = row == 0;
+    const int32_t* lut = initial ? dec_lut0 : dec_lut1;
+    int cq = 0;
+    for (int qx = 0; qx < nq; qx += 2) {
+      int entries[2] = {0, 0};
+      int rhopair[2] = {0, 0};
+      for (int k2 = 0; k2 < 2; k2++) {
+        if (qx + k2 >= nq) continue;
+        if (!initial) {
+          // causal context from previous row + west quad
+          int qidx = qx + k2;
+          cq = 0;
+          if (qidx > 0) {
+            int rw = rhos_cur[qidx - 1];
+            cq |= ((rw & 4) >> 1) | ((rw & 8) >> 2);
+          }
+          int r_above = qidx < nq ? rhos_prev[qidx] : 0;
+          int nw = qidx > 0 ? rhos_prev[qidx - 1] : 0;
+          int ne = qidx + 1 < nq ? rhos_prev[qidx + 1] : 0;
+          int c_nw = (nw & 8) >> 3;
+          int c_n_sw = (r_above & 2) >> 1;
+          int c_n_se = (r_above & 8) >> 3;
+          int c_ne = (ne & 2) >> 1;
+          cq |= (c_nw | c_n_sw);
+          cq |= (c_n_se | c_ne) << 2;
+        }
+        int e = lut[(cq << 7) | vlc.peek(7)];
+        if (cq == 0) {
+          run -= 2;
+          if (run != -1) e = 0;
+          if (run < 0) run = mel.get_run();
+        }
+        vlc.advance(e & 0x7);
+        int rho = (e >> 4) & 0xF;
+        rhos_cur[qx + k2] = rho;
+        entries[k2] = e;
+        rhopair[k2] = rho;
+        if (initial) cq = (rho >> 1) | (rho & 1);
+      }
+      bool u0_off = (entries[0] & 0x8) != 0;
+      bool u1_off = (entries[1] & 0x8) != 0;
+      int u0 = 0, u1 = 0;
+      bool mel_event = false, have_event = false;
+      if (initial && u0_off && u1_off) {
+        run -= 2;
+        mel_event = run == -1;
+        have_event = true;
+        if (run < 0) run = mel.get_run();
+      }
+      auto prefix = [&]() -> int {
+        if (vlc.read_bits(1)) return 1;
+        if (vlc.read_bits(1)) return 2;
+        return vlc.read_bits(1) ? 3 : 5;
+      };
+      auto suffix = [&](int cls) -> int {
+        if (cls == 1) return 1;
+        if (cls == 2) return 2;
+        if (cls == 3) return 3 + vlc.read_bits(1);
+        return 5 + vlc.read_bits(5);
+      };
+      if (initial && u0_off && u1_off) {
+        if (have_event && mel_event) {
+          int c0 = prefix();
+          int c1 = prefix();
+          u0 = suffix(c0) + 2;
+          u1 = suffix(c1) + 2;
+        } else {
+          int c0 = prefix();
+          if (c0 >= 3) {
+            u1 = vlc.read_bits(1) + 1;
+            u0 = suffix(c0);
+          } else {
+            int c1 = prefix();
+            u0 = suffix(c0);
+            u1 = suffix(c1);
+          }
+        }
+      } else {
+        int c0 = u0_off ? prefix() : 0;
+        int c1 = u1_off ? prefix() : 0;
+        if (u0_off) u0 = suffix(c0);
+        if (u1_off) u1 = suffix(c1);
+      }
+      inf_all[(size_t)row * nq + qx] = entries[0];
+      u_all[(size_t)row * nq + qx] = u0;
+      if (qx + 1 < nq) {
+        inf_all[(size_t)row * nq + qx + 1] = entries[1];
+        u_all[(size_t)row * nq + qx + 1] = u1;
+      }
+    }
+    rhos_prev = rhos_cur;
+    std::fill(rhos_cur.begin(), rhos_cur.end(), 0);
+  }
+
+  // MagSgn stage
+  int mmsbp2 = missing + 2;
+  MagSgnReader ms(magsgn, ms_len);
+  std::vector<uint32_t> out32((size_t)h * w, 0);
+  std::vector<uint32_t> vn_prev(nq + 2, 0), vn_cur(nq + 2, 0);
+  for (int row = 0; row < nrows; row++) {
+    int y = row * 2;
+    std::fill(vn_cur.begin(), vn_cur.end(), 0);
+    uint32_t prev_vn = 0;
+    for (int qi = 0; qi < nq; qi++) {
+      int inf = inf_all[(size_t)row * nq + qi];
+      int u = u_all[(size_t)row * nq + qi];
+      int x = qi * 2;
+      int uq;
+      if (row == 0) {
+        uq = 1 + u;
+      } else {
+        int gamma = (inf & 0xF0) & ((inf & 0xF0) - 0x10);
+        uint32_t vv = (vn_prev[qi] | vn_prev[qi + 1]) | 2u;
+        int emax = 31 - __builtin_clz(vv);
+        int kappa = gamma ? emax : 1;
+        uq = u + kappa;
+      }
+      if (uq > mmsbp2) return -3;
+      uint32_t vals[4] = {0, 0, 0, 0};
+      uint32_t vns[4] = {0, 0, 0, 0};
+      for (int bit = 0; bit < 4; bit++) {
+        if (!(inf & (1 << (4 + bit)))) continue;
+        int mn = uq - ((inf >> (12 + bit)) & 1);
+        uint32_t msval = ms.fetch(mn);
+        uint32_t val = (msval & 1) << 31;
+        uint32_t vn = mn ? (msval & ((1u << mn) - 1)) : 0;
+        vn |= ((uint32_t)(inf >> (8 + bit)) & 1) << mn;
+        vn |= 1;
+        val |= ((vn + 2) << (p - 1)) & 0x7FFFFFFFu;
+        vals[bit] = val;
+        vns[bit] = vn;
+      }
+      if (x < w) {
+        out32[(size_t)y * w + x] = vals[0];
+        if (y + 1 < h) out32[(size_t)(y + 1) * w + x] = vals[1];
+      }
+      if (x + 1 < w) {
+        out32[(size_t)y * w + x + 1] = vals[2];
+        if (y + 1 < h) out32[(size_t)(y + 1) * w + x + 1] = vals[3];
+      }
+      vn_cur[qi] = prev_vn | vns[1];
+      prev_vn = vns[3];
+    }
+    vn_cur[nq] = prev_vn;
+    std::swap(vn_prev, vn_cur);
+  }
+
+  int shift = 31 - kmax;
+  for (long i = 0; i < (long)w * h; i++) {
+    uint32_t v = out32[i];
+    int64_t mag = (int64_t)((v & 0x7FFFFFFFu) >> shift);
+    out_data[i] = (v & 0x80000000u) ? -mag : mag;
+  }
+  return 0;
+}
+
+}  // extern "C"

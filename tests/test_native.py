@@ -169,3 +169,40 @@ def test_jls_codec_uses_native_speed(rng):
     t_dec = time.perf_counter() - t0
     assert out == img.tobytes()
     assert t_enc < 1.0 and t_dec < 1.0, (t_enc, t_dec)
+
+
+# ---- HT cleanup native parity ------------------------------------------------
+
+HT_SIZES = [(64, 64), (32, 32), (17, 23), (1, 64), (64, 1), (5, 5), (2, 2)]
+
+
+@pytest.mark.parametrize("size", HT_SIZES)
+def test_ht_cleanup_native_parity(size, rng):
+    """Native HT cleanup coder emits byte-identical streams and decodes
+    bit-exact vs the Python reference implementation."""
+    from go_dicom_codec_tpu.entropy.htcleanup import (HTCleanupDecoder,
+                                                      HTCleanupEncoder)
+    from go_dicom_codec_tpu.native import (ht_cleanup_decode_native,
+                                           ht_cleanup_encode_native)
+
+    h, w = size
+    for mag in (3, 300, 30000):
+        data = rng.integers(-mag, mag + 1, (h, w)).astype(np.int64)
+        kmax = max(int(np.abs(data).max()).bit_length() + 2, 2)
+        py = HTCleanupEncoder(w, h, kmax).encode(data)
+        nat = ht_cleanup_encode_native(data, kmax)
+        assert (py or b"") == (nat or b"")
+        if not py:
+            continue
+        dec_py = HTCleanupDecoder(w, h, kmax, kmax - 1).decode(py)
+        dec_nat = ht_cleanup_decode_native(py, w, h, kmax, kmax - 1)
+        assert not isinstance(dec_nat, tuple)
+        np.testing.assert_array_equal(dec_py, dec_nat)
+
+
+def test_ht_cleanup_native_corrupt(rng):
+    from go_dicom_codec_tpu.native import ht_cleanup_decode_native
+    r = ht_cleanup_decode_native(b"\x00\x00\x00\xff\xff", 8, 8, 10, 9)
+    assert r is None or isinstance(r, tuple) or r.shape == (8, 8)
+    r2 = ht_cleanup_decode_native(b"\x01", 8, 8, 10, 9)
+    assert isinstance(r2, tuple)  # too short → stream error
