@@ -43,13 +43,13 @@ const int S_LAZY = 0x01, S_RESET = 0x02, S_TERMALL = 0x04, S_VSC = 0x08,
           S_PTERM = 0x10, S_SEGSYM = 0x20;
 
 // flag bits
-const int64_t F_SIG = 0x0001, F_REFINE = 0x0002, F_VISIT = 0x0004;
-const int64_t F_SIG_N = 0x0010, F_SIG_S = 0x0020, F_SIG_W = 0x0040,
+const int32_t F_SIG = 0x0001, F_REFINE = 0x0002, F_VISIT = 0x0004;
+const int32_t F_SIG_N = 0x0010, F_SIG_S = 0x0020, F_SIG_W = 0x0040,
               F_SIG_E = 0x0080, F_SIG_NW = 0x0100, F_SIG_NE = 0x0200,
               F_SIG_SW = 0x0400, F_SIG_SE = 0x0800;
-const int64_t F_SIG_NEIGH = F_SIG_N | F_SIG_S | F_SIG_W | F_SIG_E | F_SIG_NW |
+const int32_t F_SIG_NEIGH = F_SIG_N | F_SIG_S | F_SIG_W | F_SIG_E | F_SIG_NW |
                             F_SIG_NE | F_SIG_SW | F_SIG_SE;
-const int64_t F_SIGN = 0x1000, F_SIGN_N = 0x2000, F_SIGN_S = 0x4000,
+const int32_t F_SIGN = 0x1000, F_SIGN_N = 0x2000, F_SIGN_S = 0x4000,
               F_SIGN_W = 0x8000, F_SIGN_E = 0x10000;
 
 // ---- context LUTs (generated from T.800 D.1/D.3 rules like ebcot.py) -------
@@ -111,7 +111,7 @@ void build_luts() {
   luts_ready = true;
 }
 
-inline int sc_index(int64_t f) {
+inline int sc_index(int32_t f) {
   int idx = 0;
   if (f & F_SIG_W) { idx |= 1 << 3; if (f & F_SIGN_W) idx |= 1; }
   if (f & F_SIG_N) { idx |= 1 << 1; if (f & F_SIGN_N) idx |= 1 << 4; }
@@ -120,7 +120,7 @@ inline int sc_index(int64_t f) {
   return idx;
 }
 
-inline int zc_index(int64_t f) {
+inline int zc_index(int32_t f) {
   int idx = 0;
   if (f & F_SIG_NW) idx |= 1;
   if (f & F_SIG_N) idx |= 2;
@@ -133,15 +133,15 @@ inline int zc_index(int64_t f) {
   return idx;
 }
 
-inline int mr_context(int64_t f) {
+inline int mr_context(int32_t f) {
   if (f & F_REFINE) return 16;
   if (f & F_SIG_NEIGH) return 15;
   return 14;
 }
 
 // VSC: stripe-bottom rows see the stripe below as insignificant
-const int64_t VSC_MASK = ~(F_SIG_S | F_SIG_SW | F_SIG_SE | F_SIGN_S);
-inline int64_t ctx_flags(int64_t f, int y, bool vsc) {
+const int32_t VSC_MASK = ~(F_SIG_S | F_SIG_SW | F_SIG_SE | F_SIGN_S);
+inline int32_t ctx_flags(int32_t f, int y, bool vsc) {
   return (vsc && (y & 3) == 3) ? (f & VSC_MASK) : f;
 }
 
@@ -398,7 +398,8 @@ inline bool terminating(int bp_, int maxbp, int pt, int style) {
 
 struct T1 {
   int w, h, pw, style, orient;
-  std::vector<int64_t> flags, data;
+  std::vector<int32_t> flags;
+  std::vector<int64_t> data;
 
   T1(int w_, int h_, int style_, int orient_)
       : w(w_), h(h_), pw(w_ + 2), style(style_), orient(orient_) {
@@ -407,7 +408,7 @@ struct T1 {
   }
 
   inline void update_neighbors(int x, int y, int idx) {
-    int64_t sign = flags[idx] & F_SIGN;
+    int32_t sign = flags[idx] & F_SIGN;
     int nn = y * pw + x + 1, ss = (y + 2) * pw + x + 1;
     int ww = (y + 1) * pw + x, ee = (y + 1) * pw + x + 2;
     flags[nn] |= F_SIG_S; flags[ss] |= F_SIG_N;
@@ -485,8 +486,8 @@ int t1_encode(const int64_t* src, int w, int h, int style, int orient,
         for (int x = 0; x < w; x++)
           for (int y = k; y < k + 4 && y < h; y++) {
             int idx = (y + 1) * pw + x + 1;
-            int64_t f = flags[idx];
-            int64_t cf = ctx_flags(f, y, vsc);
+            int32_t f = flags[idx];
+            int32_t cf = ctx_flags(f, y, vsc);
             if ((f & F_SIG) || !(cf & F_SIG_NEIGH)) continue;
             int64_t v = data[idx];
             int64_t av = v < 0 ? -v : v;
@@ -512,7 +513,7 @@ int t1_encode(const int64_t* src, int w, int h, int style, int orient,
         for (int x = 0; x < w; x++)
           for (int y = k; y < k + 4 && y < h; y++) {
             int idx = (y + 1) * pw + x + 1;
-            int64_t f = flags[idx];
+            int32_t f = flags[idx];
             if (!(f & F_SIG) || (f & F_VISIT)) continue;
             int64_t v = data[idx];
             int64_t av = v < 0 ? -v : v;
@@ -531,8 +532,8 @@ int t1_encode(const int64_t* src, int w, int h, int style, int orient,
             int rl_pos = -1;
             for (int dy = 0; dy < 4; dy++) {
               int idx = (k + dy + 1) * pw + x + 1;
-              int64_t f = flags[idx];
-              int64_t cf = ctx_flags(f, k + dy, vsc);
+              int32_t f = flags[idx];
+              int32_t cf = ctx_flags(f, k + dy, vsc);
               if ((f & (F_VISIT | F_SIG)) || (cf & F_SIG_NEIGH)) {
                 can_rl = false; break;
               }
@@ -552,12 +553,12 @@ int t1_encode(const int64_t* src, int w, int h, int style, int orient,
                 for (int dy = rl_pos; dy < 4; dy++) {
                   int y = k + dy;
                   int idx = (y + 1) * pw + x + 1;
-                  int64_t f = flags[idx];
+                  int32_t f = flags[idx];
                   if (f & (F_VISIT | F_SIG)) { flags[idx] &= ~F_VISIT; continue; }
                   int64_t v = data[idx];
                   int64_t av = v < 0 ? -v : v;
                   int sig;
-                  int64_t cf = ctx_flags(f, y, vsc);
+                  int32_t cf = ctx_flags(f, y, vsc);
                   if (partial) { sig = 1; partial = false; }
                   else {
                     sig = (int)((av >> bitplane) & 1);
@@ -580,12 +581,12 @@ int t1_encode(const int64_t* src, int w, int h, int style, int orient,
           if (!handled) {
             for (int y = k; y < k + 4 && y < h; y++) {
               int idx = (y + 1) * pw + x + 1;
-              int64_t f = flags[idx];
+              int32_t f = flags[idx];
               if (f & (F_VISIT | F_SIG)) { flags[idx] &= ~F_VISIT; continue; }
               int64_t v = data[idx];
               int64_t av = v < 0 ? -v : v;
               int sig = (int)((av >> bitplane) & 1);
-              int64_t cf = ctx_flags(f, y, vsc);
+              int32_t cf = ctx_flags(f, y, vsc);
               mq.encode(sig, zc[zc_index(cf)]);
               if (sig) {
                 int sign = v < 0;
@@ -888,8 +889,8 @@ int t1_decode(const uint8_t* stream, int stream_len, int w, int h, int style,
         for (int x = 0; x < w; x++)
           for (int y = k; y < k + 4 && y < h; y++) {
             int idx = (y + 1) * pw + x + 1;
-            int64_t f = flags[idx];
-            int64_t cf = ctx_flags(f, y, vsc);
+            int32_t f = flags[idx];
+            int32_t cf = ctx_flags(f, y, vsc);
             if ((f & F_SIG) || !(cf & F_SIG_NEIGH)) continue;
             int sig = raw ? rd.decode() : mq.decode(zc[zc_index(cf)]);
             flags[idx] |= F_VISIT;
@@ -911,7 +912,7 @@ int t1_decode(const uint8_t* stream, int stream_len, int w, int h, int style,
         for (int x = 0; x < w; x++)
           for (int y = k; y < k + 4 && y < h; y++) {
             int idx = (y + 1) * pw + x + 1;
-            int64_t f = flags[idx];
+            int32_t f = flags[idx];
             if (!(f & F_SIG) || (f & F_VISIT)) continue;
             int bit = raw ? rd.decode()
                           : mq.decode(mr_context(ctx_flags(f, y, vsc)));
@@ -926,8 +927,8 @@ int t1_decode(const uint8_t* stream, int stream_len, int w, int h, int style,
             bool can_rl = true;
             for (int dy = 0; dy < 4; dy++) {
               int idx = (k + dy + 1) * pw + x + 1;
-              int64_t f = flags[idx];
-              int64_t cf = ctx_flags(f, k + dy, vsc);
+              int32_t f = flags[idx];
+              int32_t cf = ctx_flags(f, k + dy, vsc);
               if ((f & (F_VISIT | F_SIG)) || (cf & F_SIG_NEIGH)) {
                 can_rl = false; break;
               }
@@ -940,10 +941,10 @@ int t1_decode(const uint8_t* stream, int stream_len, int w, int h, int style,
                 for (int dy = rl_pos; dy < 4; dy++) {
                   int y = k + dy;
                   int idx = (y + 1) * pw + x + 1;
-                  int64_t f = flags[idx];
+                  int32_t f = flags[idx];
                   if (f & (F_VISIT | F_SIG)) { flags[idx] &= ~F_VISIT; continue; }
                   int sig;
-                  int64_t cf = ctx_flags(f, y, vsc);
+                  int32_t cf = ctx_flags(f, y, vsc);
                   if (partial) { sig = 1; partial = false; }
                   else sig = mq.decode(zc[zc_index(cf)]);
                   if (sig) {
@@ -962,9 +963,9 @@ int t1_decode(const uint8_t* stream, int stream_len, int w, int h, int style,
           if (!handled) {
             for (int y = k; y < k + 4 && y < h; y++) {
               int idx = (y + 1) * pw + x + 1;
-              int64_t f = flags[idx];
+              int32_t f = flags[idx];
               if (f & (F_VISIT | F_SIG)) { flags[idx] &= ~F_VISIT; continue; }
-              int64_t cf = ctx_flags(f, y, vsc);
+              int32_t cf = ctx_flags(f, y, vsc);
               int sig = mq.decode(zc[zc_index(cf)]);
               if (sig) {
                 int si = sc_index(cf);
