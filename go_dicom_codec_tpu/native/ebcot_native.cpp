@@ -466,6 +466,21 @@ int t1_encode(const int64_t* src, int w, int h, int style, int orient,
   int pw = t.pw;
   const uint8_t* zc = ZC_LUT[orient];
 
+  // per-stripe-column OR of magnitudes: (cmag >> bp) & 1 == 0 means no
+  // sample in the 4-row column has bit bp — lets early bitplanes skip
+  // whole columns without touching data
+  int nstripes = (h + 3) / 4;
+  std::vector<uint64_t> colmag((size_t)nstripes * w, 0);
+  for (int k = 0, si = 0; k < h; k += 4, si++)
+    for (int x = 0; x < w; x++) {
+      uint64_t m = 0;
+      for (int y = k; y < k + 4 && y < h; y++) {
+        int64_t v = data[(size_t)(y + 1) * pw + x + 1];
+        m |= (uint64_t)(v < 0 ? -v : v);
+      }
+      colmag[(size_t)si * w + x] = m;
+    }
+
   while (bitplane >= 0 && pass_idx < max_passes) {
     if (pass_type == 0 || (pass_type == 2 && pass_idx == 0)) {
       for (auto& f : flags) f &= ~F_VISIT;
@@ -483,7 +498,7 @@ int t1_encode(const int64_t* src, int w, int h, int style, int orient,
     int64_t nm = 0;
     if (pass_type == 0) {  // SPP
       for (int k = 0; k < h; k += 4)
-        for (int x = 0; x < w; x++)
+        for (int x = 0; x < w; x++) {
           for (int y = k; y < k + 4 && y < h; y++) {
             int idx = (y + 1) * pw + x + 1;
             int32_t f = flags[idx];
@@ -508,9 +523,10 @@ int t1_encode(const int64_t* src, int w, int h, int style, int orient,
               nm += nmsedec_sig((uint64_t)av, bitplane);
             }
           }
+        }
     } else if (pass_type == 1) {  // MRP
       for (int k = 0; k < h; k += 4)
-        for (int x = 0; x < w; x++)
+        for (int x = 0; x < w; x++) {
           for (int y = k; y < k + 4 && y < h; y++) {
             int idx = (y + 1) * pw + x + 1;
             int32_t f = flags[idx];
@@ -523,10 +539,23 @@ int t1_encode(const int64_t* src, int w, int h, int style, int orient,
             flags[idx] |= F_REFINE;
             nm += nmsedec_ref((uint64_t)av, bitplane);
           }
+        }
     } else {  // CP
       for (int k = 0; k < h; k += 4)
         for (int x = 0; x < w; x++) {
           bool handled = false;
+          if (k + 3 < h) {
+            // fast run-length: untouched column with no bit at this
+            // plane encodes a single 0 in the RL context
+            int base = (k + 1) * pw + x + 1;
+            int32_t any = flags[base] | flags[base + pw] |
+                          flags[base + 2 * pw] | flags[base + 3 * pw];
+            if (any == 0 &&
+                !((colmag[(size_t)(k >> 2) * w + x] >> bitplane) & 1)) {
+              mq.encode(0, CTX_RL);
+              continue;
+            }
+          }
           if (k + 3 < h) {
             bool can_rl = true;
             int rl_pos = -1;
