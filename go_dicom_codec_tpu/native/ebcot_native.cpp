@@ -397,14 +397,26 @@ inline bool terminating(int bp_, int maxbp, int pt, int style) {
 }
 
 struct T1 {
-  int w, h, pw, style, orient;
+  int w, h, pw, style, orient, nstripes, wwords;
   std::vector<int32_t> flags;
   std::vector<int64_t> data;
+  // per-stripe bitmaps over columns: "has any F_SIG_NEIGH" (SPP work
+  // list) and "has any F_SIG" (MRP work list); both grow monotonically
+  std::vector<uint64_t> act_nb, act_sig;
 
   T1(int w_, int h_, int style_, int orient_)
       : w(w_), h(h_), pw(w_ + 2), style(style_), orient(orient_) {
     flags.assign((size_t)(h + 2) * pw, 0);
     data.assign((size_t)(h + 2) * pw, 0);
+    nstripes = (h + 3) / 4;
+    wwords = (w + 63) / 64;
+    act_nb.assign((size_t)nstripes * wwords, 0);
+    act_sig.assign((size_t)nstripes * wwords, 0);
+  }
+
+  inline void mark(std::vector<uint64_t>& bm, int stripe, int x) {
+    if (x < 0 || x >= w || stripe < 0 || stripe >= nstripes) return;
+    bm[(size_t)stripe * wwords + (x >> 6)] |= 1ull << (x & 63);
   }
 
   inline void update_neighbors(int x, int y, int idx) {
@@ -421,6 +433,15 @@ struct T1 {
     flags[y * pw + x + 2] |= F_SIG_SW;
     flags[(y + 2) * pw + x] |= F_SIG_NE;
     flags[(y + 2) * pw + x + 2] |= F_SIG_NW;
+    // work lists: this column is significant; the 8-neighborhood gains
+    // a significant neighbor (spanning adjacent stripes at rows 0/3)
+    int st = y >> 2;
+    mark(act_sig, st, x);
+    for (int dx = -1; dx <= 1; dx++) {
+      mark(act_nb, st, x + dx);
+      if ((y & 3) == 0) mark(act_nb, st - 1, x + dx);
+      if ((y & 3) == 3) mark(act_nb, st + 1, x + dx);
+    }
   }
 };
 
@@ -497,8 +518,13 @@ int t1_encode(const int64_t* src, int w, int h, int style, int orient,
     bool vsc = (style & S_VSC) != 0;
     int64_t nm = 0;
     if (pass_type == 0) {  // SPP
-      for (int k = 0; k < h; k += 4)
-        for (int x = 0; x < w; x++) {
+      for (int k = 0; k < h; k += 4) {
+        int st = k >> 2;
+        for (int wd = 0; wd < t.wwords; wd++) {
+          uint64_t bits = t.act_nb[(size_t)st * t.wwords + wd];
+          while (bits) {
+            int x = (wd << 6) + __builtin_ctzll(bits);
+            bits &= bits - 1;
           for (int y = k; y < k + 4 && y < h; y++) {
             int idx = (y + 1) * pw + x + 1;
             int32_t f = flags[idx];
@@ -523,10 +549,23 @@ int t1_encode(const int64_t* src, int w, int h, int style, int orient,
               nm += nmsedec_sig((uint64_t)av, bitplane);
             }
           }
+          // coding column x can newly mark columns > x in this word;
+          // re-merge the unconsumed remainder (consumption is in
+          // increasing-bit order, so positions > x were never consumed)
+          uint64_t done_mask = ((x & 63) == 63)
+              ? ~0ull : ((1ull << ((x & 63) + 1)) - 1);
+          bits |= t.act_nb[(size_t)st * t.wwords + wd] & ~done_mask;
+          }
         }
+      }
     } else if (pass_type == 1) {  // MRP
-      for (int k = 0; k < h; k += 4)
-        for (int x = 0; x < w; x++) {
+      for (int k = 0; k < h; k += 4) {
+        int st = k >> 2;
+        for (int wd = 0; wd < t.wwords; wd++) {
+          uint64_t bits = t.act_sig[(size_t)st * t.wwords + wd];
+          while (bits) {
+            int x = (wd << 6) + __builtin_ctzll(bits);
+            bits &= bits - 1;
           for (int y = k; y < k + 4 && y < h; y++) {
             int idx = (y + 1) * pw + x + 1;
             int32_t f = flags[idx];
@@ -539,7 +578,9 @@ int t1_encode(const int64_t* src, int w, int h, int style, int orient,
             flags[idx] |= F_REFINE;
             nm += nmsedec_ref((uint64_t)av, bitplane);
           }
+          }
         }
+      }
     } else {  // CP
       for (int k = 0; k < h; k += 4)
         for (int x = 0; x < w; x++) {
