@@ -955,40 +955,61 @@ int t1_decode(const uint8_t* stream, int stream_len, int w, int h, int style,
 
     bool vsc = (style & S_VSC) != 0;
     if (pass_type == 0) {
-      for (int k = 0; k < h; k += 4)
-        for (int x = 0; x < w; x++)
-          for (int y = k; y < k + 4 && y < h; y++) {
-            int idx = (y + 1) * pw + x + 1;
-            int32_t f = flags[idx];
-            int32_t cf = ctx_flags(f, y, vsc);
-            if ((f & F_SIG) || !(cf & F_SIG_NEIGH)) continue;
-            int sig = raw ? rd.decode() : mq.decode(zc[zc_index(cf)]);
-            flags[idx] |= F_VISIT;
-            if (sig) {
-              int sign;
-              if (raw) sign = rd.decode();
-              else {
-                int si = sc_index(cf);
-                sign = mq.decode(SC_LUT[si]) ^ SPB_LUT[si];
+      // SPP work list: only columns with a significant neighborhood
+      // (same scheme as the encoder, incl. same-word re-merge)
+      for (int k = 0; k < h; k += 4) {
+        int st = k >> 2;
+        for (int wd = 0; wd < t.wwords; wd++) {
+          uint64_t bits = t.act_nb[(size_t)st * t.wwords + wd];
+          while (bits) {
+            int x = (wd << 6) + __builtin_ctzll(bits);
+            bits &= bits - 1;
+            for (int y = k; y < k + 4 && y < h; y++) {
+              int idx = (y + 1) * pw + x + 1;
+              int32_t f = flags[idx];
+              int32_t cf = ctx_flags(f, y, vsc);
+              if ((f & F_SIG) || !(cf & F_SIG_NEIGH)) continue;
+              int sig = raw ? rd.decode() : mq.decode(zc[zc_index(cf)]);
+              flags[idx] |= F_VISIT;
+              if (sig) {
+                int sign;
+                if (raw) sign = rd.decode();
+                else {
+                  int si = sc_index(cf);
+                  sign = mq.decode(SC_LUT[si]) ^ SPB_LUT[si];
+                }
+                if (sign) flags[idx] |= F_SIGN;
+                data[idx] = recon_sig(bitplane, sign);
+                flags[idx] |= F_SIG;
+                t.update_neighbors(x, y, idx);
               }
-              if (sign) flags[idx] |= F_SIGN;
-              data[idx] = recon_sig(bitplane, sign);
-              flags[idx] |= F_SIG;
-              t.update_neighbors(x, y, idx);
+            }
+            uint64_t done_mask = ((x & 63) == 63)
+                ? ~0ull : ((1ull << ((x & 63) + 1)) - 1);
+            bits |= t.act_nb[(size_t)st * t.wwords + wd] & ~done_mask;
+          }
+        }
+      }
+    } else if (pass_type == 1) {
+      for (int k = 0; k < h; k += 4) {
+        int st = k >> 2;
+        for (int wd = 0; wd < t.wwords; wd++) {
+          uint64_t bits = t.act_sig[(size_t)st * t.wwords + wd];
+          while (bits) {
+            int x = (wd << 6) + __builtin_ctzll(bits);
+            bits &= bits - 1;
+            for (int y = k; y < k + 4 && y < h; y++) {
+              int idx = (y + 1) * pw + x + 1;
+              int32_t f = flags[idx];
+              if (!(f & F_SIG) || (f & F_VISIT)) continue;
+              int bit = raw ? rd.decode()
+                            : mq.decode(mr_context(ctx_flags(f, y, vsc)));
+              data[idx] = recon_ref(data[idx], bitplane, bit);
+              flags[idx] |= F_REFINE;
             }
           }
-    } else if (pass_type == 1) {
-      for (int k = 0; k < h; k += 4)
-        for (int x = 0; x < w; x++)
-          for (int y = k; y < k + 4 && y < h; y++) {
-            int idx = (y + 1) * pw + x + 1;
-            int32_t f = flags[idx];
-            if (!(f & F_SIG) || (f & F_VISIT)) continue;
-            int bit = raw ? rd.decode()
-                          : mq.decode(mr_context(ctx_flags(f, y, vsc)));
-            data[idx] = recon_ref(data[idx], bitplane, bit);
-            flags[idx] |= F_REFINE;
-          }
+        }
+      }
     } else {
       for (int k = 0; k < h; k += 4)
         for (int x = 0; x < w; x++) {
