@@ -96,13 +96,29 @@ def encode(pixels: bytes | np.ndarray, width: int, height: int,
             p, jnp.asarray(qtables[t]), level_shift=level))
         comp_zz.append(zz.reshape(-1, 64))
 
-    # Host stage: optimal Huffman + vectorized entropy coding
-    stream = jc.build_scan_symbols(comp_zz, plane_tables)
+    # Host stage: optimal Huffman + entropy coding (native one-pass scan
+    # walker first; vectorized numpy pipeline as behavioral reference)
     n_tables = 2 if components == 3 else 1
-    dc_freq, ac_freq = jc.count_frequencies(stream, n_tables)
-    dc_tabs = [hf.build_optimal_table(dc_freq[t]) for t in range(n_tables)]
-    ac_tabs = [hf.build_optimal_table(ac_freq[t]) for t in range(n_tables)]
-    scan = jc.encode_scan(stream, dc_tabs, ac_tabs)
+    from ..native import jpg_encode_scan2_native, jpg_scan_hist_native
+
+    hist = jpg_scan_hist_native(comp_zz, plane_tables)
+    scan = None
+    if hist is not None:
+        dc_freq, ac_freq = hist
+        dc_tabs = [hf.build_optimal_table(dc_freq[t])
+                   for t in range(n_tables)]
+        ac_tabs = [hf.build_optimal_table(ac_freq[t])
+                   for t in range(n_tables)]
+        scan = jpg_encode_scan2_native(comp_zz, plane_tables, dc_tabs,
+                                       ac_tabs)
+    if scan is None:
+        stream = jc.build_scan_symbols(comp_zz, plane_tables)
+        dc_freq, ac_freq = jc.count_frequencies(stream, n_tables)
+        dc_tabs = [hf.build_optimal_table(dc_freq[t])
+                   for t in range(n_tables)]
+        ac_tabs = [hf.build_optimal_table(ac_freq[t])
+                   for t in range(n_tables)]
+        scan = jc.encode_scan(stream, dc_tabs, ac_tabs)
 
     w = mk.JpegWriter()
     w.write_marker(mk.SOI)

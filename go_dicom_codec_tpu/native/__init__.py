@@ -103,6 +103,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
             i64p, ctypes.c_long, i32p, i32p, u8p, ctypes.c_long]
         lib.p14_cat_hist.restype = None
         lib.p14_cat_hist.argtypes = [i64p, ctypes.c_long, i64p]
+        lib.jpg_scan_hist.restype = None
+        lib.jpg_scan_hist.argtypes = [
+            i32p, ctypes.c_int, ctypes.c_long, i32p, ctypes.c_int,
+            i64p, i64p]
+        lib.jpg_encode_scan2.restype = ctypes.c_long
+        lib.jpg_encode_scan2.argtypes = [
+            i32p, ctypes.c_int, ctypes.c_long, i32p, ctypes.c_int,
+            i32p, i32p, i32p, i32p, u8p, ctypes.c_long]
         lib.ht_cleanup_encode.restype = ctypes.c_long
         lib.ht_cleanup_encode.argtypes = [
             i64p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -228,6 +236,60 @@ def packbits_decode_native(data: bytes, expected_len: int):
     if r != 0:
         return ("corrupt", r)
     return out[:expected_len]
+
+
+def jpg_scan_hist_native(comp_zz, table_ids):
+    """Per-table DC/AC symbol histograms over the interleaved scan →
+    (dc[4,256], ac[4,256]) int64, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    zz = np.ascontiguousarray(np.concatenate(
+        [np.asarray(z, dtype=np.int32).reshape(-1, 64) for z in comp_zz]))
+    ncomp = len(comp_zz)
+    nblocks = zz.shape[0] // ncomp
+    tids = np.asarray(table_ids, dtype=np.int32)
+    dc = np.zeros(4 * 256, dtype=np.int64)
+    ac = np.zeros(4 * 256, dtype=np.int64)
+    lib.jpg_scan_hist(zz.reshape(-1), ncomp, nblocks, tids, 0, dc, ac)
+    return dc.reshape(4, 256), ac.reshape(4, 256)
+
+
+def jpg_encode_scan2_native(comp_zz, table_ids, dc_tables, ac_tables,
+                            restart: int = 0):
+    """Native interleaved scan encode → stuffed bytes, or None.
+
+    dc_tables/ac_tables: sequences of HuffmanTable indexed by table id.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    zz = np.ascontiguousarray(np.concatenate(
+        [np.asarray(z, dtype=np.int32).reshape(-1, 64) for z in comp_zz]))
+    ncomp = len(comp_zz)
+    nblocks = zz.shape[0] // ncomp
+    tids = np.asarray(table_ids, dtype=np.int32)
+
+    def pack(tabs):
+        codes = np.zeros((4, 256), dtype=np.int32)
+        lens = np.zeros((4, 256), dtype=np.int32)
+        for t, tab in enumerate(tabs):
+            if t >= 4:
+                return None
+            codes[t] = np.asarray(tab.code_of[:256], dtype=np.int32)
+            lens[t] = np.asarray(tab.len_of[:256], dtype=np.int32)
+        return codes.reshape(-1), lens.reshape(-1)
+
+    dcp, acp = pack(dc_tables), pack(ac_tables)
+    if dcp is None or acp is None:
+        return None
+    cap = zz.size * 4 + 65536
+    out = np.zeros(cap, dtype=np.uint8)
+    n = lib.jpg_encode_scan2(zz.reshape(-1), ncomp, nblocks, tids, restart,
+                             dcp[0], dcp[1], acp[0], acp[1], out, cap)
+    if n < 0:
+        return None
+    return out[:n].tobytes()
 
 
 _HT_LUTS = None

@@ -874,6 +874,142 @@ void p14_cat_hist(const int64_t* diffs, long n, int64_t* hist17) {
   }
 }
 
+}  // pause extern "C" for the templated scan walker
+
+// ---- sequential-DCT scan encode (baseline/extended), native ---------------
+// Symbol traversal identical to codecs/jpeg_common.build_scan_symbols:
+// per block (all components share the MCU index), per component:
+// DC category+extend, then per AC nonzero run/16 ZRLs + RS, then EOB when
+// the last nonzero is before position 63.
+
+static inline int jpg_cat(int64_t d) {
+  if (d == -32768) return 16;
+  uint64_t a = (uint64_t)(d < 0 ? -d : d);
+  return a ? 64 - __builtin_clzll(a) : 0;
+}
+
+// visit(sym, is_dc, tid, ebits, elen)
+template <typename F>
+static void jpg_scan_walk(const int32_t* zz, int ncomp, long nblocks,
+                          const int32_t* tids, int restart, F&& visit) {
+  std::vector<int64_t> prev_dc(ncomp, 0);
+  for (long b = 0; b < nblocks; b++) {
+    if (restart && b % restart == 0)
+      for (int c = 0; c < ncomp; c++) prev_dc[c] = 0;
+    for (int c = 0; c < ncomp; c++) {
+      const int32_t* blk = zz + ((size_t)c * nblocks + b) * 64;
+      int tid = tids[c];
+      int64_t diff = (int64_t)blk[0] - prev_dc[c];
+      prev_dc[c] = blk[0];
+      int cat = jpg_cat(diff);
+      uint32_t eb = 0;
+      if (cat && cat != 16)
+        eb = (uint32_t)(diff < 0 ? diff + (1 << cat) - 1 : diff);
+      visit(cat, true, tid, eb, cat == 16 ? 0 : cat);
+      int last_nz = 0, run = 0;
+      for (int k2 = 1; k2 < 64; k2++) {
+        int32_t v = blk[k2];
+        if (v == 0) { run++; continue; }
+        while (run >= 16) { visit(0xF0, false, tid, 0, 0); run -= 16; }
+        int ac = jpg_cat(v);
+        uint32_t aeb = (uint32_t)(v < 0 ? v + (1 << ac) - 1 : v);
+        visit((run << 4) | ac, false, tid, aeb, ac);
+        run = 0;
+        last_nz = k2;
+      }
+      if (last_nz < 63) visit(0x00, false, tid, 0, 0);
+    }
+  }
+}
+
+extern "C" {
+
+// Symbol histograms per table id (dc_hist/ac_hist: int64 [4*256]).
+void jpg_scan_hist(const int32_t* zz, int ncomp, long nblocks,
+                   const int32_t* tids, int restart,
+                   int64_t* dc_hist, int64_t* ac_hist) {
+  memset(dc_hist, 0, sizeof(int64_t) * 4 * 256);
+  memset(ac_hist, 0, sizeof(int64_t) * 4 * 256);
+  jpg_scan_walk(zz, ncomp, nblocks, tids, restart,
+                [&](int sym, bool is_dc, int tid, uint32_t, int) {
+                  (is_dc ? dc_hist : ac_hist)[tid * 256 + sym]++;
+                });
+}
+
+// Huffman-code the scan with FF stuffing (+RSTn between intervals).
+// codes/lens: int32 [4*256] per class. Returns bytes or -1.
+long jpg_encode_scan2(const int32_t* zz, int ncomp, long nblocks,
+                      const int32_t* tids, int restart,
+                      const int32_t* dc_codes, const int32_t* dc_lens,
+                      const int32_t* ac_codes, const int32_t* ac_lens,
+                      uint8_t* out, long out_cap) {
+  BitW w(out, out_cap, true);
+  bool overflow = false;
+  long interval = 0;
+  // emit intervals manually to byte-align + RSTn at boundaries
+  std::vector<int64_t> prev_dc(ncomp, 0);
+  for (long b = 0; b < nblocks && !overflow; b++) {
+    if (restart && b > 0 && b % restart == 0) {
+      if (!w.pad(1)) { overflow = true; break; }
+      if (w.o + 2 > out_cap) { overflow = true; break; }
+      out[w.o++] = 0xFF;
+      out[w.o++] = (uint8_t)(0xD0 + (interval % 8));
+      interval++;
+      for (int c = 0; c < ncomp; c++) prev_dc[c] = 0;
+    }
+    for (int c = 0; c < ncomp && !overflow; c++) {
+      const int32_t* blk = zz + ((size_t)c * nblocks + b) * 64;
+      int tid = tids[c];
+      const int32_t* dcod = dc_codes + tid * 256;
+      const int32_t* dlen = dc_lens + tid * 256;
+      const int32_t* acod = ac_codes + tid * 256;
+      const int32_t* alen = ac_lens + tid * 256;
+      int64_t diff = (int64_t)blk[0] - prev_dc[c];
+      prev_dc[c] = blk[0];
+      int cat = jpg_cat(diff);
+      if (!dlen[cat]) return -1;
+      if (!w.put((uint32_t)dcod[cat], dlen[cat])) { overflow = true; break; }
+      if (cat && cat != 16) {
+        uint32_t eb = (uint32_t)(diff < 0 ? diff + (1 << cat) - 1 : diff);
+        if (!w.put(eb, cat)) { overflow = true; break; }
+      }
+      int last_nz = 0, run = 0;
+      for (int k2 = 1; k2 < 64; k2++) {
+        int32_t v = blk[k2];
+        if (v == 0) { run++; continue; }
+        while (run >= 16) {
+          if (!alen[0xF0]) return -1;
+          if (!w.put((uint32_t)acod[0xF0], alen[0xF0])) {
+            overflow = true; break;
+          }
+          run -= 16;
+        }
+        if (overflow) break;
+        int ac = jpg_cat(v);
+        int sym = (run << 4) | ac;
+        if (!alen[sym]) return -1;
+        if (!w.put((uint32_t)acod[sym], alen[sym])) { overflow = true;
+                                                      break; }
+        uint32_t aeb = (uint32_t)(v < 0 ? v + (1 << ac) - 1 : v);
+        if (!w.put(aeb, ac)) { overflow = true; break; }
+        run = 0;
+        last_nz = k2;
+      }
+      if (!overflow && last_nz < 63) {
+        if (!alen[0]) return -1;
+        if (!w.put((uint32_t)acod[0], alen[0])) overflow = true;
+      }
+    }
+  }
+  if (overflow) return -1;
+  if (!w.pad(1)) return -1;
+  return w.o;
+}
+
+}  // extern "C"
+
+extern "C" {
+
 // Decode one code-block into out (int64 [h*w]). Returns 0, or -1 on error.
 int t1_decode(const uint8_t* stream, int stream_len, int w, int h, int style,
               int orient, int num_passes, int numbps, int roishift,
