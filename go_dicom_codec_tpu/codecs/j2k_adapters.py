@@ -56,6 +56,7 @@ def _params_from(parameters: Optional[Parameters],
     p.num_layers = geti("num_layers", 1)
     p.cb_style = geti("cb_style", 0)
     p.quality = geti("quality", p.quality)
+    p.guard_bits = geti("guard_bits", p.guard_bits)
     tr = parameters.get_parameter("target_ratio")
     if tr is not None:
         p.target_ratio = float(tr)
