@@ -500,15 +500,21 @@ class J2KEncoder:
                                 # non-terminated truncation point needs
                                 # ~3 extra bytes so the MQ decoder's
                                 # byte-ahead reads stay in-segment.
-                                # Widening up front (monotonicity is
-                                # preserved) keeps PCRD's measured
-                                # packet bytes identical to the final
-                                # emission.
-                                for _k in range(len(st.pass_rates) - 1):
+                                # Widening up front keeps PCRD's
+                                # measured packet bytes identical to
+                                # the final emission. The widened rate
+                                # must NOT cross the next pass's rate:
+                                # termination boundaries define the
+                                # decoder's segment splits (crossing
+                                # one scrambles LAZY/TERMALL segment
+                                # reassembly) — cap backward so each
+                                # cap sees the next pass's final rate.
+                                for _k in range(len(st.pass_rates) - 2,
+                                                -1, -1):
                                     if not st.pass_terms[_k]:
                                         st.pass_rates[_k] = min(
                                             st.pass_rates[_k] + 3,
-                                            len(stream))
+                                            st.pass_rates[_k + 1])
                             blocks.append(st)
                         plist.append(PrecinctState(
                             ncbw=pb.ncbw, ncbh=pb.ncbh, blocks=blocks,

@@ -128,6 +128,25 @@ def _segments(style: int, numbps: int, start_pass: int, new_passes: int
     return segs
 
 
+def _terminates_at(style: int, numbps: int, idx: int) -> bool:
+    """Whether global pass `idx` is a terminating pass under `style`
+    (same walk as _segments / ebcot._is_terminating)."""
+    if numbps <= 0:
+        return False
+    maxbp = numbps - 1
+    pass_type, bitplane, i = 2, maxbp, 0
+    while bitplane >= 0:
+        if i == idx:
+            return _is_terminating(bitplane, maxbp, pass_type, style)
+        i += 1
+        if pass_type == 2:
+            pass_type = 0
+            bitplane -= 1
+        else:
+            pass_type += 1
+    return False
+
+
 def encode_packet(bands: List[PrecinctState], layer: int,
                   style: int, num_layers: int = 1) -> Tuple[bytes, bytes]:
     """Encode one packet (header, body) for a precinct's bands.
@@ -281,11 +300,19 @@ def decode_packet(data: bytes, pos: int, bands: List[PrecinctState],
             pos += 2
 
     for blk, new_passes, seg_lens in reads:
-        for ln in seg_lens:
+        seg_counts = _segments(style, blk.numbps, blk.num_passes,
+                               new_passes)
+        p_end = blk.num_passes
+        for cnt, ln in zip(seg_counts, seg_lens):
             if pos + ln > len(data):
                 raise CorruptStreamError("packet body overruns tile data")
             blk.seg_data += data[pos:pos + ln]
-            blk.seg_ends.append(len(blk.seg_data))
+            p_end += cnt
+            # record a T1 segment boundary only at TRUE terminations —
+            # a layer boundary mid-segment (non-terminated pass) is a
+            # length-signaling split, not an MQ/raw coder restart
+            if _terminates_at(style, blk.numbps, p_end - 1):
+                blk.seg_ends.append(len(blk.seg_data))
             pos += ln
         blk.num_passes += new_passes
     return pos
