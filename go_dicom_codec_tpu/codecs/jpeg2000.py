@@ -462,6 +462,11 @@ class J2KEncoder:
                                     st.data = blob
                                     st.pass_rates = [len(blob)]
                                     st.pass_terms = [True]
+                                    # single all-or-nothing cleanup pass:
+                                    # give PCRD a top-bitplane slope so
+                                    # layered streams ship HT blocks in
+                                    # the earliest fitting layer
+                                    st.pass_bitplanes = [mb]
                                 blocks.append(st)
                                 continue
                             from ..native import t1_encode_native

@@ -109,3 +109,18 @@ def test_odd_image_origin_decode():
     arr, _, _ = J2KDecoder().decode(bytes(out))
     assert arr.shape == (h, w, 1)
     np.testing.assert_array_equal(arr[:, :, 0], img.astype(np.int32))
+
+
+@pytest.mark.parametrize("layers,rates,prog", [
+    (2, None, 1), (2, [8.0, 0], 0), (3, None, 3), (2, None, 4)])
+def test_htj2k_layered_roundtrip(layers, rates, prog, rng):
+    """HT blocks have a single all-or-nothing cleanup pass; layered
+    streams must still allocate and decode them (fuzz-found regression:
+    missing pass_bitplanes -> PCRD IndexError)."""
+    img = rng.integers(0, 4096, (51, 77)).astype("<u2")
+    data = J2KEncoder(J2KEncodeParams(num_levels=2, htj2k=True,
+                                      num_layers=layers, layer_rates=rates,
+                                      progression=prog)).encode(
+        img.tobytes(), 77, 51, 1, 12, False)
+    arr, _, _ = J2KDecoder().decode(data)
+    np.testing.assert_array_equal(arr[:, :, 0], img.astype(np.int32))
