@@ -90,8 +90,36 @@ class J2KLosslessCodec(Codec):
                parameters: Optional[Parameters] = None) -> None:
         info = old_pixel_data.get_frame_info()
         params = _params_from(parameters, lossless=True)
+        nframes = old_pixel_data.frame_count()
+        # multi-frame grayscale with default geometry: batch the device
+        # stage (DC shift + DWT) over all frames with double-buffered
+        # host↔device overlap (pipeline.encode_frames_pipelined); the
+        # per-frame codestreams are byte-identical to the scalar path
+        if (nframes > 1 and info.samples_per_pixel == 1
+                and params.tile_width == 0 and params.tile_height == 0
+                and params.roi_regions is None
+                and params.mct_matrix is None
+                and params.num_layers == 1 and params.cb_style == 0
+                and not params.htj2k and params.precincts is None
+                and params.target_ratio == 0
+                and not params.append_lossless_layer):
+            from ..pipeline import encode_frames_pipelined
+            dt = (np.int8 if info.is_signed else np.uint8) \
+                if info.bits_allocated <= 8 else \
+                (np.dtype("<i2") if info.is_signed else np.dtype("<u2"))
+            frames = np.stack([
+                np.frombuffer(old_pixel_data.get_frame(i), dtype=dt,
+                              count=info.width * info.height
+                              ).reshape(info.height, info.width)
+                for i in range(nframes)])
+            for stream in encode_frames_pipelined(
+                    frames, bit_depth=info.bits_stored,
+                    signed=info.is_signed, levels=params.num_levels,
+                    params=params):
+                new_pixel_data.add_frame(stream)
+            return
         enc = J2KEncoder(params)
-        for i in range(old_pixel_data.frame_count()):
+        for i in range(nframes):
             frame = old_pixel_data.get_frame(i)
             if info.samples_per_pixel == 3 and info.planar_configuration == 1:
                 frame = np.ascontiguousarray(

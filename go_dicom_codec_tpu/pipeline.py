@@ -90,6 +90,8 @@ def encode_frames_pipelined(frames, bit_depth: int = 16,
     header += j2kcs.write_siz(siz)
     header += j2kcs.write_cod(cod)
     header += j2kcs.write_qcd(qcd)
+    if p.comment:
+        header += j2kcs.write_com(p.comment)
 
     for ci in range(len(chunks)):
         coeffs = np.asarray(pending)  # sync chunk ci
