@@ -39,6 +39,12 @@ def j2k_lossless_encode_transform_jit(frames, levels: int = 5, bits: int = 16,
     return j2k_lossless_encode_transform(frames, levels, bits, signed, cb)
 
 
+@partial(jax.jit, static_argnames=("bits", "signed", "lv"))
+def _pipeline_device_stage(x, bits, signed, lv):
+    return fwd53_multilevel(dc_level_shift(x.astype(jnp.int32), bits,
+                                           signed), lv)
+
+
 def encode_frames_pipelined(frames, bit_depth: int = 16,
                             signed: bool = False, levels: int = 5,
                             chunk: int = 8, params=None):
@@ -64,11 +70,7 @@ def encode_frames_pipelined(frames, bit_depth: int = 16,
     p = params or J2KEncodeParams(num_levels=levels)
     p.num_levels = p.clamped_levels(w, h)
     enc = J2KEncoder(p)
-
-    @partial(jax.jit, static_argnames=("bits", "signed", "lv"))
-    def device_stage(x, bits, signed, lv):
-        s = dc_level_shift(x.astype(jnp.int32), bits, signed)
-        return fwd53_multilevel(s, lv)
+    device_stage = _pipeline_device_stage  # module-level jit (no recompiles)
 
     chunks = [frames[i : i + chunk] for i in range(0, f, chunk)]
     # dispatch chunk 0

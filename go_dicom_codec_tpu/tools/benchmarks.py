@@ -91,6 +91,14 @@ def bench_codec(uid: str, size: int, frames: int, repeats: int):
 
 
 def main(argv=None) -> int:
+    # honor JAX_PLATFORMS before any backend initialization (the axon
+    # sitecustomize registers the TPU tunnel ahead of the env variable)
+    import os
+
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--frames", type=int, default=4)
