@@ -64,8 +64,9 @@ def _params_from(parameters: Optional[Parameters],
         p.append_lossless_layer = True
     # Part 2 MCT bindings (reference lossless/codec.go:187-240), layered
     # rates, ROI config and precincts pass through as-is
-    for key in ("mct_matrix", "mct_inverse", "mct_offsets", "layer_rates",
-                "roi_regions", "roi_shift", "roi_style", "precincts"):
+    for key in ("mct_matrix", "mct_inverse", "mct_offsets", "mct_bindings",
+                "layer_rates", "roi_regions", "roi_shift", "roi_style",
+                "precincts"):
         v = parameters.get_parameter(key)
         if v is not None:
             setattr(p, key, v)
@@ -99,6 +100,7 @@ class J2KLosslessCodec(Codec):
                 and params.tile_width == 0 and params.tile_height == 0
                 and params.roi_regions is None
                 and params.mct_matrix is None
+                and params.mct_bindings is None
                 and params.num_layers == 1 and params.cb_style == 0
                 and not params.htj2k and params.precincts is None
                 and params.target_ratio == 0

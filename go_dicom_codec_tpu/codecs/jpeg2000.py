@@ -59,6 +59,9 @@ class J2KEncodeParams:
     mct_matrix: Optional[List[List[float]]] = None    # forward N×N
     mct_inverse: Optional[List[List[float]]] = None   # inverse N×N
     mct_offsets: Optional[List[float]] = None
+    # multiple binding groups (reference MCTBindings encoder.go:111-121):
+    # list of mct_builder.MCTBinding, applied in order on encode
+    mct_bindings: Optional[list] = None
     precincts: Optional[List[Tuple[int, int]]] = None
     comment: bytes = b"go-dicom-codec-tpu"
     guard_bits: int = 2
@@ -143,6 +146,19 @@ class J2KEncoder:
                 raise UnsupportedFormatError(
                     "MCT matrix size must match component count")
             use_mct = False  # custom matrix replaces RCT/ICT
+        if p.mct_bindings:
+            use_mct = False  # bindings replace RCT/ICT (reference order:
+            #                  bindings > custom matrix > RCT/ICT)
+            for b in p.mct_bindings:
+                ids = list(b.component_ids) or list(range(components))
+                if any(not (0 <= c < components) for c in ids):
+                    raise UnsupportedFormatError(
+                        f"MCT binding references component out of range "
+                        f"(ids {ids}, {components} components)")
+                if b.matrix is None or len(b.matrix) != len(ids):
+                    raise UnsupportedFormatError(
+                        "MCT binding matrix size must match its "
+                        "component count")
         tw = p.tile_width or width
         th = p.tile_height or height
 
@@ -235,7 +251,34 @@ class J2KEncoder:
             from .j2k_roi import write_roi_com
             out += j2k.write_com(write_roi_com(p.roi_regions, components),
                                  binary=True)
-        if p.mct_matrix is not None:
+        if p.mct_bindings:
+            # Part 2 multi-binding MCT: one decorrelation (+offset) MCT
+            # record per binding, one MCC collection each, MCO order
+            # (reference applyMCTBindings/writeMCTAndMCC encoder.go:527-784)
+            next_idx = 1
+            mcc_order = []
+            for bi, b in enumerate(p.mct_bindings):
+                ids = list(b.component_ids) or list(range(components))
+                inv = b.inverse
+                if inv is None:
+                    inv = np.linalg.inv(np.asarray(b.matrix)).tolist()
+                deco_idx = next_idx
+                next_idx += 1
+                out += j2k.write_mct_record(
+                    deco_idx, j2k.MCT_ARRAY_DECORRELATE, j2k.MCT_ELEM_F32,
+                    [v for row in inv for v in row])
+                off_idx = 0
+                if b.offsets:
+                    off_idx = next_idx
+                    next_idx += 1
+                    out += j2k.write_mct_record(
+                        off_idx, j2k.MCT_ARRAY_OFFSET, j2k.MCT_ELEM_F32,
+                        list(b.offsets))
+                out += j2k.write_mcc_record(bi, ids, p.lossless, deco_idx,
+                                            off_idx)
+                mcc_order.append(bi)
+            out += j2k.write_mco_record(mcc_order)
+        elif p.mct_matrix is not None:
             # Part 2 markers: MCT (inverse matrix + offsets), MCC, MCO
             # (reference writeMCTAndMCC, encoder.go:668-784)
             inv = p.mct_inverse
@@ -331,7 +374,21 @@ class J2KEncoder:
         comps = jnp.asarray(np.moveaxis(tile, -1, 0))  # [C, H, W]
         comps = dc_level_shift(comps, bit_depth, signed)
         lossless = cod.transform == 1
-        if self.params.mct_matrix is not None:
+        if self.params.mct_bindings:
+            from ..ops.mct import mct_matrix_forward
+            for b in self.params.mct_bindings:
+                ids = list(b.component_ids) or list(range(ncomp))
+                idx = jnp.asarray(ids)
+                m = jnp.asarray(np.asarray(b.matrix, dtype=np.float32))
+                offs = (jnp.asarray(np.asarray(b.offsets,
+                                               dtype=np.float32))
+                        if b.offsets else None)
+                sub = mct_matrix_forward(comps[idx].astype(jnp.float32),
+                                         m, offs)
+                comps = comps.astype(jnp.float32).at[idx].set(sub)
+            if lossless:
+                comps = jnp.round(comps).astype(jnp.int32)
+        elif self.params.mct_matrix is not None:
             from ..ops.mct import mct_matrix_forward
             m = jnp.asarray(np.asarray(self.params.mct_matrix,
                                        dtype=np.float32))
@@ -633,6 +690,20 @@ class J2KEncoder:
         return out
 
 
+def _apply_mct_bindings_inverse(rec, bindings):
+    """Apply per-binding inverse matrices (+offsets) to component
+    subsets, in the (already reversed) MCO order."""
+    from ..ops.mct import mct_matrix_inverse
+    recf = rec.astype(jnp.float32)
+    for (ids, inv, offs) in bindings:
+        idx = jnp.asarray(ids)
+        sub = mct_matrix_inverse(
+            recf[idx], jnp.asarray(inv),
+            jnp.asarray(offs) if offs is not None else None)
+        recf = recf.at[idx].set(sub)
+    return recf
+
+
 class J2KDecoder:
     """Codestream decoder (reference decoder.go:91-124, tile_decoder.go)."""
 
@@ -649,20 +720,58 @@ class J2KDecoder:
         height = siz.ysiz - siz.yosiz
         out = np.zeros((height, width, ncomp), dtype=np.int32)
 
-        # Part 2 custom MCT: decode inverse matrix + offsets from markers
-        # (reference decoder.go:206-353 extractMCTFromMarkers/extractBindings)
-        custom_inv = None
-        custom_offs = None
+        # Part 2 custom MCT: decode inverse matrices + offsets from the
+        # markers (reference decoder.go:206-353 extractMCTFromMarkers /
+        # extractBindings). With MCC/MCO present, each collection binds a
+        # component subset to its MCT records; inverses apply in REVERSE
+        # MCO order. Without MCC, fall back to the first full-size
+        # decorrelation matrix.
+        mct_bindings_inv = []  # [(ids, inv[N,N], offsets[N] | None)]
         if cs.mct_segments:
+            mct_by_idx = {}
             for seg in cs.mct_segments:
                 idx, atype, etype, vals = j2k.parse_mct_segment(seg)
-                if atype == j2k.MCT_ARRAY_DECORRELATE and custom_inv is None \
-                        and len(vals) == ncomp * ncomp:
-                    custom_inv = np.asarray(vals, dtype=np.float32
-                                            ).reshape(ncomp, ncomp)
-                elif atype == j2k.MCT_ARRAY_OFFSET and custom_offs is None \
-                        and len(vals) == ncomp:
-                    custom_offs = np.asarray(vals, dtype=np.float32)
+                mct_by_idx[(atype, idx)] = vals
+            if cs.mcc_segments:
+                mccs = {}
+                for seg in cs.mcc_segments:
+                    index, ids, rev, didx, oidx = j2k.parse_mcc_segment(seg)
+                    mccs[index] = (ids, didx, oidx)
+                order = None
+                if cs.mco_segments:
+                    order = j2k.parse_mco_segment(cs.mco_segments[0])
+                if not order:
+                    order = sorted(mccs)
+                for mcc_i in reversed(order):
+                    if mcc_i not in mccs:
+                        continue
+                    ids, didx, oidx = mccs[mcc_i]
+                    vals = mct_by_idx.get((j2k.MCT_ARRAY_DECORRELATE, didx))
+                    if not vals or len(vals) != len(ids) ** 2:
+                        continue
+                    inv = np.asarray(vals, dtype=np.float32
+                                     ).reshape(len(ids), len(ids))
+                    ovals = mct_by_idx.get((j2k.MCT_ARRAY_OFFSET, oidx)) \
+                        if oidx else None
+                    offs = (np.asarray(ovals, dtype=np.float32)
+                            if ovals and len(ovals) == len(ids) else None)
+                    mct_bindings_inv.append((list(ids), inv, offs))
+            if not mct_bindings_inv:
+                custom_inv = None
+                custom_offs = None
+                for (atype, idx), vals in sorted(mct_by_idx.items(),
+                                                 key=lambda kv: kv[0][1]):
+                    if atype == j2k.MCT_ARRAY_DECORRELATE \
+                            and custom_inv is None \
+                            and len(vals) == ncomp * ncomp:
+                        custom_inv = np.asarray(vals, dtype=np.float32
+                                                ).reshape(ncomp, ncomp)
+                    elif atype == j2k.MCT_ARRAY_OFFSET \
+                            and custom_offs is None and len(vals) == ncomp:
+                        custom_offs = np.asarray(vals, dtype=np.float32)
+                if custom_inv is not None:
+                    mct_bindings_inv.append((list(range(ncomp)), custom_inv,
+                                             custom_offs))
 
         # private JP2ROI COM: region geometry for General-Scaling unshift
         # (reference extractROIFromCOM decoder.go:167-204)
@@ -703,7 +812,7 @@ class J2KDecoder:
                                    -(-tx1 // xr), -(-ty1 // yr)))
             tile_arr = self._decode_tile(tile.data, rect, cods, qcds, ncomp,
                                          depth0, signed0, cs.rgn_shifts,
-                                         custom_inv, custom_offs,
+                                         mct_bindings_inv,
                                          poc=cs.poc_for(tile),
                                          gs_masks=gs_masks,
                                          comp_rects=comp_rects)
@@ -715,8 +824,7 @@ class J2KDecoder:
     def _decode_tile(self, body: bytes, rect, cods, qcds, ncomp: int,
                      depth: int, signed: bool,
                      rgn_shifts: Optional[Dict[int, int]] = None,
-                     custom_inv: Optional[np.ndarray] = None,
-                     custom_offs: Optional[np.ndarray] = None,
+                     mct_bindings_inv=None,
                      poc=None, gs_masks=None,
                      comp_rects=None) -> np.ndarray:
         """cods/qcds: effective per-component CodInfo/QcdInfo (COD+COC,
@@ -894,13 +1002,9 @@ class J2KDecoder:
         if homogeneous and cod.transform == 1:
             rec = inv53_multilevel(jnp.asarray(packed), cod.num_levels,
                                    x0=tx0, y0=ty0)
-            if custom_inv is not None:
-                from ..ops.mct import mct_matrix_inverse
-                rec = jnp.round(mct_matrix_inverse(
-                    rec, jnp.asarray(custom_inv),
-                    jnp.asarray(custom_offs)
-                    if custom_offs is not None else None)
-                ).astype(jnp.int32)
+            if mct_bindings_inv:
+                rec = jnp.round(_apply_mct_bindings_inverse(
+                    rec, mct_bindings_inv)).astype(jnp.int32)
             elif cod.mct == 1 and ncomp >= 3:
                 r_, g_, b_ = rct_inverse(rec[0], rec[1], rec[2])
                 rec = jnp.stack([r_, g_, b_]
@@ -920,12 +1024,8 @@ class J2KDecoder:
                     fpacked[c][sl] = jq.dequantize(packed[c][sl], delta)
             rec = inv97_multilevel(jnp.asarray(fpacked), cod.num_levels,
                                    x0=tx0, y0=ty0)
-            if custom_inv is not None:
-                from ..ops.mct import mct_matrix_inverse
-                rec = mct_matrix_inverse(
-                    rec, jnp.asarray(custom_inv),
-                    jnp.asarray(custom_offs)
-                    if custom_offs is not None else None)
+            if mct_bindings_inv:
+                rec = _apply_mct_bindings_inverse(rec, mct_bindings_inv)
             elif cod.mct == 1 and ncomp >= 3:
                 r_, g_, b_ = ict_inverse(rec[0], rec[1], rec[2])
                 rec = jnp.stack([r_, g_, b_]

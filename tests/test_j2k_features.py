@@ -303,3 +303,25 @@ def test_mcc_segment_parser_roundtrip():
     payload = seg[4:]  # strip marker+length
     idx, ids, rev, deco, off = j2k.parse_mcc_segment(payload)
     assert (idx, ids, rev, deco, off) == (3, [0, 1, 2], True, 1, 2)
+
+
+def test_multi_binding_mct_roundtrip(rng):
+    """Multiple MCT binding groups (reference MCTBindings
+    encoder.go:111-121, applyMCTBindings :527): each group carries its
+    own matrix/offsets via MCT records + one MCC collection each + MCO
+    order; decoder inverts in reverse MCO order."""
+    from go_dicom_codec_tpu.codecs.mct_builder import MCTBindingBuilder
+
+    rgb = rng.integers(0, 256, (64, 64, 3)).astype(np.uint8)
+    b1 = MCTBindingBuilder().components([0, 1]).matrix(
+        [[0.5, 0.5], [-0.5, 0.5]]).offsets([1.0, -2.0]).build()
+    b2 = MCTBindingBuilder().components([2]).matrix([[2.0]]).build()
+    data = J2KEncoder(J2KEncodeParams(num_levels=2, lossless=False,
+                                      quality=85, mct_bindings=[b1, b2])
+                      ).encode(rgb.tobytes(), 64, 64, 3, 8)
+    cs = j2k.parse_codestream(data)
+    assert len(cs.mcc_segments) == 2
+    assert len(cs.mco_segments) == 1
+    arr, _, _ = J2KDecoder().decode(data)
+    err = np.abs(arr.astype(float) - rgb.astype(float)).mean()
+    assert err < 3.0
