@@ -1473,13 +1473,41 @@ struct GReader {
     return (cache >> valid) & 1;
   }
   int read_bits(int n) {
+    if (n == 0) return 0;
+    if (valid < n) fill();
+    if (valid >= n) {
+      valid -= n;
+      return (int)((cache >> valid) & ((1ull << n) - 1));
+    }
     int v = 0;
     for (int i = 0; i < n; i++) v = (v << 1) | read_bit();
     return v;
   }
-  int decode_value(int k, int limit, int qbpp) {
+  // unary run: count zeros up to the first 1 via the cached window
+  int read_unary() {
     int high = 0;
-    while (read_bit() == 0) { if (++high > 100000) return -1; }
+    for (;;) {
+      if (valid == 0) {
+        fill();
+        if (valid == 0) return high;  // exhausted: trailing ones pad
+      }
+      uint64_t window = cache & ((valid >= 64) ? ~0ull
+                                               : ((1ull << valid) - 1));
+      if (window == 0) {
+        high += valid;
+        valid = 0;
+        if (high > 100000) return -1;
+        continue;
+      }
+      int top = 63 - __builtin_clzll(window);
+      high += valid - 1 - top;
+      valid = top;  // consume the zeros and the terminating 1
+      return high;
+    }
+  }
+  int decode_value(int k, int limit, int qbpp) {
+    int high = read_unary();
+    if (high < 0) return -1;
     if (high >= limit - (qbpp + 1)) return read_bits(qbpp) + 1;
     if (k == 0) return high;
     return (high << k) + read_bits(k);
