@@ -66,7 +66,8 @@ def _params_from(parameters: Optional[Parameters],
     # rates, ROI config and precincts pass through as-is
     for key in ("mct_matrix", "mct_inverse", "mct_offsets", "mct_bindings",
                 "layer_rates", "roi_regions", "roi_shift", "roi_style",
-                "precincts"):
+                "precincts", "layer_budget_strategy",
+                "block_encoder_factory"):
         v = parameters.get_parameter(key)
         if v is not None:
             setattr(p, key, v)

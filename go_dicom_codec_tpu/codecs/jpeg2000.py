@@ -62,6 +62,15 @@ class J2KEncodeParams:
     # multiple binding groups (reference MCTBindings encoder.go:111-121):
     # list of mct_builder.MCTBinding, applied in order on encode
     mct_bindings: Optional[list] = None
+    # pluggable block coder (reference BlockEncoderFactory
+    # encoder.go:94-103): callable(width, height) -> object with
+    # encode(data[h,w] int) -> (stream, numbps, List[PassInfo]);
+    # T1Encoder's interface. Overrides the native/Python T1 (non-HT).
+    block_encoder_factory: Optional[object] = None
+    # intermediate layer byte-budget curve (reference ComputeLayerBudgets
+    # rate_distortion.go:438-464): EXPONENTIAL (default, pow 1.1),
+    # EQUAL_RATE (linear), EQUAL_QUALITY (pow 0.9), ADAPTIVE (pow 1.05)
+    layer_budget_strategy: str = "EXPONENTIAL"
     precincts: Optional[List[Tuple[int, int]]] = None
     comment: bytes = b"go-dicom-codec-tpu"
     guard_bits: int = 2
@@ -72,6 +81,12 @@ class J2KEncodeParams:
         while lv > 0 and (min(w, h) >> lv) < 1:
             lv -= 1
         return lv
+
+
+# Layer-budget strategy → fraction-curve exponent (reference
+# ComputeLayerBudgets rate_distortion.go:438-464)
+_BUDGET_EXPONENTS = {"EQUAL_RATE": 1.0, "EQUAL_QUALITY": 0.9,
+                     "ADAPTIVE": 1.05, "EXPONENTIAL": 1.1}
 
 
 def _band_index(r: int, band: int) -> int:
@@ -180,8 +195,10 @@ class J2KEncoder:
         num_layers = p.num_layers
         eff_rates = list(p.layer_rates) if p.layer_rates else None
         if p.target_ratio > 0 and eff_rates is None:
-            eff_rates = [p.target_ratio * (1 << (num_layers - 1 - i))
-                         for i in range(num_layers)]
+            e = _BUDGET_EXPONENTS.get(p.layer_budget_strategy, 1.1)
+            eff_rates = [
+                p.target_ratio / (((i + 1) / num_layers) ** e)
+                for i in range(num_layers)]
         if p.append_lossless_layer and eff_rates and eff_rates[-1] != 0:
             num_layers += 1
             eff_rates.append(0.0)
@@ -526,14 +543,24 @@ class J2KEncoder:
                                     st.pass_bitplanes = [mb]
                                 blocks.append(st)
                                 continue
-                            from ..native import t1_encode_native
-                            native = t1_encode_native(
-                                np.ascontiguousarray(blk_data),
-                                cod.cb_style, bg.orient)
-                            if native is not None:
-                                (stream, numbps, rates, terms,
-                                 bitplanes, nmsedecs) = native
+                            factory = self.params.block_encoder_factory
+                            if factory is not None:
+                                be = factory(g.width, g.height)
+                                stream, numbps, passes = be.encode(blk_data)
+                                rates = [pi.rate for pi in passes]
+                                terms = [pi.terminated for pi in passes]
+                                bitplanes = [pi.bitplane for pi in passes]
+                                nmsedecs = [pi.nmsedec for pi in passes]
+                                native = True  # skip fallback below
                             else:
+                                from ..native import t1_encode_native
+                                native = t1_encode_native(
+                                    np.ascontiguousarray(blk_data),
+                                    cod.cb_style, bg.orient)
+                                if native is not None:
+                                    (stream, numbps, rates, terms,
+                                     bitplanes, nmsedecs) = native
+                            if native is None:
                                 enc = T1Encoder(g.width, g.height,
                                                 style=cod.cb_style,
                                                 orientation=bg.orient)
@@ -629,7 +656,10 @@ class J2KEncoder:
             budgets = layer_budgets_from_rates(total_pixels, bit_depth,
                                                rates, total)
         else:
-            budgets = [total * (i + 1) // cod.num_layers
+            e = _BUDGET_EXPONENTS.get(
+                getattr(self.params, "layer_budget_strategy",
+                        "EXPONENTIAL"), 1.1)
+            budgets = [int(total * (((i + 1) / cod.num_layers) ** e))
                        for i in range(cod.num_layers - 1)] + [0]
 
         def measured_bytes(counts_by_layer):

@@ -325,3 +325,46 @@ def test_multi_binding_mct_roundtrip(rng):
     arr, _, _ = J2KDecoder().decode(data)
     err = np.abs(arr.astype(float) - rgb.astype(float)).mean()
     assert err < 3.0
+
+
+def test_block_encoder_factory(rng):
+    """Pluggable block coder (reference BlockEncoderFactory
+    encoder.go:94-103): factory(width, height) supplies the block
+    encoder; like the reference, the factory object receives no band
+    orientation (intended for orientation-agnostic coders such as HT)."""
+    from go_dicom_codec_tpu.entropy.ebcot import T1Encoder
+
+    img = rng.integers(0, 4096, (64, 64)).astype("<u2")
+    calls = []
+
+    def factory(w, h):
+        calls.append((w, h))
+        return T1Encoder(w, h, style=0, orientation=0)
+
+    d1 = J2KEncoder(J2KEncodeParams(num_levels=0,
+                                    block_encoder_factory=factory)
+                    ).encode(img.tobytes(), 64, 64, 1, 12)
+    d2 = J2KEncoder(J2KEncodeParams(num_levels=0)
+                    ).encode(img.tobytes(), 64, 64, 1, 12)
+    assert calls and d1 == d2  # orientation-0 band: byte-identical
+    arr, _, _ = J2KDecoder().decode(d1)
+    np.testing.assert_array_equal(arr[:, :, 0], img.astype(np.int32))
+
+
+@pytest.mark.parametrize("strategy", ["EXPONENTIAL", "EQUAL_RATE",
+                                      "EQUAL_QUALITY", "ADAPTIVE"])
+def test_layer_budget_strategies(strategy, rng):
+    """Budget-curve strategies (reference ComputeLayerBudgets
+    rate_distortion.go:438-464) shape intermediate layers; full decode
+    stays lossless and target_ratio stays byte-bounded."""
+    img = rng.integers(0, 4096, (64, 64)).astype("<u2")
+    d = J2KEncoder(J2KEncodeParams(num_levels=2, num_layers=3,
+                                   layer_budget_strategy=strategy)
+                   ).encode(img.tobytes(), 64, 64, 1, 12)
+    arr, _, _ = J2KDecoder().decode(d)
+    np.testing.assert_array_equal(arr[:, :, 0], img.astype(np.int32))
+    dt = J2KEncoder(J2KEncodeParams(num_levels=2, num_layers=2,
+                                    target_ratio=8.0,
+                                    layer_budget_strategy=strategy)
+                    ).encode(img.tobytes(), 64, 64, 1, 12)
+    assert len(dt) < 64 * 64 * 12 / 8 / 8 + 400
