@@ -18,9 +18,11 @@ Perf note (round 1): a fully fused multilevel Pallas kernel (all levels in
 one VMEM-resident launch) was prototyped and rejected — Mosaic cannot
 lower the stride-2 lane-dim deinterleave ("infer-vector-layout:
 unsupported shape cast"), and the interleaved-lifting workaround needs a
-full post-permutation pass that erases the fusion win. The XLA path below
-measures ~6.2 Gpx/s/chip on the headline bench (6× the 1 Gpx/s target),
-so the jnp formulation stays.
+full post-permutation pass that erases the fusion win. Measured ceiling
+check on the chip: a bare `x + 1` copy runs ~6.8 Gpx/s and the 5-level
+transform ~5.4-6.3 Gpx/s — the XLA path is already within ~80-95% of the
+HBM read+write bound, so kernel fusion has no meaningful headroom and the
+jnp formulation stays.
 """
 
 from __future__ import annotations
