@@ -62,6 +62,9 @@ def _params_from(parameters: Optional[Parameters],
         p.target_ratio = float(tr)
     if parameters.get_parameter("append_lossless_layer"):
         p.append_lossless_layer = True
+    mv = parameters.get_parameter("mct")
+    if mv is not None:
+        p.mct = bool(mv)
     # Part 2 MCT bindings (reference lossless/codec.go:187-240), layered
     # rates, ROI config and precincts pass through as-is
     for key in ("mct_matrix", "mct_inverse", "mct_offsets", "mct_bindings",
@@ -97,7 +100,12 @@ class J2KLosslessCodec(Codec):
         # stage (DC shift + DWT) over all frames with double-buffered
         # host↔device overlap (pipeline.encode_frames_pipelined); the
         # per-frame codestreams are byte-identical to the scalar path
-        if (nframes > 1 and info.samples_per_pixel == 1
+        rgb_ok = (info.samples_per_pixel == 3
+                  and info.planar_configuration == 0
+                  and not info.is_signed
+                  and (params.mct is None or params.mct))
+        if (nframes > 1
+                and (info.samples_per_pixel == 1 or rgb_ok)
                 and params.tile_width == 0 and params.tile_height == 0
                 and params.roi_regions is None
                 and params.mct_matrix is None
@@ -110,10 +118,13 @@ class J2KLosslessCodec(Codec):
             dt = (np.int8 if info.is_signed else np.uint8) \
                 if info.bits_allocated <= 8 else \
                 (np.dtype("<i2") if info.is_signed else np.dtype("<u2"))
+            nc = info.samples_per_pixel
+            shape = ((info.height, info.width) if nc == 1
+                     else (info.height, info.width, nc))
             frames = np.stack([
                 np.frombuffer(old_pixel_data.get_frame(i), dtype=dt,
-                              count=info.width * info.height
-                              ).reshape(info.height, info.width)
+                              count=info.width * info.height * nc
+                              ).reshape(shape)
                 for i in range(nframes)])
             for stream in encode_frames_pipelined(
                     frames, bit_depth=info.bits_stored,

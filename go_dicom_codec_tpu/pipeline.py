@@ -45,6 +45,14 @@ def _pipeline_device_stage(x, bits, signed, lv):
                                            signed), lv)
 
 
+@partial(jax.jit, static_argnames=("bits", "lv"))
+def _pipeline_device_stage_rgb(x, bits, lv):
+    """[B, 3, H, W] → DC shift → RCT → per-component 5/3."""
+    s = dc_level_shift(x.astype(jnp.int32), bits, signed=False)
+    y, u, v = rct_forward(s[:, 0], s[:, 1], s[:, 2])
+    return fwd53_multilevel(jnp.stack([y, u, v], axis=1), lv)
+
+
 def encode_frames_pipelined(frames, bit_depth: int = 16,
                             signed: bool = False, levels: int = 5,
                             chunk: int = 8, params=None):
@@ -55,31 +63,42 @@ def encode_frames_pipelined(frames, bit_depth: int = 16,
     calls for (§2.10 item 4; replaces the reference's sequential frame
     loop, rle/rle.go:44-57 pattern).
 
-    frames: [F, H, W] integer array (grayscale). Returns list of
-    codestream bytes, one per frame.
+    frames: [F, H, W] (grayscale) or [F, H, W, 3] (RGB — encoded with the
+    reversible RCT like the scalar path). Returns list of codestream
+    bytes, one per frame.
     """
     import numpy as np
 
     from .codecs.jpeg2000 import J2KEncodeParams, J2KEncoder
     from .codestream import j2k as j2kcs
-    from .ops.dwt53 import fwd53_multilevel
-    from .ops.mct import dc_level_shift
 
     frames = np.asarray(frames)
-    f, h, w = frames.shape
+    rgb = frames.ndim == 4
+    if rgb:
+        f, h, w, nc = frames.shape
+        if nc != 3:
+            raise ValueError("RGB pipeline expects 3 components")
+        frames = np.moveaxis(frames, -1, 1)  # [F, 3, H, W]
+    else:
+        f, h, w = frames.shape
+        nc = 1
     p = params or J2KEncodeParams(num_levels=levels)
     p.num_levels = p.clamped_levels(w, h)
     enc = J2KEncoder(p)
-    device_stage = _pipeline_device_stage  # module-level jit (no recompiles)
+
+    def device_stage(x):
+        if rgb:
+            return _pipeline_device_stage_rgb(x, bit_depth, p.num_levels)
+        return _pipeline_device_stage(x, bit_depth, signed, p.num_levels)
 
     chunks = [frames[i : i + chunk] for i in range(0, f, chunk)]
     # dispatch chunk 0
-    pending = device_stage(jnp.asarray(chunks[0]), bit_depth, signed,
-                           p.num_levels)
+    pending = device_stage(jnp.asarray(chunks[0]))
     out = []
     siz = j2kcs.SizInfo(xsiz=w, ysiz=h, xtsiz=w, ytsiz=h,
-                        components=[(bit_depth, signed, 1, 1)])
-    cod = j2kcs.CodInfo(progression=p.progression, num_layers=1, mct=0,
+                        components=[(bit_depth, signed, 1, 1)] * nc)
+    cod = j2kcs.CodInfo(progression=p.progression, num_layers=1,
+                        mct=1 if rgb else 0,
                         num_levels=p.num_levels, cb_width=p.cb_width,
                         cb_height=p.cb_height, transform=1)
     qcd = j2kcs.QcdInfo(style=0, guard_bits=p.guard_bits)
@@ -98,10 +117,10 @@ def encode_frames_pipelined(frames, bit_depth: int = 16,
     for ci in range(len(chunks)):
         coeffs = np.asarray(pending)  # sync chunk ci
         if ci + 1 < len(chunks):      # overlap: dispatch next device work
-            pending = device_stage(jnp.asarray(chunks[ci + 1]), bit_depth,
-                                   signed, p.num_levels)
+            pending = device_stage(jnp.asarray(chunks[ci + 1]))
         for k in range(coeffs.shape[0]):
-            body = enc._encode_tile_entropy(coeffs[k : k + 1], (0, 0, w, h),
+            frame_coeffs = coeffs[k] if rgb else coeffs[k : k + 1]
+            body = enc._encode_tile_entropy(frame_coeffs, (0, 0, w, h),
                                             cod, qcd, bit_depth)
             stream = bytes(header) + j2kcs.write_tile_part(0, body) + \
                 j2kcs.EOC.to_bytes(2, "big")
