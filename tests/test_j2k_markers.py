@@ -307,3 +307,32 @@ def test_htj2k_emits_tlm():
     assert entries[0] == (0, psot)
     out = _decode(data)
     np.testing.assert_array_equal(out[:, :, 0], img.astype(np.int32))
+
+
+def test_sop_marked_stream_decode():
+    """SOP packet markers (Scod bit 1): the decoder skips FF91 segments
+    before each packet when the COD flags them (the reference never
+    emits SOP; decode-side support only)."""
+    import dataclasses
+    import struct
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 4096, (64, 64)).astype("<u2")
+    enc = J2KEncoder(J2KEncodeParams(num_levels=2)).encode(
+        img.tobytes(), 64, 64, 1, 16, False)
+    cs = j2k.parse_codestream(enc)
+    pk = _split_packets(cs.tiles[0].data, cs.siz.tile_rect(0, 0),
+                        cs.cod, cs.qcd)
+    out_body = bytearray()
+    for nsop, (_, blob) in enumerate(pk):
+        out_body += struct.pack(">HHH", 0xFF91, 4, nsop & 0xFFFF)
+        out_body += blob
+    cod2 = dataclasses.replace(cs.cod, use_sop=True)
+    out = bytearray(b"\xff\x4f")
+    out += j2k.write_siz(cs.siz)
+    out += j2k.write_cod(cod2)
+    out += j2k.write_qcd(cs.qcd)
+    out += j2k.write_tile_part(0, bytes(out_body))
+    out += j2k.EOC.to_bytes(2, "big")
+    arr = _decode(bytes(out))
+    np.testing.assert_array_equal(arr[:, :, 0], img.astype(np.int32))
