@@ -144,15 +144,10 @@ def packed_band_layout(tx0: int, ty0: int, tx1: int, ty1: int,
     x0, y0 = tx0, ty0
     for level in range(1, num_levels + 1):
         r = num_levels - level + 1  # bands of this decomposition sit at res r
-        if w <= 1 and h <= 1:
-            # deeper levels never ran (dwt53 loop break, dwt53.go:379-380);
-            # treat their detail bands as empty — encoders clamp num_levels
-            # so this only triggers on degenerate tiles
-            for band in (1, 2, 3):
-                bx0, by0, _, _ = band_rect(tx0, ty0, tx1, ty1,
-                                           num_levels, r, band)
-                bands.append(BandGeom(r, band, bx0, by0, bx0, by0, 0, 0))
-            continue
+        # zero-size windows fall through: low_len(0)=0 gives empty bands
+        # with matching Annex-B rects; 1-sample windows keep splitting
+        # (odd origins move the sample into this level's high band —
+        # mirrors ops/dwt53._level_windows)
         snx = low_len(w, x0 % 2 == 0)
         sny = low_len(h, y0 % 2 == 0)
         for band in (1, 2, 3):

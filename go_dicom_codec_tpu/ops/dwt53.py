@@ -176,9 +176,12 @@ def fwd53_2d(x: jnp.ndarray, even_row: bool = True,
     Dimensions of size 1 are skipped like the reference 2D path.
     """
     h, w = x.shape[-2], x.shape[-1]
-    if h > 1:
+    # size-1 dims still pass through the 1D op: at odd parity the single
+    # sample is a HIGH coefficient (×2 rule, dwt53.go:70-73 / Annex F);
+    # at even parity it is the identity and is skipped
+    if h > 1 or (h == 1 and not even_col):
         x = _along_cols(fwd53_1d, x, even_col)
-    if w > 1:
+    if w > 1 or (w == 1 and not even_row):
         x = _along_rows(fwd53_1d, x, even_row)
     return x
 
@@ -187,9 +190,9 @@ def inv53_2d(x: jnp.ndarray, even_row: bool = True,
              even_col: bool = True) -> jnp.ndarray:
     """Inverse 2D level: horizontal first, then vertical (dwt53.go:313-355)."""
     h, w = x.shape[-2], x.shape[-1]
-    if w > 1:
+    if w > 1 or (w == 1 and not even_row):
         x = _along_rows(inv53_1d, x, even_row)
-    if h > 1:
+    if h > 1 or (h == 1 and not even_col):
         x = _along_cols(inv53_1d, x, even_col)
     return x
 
@@ -199,8 +202,12 @@ def _level_windows(width: int, height: int, levels: int, x0: int, y0: int):
     wins: List[Tuple[int, int, int, int]] = []
     w, h = width, height
     for _ in range(levels):
-        if w <= 1 and h <= 1:
+        if w == 0 or h == 0:
             break
+        # NOTE: 1-sample windows still run — at odd origins Annex B puts
+        # the sample in the HIGH band of this level (fwd53_1d's ×2 rule),
+        # so stopping at 1×1 would desync the packed layout from the
+        # Annex-B band rectangles on ragged odd-origin tiles.
         wins.append((w, h, x0, y0))
         w, h, x0, y0 = next_window(w, h, x0, y0)
     return wins

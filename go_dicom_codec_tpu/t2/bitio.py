@@ -59,9 +59,10 @@ class BioReader:
         return v
 
     def align_to_byte(self) -> None:
-        """opj_bio_inalign: consume the stuffed bit after a 0xFF byte."""
-        if self.ct == 0:
-            return
+        """opj_bio_inalign: consume the stuffed byte after a trailing
+        0xFF — even when the bit count is already exhausted (the writer's
+        flush emits that byte whenever the last data byte is 0xFF,
+        regardless of how many of its bits were used)."""
         if (self.buf & 0xFF) == 0xFF:
             self._byte_in()
         self.ct = 0

@@ -142,12 +142,13 @@ def test_2d_roundtrip_and_scalar(shape, even_row, even_col, rng):
     x = rng.integers(-(1 << 12), 1 << 12, size=(h, w)).astype(np.int32)
     f = np.asarray(fwd53_2d(jnp.asarray(x), even_row, even_col))
 
-    # scalar model: vertical first, then horizontal (dwt53.go:259-301)
+    # scalar model: vertical first, then horizontal (dwt53.go:259-301);
+    # size-1 dims at odd parity still pass (single HIGH sample, ×2 rule)
     want = x.astype(np.int64).copy()
-    if h > 1:
+    if h > 1 or (h == 1 and not even_col):
         for cx in range(w):
             want[:, cx] = scalar_fwd1d(want[:, cx], even_col)
-    if w > 1:
+    if w > 1 or (w == 1 and not even_row):
         for cy in range(h):
             want[cy, :] = scalar_fwd1d(want[cy, :], even_row)
     np.testing.assert_array_equal(f, want.astype(np.int32))

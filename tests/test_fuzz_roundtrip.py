@@ -124,3 +124,46 @@ def test_htj2k_layered_roundtrip(layers, rates, prog, rng):
         img.tobytes(), 77, 51, 1, 12, False)
     arr, _, _ = J2KDecoder().decode(data)
     np.testing.assert_array_equal(arr[:, :, 0], img.astype(np.int32))
+
+
+def test_header_trailing_ff_alignment():
+    """Fuzz-found (seed-3 trial 31): when a packet header's last byte is
+    0xFF, the writer flush emits the stuffing byte; the reader's align
+    must consume it even with all bits already used (opj_bio_inalign
+    checks the byte value regardless of the bit count)."""
+    rng = np.random.default_rng(1026784146)  # exact failing draw
+    assert str(rng.choice(["j2k", "j2k", "ht", "jls", "p14"])) == "ht"
+    w = int(rng.integers(5, 160)); h = int(rng.integers(5, 160))
+    cmp_ = int(rng.choice([1, 1, 3]))
+    bits = int(rng.choice([8, 10, 12, 16]))
+    _ = rng.random()  # the fuzz's signed draw
+    img = rng.integers(0, 1 << bits, (h, w, cmp_)).astype(np.int64)
+    cfg = dict(num_levels=int(rng.integers(0, 6)),
+               num_layers=int(rng.choice([1, 2, 3])),
+               cb_width=int(rng.choice([16, 32, 64])),
+               cb_height=int(rng.choice([16, 32, 64])),
+               progression=int(rng.integers(0, 5)),
+               cb_style=0, htj2k=True,
+               tile_width=int(rng.choice([0, 0, 48, 64])),
+               tile_height=int(rng.choice([0, 0, 48, 64])))
+    data = J2KEncoder(J2KEncodeParams(**cfg)).encode(
+        img.astype("<u2").tobytes(), w, h, cmp_, bits, False)
+    arr, _, _ = J2KDecoder().decode(data)
+    np.testing.assert_array_equal(arr.astype(np.int64), img)
+
+
+def test_ragged_odd_origin_tile_deep_levels():
+    """Fuzz-found (seed-3 trial 125): ragged tiles at odd origins with
+    levels deeper than the tile supports — Annex B keeps splitting
+    1-sample windows (odd parity moves the sample to the high band,
+    the ×2 rule), so the DWT cascade and the band rectangles agree."""
+    rng = np.random.default_rng(1)
+    img = rng.integers(-(1 << 9), 1 << 9, (61, 63, 3)).astype(np.int64)
+    from go_dicom_codec_tpu.codecs.j2k_roi import ROIRegion
+    roi = [ROIRegion(shape="rect", rect=(1, 1, 31, 30), style="maxshift")]
+    cfg = dict(num_levels=5, cb_width=64, cb_height=16, progression=2,
+               cb_style=1, tile_width=48, tile_height=48, roi_regions=roi)
+    data = J2KEncoder(J2KEncodeParams(**cfg)).encode(
+        img.astype("<i2").tobytes(), 63, 61, 3, 10, True)
+    arr, _, _ = J2KDecoder().decode(data)
+    np.testing.assert_array_equal(arr.astype(np.int64), img)
