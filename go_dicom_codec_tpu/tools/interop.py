@@ -13,9 +13,15 @@ oracle is the codec's own decode path executed in a SEPARATE PROCESS
 streams survive process boundaries and that lossless formats are
 bit-exact.
 
+`--oracle pil` additionally decodes each encoded stream with PIL
+(libjpeg for JPEG baseline, OpenJPEG for J2K/HTJ2K) — a genuinely
+foreign implementation, matching the role of the reference's external
+fo-dicom oracle (main.go:568). Formats PIL cannot decode (RLE,
+12-bit JPEG, JPEG lossless, JPEG-LS) keep the self-decode oracle.
+
 Usage:
     python -m go_dicom_codec_tpu.tools.interop [--parallel N]
-        [--formats uid1,uid2] [--size WxH] [--seed N]
+        [--formats uid1,uid2] [--size WxH] [--seed N] [--oracle pil]
 """
 
 from __future__ import annotations
@@ -66,9 +72,35 @@ def _make_fixture(width, height, bits, samples, seed):
     return arr.astype(dt)
 
 
-def run_format(args: Tuple[str, str, int, int, int, int, int, int]):
+# labels PIL can foreign-decode: 8-bit JPEG baseline (libjpeg) and all
+# J2K/HTJ2K codestreams (OpenJPEG). PIL returns N-bit precision in a
+# 16-bit container shifted left by (16 - N).
+PIL_DECODABLE = {
+    "jpeg-baseline", "jpeg-baseline-rgb",
+    "jpeg2000-lossless", "jpeg2000-lossy",
+    "jpeg2000-mc-lossless", "jpeg2000-mc-lossy",
+    "htj2k-lossless", "htj2k-rpcl", "htj2k",
+}
+
+
+def _pil_check(stream: bytes, img, bits: int, tol: int):
+    """Foreign-decode stream with PIL; return (ok, maxerr)."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    arr = np.asarray(Image.open(io.BytesIO(stream)))
+    if bits > 8 and arr.dtype == np.uint16 and bits < 16:
+        arr = arr >> (16 - bits)
+    err = int(np.abs(arr.reshape(img.shape).astype(np.int64)
+                     - img.astype(np.int64)).max())
+    return err <= tol, err
+
+
+def run_format(args: Tuple[str, str, int, int, int, int, int, int, str]):
     """One format's encode→decode check. Runs in a worker process."""
-    label, uid, bits, samples, tol, width, height, seed = args
+    label, uid, bits, samples, tol, width, height, seed, oracle = args
     import os
 
     # workers must never contend for the (single) TPU tunnel, and CPU
@@ -102,10 +134,16 @@ def run_format(args: Tuple[str, str, int, int, int, int, int, int]):
         err = np.abs(got.astype(np.int64)
                      - img.reshape(-1).astype(np.int64)).max()
         ratio = len(src.get_frame(0)) / max(len(enc.get_frame(0)), 1)
-        if err <= tol:
-            return (label, True,
-                    f"maxerr={err} tol={tol} ratio={ratio:.2f}x")
-        return (label, False, f"maxerr={err} exceeds tol={tol}")
+        if err > tol:
+            return (label, False, f"maxerr={err} exceeds tol={tol}")
+        detail = f"maxerr={err} tol={tol} ratio={ratio:.2f}x"
+        if oracle == "pil" and label in PIL_DECODABLE:
+            ok, ferr = _pil_check(enc.get_frame(0), img, bits, tol)
+            if not ok:
+                return (label, False,
+                        f"foreign(PIL) maxerr={ferr} exceeds tol={tol}")
+            detail += f" foreign(PIL) maxerr={ferr}"
+        return (label, True, detail)
     except Exception as e:  # noqa: BLE001
         return (label, False, f"{type(e).__name__}: {e}")
 
@@ -124,11 +162,16 @@ def main(argv: Optional[List[str]] = None) -> int:
                     help="comma-separated labels to run (default: all)")
     ap.add_argument("--size", type=str, default="96x80")
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--oracle", type=str, default="self",
+                    choices=("self", "pil"),
+                    help="'pil': also decode streams with PIL "
+                         "(libjpeg/OpenJPEG foreign oracle)")
     opts = ap.parse_args(argv)
 
     width, height = (int(v) for v in opts.size.split("x"))
     wanted = set(opts.formats.split(",")) if opts.formats else None
-    jobs = [(label, uid, bits, samples, tol, width, height, opts.seed)
+    jobs = [(label, uid, bits, samples, tol, width, height, opts.seed,
+             opts.oracle)
             for (label, uid, bits, samples, tol) in FORMAT_DEFINITIONS
             if wanted is None or label in wanted]
 
