@@ -387,7 +387,60 @@ class J2KEncoder:
             return np.asarray(precomputed_coeffs)
         tile = arr[ty0:ty1, tx0:tx1, :]
 
-        # device stage: DC shift (+ MCT) + multilevel DWT over components
+        # single-tile host fast path: integer DC shift + RCT + native 5/3
+        # mirror (bit-parity with the jnp path, tests/test_native.py) —
+        # avoids per-op device dispatch when encoding one frame at a time;
+        # the batched pipeline path keeps the whole-array device stage
+        coeffs = None
+        if (cod.transform == 1 and not self.params.mct_bindings
+                and self.params.mct_matrix is None):
+            from .. import native as _nat
+            if _nat.get_lib() is not None:
+                comps_np = np.moveaxis(tile, -1, 0).astype(np.int32)
+                comps_np = dc_level_shift(comps_np, bit_depth, signed)
+                if use_mct and ncomp == 3:
+                    y_, u_, v_ = rct_forward(comps_np[0], comps_np[1],
+                                             comps_np[2])
+                    comps_np = np.stack([y_, u_, v_])
+                coeffs = np.stack([
+                    _nat.dwt53_fwd_native(c, cod.num_levels, tx0, ty0)
+                    for c in comps_np])
+        if coeffs is None:
+            coeffs = self._tile_coeffs_device(
+                tile, rect, cod, qcd, bit_depth, signed, use_mct, ncomp)
+
+        if roi_shifts:
+            # ROI: scale region coefficients up by 2^Srgn per band, per
+            # component (MaxShift and General Scaling share this encode
+            # path; they differ only in how the decoder unshifts)
+            from .j2k_geometry import packed_band_layout
+            from .j2k_roi import band_roi_mask, combined_mask
+            coeffs = coeffs.astype(np.int64)
+            for c, shift in roi_shifts.items():
+                full_mask = combined_mask(self.params.roi_regions,
+                                          arr.shape[1], arr.shape[0],
+                                          component=c)
+                tile_mask = full_mask[ty0:ty1, tx0:tx1]
+                for bg in packed_band_layout(tx0, ty0, tx1, ty1,
+                                             cod.num_levels):
+                    if bg.width <= 0 or bg.height <= 0:
+                        continue
+                    bm = band_roi_mask(tile_mask, tx0, ty0, cod.num_levels,
+                                       bg.resolution, bg.band,
+                                       (bg.x0, bg.y0, bg.x1, bg.y1))
+                    region = coeffs[
+                        c,
+                        bg.row_off : bg.row_off + bg.height,
+                        bg.col_off : bg.col_off + bg.width]
+                    region[bm] <<= shift
+
+        return coeffs
+
+    def _tile_coeffs_device(self, tile: np.ndarray, rect, cod: j2k.CodInfo,
+                            qcd: j2k.QcdInfo, bit_depth: int, signed: bool,
+                            use_mct: bool, ncomp: int) -> np.ndarray:
+        """Device (jnp) tile transform: DC shift (+MCT) + DWT (+quant)."""
+        tx0, ty0, tx1, ty1 = rect
         comps = jnp.asarray(np.moveaxis(tile, -1, 0))  # [C, H, W]
         comps = dc_level_shift(comps, bit_depth, signed)
         lossless = cod.transform == 1
@@ -438,32 +491,6 @@ class J2KEncoder:
                       slice(bg.row_off, bg.row_off + bg.height),
                       slice(bg.col_off, bg.col_off + bg.width))
                 coeffs[sl] = jq.deadzone_quantize(fcoeffs[sl], delta)
-
-        if roi_shifts:
-            # ROI: scale region coefficients up by 2^Srgn per band, per
-            # component (MaxShift and General Scaling share this encode
-            # path; they differ only in how the decoder unshifts)
-            from .j2k_geometry import packed_band_layout
-            from .j2k_roi import band_roi_mask, combined_mask
-            coeffs = coeffs.astype(np.int64)
-            for c, shift in roi_shifts.items():
-                full_mask = combined_mask(self.params.roi_regions,
-                                          arr.shape[1], arr.shape[0],
-                                          component=c)
-                tile_mask = full_mask[ty0:ty1, tx0:tx1]
-                for bg in packed_band_layout(tx0, ty0, tx1, ty1,
-                                             cod.num_levels):
-                    if bg.width <= 0 or bg.height <= 0:
-                        continue
-                    bm = band_roi_mask(tile_mask, tx0, ty0, cod.num_levels,
-                                       bg.resolution, bg.band,
-                                       (bg.x0, bg.y0, bg.x1, bg.y1))
-                    region = coeffs[
-                        c,
-                        bg.row_off : bg.row_off + bg.height,
-                        bg.col_off : bg.col_off + bg.width]
-                    region[bm] <<= shift
-
         return coeffs
 
     def _encode_tile_entropy(self, coeffs: np.ndarray, rect,
@@ -1030,15 +1057,27 @@ class J2KDecoder:
             cc.transform == cod0.transform
             and cc.num_levels == cod0.num_levels for cc in cods)
         if homogeneous and cod.transform == 1:
-            rec = inv53_multilevel(jnp.asarray(packed), cod.num_levels,
-                                   x0=tx0, y0=ty0)
-            if mct_bindings_inv:
-                rec = jnp.round(_apply_mct_bindings_inverse(
-                    rec, mct_bindings_inv)).astype(jnp.int32)
-            elif cod.mct == 1 and ncomp >= 3:
-                r_, g_, b_ = rct_inverse(rec[0], rec[1], rec[2])
-                rec = jnp.stack([r_, g_, b_]
-                                + [rec[i] for i in range(3, ncomp)])
+            from .. import native as _nat
+            if _nat.get_lib() is not None and not mct_bindings_inv:
+                # host fast path: native inverse 5/3 (bit-parity mirror)
+                # + integer inverse RCT, no per-op device dispatch
+                rec = np.stack([
+                    _nat.dwt53_inv_native(p, cod.num_levels, tx0, ty0)
+                    for p in packed])
+                if cod.mct == 1 and ncomp >= 3:
+                    r_, g_, b_ = rct_inverse(rec[0], rec[1], rec[2])
+                    rec = np.stack([r_, g_, b_]
+                                   + [rec[i] for i in range(3, ncomp)])
+            else:
+                rec = inv53_multilevel(jnp.asarray(packed), cod.num_levels,
+                                       x0=tx0, y0=ty0)
+                if mct_bindings_inv:
+                    rec = jnp.round(_apply_mct_bindings_inverse(
+                        rec, mct_bindings_inv)).astype(jnp.int32)
+                elif cod.mct == 1 and ncomp >= 3:
+                    r_, g_, b_ = rct_inverse(rec[0], rec[1], rec[2])
+                    rec = jnp.stack([r_, g_, b_]
+                                    + [rec[i] for i in range(3, ncomp)])
         elif homogeneous:
             # irreversible: per-band dequantization → float 9/7 inverse
             from .j2k_geometry import packed_band_layout
@@ -1077,7 +1116,11 @@ class J2KDecoder:
                 cth, ctw = cty1 - cty0, ctx1 - ctx0
                 pk = packed_list[c].astype(np.int32)
                 if cod_c.transform == 1:
-                    rc = inv53_multilevel(
+                    from .. import native as _nat
+                    nat_rc = (_nat.dwt53_inv_native(pk, cod_c.num_levels,
+                                                    ctx0, cty0)
+                              if _nat.get_lib() is not None else None)
+                    rc = nat_rc if nat_rc is not None else inv53_multilevel(
                         jnp.asarray(pk[None]), cod_c.num_levels,
                         x0=ctx0, y0=cty0)[0]
                 else:

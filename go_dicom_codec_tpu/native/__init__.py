@@ -119,6 +119,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.ht_cleanup_decode.argtypes = [
             u8p, ctypes.c_long, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, i32p, i32p, i64p]
+        lib.dwt53_fwd.restype = ctypes.c_int
+        lib.dwt53_fwd.argtypes = [
+            i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int]
+        lib.dwt53_inv.restype = ctypes.c_int
+        lib.dwt53_inv.argtypes = [
+            i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int]
         _LIB = lib
         return _LIB
 
@@ -480,3 +488,29 @@ def t1_decode_native(stream: bytes, w: int, h: int, style: int, orient: int,
     if r != 0:
         return None
     return out.reshape(h, w)
+
+
+def dwt53_fwd_native(arr: np.ndarray, levels: int, x0: int = 0,
+                     y0: int = 0):
+    """Native in-place multilevel forward 5/3 DWT (mirror of
+    ops/dwt53.fwd53_multilevel). Returns a new int32 array, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(arr, dtype=np.int32).copy()
+    h, w = a.shape
+    lib.dwt53_fwd(a.reshape(-1), w, h, levels, x0, y0)
+    return a
+
+
+def dwt53_inv_native(arr: np.ndarray, levels: int, x0: int = 0,
+                     y0: int = 0):
+    """Native in-place multilevel inverse 5/3 DWT (mirror of
+    ops/dwt53.inv53_multilevel). Returns a new int32 array, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(arr, dtype=np.int32).copy()
+    h, w = a.shape
+    lib.dwt53_inv(a.reshape(-1), w, h, levels, x0, y0)
+    return a

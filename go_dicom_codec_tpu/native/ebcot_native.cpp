@@ -8,6 +8,7 @@
 //
 // Build: g++ -O3 -shared -fPIC -o libebcot.so ebcot_native.cpp
 
+#include <array>
 #include <cstdint>
 #include <cstring>
 #include <cmath>
@@ -42,15 +43,20 @@ const int CTX_RL = 17, CTX_UNI = 18, NUMCTX = 19;
 const int S_LAZY = 0x01, S_RESET = 0x02, S_TERMALL = 0x04, S_VSC = 0x08,
           S_PTERM = 0x10, S_SEGSYM = 0x20;
 
-// flag bits
-const int32_t F_SIG = 0x0001, F_REFINE = 0x0002, F_VISIT = 0x0004;
-const int32_t F_SIG_N = 0x0010, F_SIG_S = 0x0020, F_SIG_W = 0x0040,
-              F_SIG_E = 0x0080, F_SIG_NW = 0x0100, F_SIG_NE = 0x0200,
-              F_SIG_SW = 0x0400, F_SIG_SE = 0x0800;
-const int32_t F_SIG_NEIGH = F_SIG_N | F_SIG_S | F_SIG_W | F_SIG_E | F_SIG_NW |
-                            F_SIG_NE | F_SIG_SW | F_SIG_SE;
-const int32_t F_SIGN = 0x1000, F_SIGN_N = 0x2000, F_SIGN_S = 0x4000,
-              F_SIGN_W = 0x8000, F_SIGN_E = 0x10000;
+// column-flags word layout (one uint32 per stripe-column; the OpenJPEG
+// "column flags" idea — reference behavior anchor t1/encoder.go:159-282,
+// implemented here from the T.800 rules, not transcribed):
+//   sigma of the 3x6 window, (row j in -1..4, col c in 0..2): bit 3*(j+1)+c
+//   pi  (coded in SPP)  row j in 0..3: bit 18+j
+//   mu  (refined once)  row j in 0..3: bit 22+j
+//   chi (sign, own col) row j in -1..4: bit 26+(j+1)
+// Whole-column skip tests replace the per-sample flag loads, and the
+// 9-bit ZC neighborhood is a single shift of the word.
+const uint32_t SIG18 = 0x3FFFFu;                 // all sigma bits
+const uint32_t PI4 = 0xFu << 18;                 // all pi bits
+const uint32_t MU4 = 0xFu << 22;                 // all mu bits
+const uint32_t SIGMA_MID4 = (1u << 4) | (1u << 7) | (1u << 10) | (1u << 13);
+const uint32_t SIG_ROW4 = 7u << 15;              // stripe-below row
 
 // ---- context LUTs (generated from T.800 D.1/D.3 rules like ebcot.py) -------
 uint8_t ZC_LUT[4][512];
@@ -111,38 +117,41 @@ void build_luts() {
   luts_ready = true;
 }
 
-inline int sc_index(int32_t f) {
+// 9-bit neighborhood window for row j: bits [NW N NE W own E SW S SE] at
+// positions 0..8 — exactly the ZC_LUT index layout (the LUT ignores
+// bit 4, the own-sigma slot). VSC: stripe-bottom rows (j==3) see the
+// stripe below as insignificant.
+inline uint32_t nb9(uint32_t f, int j, bool vsc) {
+  uint32_t g = (f >> (3 * j)) & 0x1FFu;
+  if (vsc && j == 3) g &= 0x3Fu;
+  return g;
+}
+
+// SC/SPB LUT index (same bit assignments the LUTs were generated for)
+// from the own word f and the left/right neighbor columns' words.
+inline int sc_index_cf(uint32_t f, uint32_t fl, uint32_t fr, int j,
+                       bool vsc) {
   int idx = 0;
-  if (f & F_SIG_W) { idx |= 1 << 3; if (f & F_SIGN_W) idx |= 1; }
-  if (f & F_SIG_N) { idx |= 1 << 1; if (f & F_SIGN_N) idx |= 1 << 4; }
-  if (f & F_SIG_E) { idx |= 1 << 5; if (f & F_SIGN_E) idx |= 1 << 2; }
-  if (f & F_SIG_S) { idx |= 1 << 7; if (f & F_SIGN_S) idx |= 1 << 6; }
+  if (f & (1u << (3 * j + 3))) {                       // W significant
+    idx |= 1 << 3; if (fl & (1u << (27 + j))) idx |= 1;
+  }
+  if (f & (1u << (3 * j + 1))) {                       // N significant
+    idx |= 1 << 1; if (f & (1u << (26 + j))) idx |= 1 << 4;
+  }
+  if (f & (1u << (3 * j + 5))) {                       // E significant
+    idx |= 1 << 5; if (fr & (1u << (27 + j))) idx |= 1 << 2;
+  }
+  if (!(vsc && j == 3) && (f & (1u << (3 * j + 7)))) { // S significant
+    idx |= 1 << 7; if (f & (1u << (28 + j))) idx |= 1 << 6;
+  }
   return idx;
 }
 
-inline int zc_index(int32_t f) {
-  int idx = 0;
-  if (f & F_SIG_NW) idx |= 1;
-  if (f & F_SIG_N) idx |= 2;
-  if (f & F_SIG_NE) idx |= 4;
-  if (f & F_SIG_W) idx |= 8;
-  if (f & F_SIG_E) idx |= 32;
-  if (f & F_SIG_SW) idx |= 64;
-  if (f & F_SIG_S) idx |= 128;
-  if (f & F_SIG_SE) idx |= 256;
-  return idx;
-}
-
-inline int mr_context(int32_t f) {
-  if (f & F_REFINE) return 16;
-  if (f & F_SIG_NEIGH) return 15;
+// MR context: refined-before -> 16, significant neighborhood -> 15, else 14
+inline int mr_context_cf(uint32_t f, int j, bool vsc) {
+  if (f & (1u << (22 + j))) return 16;
+  if (nb9(f, j, vsc) & 0x1EFu) return 15;
   return 14;
-}
-
-// VSC: stripe-bottom rows see the stripe below as insignificant
-const int32_t VSC_MASK = ~(F_SIG_S | F_SIG_SW | F_SIG_SE | F_SIGN_S);
-inline int32_t ctx_flags(int32_t f, int y, bool vsc) {
-  return (vsc && (y & 3) == 3) ? (f & VSC_MASK) : f;
 }
 
 // ---- NMSEDEC distortion tables (T.800 J.4; same fixed point as the
@@ -396,75 +405,85 @@ inline bool terminating(int bp_, int maxbp, int pt, int style) {
   return false;
 }
 
-struct T1 {
-  int w, h, pw, style, orient, nstripes, wwords;
-  std::vector<int32_t> flags;
-  std::vector<int64_t> data;
-  // per-stripe bitmaps over columns: "has any F_SIG_NEIGH" (SPP work
-  // list) and "has any F_SIG" (MRP work list); both grow monotonically
-  std::vector<uint64_t> act_nb, act_sig;
+// MT is the magnitude word: uint32_t when every |coefficient| fits 30
+// bits (the common case — keeps the whole block's data L1-resident),
+// uint64_t for deep-ROI / extreme-depth blocks. Samples are stored as
+// magnitude | (sign << MSB).
+template <typename MT>
+struct T1CF {
+  static constexpr int MSBIT = sizeof(MT) * 8 - 1;
+  static constexpr MT MSB = (MT)1 << MSBIT;
+  static constexpr MT MAGMASK = MSB - 1;
 
-  T1(int w_, int h_, int style_, int orient_)
-      : w(w_), h(h_), pw(w_ + 2), style(style_), orient(orient_) {
-    flags.assign((size_t)(h + 2) * pw, 0);
-    data.assign((size_t)(h + 2) * pw, 0);
+  int w, h, nstripes, fstride;
+  std::vector<uint32_t> F;   // (nstripes + 2) x (w + 2), padded
+  std::vector<MT> dataS;     // stripe-column packed: [st][x][4 rows]
+
+  T1CF(int w_, int h_) : w(w_), h(h_) {
     nstripes = (h + 3) / 4;
-    wwords = (w + 63) / 64;
-    act_nb.assign((size_t)nstripes * wwords, 0);
-    act_sig.assign((size_t)nstripes * wwords, 0);
+    fstride = w + 2;
+    F.assign((size_t)(nstripes + 2) * fstride, 0);
+    dataS.assign((size_t)nstripes * w * 4, 0);
+  }
+  inline uint32_t* fw(int st) {  // row pointer, indexed by x in [-1, w]
+    return F.data() + (size_t)(st + 1) * fstride + 1;
+  }
+  inline MT* col(int st, int x) {
+    return dataS.data() + ((size_t)st * w + x) * 4;
   }
 
-  inline void mark(std::vector<uint64_t>& bm, int stripe, int x) {
-    if (x < 0 || x >= w || stripe < 0 || stripe >= nstripes) return;
-    bm[(size_t)stripe * wwords + (x >> 6)] |= 1ull << (x & 63);
-  }
-
-  inline void update_neighbors(int x, int y, int idx) {
-    int32_t sign = flags[idx] & F_SIGN;
-    int nn = y * pw + x + 1, ss = (y + 2) * pw + x + 1;
-    int ww = (y + 1) * pw + x, ee = (y + 1) * pw + x + 2;
-    flags[nn] |= F_SIG_S; flags[ss] |= F_SIG_N;
-    flags[ww] |= F_SIG_E; flags[ee] |= F_SIG_W;
-    if (sign) {
-      flags[nn] |= F_SIGN_S; flags[ss] |= F_SIGN_N;
-      flags[ww] |= F_SIGN_E; flags[ee] |= F_SIGN_W;
-    }
-    flags[y * pw + x] |= F_SIG_SE;
-    flags[y * pw + x + 2] |= F_SIG_SW;
-    flags[(y + 2) * pw + x] |= F_SIG_NE;
-    flags[(y + 2) * pw + x + 2] |= F_SIG_NW;
-    // work lists: this column is significant; the 8-neighborhood gains
-    // a significant neighbor (spanning adjacent stripes at rows 0/3)
-    int st = y >> 2;
-    mark(act_sig, st, x);
-    for (int dx = -1; dx <= 1; dx++) {
-      mark(act_nb, st, x + dx);
-      if ((y & 3) == 0) mark(act_nb, st - 1, x + dx);
-      if ((y & 3) == 3) mark(act_nb, st + 1, x + dx);
+  // Sample (x, stripe st, row j) became significant with the given sign:
+  // set own sigma/chi and the window bits of the left/right columns and,
+  // at stripe edges, of the adjacent stripes' words.
+  inline void set_sig(int st, int x, int j, int sign) {
+    uint32_t* p = fw(st) + x;
+    p[0] |= 1u << (3 * (j + 1) + 1);
+    p[-1] |= 1u << (3 * (j + 1) + 2);
+    p[1] |= 1u << (3 * (j + 1));
+    if (sign) p[0] |= 1u << (27 + j);
+    if (j == 0) {
+      uint32_t* u = fw(st - 1) + x;
+      u[0] |= 1u << 16; u[-1] |= 1u << 17; u[1] |= 1u << 15;
+      if (sign) u[0] |= 1u << 31;
+    } else if (j == 3) {
+      uint32_t* d = fw(st + 1) + x;
+      d[0] |= 1u << 1; d[-1] |= 1u << 2; d[1] |= 1u << 0;
+      if (sign) d[0] |= 1u << 26;
     }
   }
 };
 
-}  // namespace
-
-extern "C" {
-
-// Encode one code-block. Returns stream length, or -1 on error.
-// out_* arrays must have capacity >= max_passes.
-int t1_encode(const int64_t* src, int w, int h, int style, int orient,
-              int roishift, uint8_t* out, int out_cap, int* numbps_out,
-              int* npasses_out, int* pass_rates, uint8_t* pass_terms,
-              int* pass_bitplanes, int* pass_nmsedec, int max_passes) {
+// Encode one code-block (templated pass engine; see T1CF).
+template <typename MT>
+int t1_encode_impl(const int64_t* src, int w, int h, int style, int orient,
+                   int roishift, uint8_t* out, int out_cap, int* numbps_out,
+                   int* npasses_out, int* pass_rates, uint8_t* pass_terms,
+                   int* pass_bitplanes, int* pass_nmsedec, int max_passes) {
+  constexpr MT MSB = T1CF<MT>::MSB;
+  constexpr MT MAGMASK = T1CF<MT>::MAGMASK;
+  constexpr int MSBIT = T1CF<MT>::MSBIT;
   build_luts();
   build_nmse();
-  T1 t(w, h, style, orient);
-  int64_t maxabs = 0;
-  for (int y = 0; y < h; y++)
+  T1CF<MT> t(w, h);
+  int nstripes = t.nstripes;
+  uint64_t maxabs = 0;
+  // repack into stripe-column order as magnitude|sign; per-column OR of
+  // magnitudes lets the CP fast path test "no bit at this plane" with
+  // one shift
+  std::vector<MT> colmag((size_t)nstripes * w, 0);
+  for (int st = 0; st < nstripes; st++)
     for (int x = 0; x < w; x++) {
-      int64_t v = src[y * w + x];
-      t.data[(y + 1) * t.pw + x + 1] = v;
-      int64_t av = v < 0 ? -v : v;
-      if (av > maxabs) maxabs = av;
+      MT* c = t.col(st, x);
+      MT m = 0;
+      for (int j = 0; j < 4; j++) {
+        int y = st * 4 + j;
+        int64_t v = y < h ? src[(size_t)y * w + x] : 0;
+        uint64_t av = (uint64_t)(v < 0 ? -v : v);
+        c[j] = (MT)av | (v < 0 ? MSB : (MT)0);
+        m |= (MT)av;
+      }
+      colmag[(size_t)st * w + x] = m;
+      if ((uint64_t)m > maxabs) maxabs = (uint64_t)m;
     }
   int numbps = 0;
   while (maxabs > 0) { numbps++; maxabs >>= 1; }
@@ -482,29 +501,13 @@ int t1_encode(const int64_t* src, int w, int h, int style, int orient,
 
   int pass_type = 2, bitplane = maxbp, pass_idx = 0;
   bool prev_term = false;
-  auto& flags = t.flags;
-  auto& data = t.data;
-  int pw = t.pw;
   const uint8_t* zc = ZC_LUT[orient];
-
-  // per-stripe-column OR of magnitudes: (cmag >> bp) & 1 == 0 means no
-  // sample in the 4-row column has bit bp — lets early bitplanes skip
-  // whole columns without touching data
-  int nstripes = (h + 3) / 4;
-  std::vector<uint64_t> colmag((size_t)nstripes * w, 0);
-  for (int k = 0, si = 0; k < h; k += 4, si++)
-    for (int x = 0; x < w; x++) {
-      uint64_t m = 0;
-      for (int y = k; y < k + 4 && y < h; y++) {
-        int64_t v = data[(size_t)(y + 1) * pw + x + 1];
-        m |= (uint64_t)(v < 0 ? -v : v);
-      }
-      colmag[(size_t)si * w + x] = m;
-    }
+  bool vsc = (style & S_VSC) != 0;
+  const uint32_t vsig = vsc ? (SIG18 & ~SIG_ROW4) : SIG18;
 
   while (bitplane >= 0 && pass_idx < max_passes) {
     if (pass_type == 0 || (pass_type == 2 && pass_idx == 0)) {
-      for (auto& f : flags) f &= ~F_VISIT;
+      for (auto& f : t.F) f &= ~PI4;
       if (roishift > 0 && bitplane >= roishift) {
         pass_type = 0; bitplane--; continue;
       }
@@ -515,162 +518,144 @@ int t1_encode(const int64_t* src, int w, int h, int style, int orient,
       prev_term = false;
     }
 
-    bool vsc = (style & S_VSC) != 0;
     int64_t nm = 0;
     if (pass_type == 0) {  // SPP
-      for (int k = 0; k < h; k += 4) {
-        int st = k >> 2;
-        for (int wd = 0; wd < t.wwords; wd++) {
-          uint64_t bits = t.act_nb[(size_t)st * t.wwords + wd];
-          while (bits) {
-            int x = (wd << 6) + __builtin_ctzll(bits);
-            bits &= bits - 1;
-          for (int y = k; y < k + 4 && y < h; y++) {
-            int idx = (y + 1) * pw + x + 1;
-            int32_t f = flags[idx];
-            int32_t cf = ctx_flags(f, y, vsc);
-            if ((f & F_SIG) || !(cf & F_SIG_NEIGH)) continue;
-            int64_t v = data[idx];
-            int64_t av = v < 0 ? -v : v;
+      for (int st = 0; st < nstripes; st++) {
+        int hh = h - st * 4; if (hh > 4) hh = 4;
+        uint32_t* Fr = t.fw(st);
+        for (int x = 0; x < w; x++) {
+          uint32_t f = Fr[x];
+          if (!(f & SIG18)) continue;   // no significance in the window
+          if (hh == 4 && (f & SIGMA_MID4) == SIGMA_MID4)
+            continue;                   // steady state: all 4 significant
+          const MT* c = t.col(st, x);
+          for (int j = 0; j < hh; j++) {
+            if (f & (1u << (3 * j + 4))) continue;   // already significant
+            uint32_t g = nb9(f, j, vsc);
+            if (!(g & 0x1EFu)) continue;             // no sig neighbor
+            MT m = c[j];
+            uint64_t av = (uint64_t)(m & MAGMASK);
             int sig = (int)((av >> bitplane) & 1);
             if (raw) mq.bypass_encode(sig);
-            else mq.encode(sig, zc[zc_index(cf)]);
-            flags[idx] |= F_VISIT;
+            else mq.encode(sig, zc[g]);
+            f |= 1u << (18 + j);                     // pi: coded in SPP
             if (sig) {
-              int sign = v < 0;
-              if (sign) flags[idx] |= F_SIGN;
+              int sign = (int)(m >> MSBIT);
               if (raw) mq.bypass_encode(sign);
               else {
-                int si = sc_index(cf);
+                int si = sc_index_cf(f, Fr[x - 1], Fr[x + 1], j, vsc);
                 mq.encode(sign ^ SPB_LUT[si], SC_LUT[si]);
               }
-              flags[idx] |= F_SIG;
-              t.update_neighbors(x, y, idx);
-              nm += nmsedec_sig((uint64_t)av, bitplane);
+              Fr[x] = f;
+              t.set_sig(st, x, j, sign);
+              f = Fr[x];
+              nm += nmsedec_sig(av, bitplane);
             }
           }
-          // coding column x can newly mark columns > x in this word;
-          // re-merge the unconsumed remainder (consumption is in
-          // increasing-bit order, so positions > x were never consumed)
-          uint64_t done_mask = ((x & 63) == 63)
-              ? ~0ull : ((1ull << ((x & 63) + 1)) - 1);
-          bits |= t.act_nb[(size_t)st * t.wwords + wd] & ~done_mask;
-          }
+          Fr[x] = f;
         }
       }
     } else if (pass_type == 1) {  // MRP
-      for (int k = 0; k < h; k += 4) {
-        int st = k >> 2;
-        for (int wd = 0; wd < t.wwords; wd++) {
-          uint64_t bits = t.act_sig[(size_t)st * t.wwords + wd];
-          while (bits) {
-            int x = (wd << 6) + __builtin_ctzll(bits);
-            bits &= bits - 1;
-          for (int y = k; y < k + 4 && y < h; y++) {
-            int idx = (y + 1) * pw + x + 1;
-            int32_t f = flags[idx];
-            if (!(f & F_SIG) || (f & F_VISIT)) continue;
-            int64_t v = data[idx];
-            int64_t av = v < 0 ? -v : v;
+      for (int st = 0; st < nstripes; st++) {
+        int hh = h - st * 4; if (hh > 4) hh = 4;
+        uint32_t* Fr = t.fw(st);
+        for (int x = 0; x < w; x++) {
+          uint32_t f = Fr[x];
+          if (!(f & SIGMA_MID4)) continue;  // no significant sample here
+          const MT* c = t.col(st, x);
+          if (!raw && hh == 4 &&
+              (f & (SIGMA_MID4 | PI4 | MU4)) == (SIGMA_MID4 | MU4)) {
+            // steady state: all 4 significant + refined before + not
+            // visited this plane — four ctx-16 magnitude bits
+            for (int j = 0; j < 4; j++) {
+              uint64_t av = (uint64_t)(c[j] & MAGMASK);
+              mq.encode((int)((av >> bitplane) & 1), 16);
+              nm += nmsedec_ref(av, bitplane);
+            }
+            continue;
+          }
+          for (int j = 0; j < hh; j++) {
+            if (!(f & (1u << (3 * j + 4))) || (f & (1u << (18 + j))))
+              continue;                     // not significant, or visited
+            uint64_t av = (uint64_t)(c[j] & MAGMASK);
             int bit = (int)((av >> bitplane) & 1);
             if (raw) mq.bypass_encode(bit);
-            else mq.encode(bit, mr_context(ctx_flags(f, y, vsc)));
-            flags[idx] |= F_REFINE;
-            nm += nmsedec_ref((uint64_t)av, bitplane);
+            else mq.encode(bit, mr_context_cf(f, j, vsc));
+            f |= 1u << (22 + j);            // mu: refined once
+            nm += nmsedec_ref(av, bitplane);
           }
-          }
+          Fr[x] = f;
         }
       }
     } else {  // CP
-      for (int k = 0; k < h; k += 4)
+      for (int st = 0; st < nstripes; st++) {
+        int hh = h - st * 4; if (hh > 4) hh = 4;
+        bool full = hh == 4;
+        uint32_t* Fr = t.fw(st);
         for (int x = 0; x < w; x++) {
-          bool handled = false;
-          if (k + 3 < h) {
-            // fast run-length: untouched column with no bit at this
-            // plane encodes a single 0 in the RL context
-            int base = (k + 1) * pw + x + 1;
-            int32_t any = flags[base] | flags[base + pw] |
-                          flags[base + 2 * pw] | flags[base + 3 * pw];
-            if (any == 0 &&
-                !((colmag[(size_t)(k >> 2) * w + x] >> bitplane) & 1)) {
+          uint32_t f = Fr[x];
+          if (full && !(f & (vsig | PI4))) {
+            // untouched all-insignificant column: run-length mode
+            const uint64_t cm = (uint64_t)colmag[(size_t)st * w + x];
+            if (!((cm >> bitplane) & 1)) {
               mq.encode(0, CTX_RL);
               continue;
             }
-          }
-          if (k + 3 < h) {
-            bool can_rl = true;
-            int rl_pos = -1;
-            for (int dy = 0; dy < 4; dy++) {
-              int idx = (k + dy + 1) * pw + x + 1;
-              int32_t f = flags[idx];
-              int32_t cf = ctx_flags(f, k + dy, vsc);
-              if ((f & (F_VISIT | F_SIG)) || (cf & F_SIG_NEIGH)) {
-                can_rl = false; break;
+            const MT* c = t.col(st, x);
+            int rl_pos = 0;
+            while (!((((uint64_t)(c[rl_pos] & MAGMASK)) >> bitplane) & 1))
+              rl_pos++;
+            mq.encode(1, CTX_RL);
+            mq.encode((rl_pos >> 1) & 1, CTX_UNI);
+            mq.encode(rl_pos & 1, CTX_UNI);
+            bool partial = true;
+            for (int j = rl_pos; j < 4; j++) {
+              MT m = c[j];
+              uint64_t av = (uint64_t)(m & MAGMASK);
+              int sig;
+              if (partial) { sig = 1; partial = false; }
+              else {
+                sig = (int)((av >> bitplane) & 1);
+                mq.encode(sig, zc[nb9(f, j, vsc)]);
               }
-              if (rl_pos < 0) {
-                int64_t v = data[idx];
-                int64_t av = v < 0 ? -v : v;
-                if ((av >> bitplane) & 1) rl_pos = dy;
-              }
-            }
-            if (can_rl) {
-              handled = true;
-              mq.encode(rl_pos >= 0 ? 1 : 0, CTX_RL);
-              if (rl_pos >= 0) {
-                mq.encode((rl_pos >> 1) & 1, CTX_UNI);
-                mq.encode(rl_pos & 1, CTX_UNI);
-                bool partial = true;
-                for (int dy = rl_pos; dy < 4; dy++) {
-                  int y = k + dy;
-                  int idx = (y + 1) * pw + x + 1;
-                  int32_t f = flags[idx];
-                  if (f & (F_VISIT | F_SIG)) { flags[idx] &= ~F_VISIT; continue; }
-                  int64_t v = data[idx];
-                  int64_t av = v < 0 ? -v : v;
-                  int sig;
-                  int32_t cf = ctx_flags(f, y, vsc);
-                  if (partial) { sig = 1; partial = false; }
-                  else {
-                    sig = (int)((av >> bitplane) & 1);
-                    mq.encode(sig, zc[zc_index(cf)]);
-                  }
-                  if (sig) {
-                    int sign = v < 0;
-                    if (sign) flags[idx] |= F_SIGN;
-                    int si = sc_index(cf);
-                    mq.encode(sign ^ SPB_LUT[si], SC_LUT[si]);
-                    flags[idx] |= F_SIG;
-                    t.update_neighbors(x, y, idx);
-                    nm += nmsedec_sig((uint64_t)av, bitplane);
-                  }
-                  flags[idx] &= ~F_VISIT;
-                }
-              }
-            }
-          }
-          if (!handled) {
-            for (int y = k; y < k + 4 && y < h; y++) {
-              int idx = (y + 1) * pw + x + 1;
-              int32_t f = flags[idx];
-              if (f & (F_VISIT | F_SIG)) { flags[idx] &= ~F_VISIT; continue; }
-              int64_t v = data[idx];
-              int64_t av = v < 0 ? -v : v;
-              int sig = (int)((av >> bitplane) & 1);
-              int32_t cf = ctx_flags(f, y, vsc);
-              mq.encode(sig, zc[zc_index(cf)]);
               if (sig) {
-                int sign = v < 0;
-                if (sign) flags[idx] |= F_SIGN;
-                int si = sc_index(cf);
+                int sign = (int)(m >> MSBIT);
+                int si = sc_index_cf(f, Fr[x - 1], Fr[x + 1], j, vsc);
                 mq.encode(sign ^ SPB_LUT[si], SC_LUT[si]);
-                flags[idx] |= F_SIG;
-                t.update_neighbors(x, y, idx);
-                nm += nmsedec_sig((uint64_t)av, bitplane);
+                Fr[x] = f;
+                t.set_sig(st, x, j, sign);
+                f = Fr[x];
+                nm += nmsedec_sig(av, bitplane);
               }
-              flags[idx] &= ~F_VISIT;
+            }
+            Fr[x] = f;
+            continue;
+          }
+          if ((f & SIGMA_MID4) == SIGMA_MID4) {
+            Fr[x] = f & ~PI4;  // steady state: nothing left to clean up
+            continue;
+          }
+          // per-sample cleanup
+          const MT* c = t.col(st, x);
+          for (int j = 0; j < hh; j++) {
+            if (f & ((1u << (3 * j + 4)) | (1u << (18 + j)))) continue;
+            MT m = c[j];
+            uint64_t av = (uint64_t)(m & MAGMASK);
+            int sig = (int)((av >> bitplane) & 1);
+            mq.encode(sig, zc[nb9(f, j, vsc)]);
+            if (sig) {
+              int sign = (int)(m >> MSBIT);
+              int si = sc_index_cf(f, Fr[x - 1], Fr[x + 1], j, vsc);
+              mq.encode(sign ^ SPB_LUT[si], SC_LUT[si]);
+              Fr[x] = f;
+              t.set_sig(st, x, j, sign);
+              f = Fr[x];
+              nm += nmsedec_sig(av, bitplane);
             }
           }
+          Fr[x] = f & ~PI4;   // clear visited like the per-sample model
         }
+      }
       if (style & S_SEGSYM) {
         mq.encode(1, CTX_UNI); mq.encode(0, CTX_UNI);
         mq.encode(1, CTX_UNI); mq.encode(0, CTX_UNI);
@@ -708,6 +693,35 @@ int t1_encode(const int64_t* src, int w, int h, int style, int orient,
   if (n > out_cap) return -1;
   memcpy(out, mq.buf.data() + 1, n);
   return n;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Encode one code-block. Returns stream length, or -1 on error.
+// out_* arrays must have capacity >= max_passes. Dispatches to the
+// 32-bit magnitude engine unless a coefficient needs more than 30
+// magnitude bits (deep ROI shifts).
+int t1_encode(const int64_t* src, int w, int h, int style, int orient,
+              int roishift, uint8_t* out, int out_cap, int* numbps_out,
+              int* npasses_out, int* pass_rates, uint8_t* pass_terms,
+              int* pass_bitplanes, int* pass_nmsedec, int max_passes) {
+  uint64_t maxabs = 0;
+  for (long i = 0; i < (long)w * h; i++) {
+    int64_t v = src[i];
+    uint64_t av = (uint64_t)(v < 0 ? -v : v);
+    if (av > maxabs) maxabs = av;
+  }
+  if (maxabs < (1u << 30))
+    return t1_encode_impl<uint32_t>(src, w, h, style, orient, roishift, out,
+                                    out_cap, numbps_out, npasses_out,
+                                    pass_rates, pass_terms, pass_bitplanes,
+                                    pass_nmsedec, max_passes);
+  return t1_encode_impl<uint64_t>(src, w, h, style, orient, roishift, out,
+                                  out_cap, numbps_out, npasses_out,
+                                  pass_rates, pass_terms, pass_bitplanes,
+                                  pass_nmsedec, max_passes);
 }
 
 // MSB-first bit writer with a 64-bit accumulator; optional JPEG
@@ -1008,14 +1022,19 @@ long jpg_encode_scan2(const int32_t* zz, int ncomp, long nblocks,
 
 }  // extern "C"
 
-extern "C" {
+namespace {
 
-// Decode one code-block into out (int64 [h*w]). Returns 0, or -1 on error.
-int t1_decode(const uint8_t* stream, int stream_len, int w, int h, int style,
-              int orient, int num_passes, int numbps, int roishift,
-              const int32_t* seg_ends, int n_segs, int64_t* out_data) {
+// Decode one code-block into out (templated pass engine; see T1CF).
+template <typename MT>
+int t1_decode_impl(const uint8_t* stream, int stream_len, int w, int h,
+                   int style, int orient, int num_passes, int numbps,
+                   int roishift, const int32_t* seg_ends, int n_segs,
+                   int64_t* out_data) {
+  constexpr MT MSB = T1CF<MT>::MSB;
+  constexpr MT MAGMASK = T1CF<MT>::MAGMASK;
   build_luts();
-  T1 t(w, h, style, orient);
+  T1CF<MT> t(w, h);
+  int nstripes = t.nstripes;
   if (numbps <= 0 || num_passes <= 0) {
     memset(out_data, 0, sizeof(int64_t) * (size_t)w * h);
     return 0;
@@ -1054,23 +1073,22 @@ int t1_decode(const uint8_t* stream, int stream_len, int w, int h, int style,
 
   bool need_new = true;
   int pass_type = 2, bitplane = maxbp, pass_idx = 0;
-  auto& flags = t.flags;
-  auto& data = t.data;
-  int pw = t.pw;
   const uint8_t* zc = ZC_LUT[orient];
+  bool vsc = (style & S_VSC) != 0;
+  const uint32_t vsig = vsc ? (SIG18 & ~SIG_ROW4) : SIG18;
 
-  auto recon_sig = [&](int bp_, int sign) -> int64_t {
-    int64_t v = (int64_t)1 << bp_;
-    return sign ? -v : v;
+  // magnitude|sign representation: new significance sets the plane bit
+  // and the sign MSB; refinement adds the plane bit to the magnitude
+  auto recon_sig = [&](int bp_, int sign) -> MT {
+    return ((MT)1 << bp_) | (sign ? MSB : (MT)0);
   };
-  auto recon_ref = [&](int64_t cur, int bp_, int bit) -> int64_t {
-    if (!bit) return cur;
-    return cur >= 0 ? cur + ((int64_t)1 << bp_) : cur - ((int64_t)1 << bp_);
+  auto recon_ref = [&](MT cur, int bp_, int bit) -> MT {
+    return bit ? cur + ((MT)1 << bp_) : cur;
   };
 
   while (bitplane >= 0 && pass_idx < num_passes) {
     if (pass_type == 0 || (pass_type == 2 && pass_idx == 0)) {
-      for (auto& f : flags) f &= ~F_VISIT;
+      for (auto& f : t.F) f &= ~PI4;
       if (roishift > 0 && bitplane >= roishift) {
         pass_type = 0; bitplane--; continue;
       }
@@ -1089,123 +1107,111 @@ int t1_decode(const uint8_t* stream, int stream_len, int w, int h, int style,
       need_new = false;
     }
 
-    bool vsc = (style & S_VSC) != 0;
-    if (pass_type == 0) {
-      // SPP work list: only columns with a significant neighborhood
-      // (same scheme as the encoder, incl. same-word re-merge)
-      for (int k = 0; k < h; k += 4) {
-        int st = k >> 2;
-        for (int wd = 0; wd < t.wwords; wd++) {
-          uint64_t bits = t.act_nb[(size_t)st * t.wwords + wd];
-          while (bits) {
-            int x = (wd << 6) + __builtin_ctzll(bits);
-            bits &= bits - 1;
-            for (int y = k; y < k + 4 && y < h; y++) {
-              int idx = (y + 1) * pw + x + 1;
-              int32_t f = flags[idx];
-              int32_t cf = ctx_flags(f, y, vsc);
-              if ((f & F_SIG) || !(cf & F_SIG_NEIGH)) continue;
-              int sig = raw ? rd.decode() : mq.decode(zc[zc_index(cf)]);
-              flags[idx] |= F_VISIT;
-              if (sig) {
-                int sign;
-                if (raw) sign = rd.decode();
-                else {
-                  int si = sc_index(cf);
-                  sign = mq.decode(SC_LUT[si]) ^ SPB_LUT[si];
-                }
-                if (sign) flags[idx] |= F_SIGN;
-                data[idx] = recon_sig(bitplane, sign);
-                flags[idx] |= F_SIG;
-                t.update_neighbors(x, y, idx);
-              }
-            }
-            uint64_t done_mask = ((x & 63) == 63)
-                ? ~0ull : ((1ull << ((x & 63) + 1)) - 1);
-            bits |= t.act_nb[(size_t)st * t.wwords + wd] & ~done_mask;
-          }
-        }
-      }
-    } else if (pass_type == 1) {
-      for (int k = 0; k < h; k += 4) {
-        int st = k >> 2;
-        for (int wd = 0; wd < t.wwords; wd++) {
-          uint64_t bits = t.act_sig[(size_t)st * t.wwords + wd];
-          while (bits) {
-            int x = (wd << 6) + __builtin_ctzll(bits);
-            bits &= bits - 1;
-            for (int y = k; y < k + 4 && y < h; y++) {
-              int idx = (y + 1) * pw + x + 1;
-              int32_t f = flags[idx];
-              if (!(f & F_SIG) || (f & F_VISIT)) continue;
-              int bit = raw ? rd.decode()
-                            : mq.decode(mr_context(ctx_flags(f, y, vsc)));
-              data[idx] = recon_ref(data[idx], bitplane, bit);
-              flags[idx] |= F_REFINE;
-            }
-          }
-        }
-      }
-    } else {
-      for (int k = 0; k < h; k += 4)
+    if (pass_type == 0) {  // SPP
+      for (int st = 0; st < nstripes; st++) {
+        int hh = h - st * 4; if (hh > 4) hh = 4;
+        uint32_t* Fr = t.fw(st);
         for (int x = 0; x < w; x++) {
-          bool handled = false;
-          if (k + 3 < h) {
-            bool can_rl = true;
-            for (int dy = 0; dy < 4; dy++) {
-              int idx = (k + dy + 1) * pw + x + 1;
-              int32_t f = flags[idx];
-              int32_t cf = ctx_flags(f, k + dy, vsc);
-              if ((f & (F_VISIT | F_SIG)) || (cf & F_SIG_NEIGH)) {
-                can_rl = false; break;
+          uint32_t f = Fr[x];
+          if (!(f & SIG18)) continue;
+          if (hh == 4 && (f & SIGMA_MID4) == SIGMA_MID4)
+            continue;                   // steady state: all 4 significant
+          MT* c = t.col(st, x);
+          for (int j = 0; j < hh; j++) {
+            if (f & (1u << (3 * j + 4))) continue;
+            uint32_t g = nb9(f, j, vsc);
+            if (!(g & 0x1EFu)) continue;
+            int sig = raw ? rd.decode() : mq.decode(zc[g]);
+            f |= 1u << (18 + j);
+            if (sig) {
+              int sign;
+              if (raw) sign = rd.decode();
+              else {
+                int si = sc_index_cf(f, Fr[x - 1], Fr[x + 1], j, vsc);
+                sign = mq.decode(SC_LUT[si]) ^ SPB_LUT[si];
               }
-            }
-            if (can_rl) {
-              handled = true;
-              if (mq.decode(CTX_RL)) {
-                int rl_pos = (mq.decode(CTX_UNI) << 1) | mq.decode(CTX_UNI);
-                bool partial = true;
-                for (int dy = rl_pos; dy < 4; dy++) {
-                  int y = k + dy;
-                  int idx = (y + 1) * pw + x + 1;
-                  int32_t f = flags[idx];
-                  if (f & (F_VISIT | F_SIG)) { flags[idx] &= ~F_VISIT; continue; }
-                  int sig;
-                  int32_t cf = ctx_flags(f, y, vsc);
-                  if (partial) { sig = 1; partial = false; }
-                  else sig = mq.decode(zc[zc_index(cf)]);
-                  if (sig) {
-                    int si = sc_index(cf);
-                    int sign = mq.decode(SC_LUT[si]) ^ SPB_LUT[si];
-                    if (sign) flags[idx] |= F_SIGN;
-                    data[idx] = recon_sig(bitplane, sign);
-                    flags[idx] |= F_SIG;
-                    t.update_neighbors(x, y, idx);
-                  }
-                  flags[idx] &= ~F_VISIT;
-                }
-              }
+              c[j] = recon_sig(bitplane, sign);
+              Fr[x] = f;
+              t.set_sig(st, x, j, sign);
+              f = Fr[x];
             }
           }
-          if (!handled) {
-            for (int y = k; y < k + 4 && y < h; y++) {
-              int idx = (y + 1) * pw + x + 1;
-              int32_t f = flags[idx];
-              if (f & (F_VISIT | F_SIG)) { flags[idx] &= ~F_VISIT; continue; }
-              int32_t cf = ctx_flags(f, y, vsc);
-              int sig = mq.decode(zc[zc_index(cf)]);
-              if (sig) {
-                int si = sc_index(cf);
-                int sign = mq.decode(SC_LUT[si]) ^ SPB_LUT[si];
-                if (sign) flags[idx] |= F_SIGN;
-                data[idx] = recon_sig(bitplane, sign);
-                flags[idx] |= F_SIG;
-                t.update_neighbors(x, y, idx);
-              }
-              flags[idx] &= ~F_VISIT;
-            }
-          }
+          Fr[x] = f;
         }
+      }
+    } else if (pass_type == 1) {  // MRP
+      for (int st = 0; st < nstripes; st++) {
+        int hh = h - st * 4; if (hh > 4) hh = 4;
+        uint32_t* Fr = t.fw(st);
+        for (int x = 0; x < w; x++) {
+          uint32_t f = Fr[x];
+          if (!(f & SIGMA_MID4)) continue;
+          MT* c = t.col(st, x);
+          if (!raw && hh == 4 &&
+              (f & (SIGMA_MID4 | PI4 | MU4)) == (SIGMA_MID4 | MU4)) {
+            for (int j = 0; j < 4; j++)
+              c[j] = recon_ref(c[j], bitplane, mq.decode(16));
+            continue;
+          }
+          for (int j = 0; j < hh; j++) {
+            if (!(f & (1u << (3 * j + 4))) || (f & (1u << (18 + j))))
+              continue;
+            int bit = raw ? rd.decode()
+                          : mq.decode(mr_context_cf(f, j, vsc));
+            c[j] = recon_ref(c[j], bitplane, bit);
+            f |= 1u << (22 + j);
+          }
+          Fr[x] = f;
+        }
+      }
+    } else {  // CP
+      for (int st = 0; st < nstripes; st++) {
+        int hh = h - st * 4; if (hh > 4) hh = 4;
+        bool full = hh == 4;
+        uint32_t* Fr = t.fw(st);
+        for (int x = 0; x < w; x++) {
+          uint32_t f = Fr[x];
+          if (full && !(f & (vsig | PI4))) {
+            if (!mq.decode(CTX_RL)) continue;
+            int rl_pos = (mq.decode(CTX_UNI) << 1) | mq.decode(CTX_UNI);
+            MT* c = t.col(st, x);
+            bool partial = true;
+            for (int j = rl_pos; j < 4; j++) {
+              int sig;
+              if (partial) { sig = 1; partial = false; }
+              else sig = mq.decode(zc[nb9(f, j, vsc)]);
+              if (sig) {
+                int si = sc_index_cf(f, Fr[x - 1], Fr[x + 1], j, vsc);
+                int sign = mq.decode(SC_LUT[si]) ^ SPB_LUT[si];
+                c[j] = recon_sig(bitplane, sign);
+                Fr[x] = f;
+                t.set_sig(st, x, j, sign);
+                f = Fr[x];
+              }
+            }
+            Fr[x] = f;
+            continue;
+          }
+          if ((f & SIGMA_MID4) == SIGMA_MID4) {
+            Fr[x] = f & ~PI4;  // steady state: nothing left to clean up
+            continue;
+          }
+          MT* c = t.col(st, x);
+          for (int j = 0; j < hh; j++) {
+            if (f & ((1u << (3 * j + 4)) | (1u << (18 + j)))) continue;
+            int sig = mq.decode(zc[nb9(f, j, vsc)]);
+            if (sig) {
+              int si = sc_index_cf(f, Fr[x - 1], Fr[x + 1], j, vsc);
+              int sign = mq.decode(SC_LUT[si]) ^ SPB_LUT[si];
+              c[j] = recon_sig(bitplane, sign);
+              Fr[x] = f;
+              t.set_sig(st, x, j, sign);
+              f = Fr[x];
+            }
+          }
+          Fr[x] = f & ~PI4;
+        }
+      }
       if (style & S_SEGSYM)
         for (int i = 0; i < 4; i++) mq.decode(CTX_UNI);
     }
@@ -1240,10 +1246,35 @@ int t1_decode(const uint8_t* stream, int stream_len, int w, int h, int style,
     if (pass_type == 2) { pass_type = 0; bitplane--; } else pass_type++;
   }
 
-  for (int y = 0; y < h; y++)
-    memcpy(out_data + (size_t)y * w, &data[(size_t)(y + 1) * pw + 1],
-           sizeof(int64_t) * w);
+  for (int y = 0; y < h; y++) {
+    const MT* base = t.dataS.data() + (size_t)(y >> 2) * w * 4 + (y & 3);
+    int64_t* row = out_data + (size_t)y * w;
+    for (int x = 0; x < w; x++) {
+      MT m = base[(size_t)x * 4];
+      int64_t mag = (int64_t)(m & MAGMASK);
+      row[x] = (m & MSB) ? -mag : mag;
+    }
+  }
   return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode one code-block into out (int64 [h*w]). Returns 0, or -1 on
+// error. 32-bit magnitude engine unless the declared bit depth could
+// overflow 30 magnitude bits.
+int t1_decode(const uint8_t* stream, int stream_len, int w, int h, int style,
+              int orient, int num_passes, int numbps, int roishift,
+              const int32_t* seg_ends, int n_segs, int64_t* out_data) {
+  if (numbps <= 30)
+    return t1_decode_impl<uint32_t>(stream, stream_len, w, h, style, orient,
+                                    num_passes, numbps, roishift, seg_ends,
+                                    n_segs, out_data);
+  return t1_decode_impl<uint64_t>(stream, stream_len, w, h, style, orient,
+                                  num_passes, numbps, roishift, seg_ends,
+                                  n_segs, out_data);
 }
 
 }  // extern "C"
@@ -2656,6 +2687,264 @@ int ht_cleanup_decode(const uint8_t* cbk, long n, int w, int h, int kmax,
     uint32_t v = out32[i];
     int64_t mag = (int64_t)((v & 0x7FFFFFFFu) >> shift);
     out_data[i] = (v & 0x80000000u) ? -mag : mag;
+  }
+  return 0;
+}
+
+}  // extern "C"
+
+// ============================================================================
+// Reversible 5/3 lifting DWT host fast path — exact mirror of ops/dwt53.py
+// (the JAX module is the behavioral reference, pinned by equivalence tests
+// in tests/test_native.py; reference semantics jpeg2000/wavelet/dwt53.go).
+// int32 arithmetic with arithmetic right shifts, packed Mallat layout,
+// parity-aware per-level windows. The vertical pass is expressed row-wise
+// (whole-row vector ops) for cache friendliness and autovectorization.
+// ============================================================================
+
+namespace {
+
+// forward 1D over a contiguous line [n] -> packed [L | H] (ops/dwt53.py
+// fwd53_1d). tmp must hold n values.
+void f53_line(int32_t* x, int n, bool even, int32_t* tmp) {
+  if (n <= 1) {
+    if (!even && n == 1) x[0] *= 2;
+    return;
+  }
+  if (even) {
+    int sn = (n + 1) / 2, dn = n / 2;
+    int32_t* l = tmp;
+    int32_t* h = tmp + sn;
+    for (int i = 0; i < dn; i++) {
+      int32_t s_i = x[2 * i], s_n = x[2 * (i + 1 < sn ? i + 1 : sn - 1)];
+      h[i] = x[2 * i + 1] - ((s_i + s_n) >> 1);
+    }
+    for (int i = 0; i < sn; i++) {
+      int32_t hp = h[i - 1 < 0 ? 0 : (i - 1 < dn ? i - 1 : dn - 1)];
+      int32_t hc = h[i < dn ? i : dn - 1];
+      l[i] = x[2 * i] + ((hp + hc + 2) >> 2);
+    }
+  } else {
+    int sn = n / 2, dn = n - sn;
+    int32_t* l = tmp;
+    int32_t* h = tmp + sn;
+    for (int i = 0; i < dn; i++) {
+      int32_t sm = x[2 * (i - 1 < 0 ? 0 : i - 1) + 1];
+      int32_t si = x[2 * (i < sn ? i : sn - 1) + 1];
+      h[i] = x[2 * i] - ((sm + si) >> 1);
+    }
+    for (int i = 0; i < sn; i++) {
+      int32_t hi = h[i];
+      int32_t hn = h[i + 1 < dn ? i + 1 : dn - 1];
+      l[i] = x[2 * i + 1] + ((hi + hn + 2) >> 2);
+    }
+  }
+  memcpy(x, tmp, sizeof(int32_t) * (size_t)n);
+}
+
+// inverse 1D from packed [L | H] (ops/dwt53.py inv53_1d)
+void i53_line(int32_t* x, int n, bool even, int32_t* tmp) {
+  if (n <= 1) {
+    if (!even && n == 1) x[0] >>= 1;
+    return;
+  }
+  if (even) {
+    int sn = (n + 1) / 2, dn = n - sn;
+    const int32_t* l = x;
+    const int32_t* h = x + sn;
+    int32_t* s = tmp;  // [sn]
+    for (int i = 0; i < sn; i++) {
+      int32_t hp = h[i - 1 < 0 ? 0 : (i - 1 < dn ? i - 1 : dn - 1)];
+      int32_t hc = h[i < dn ? i : dn - 1];
+      s[i] = l[i] - ((hp + hc + 2) >> 2);
+    }
+    int32_t* od = tmp + sn;  // odd samples [dn]
+    for (int i = 0; i < dn; i++)
+      od[i] = h[i] + ((s[i] + s[i + 1 < sn ? i + 1 : sn - 1]) >> 1);
+    for (int i = 0; i < sn; i++) x[2 * i] = s[i];
+    for (int i = 0; i < dn; i++) x[2 * i + 1] = od[i];
+  } else {
+    int sn = n / 2, dn = n - sn;
+    const int32_t* l = x;
+    const int32_t* h = x + sn;
+    int32_t* s = tmp;  // [sn]
+    for (int i = 0; i < sn; i++) {
+      int32_t hi = h[i < dn ? i : dn - 1];
+      int32_t hn = h[i + 1 < dn ? i + 1 : dn - 1];
+      s[i] = l[i] - ((hi + hn + 2) >> 2);
+    }
+    int32_t* ev = tmp + sn;  // even samples [dn]
+    for (int i = 0; i < dn; i++) {
+      int32_t sm = s[i - 1 < 0 ? 0 : (i - 1 < sn ? i - 1 : sn - 1)];
+      int32_t si = s[i < sn ? i : sn - 1];
+      ev[i] = h[i] + ((sm + si) >> 1);
+    }
+    for (int i = 0; i < dn; i++) x[2 * i] = ev[i];
+    for (int i = 0; i < sn; i++) x[2 * i + 1] = s[i];
+  }
+}
+
+// vertical forward pass over window [h x w] with row stride, row-wise
+// vector ops into a packed temp then copied back
+void f53_vert(int32_t* a, int h, int w, long stride, bool even,
+              std::vector<int32_t>& scratch) {
+  if (h <= 1) {
+    if (!even && h == 1)
+      for (int x = 0; x < w; x++) a[x] *= 2;
+    return;
+  }
+  scratch.resize((size_t)h * w);
+  int32_t* t = scratch.data();
+  auto row = [&](int y) { return a + (size_t)y * stride; };
+  if (even) {
+    int sn = (h + 1) / 2, dn = h / 2;
+    // H rows: t[sn+i] = row(2i+1) - ((row(2i) + row(2(i+1 cl))) >> 1)
+    for (int i = 0; i < dn; i++) {
+      const int32_t* s0 = row(2 * i);
+      const int32_t* s1 = row(2 * (i + 1 < sn ? i + 1 : sn - 1));
+      const int32_t* d = row(2 * i + 1);
+      int32_t* o = t + (size_t)(sn + i) * w;
+      for (int x = 0; x < w; x++) o[x] = d[x] - ((s0[x] + s1[x]) >> 1);
+    }
+    // L rows: t[i] = row(2i) + ((hp + hc + 2) >> 2)
+    for (int i = 0; i < sn; i++) {
+      const int32_t* hp =
+          t + (size_t)(sn + (i - 1 < 0 ? 0 : (i - 1 < dn ? i - 1 : dn - 1))) * w;
+      const int32_t* hc = t + (size_t)(sn + (i < dn ? i : dn - 1)) * w;
+      const int32_t* s = row(2 * i);
+      int32_t* o = t + (size_t)i * w;
+      for (int x = 0; x < w; x++) o[x] = s[x] + ((hp[x] + hc[x] + 2) >> 2);
+    }
+  } else {
+    int sn = h / 2, dn = h - sn;
+    for (int i = 0; i < dn; i++) {
+      const int32_t* sm = row(2 * (i - 1 < 0 ? 0 : i - 1) + 1);
+      const int32_t* si = row(2 * (i < sn ? i : sn - 1) + 1);
+      const int32_t* d = row(2 * i);
+      int32_t* o = t + (size_t)(sn + i) * w;
+      for (int x = 0; x < w; x++) o[x] = d[x] - ((sm[x] + si[x]) >> 1);
+    }
+    for (int i = 0; i < sn; i++) {
+      const int32_t* hi = t + (size_t)(sn + i) * w;
+      const int32_t* hn = t + (size_t)(sn + (i + 1 < dn ? i + 1 : dn - 1)) * w;
+      const int32_t* s = row(2 * i + 1);
+      int32_t* o = t + (size_t)i * w;
+      for (int x = 0; x < w; x++) o[x] = s[x] + ((hi[x] + hn[x] + 2) >> 2);
+    }
+  }
+  for (int y = 0; y < h; y++)
+    memcpy(row(y), t + (size_t)y * w, sizeof(int32_t) * (size_t)w);
+}
+
+// vertical inverse pass
+void i53_vert(int32_t* a, int h, int w, long stride, bool even,
+              std::vector<int32_t>& scratch) {
+  if (h <= 1) {
+    if (!even && h == 1)
+      for (int x = 0; x < w; x++) a[x] >>= 1;
+    return;
+  }
+  scratch.resize((size_t)h * w);
+  int32_t* t = scratch.data();
+  auto row = [&](int y) { return a + (size_t)y * stride; };
+  if (even) {
+    int sn = (h + 1) / 2, dn = h - sn;
+    // s rows (even outputs): t[2i] from L minus update
+    for (int i = 0; i < sn; i++) {
+      const int32_t* hp =
+          row(sn + (i - 1 < 0 ? 0 : (i - 1 < dn ? i - 1 : dn - 1)));
+      const int32_t* hc = row(sn + (i < dn ? i : dn - 1));
+      const int32_t* l = row(i);
+      int32_t* o = t + (size_t)(2 * i) * w;
+      for (int x = 0; x < w; x++) o[x] = l[x] - ((hp[x] + hc[x] + 2) >> 2);
+    }
+    for (int i = 0; i < dn; i++) {
+      const int32_t* s0 = t + (size_t)(2 * i) * w;
+      const int32_t* s1 = t + (size_t)(2 * (i + 1 < sn ? i + 1 : sn - 1)) * w;
+      const int32_t* hh = row(sn + i);
+      int32_t* o = t + (size_t)(2 * i + 1) * w;
+      for (int x = 0; x < w; x++) o[x] = hh[x] + ((s0[x] + s1[x]) >> 1);
+    }
+  } else {
+    int sn = h / 2, dn = h - sn;
+    for (int i = 0; i < sn; i++) {
+      const int32_t* hi = row(sn + (i < dn ? i : dn - 1));
+      const int32_t* hn = row(sn + (i + 1 < dn ? i + 1 : dn - 1));
+      const int32_t* l = row(i);
+      int32_t* o = t + (size_t)(2 * i + 1) * w;
+      for (int x = 0; x < w; x++) o[x] = l[x] - ((hi[x] + hn[x] + 2) >> 2);
+    }
+    for (int i = 0; i < dn; i++) {
+      const int32_t* sm =
+          t + (size_t)(2 * (i - 1 < 0 ? 0 : (i - 1 < sn ? i - 1 : sn - 1)) + 1) * w;
+      const int32_t* si = t + (size_t)(2 * (i < sn ? i : sn - 1) + 1) * w;
+      const int32_t* hh = row(sn + i);
+      int32_t* o = t + (size_t)(2 * i) * w;
+      for (int x = 0; x < w; x++) o[x] = hh[x] + ((sm[x] + si[x]) >> 1);
+    }
+  }
+  for (int y = 0; y < h; y++)
+    memcpy(row(y), t + (size_t)y * w, sizeof(int32_t) * (size_t)w);
+}
+
+void dwt_windows(int width, int height, int levels, int x0, int y0,
+                 std::vector<std::array<int, 4>>& wins) {
+  int w = width, h = height;
+  for (int i = 0; i < levels; i++) {
+    if (w == 0 || h == 0) break;
+    wins.push_back({w, h, x0, y0});
+    int nw = (x0 % 2 == 0) ? (w + 1) / 2 : w / 2;
+    int nh = (y0 % 2 == 0) ? (h + 1) / 2 : h / 2;
+    x0 = (x0 + 1) >> 1; y0 = (y0 + 1) >> 1;
+    w = nw; h = nh;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// In-place multilevel forward 5/3 on int32 [height x width] (row-major,
+// stride == width). Mirrors ops/dwt53.py fwd53_multilevel.
+int dwt53_fwd(int32_t* data, int width, int height, int levels, int x0,
+              int y0) {
+  if (width <= 0 || height <= 0) return 0;
+  std::vector<std::array<int, 4>> wins;
+  dwt_windows(width, height, levels, x0, y0, wins);
+  std::vector<int32_t> scratch, line;
+  for (auto& win : wins) {
+    int w = win[0], h = win[1];
+    bool even_row = win[2] % 2 == 0, even_col = win[3] % 2 == 0;
+    // vertical first (fwd53_2d), then horizontal
+    if (h > 1 || (h == 1 && !even_col))
+      f53_vert(data, h, w, width, even_col, scratch);
+    if (w > 1 || (w == 1 && !even_row)) {
+      line.resize((size_t)w);
+      for (int y = 0; y < h; y++)
+        f53_line(data + (size_t)y * width, w, even_row, line.data());
+    }
+  }
+  return 0;
+}
+
+// In-place multilevel inverse 5/3. Mirrors ops/dwt53.py inv53_multilevel.
+int dwt53_inv(int32_t* data, int width, int height, int levels, int x0,
+              int y0) {
+  if (width <= 0 || height <= 0) return 0;
+  std::vector<std::array<int, 4>> wins;
+  dwt_windows(width, height, levels, x0, y0, wins);
+  std::vector<int32_t> scratch, line;
+  for (auto it = wins.rbegin(); it != wins.rend(); ++it) {
+    int w = (*it)[0], h = (*it)[1];
+    bool even_row = (*it)[2] % 2 == 0, even_col = (*it)[3] % 2 == 0;
+    // horizontal first (inv53_2d), then vertical
+    if (w > 1 || (w == 1 && !even_row)) {
+      line.resize((size_t)w);
+      for (int y = 0; y < h; y++)
+        i53_line(data + (size_t)y * width, w, even_row, line.data());
+    }
+    if (h > 1 || (h == 1 && !even_col))
+      i53_vert(data, h, w, width, even_col, scratch);
   }
   return 0;
 }

@@ -206,3 +206,34 @@ def test_ht_cleanup_native_corrupt(rng):
     assert r is None or isinstance(r, tuple) or r.shape == (8, 8)
     r2 = ht_cleanup_decode_native(b"\x01", 8, 8, 10, 9)
     assert isinstance(r2, tuple)  # too short → stream error
+
+
+DWT_CASES = [
+    (512, 512, 5, 0, 0), (64, 64, 3, 0, 0), (17, 33, 2, 1, 0),
+    (1, 7, 1, 0, 1), (7, 1, 2, 1, 1), (5, 5, 3, 3, 5), (2, 2, 1, 0, 0),
+    (3, 2, 2, 1, 0), (16, 1, 2, 0, 0), (1, 1, 1, 1, 1), (31, 65, 5, 0, 1),
+    (40, 40, 2, 1, 1),
+]
+
+
+@pytest.mark.parametrize("h,w,levels,x0,y0", DWT_CASES)
+def test_dwt53_native_parity(h, w, levels, x0, y0, rng):
+    """Native multilevel 5/3 DWT is bit-exact vs the jnp reference
+    (ops/dwt53.py), forward and inverse, across parities and raggedness."""
+    import jax.numpy as jnp
+
+    from go_dicom_codec_tpu.native import (dwt53_fwd_native,
+                                           dwt53_inv_native)
+    from go_dicom_codec_tpu.ops.dwt53 import (fwd53_multilevel,
+                                              inv53_multilevel)
+
+    a = rng.integers(-30000, 30000, (h, w)).astype(np.int32)
+    ref = np.asarray(fwd53_multilevel(jnp.asarray(a), levels, x0, y0))
+    got = dwt53_fwd_native(a, levels, x0, y0)
+    if got is None:
+        pytest.skip("native library unavailable")
+    np.testing.assert_array_equal(ref, got)
+    refi = np.asarray(inv53_multilevel(jnp.asarray(ref), levels, x0, y0))
+    goti = dwt53_inv_native(got, levels, x0, y0)
+    np.testing.assert_array_equal(refi, goti)
+    np.testing.assert_array_equal(goti, a)  # perfect reconstruction
