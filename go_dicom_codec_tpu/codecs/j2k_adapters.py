@@ -65,6 +65,18 @@ def _params_from(parameters: Optional[Parameters],
     mv = parameters.get_parameter("mct")
     if mv is not None:
         p.mct = bool(mv)
+    # lossy quantization overrides (reference lossy/codec.go:247-272):
+    # subband_steps (alias custom_quant_steps) = explicit per-subband
+    # steps, validated to 3*levels+1 at encode; quant_step_scale
+    # multiplies them (or adjusts the quality curve equivalently)
+    ss = parameters.get_parameter("subband_steps")
+    if ss is None:
+        ss = parameters.get_parameter("custom_quant_steps")
+    if ss is not None:
+        p.custom_quant_steps = [float(v) for v in ss]
+    qs = parameters.get_parameter("quant_step_scale")
+    if qs is not None:
+        p.quant_step_scale = float(qs)
     # Part 2 MCT bindings (reference lossless/codec.go:187-240), layered
     # rates, ROI config and precincts pass through as-is
     for key in ("mct_matrix", "mct_inverse", "mct_offsets", "mct_bindings",

@@ -91,3 +91,60 @@ def dequantize(q: np.ndarray, delta: float, half_bit: bool = True) -> np.ndarray
     if half_bit:
         return np.sign(qa) * (np.abs(qa) + 0.5) * np.float32(delta) * (q != 0)
     return qa * np.float32(delta)
+
+
+# OpenJPH filter BIBO/L2 gain tables (public OpenJPH param_qcd constants;
+# reference quantization.go:238-241)
+OPENJPH_97_LOW_GAIN = (1.0, 1.4021, 2.0304, 2.9012, 4.1153, 5.8245, 8.2388)
+OPENJPH_97_HIGH_GAIN = (1.4425, 1.9669, 2.8839, 4.1475, 5.8946, 8.3472)
+OPENJPH_53_LOW_BIBO = (1.0, 1.5, 1.625, 1.6875, 1.6963, 1.7067, 1.7116)
+OPENJPH_53_HIGH_BIBO = (2.0, 2.5, 2.75, 2.8047, 2.8198, 2.8410)
+
+
+def openjph_qcd_values(num_levels: int, bit_depth: int, lossless: bool,
+                       uses_rct: bool = False):
+    """HTJ2K quantization parameters, mirror of the reference's
+    CalculateOpenJPHQuantizationParams (quantization.go:243-297 /
+    OpenJPH param_qcd).
+
+    Returns ("exponents", guard_bits, [ε per band]) for lossless or
+    ("steps", guard_bits, [(ε, μ) per band]) for lossy, in QCD band
+    order. Lossless exponents use the 5/3 BIBO bounds (+1 precision bit
+    when RCT is active); lossy steps use the 9/7 L2 gains around a
+    2^-min(16,depth) base step.
+    """
+    lv = max(0, min(num_levels, 6))
+    if lossless:
+        precision = bit_depth + (1 if uses_rct else 0)
+        lo, hi = OPENJPH_53_LOW_BIBO, OPENJPH_53_HIGH_BIBO
+        exps = [int(precision + math.ceil(math.log2(lo[lv] * lo[lv])) - 1)]
+        if lv == 0:
+            # BIBO gain 1 leaves no slack for the asymmetric DC shift:
+            # |-2^(p-1)| needs p magnitude bits but ε = p-1 gives
+            # Mb = p-1 (the reference's HT Kmax would overflow here,
+            # encoder.go:3375); clamp up — QCD is self-describing
+            exps[0] = max(exps[0], precision)
+        for d in range(lv, 0, -1):
+            mixed = math.sqrt(lo[d] * hi[d - 1])
+            e = int(precision + math.ceil(math.log2(mixed * mixed)) - 1)
+            exps += [e, e,
+                     int(precision
+                         + math.ceil(math.log2(hi[d - 1] * hi[d - 1])) - 1)]
+        return "exponents", 1, exps
+
+    base = math.ldexp(1.0, -min(16, bit_depth))
+    lo, hi = OPENJPH_97_LOW_GAIN, OPENJPH_97_HIGH_GAIN
+
+    def enc(delta: float):
+        expn = 0
+        while delta < 1.0:
+            expn += 1
+            delta *= 2.0
+        mant = min(int(round(delta * 2048.0)) - 2048, 2047)
+        return expn, max(mant, 0)
+
+    steps = [enc(base / (lo[lv] * lo[lv]))]
+    for d in range(lv, 0, -1):
+        m = enc(base / (lo[d] * hi[d - 1]))
+        steps += [m, m, enc(base / (hi[d - 1] * hi[d - 1]))]
+    return "steps", 1, steps

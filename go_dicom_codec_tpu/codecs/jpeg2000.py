@@ -13,6 +13,8 @@ slice of the packed-Mallat array, code-block stats come from one reduction
 
 from __future__ import annotations
 
+import math
+
 from dataclasses import dataclass, field, replace
 from typing import Dict, List, Optional, Tuple
 
@@ -40,6 +42,12 @@ class J2KEncodeParams:
     num_levels: int = 5
     lossless: bool = True
     quality: int = 85          # lossy only: drives the step-size curve
+    # lossy quantization overrides (reference encoder.go:46-48,
+    # lossy/codec.go:247-272,485): explicit per-subband steps in QCD
+    # band order (length 3*num_levels+1, same relative-step domain as
+    # j2k_quant.step_sizes_97), and a global step multiplier
+    custom_quant_steps: Optional[List[float]] = None
+    quant_step_scale: float = 1.0
     cb_width: int = 64
     cb_height: int = 64
     progression: int = j2k.PROG_LRCP
@@ -209,17 +217,50 @@ class J2KEncoder:
             num_levels=levels, cb_width=p.cb_width, cb_height=p.cb_height,
             cb_style=cb_style, transform=1 if p.lossless else 0,
             precinct_exps=list(p.precincts) if p.precincts else None)
-        if p.lossless:
+        if p.htj2k:
+            # OpenJPH param_qcd quantization for HT code-blocks
+            # (reference encoder.go:1591, quantization.go:243-297)
+            kind, guard, vals = jq.openjph_qcd_values(
+                levels, bit_depth, p.lossless,
+                uses_rct=(use_mct and components == 3 and p.lossless))
+            if kind == "exponents":
+                qcd = j2k.QcdInfo(style=0, guard_bits=guard,
+                                  exponents=list(vals))
+            else:
+                qcd = j2k.QcdInfo(style=2, guard_bits=guard,
+                                  steps=list(vals))
+        elif p.lossless:
             qcd = j2k.QcdInfo(style=0, guard_bits=p.guard_bits)
             for r in range(levels + 1):
                 for band in ([0] if r == 0 else [1, 2, 3]):
                     qcd.exponents.append(bit_depth + band_gain(band))
         else:
             # scalar expounded (style 2): (ε, μ) per subband
-            # (reference writeQCD encoder.go:1719-1733, quantization.go)
+            # (reference writeQCD encoder.go:1719-1733, quantization.go);
+            # custom_quant_steps overrides the quality curve when sized
+            # 3*levels+1, with quant_step_scale multiplying every step
+            # (reference lossy/codec.go:485 customQuantSteps)
             qcd = j2k.QcdInfo(style=2, guard_bits=p.guard_bits)
-            for step, (r, band) in zip(jq.step_sizes_97(levels, p.quality),
-                                       jq.band_sequence(levels)):
+            steps = None
+            if (p.custom_quant_steps
+                    and len(p.custom_quant_steps) == 3 * levels + 1):
+                steps = [float(s) for s in p.custom_quant_steps]
+            quality = p.quality
+            scale = p.quant_step_scale
+            if scale and scale > 0 and scale != 1.0:
+                if steps is not None:
+                    steps = [s * scale for s in steps]
+                else:
+                    # scaling the base step by S == lowering quality by
+                    # 12.5*log2(S) (reference lossy/codec.go:414-424;
+                    # Go math.Round = half away from zero, not banker's)
+                    adj = 12.5 * math.log2(scale)
+                    adj = math.floor(adj + 0.5) if adj >= 0 \
+                        else math.ceil(adj - 0.5)
+                    quality = max(1, min(100, quality - int(adj)))
+            if steps is None:
+                steps = jq.step_sizes_97(levels, quality)
+            for step, (r, band) in zip(steps, jq.band_sequence(levels)):
                 rb = bit_depth + band_gain(band)
                 qcd.steps.append(jq.encode_step(step, rb))
 
@@ -762,10 +803,25 @@ def _apply_mct_bindings_inverse(rec, bindings):
 
 
 class J2KDecoder:
-    """Codestream decoder (reference decoder.go:91-124, tile_decoder.go)."""
+    """Codestream decoder (reference decoder.go:91-124, tile_decoder.go).
 
-    def __init__(self, resilient: bool = False) -> None:
+    block_decoder_factory (reference SetBlockDecoderFactory,
+    decoder.go:63-88 / t2.BlockDecoderFactory tile_decoder.go:14-24):
+    callable(width, height, style, orient) returning an object with
+    decode(stream: bytes, num_passes: int, numbps: int, seg_lengths,
+    mb: int) -> [h, w] int array; overrides the built-in T1/HT block
+    decoders for every code-block (mb = guard_bits + ε − 1, the HT
+    Kmax input).
+    """
+
+    def __init__(self, resilient: bool = False,
+                 block_decoder_factory=None) -> None:
         self.resilient = resilient
+        self.block_decoder_factory = block_decoder_factory
+
+    def set_block_decoder_factory(self, factory) -> None:
+        """Reference decoder.go:76 SetBlockDecoderFactory."""
+        self.block_decoder_factory = factory
 
     def decode(self, data: bytes):
         """→ (array [H, W, C] int32, SizInfo, CodInfo)."""
@@ -972,7 +1028,16 @@ class J2KDecoder:
                             if st.num_passes == 0 or st.numbps <= 0:
                                 continue
                             try:
-                                if is_ht:
+                                if self.block_decoder_factory is not None:
+                                    dec = self.block_decoder_factory(
+                                        g.width, g.height, cod.cb_style,
+                                        bg.orient)
+                                    blk = np.asarray(dec.decode(
+                                        bytes(st.seg_data), st.num_passes,
+                                        st.numbps,
+                                        seg_lengths=st.seg_ends,
+                                        mb=ps.mb))
+                                elif is_ht:
                                     from ..native import \
                                         ht_cleanup_decode_native
                                     blk = ht_cleanup_decode_native(

@@ -44,6 +44,8 @@ SENTINELS = {
     "layer_budget_strategy": "EQUAL_RATE",
     "precincts": [(7, 7)],
     "guard_bits": 3,
+    "custom_quant_steps": [0.25],
+    "quant_step_scale": 2.0,
 }
 
 

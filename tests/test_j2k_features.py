@@ -368,3 +368,50 @@ def test_layer_budget_strategies(strategy, rng):
                                     layer_budget_strategy=strategy)
                     ).encode(img.tobytes(), 64, 64, 1, 12)
     assert len(dt) < 64 * 64 * 12 / 8 / 8 + 400
+
+
+def test_block_decoder_factory_injection(rng):
+    """Reference decoder.go:63-88 SetBlockDecoderFactory: a user-supplied
+    factory overrides the built-in block decoders — classic T1 and HT."""
+    from go_dicom_codec_tpu.entropy.ebcot import T1Decoder
+    from go_dicom_codec_tpu.entropy.htcleanup import HTCleanupDecoder
+
+    img = (np.cumsum(rng.integers(-9, 10, (64, 64)), axis=1)
+           % 4096).astype("<u2")
+
+    calls = {"n": 0}
+
+    def classic_factory(width, height, style, orient):
+        calls["n"] += 1
+        inner = T1Decoder(width, height, style=style, orientation=orient)
+
+        class _Dec:
+            def decode(_self, stream, num_passes, numbps,
+                       seg_lengths=None, mb=None):
+                return inner.decode(stream, num_passes, numbps,
+                                    seg_lengths=seg_lengths)
+        return _Dec()
+
+    stream = J2KEncoder(J2KEncodeParams(lossless=True)).encode(
+        img.tobytes(), 64, 64, 1, 12, False)
+    dec = J2KDecoder(block_decoder_factory=classic_factory)
+    arr, _, _ = dec.decode(stream)
+    assert calls["n"] > 0
+    np.testing.assert_array_equal(arr[:, :, 0].astype("<u2"), img)
+
+    # HT injection: the factory receives the HT cb_style (0x40) and mb
+    def ht_factory(width, height, style, orient):
+        assert style & 0x40
+        class _Dec:
+            def decode(_self, stream, num_passes, numbps,
+                       seg_lengths=None, mb=None):
+                return HTCleanupDecoder(width, height, mb,
+                                        mb - numbps).decode(stream)
+        return _Dec()
+
+    ht_stream = J2KEncoder(J2KEncodeParams(lossless=True, htj2k=True)
+                           ).encode(img.tobytes(), 64, 64, 1, 12, False)
+    dec = J2KDecoder()
+    dec.set_block_decoder_factory(ht_factory)
+    arr, _, _ = dec.decode(ht_stream)
+    np.testing.assert_array_equal(arr[:, :, 0].astype("<u2"), img)
