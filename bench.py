@@ -5,48 +5,83 @@ Measures the north-star metric from BASELINE.json — the device-side J2K
 lossless encode transform (DC shift + multilevel 5/3 DWT + per-codeblock
 max-bitplane stats) in Mpixels/s on one chip. Target ≥1 Gpx/s on v5e.
 
-vs_baseline compares against the reference's fastest *measured* throughput
-(JPEG Baseline encode ≈224 Mpx/s single-core Go, BASELINE.md; its J2K path
-is structurally slower and unpublished).
+Methodology (round-2 verdict item #5): iterations are chained
+device-resident inside ONE jit via lax.fori_loop, so the number
+amortizes tunnel/dispatch latency and reflects the on-chip rate; the
+same harness re-measures the x+1 memory-bound ceiling for comparison
+(reported on stderr, with the per-dispatch legacy number).
 
-Prints exactly one JSON line.
+vs_baseline compares against the reference's fastest *measured*
+throughput (JPEG Baseline encode ≈224 Mpx/s single-core Go, BASELINE.md;
+its J2K path is structurally slower and unpublished).
+
+Prints exactly one JSON line on stdout.
 """
 
 import json
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from go_dicom_codec_tpu.pipeline import j2k_lossless_encode_transform_jit
+from go_dicom_codec_tpu.pipeline import j2k_lossless_encode_transform
+
+BATCH, H, W, LEVELS, ITERS = 32, 512, 512, 5, 30
+
+
+def _chained(x):
+    """ITERS transform steps chained on device: one dispatch total."""
+
+    def body(_, carry):
+        frames, acc = carry
+        coeffs, cb_max, cb_bits = j2k_lossless_encode_transform(
+            frames, levels=LEVELS, bits=16, signed=False, cb=64)
+        # feed coefficients back as the next batch (keeps the loop
+        # device-resident); accumulate stats so nothing is dead code
+        return coeffs, acc + jnp.sum(cb_bits.astype(jnp.int32))
+
+    out, acc = jax.lax.fori_loop(0, ITERS, body,
+                                 (x, jnp.int32(0)))
+    return out, acc
+
+
+def _chained_copy(x):
+    """The x+1 ceiling measured with the identical chained harness."""
+
+    def body(_, carry):
+        frames, acc = carry
+        y = frames + 1
+        return y, acc + y[0, 0, 0]
+
+    return jax.lax.fori_loop(0, ITERS, body, (x, jnp.int32(0)))
+
+
+def _run(jfn, frames, repeats=3):
+    out = jfn(frames)
+    np.asarray(out[1])  # readback is the only reliable sync on axon
+    best = None
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = jfn(frames)
+        np.asarray(out[1])
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return BATCH * H * W * ITERS / best / 1e6
 
 
 def main() -> None:
-    batch, h, w, levels = 32, 512, 512, 5
     rng = np.random.default_rng(0)
-    # 16-bit CT-like content
-    frames = jnp.asarray(rng.integers(0, 1 << 12, size=(batch, h, w),
+    frames = jnp.asarray(rng.integers(0, 1 << 12, size=(BATCH, H, W),
                                       dtype=np.int32))
 
-    def step(x):
-        coeffs, cb_max, cb_bits = j2k_lossless_encode_transform_jit(
-            x, levels=levels, bits=16, signed=False, cb=64)
-        return coeffs, cb_max, cb_bits
+    mpx = _run(jax.jit(_chained), frames)
+    ceiling = _run(jax.jit(_chained_copy), frames, repeats=2)
+    print(f"x+1 ceiling (same chained harness): {ceiling:.0f} Mpx/s; "
+          f"transform reaches {100 * mpx / max(ceiling, 1):.0f}% of it",
+          file=sys.stderr)
 
-    # warmup/compile; np.asarray readback is the only reliable sync point
-    # over the axon relay (block_until_ready returns early there).
-    out = step(frames)
-    np.asarray(out[2])
-
-    iters = 30
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = step(frames)
-    np.asarray(out[2])  # drains the FIFO device queue
-    dt = time.perf_counter() - t0
-
-    mpx = batch * h * w * iters / dt / 1e6
     print(json.dumps({
         "metric": "j2k_lossless_dwt53_encode_throughput",
         "value": round(mpx, 1),

@@ -39,6 +39,51 @@ class J2KLosslessParameters(Parameters):
                       0, 6)
 
 
+def openjpeg_layer_rates(rate: int, rate_levels, bits_stored: int,
+                         bits_allocated: int,
+                         append_lossless: bool) -> Optional[list]:
+    """fo-dicom rate/rate-levels → OpenJPEG tcp_rates translation
+    (reference lossless/codec.go:353-376 openJPEGLayerRates): leading
+    rate-levels above the target rate become intermediate layers, the
+    final layer is rate scaled by bits_stored/bits_allocated, plus an
+    optional lossless (rate 0) layer."""
+    if rate is None or rate <= 0:
+        return None
+    rates = []
+    for v in (rate_levels or []):
+        if v > rate:
+            rates.append(float(v))
+        else:
+            break
+    if bits_allocated <= 0:
+        bits_allocated = bits_stored
+    if bits_stored <= 0 or bits_allocated <= 0:
+        rates.append(float(rate))
+    else:
+        rates.append(float(rate) * bits_stored / bits_allocated)
+    if append_lossless:
+        rates.append(0.0)
+    return rates
+
+
+def _apply_rate_levels(p: J2KEncodeParams,
+                       parameters: Optional[Parameters],
+                       info: FrameInfo) -> None:
+    """Map the fo-dicom 'rate'/'rate_levels' convenience parameters to
+    layer_rates when the caller didn't pass explicit rates."""
+    if parameters is None or p.layer_rates is not None:
+        return
+    rate = parameters.get_parameter("rate")
+    if rate is None:
+        return
+    rates = openjpeg_layer_rates(
+        int(rate), parameters.get_parameter("rate_levels"),
+        info.bits_stored, info.bits_allocated, p.append_lossless_layer)
+    if rates:
+        p.layer_rates = rates
+        p.num_layers = len(rates)
+
+
 def _params_from(parameters: Optional[Parameters],
                  lossless: bool) -> J2KEncodeParams:
     p = J2KEncodeParams(lossless=lossless)
@@ -107,6 +152,7 @@ class J2KLosslessCodec(Codec):
                parameters: Optional[Parameters] = None) -> None:
         info = old_pixel_data.get_frame_info()
         params = _params_from(parameters, lossless=True)
+        _apply_rate_levels(params, parameters, info)
         nframes = old_pixel_data.frame_count()
         # multi-frame grayscale with default geometry: batch the device
         # stage (DC shift + DWT) over all frames with double-buffered
@@ -218,6 +264,7 @@ class J2KLossyCodec(Codec):
                 "JPEG 2000 lossy rejects signed pixel data "
                 "(reference lossy/codec.go:73-180)")
         params = _params_from(parameters, lossless=False)
+        _apply_rate_levels(params, parameters, info)
         # small-image level clamp (reference lossy/codec.go:392)
         enc = J2KEncoder(params)
         for i in range(old_pixel_data.frame_count()):

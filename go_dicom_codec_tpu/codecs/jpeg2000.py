@@ -25,7 +25,8 @@ from ..codestream import j2k
 from ..entropy.ebcot import T1Decoder, T1Encoder
 from ..errors import CorruptStreamError, UnsupportedFormatError
 from ..ops.dwt53 import fwd53_multilevel, inv53_multilevel
-from ..ops.dwt97 import fwd97_multilevel, inv97_multilevel
+from ..ops.dwt97 import (fwd97_multilevel_jit as fwd97_multilevel,
+                         inv97_multilevel_jit as inv97_multilevel)
 from ..ops.mct import (dc_level_shift, ict_forward, ict_inverse,
                        inv_dc_level_shift, rct_forward, rct_inverse)
 from ..t2.packets import (BlockState, PrecinctState, decode_packet,

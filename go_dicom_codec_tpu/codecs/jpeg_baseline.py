@@ -53,12 +53,17 @@ class JPEGBaselineParameters(Parameters):
 def encode(pixels: bytes | np.ndarray, width: int, height: int,
            components: int, quality: int = 90,
            sof_marker: int = mk.SOF0, precision: int = 8,
-           write_jfif: bool = False) -> bytes:
+           write_jfif: bool = False,
+           optimize_huffman: Optional[bool] = None) -> bytes:
     """Byte-level encode (reference jpeg/baseline/encoder.go:26-116).
 
     precision=12 + sof_marker=SOF1 gives the Extended sequential path
     (reference jpeg/extended/sequential12.go:24-125: mono only, JFIF APP0,
     component ID 1, luma table).
+
+    optimize_huffman: None matches the reference — baseline uses the
+    T.81 K.3 standard tables (encoder.go:56-66, no histogram pass),
+    Extended 12-bit builds optimal tables (sequential12.go:127-164).
     """
     if width <= 0 or height <= 0:
         raise UnsupportedFormatError("invalid dimensions")
@@ -101,16 +106,31 @@ def encode(pixels: bytes | np.ndarray, width: int, height: int,
     n_tables = 2 if components == 3 else 1
     from ..native import jpg_encode_scan2_native, jpg_scan_hist_native
 
-    hist = jpg_scan_hist_native(comp_zz, plane_tables)
+    if optimize_huffman is None:
+        optimize_huffman = precision > 8
+    # K.3 tables only cover 8-bit categories — deeper precisions always
+    # build their own tables
+    optimize_huffman = optimize_huffman or precision > 8
     scan = None
-    if hist is not None:
-        dc_freq, ac_freq = hist
-        dc_tabs = [hf.build_optimal_table(dc_freq[t])
-                   for t in range(n_tables)]
-        ac_tabs = [hf.build_optimal_table(ac_freq[t])
-                   for t in range(n_tables)]
+    if not optimize_huffman:
+        # standard K.3 tables, no histogram pass (reference baseline)
+        dc_tabs = [hf.DC_LUMA, hf.DC_CHROMA][:n_tables]
+        ac_tabs = [hf.AC_LUMA, hf.AC_CHROMA][:n_tables]
         scan = jpg_encode_scan2_native(comp_zz, plane_tables, dc_tabs,
                                        ac_tabs)
+        if scan is None:
+            stream = jc.build_scan_symbols(comp_zz, plane_tables)
+            scan = jc.encode_scan(stream, dc_tabs, ac_tabs)
+    if scan is None and optimize_huffman:
+        hist = jpg_scan_hist_native(comp_zz, plane_tables)
+        if hist is not None:
+            dc_freq, ac_freq = hist
+            dc_tabs = [hf.build_optimal_table(dc_freq[t])
+                       for t in range(n_tables)]
+            ac_tabs = [hf.build_optimal_table(ac_freq[t])
+                       for t in range(n_tables)]
+            scan = jpg_encode_scan2_native(comp_zz, plane_tables, dc_tabs,
+                                           ac_tabs)
     if scan is None:
         stream = jc.build_scan_symbols(comp_zz, plane_tables)
         dc_freq, ac_freq = jc.count_frequencies(stream, n_tables)

@@ -66,20 +66,33 @@ def encode(pixels: bytes, width: int, height: int, components: int,
     if predictor == 0:
         predictor = select_best_predictor(planes, width, height)
 
-    # vectorized diffs per component, interleaved per pixel for the scan
-    diffs = np.stack([encode_diffs(p, predictor, bit_depth) for p in planes],
-                     axis=-1).reshape(-1)
-    from ..native import p14_cat_hist_native, p14_pack_scan_native
+    from ..native import (p14_cat_hist_native, p14_diffs_hist_native,
+                          p14_pack_scan32_native, p14_pack_scan_native)
 
-    hist = p14_cat_hist_native(diffs)
-    if hist is not None:
+    scan = None
+    fused = [p14_diffs_hist_native(p, predictor, bit_depth) for p in planes]
+    if all(f is not None for f in fused):
+        # fused native path: predict+diff+histogram in one pass per
+        # plane, single-put int32 packer
+        hist = np.sum([f[1] for f in fused], axis=0)
+        d32 = (fused[0][0] if len(fused) == 1 else
+               np.stack([f[0] for f in fused], axis=-1))
         freq = np.zeros(256, dtype=np.int64)
         freq[:17] = hist
         table = hf.build_optimal_table(freq)
-        scan = p14_pack_scan_native(diffs, table.code_of[:17],
-                                    table.len_of[:17])
-    else:
-        scan = None
+        scan = p14_pack_scan32_native(d32, table.code_of[:17],
+                                      table.len_of[:17])
+    if scan is None:
+        # vectorized diffs per component, interleaved per pixel
+        diffs = np.stack([encode_diffs(p, predictor, bit_depth)
+                          for p in planes], axis=-1).reshape(-1)
+        hist = p14_cat_hist_native(diffs)
+        if hist is not None:
+            freq = np.zeros(256, dtype=np.int64)
+            freq[:17] = hist
+            table = hf.build_optimal_table(freq)
+            scan = p14_pack_scan_native(diffs, table.code_of[:17],
+                                        table.len_of[:17])
     if scan is None:
         cats = hf.categories(diffs)
         ebits = hf.extend_bits(diffs, cats)
@@ -195,7 +208,10 @@ def decode(data: bytes):
     planes = []
     d = diffs.reshape(height, width, nc)
     for c in range(nc):
-        planes.append(reconstruct(d[:, :, c], predictor, precision))
+        from ..native import p14_reconstruct_native
+        rec = p14_reconstruct_native(d[:, :, c], predictor, precision)
+        planes.append(rec if rec is not None
+                      else reconstruct(d[:, :, c], predictor, precision))
     return (_planes_to_pixels(planes, precision), width, height, nc,
             precision)
 

@@ -664,14 +664,33 @@ def _next_marker(data: bytes, pos: int) -> int:
     return struct.unpack_from(">H", data, pos)[0]
 
 
+# Hostile-stream guard: reject SIZ grids whose decoded pixel area would
+# exhaust host memory before any real data is seen (a 20-byte stream can
+# otherwise claim Xsiz=Ysiz=2^30 and trigger a 4 EiB allocation).
+# 2^31 samples ≈ 8 GiB of int32 per component — beyond any DICOM frame.
+MAX_DECODE_PIXELS = 1 << 31
+
+
 def parse_siz(payload: bytes) -> SizInfo:
     if len(payload) < 36:
         raise CorruptStreamError("SIZ too short")
     (_, xsiz, ysiz, xo, yo, xt, yt, xto, yto, csiz) = struct.unpack_from(
         ">HIIIIIIIIH", payload, 0)
+    if xsiz <= xo or ysiz <= yo:
+        raise CorruptStreamError("SIZ: empty image region (Xsiz<=XOsiz)")
+    if xt == 0 or yt == 0:
+        raise CorruptStreamError("SIZ: zero tile size")
+    if csiz == 0:
+        raise CorruptStreamError("SIZ: zero components")
+    if (xsiz - xo) * (ysiz - yo) > MAX_DECODE_PIXELS:
+        raise CorruptStreamError(
+            f"SIZ: image area {(xsiz - xo)}x{(ysiz - yo)} exceeds the "
+            f"decode cap ({MAX_DECODE_PIXELS} samples)")
     comps = []
     off = 36
     for _ in range(csiz):
+        if off + 3 > len(payload):
+            raise CorruptStreamError("SIZ truncated component table")
         ssiz, xr, yr = struct.unpack_from(">BBB", payload, off)
         comps.append(((ssiz & 0x7F) + 1, bool(ssiz & 0x80), xr, yr))
         off += 3

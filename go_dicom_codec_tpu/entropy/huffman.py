@@ -31,7 +31,10 @@ class HuffmanTable:
     lut16: Optional[np.ndarray] = field(init=False, default=None)
 
     def __post_init__(self) -> None:
-        self.values = np.asarray(self.values, dtype=np.uint8)
+        # exactly sum(bits) symbols are defined; drop any trailing bytes
+        # so DHT emission and canonical assignment agree
+        self.values = np.asarray(self.values,
+                                 dtype=np.uint8)[:sum(self.bits)]
         self.code_of = np.zeros(256, dtype=np.int64)
         self.len_of = np.zeros(256, dtype=np.int64)
         code = 0
@@ -116,23 +119,30 @@ def build_optimal_table(freq256: np.ndarray) -> HuffmanTable:
     code, then the >16-bit reshuffle.
     """
     MAXLEN = 32
-    freq = np.zeros(257, dtype=np.int64)
-    freq[:256] = np.asarray(freq256, dtype=np.int64)
+    # plain-Python lists: only ~#nonzero-symbols merge rounds happen, so
+    # per-call numpy dispatch overhead dominated the array formulation
+    freq = [0] * 257
+    for i, v in enumerate(np.asarray(freq256, dtype=np.int64).tolist()):
+        freq[i] = v
     freq[256] = 1  # reserve all-ones code
-    codesize = np.zeros(257, dtype=np.int64)
-    others = np.full(257, -1, dtype=np.int64)
+    codesize = [0] * 257
+    others = [-1] * 257
 
     while True:
         # smallest nonzero frequency; ties → highest symbol (libjpeg rule)
-        nz = np.nonzero(freq)[0]
-        if nz.size < 2:
+        c1 = c2 = -1
+        v1 = v2 = None
+        for sym in range(257):
+            f = freq[sym]
+            if not f:
+                continue
+            if v1 is None or f <= v1:
+                c2, v2 = c1, v1
+                c1, v1 = sym, f
+            elif v2 is None or f <= v2:
+                c2, v2 = sym, f
+        if c2 < 0:
             break
-        f = freq[nz]
-        c1 = int(nz[np.nonzero(f == f.min())[0][-1]])
-        mask = nz != c1
-        nz2 = nz[mask]
-        f2 = freq[nz2]
-        c2 = int(nz2[np.nonzero(f2 == f2.min())[0][-1]])
 
         freq[c1] += freq[c2]
         freq[c2] = 0
@@ -141,16 +151,17 @@ def build_optimal_table(freq256: np.ndarray) -> HuffmanTable:
             codesize[s] += 1
             if others[s] < 0:
                 break
-            s = int(others[s])
+            s = others[s]
         others[s] = c2
         s = c2
         while s >= 0:
             codesize[s] += 1
-            s = int(others[s])
+            s = others[s]
 
-    bits = np.zeros(MAXLEN + 1, dtype=np.int64)
-    for size in codesize[codesize > 0]:
-        bits[min(int(size), MAXLEN)] += 1
+    bits = [0] * (MAXLEN + 1)
+    for size in codesize:
+        if size > 0:
+            bits[min(size, MAXLEN)] += 1
 
     for size in range(MAXLEN, 16, -1):
         while bits[size] > 0:

@@ -30,11 +30,16 @@ def _build() -> bool:
         src_mtime = os.path.getmtime(_SRC)
         if os.path.exists(_SO) and os.path.getmtime(_SO) >= src_mtime:
             return True
-        r = subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-             "-o", _SO, _SRC],
-            capture_output=True, timeout=240)
-        return r.returncode == 0 and os.path.exists(_SO)
+        # built on first use on the host machine, so -march=native is
+        # safe; fall back to the portable baseline if it fails
+        for extra in (["-march=native"], []):
+            r = subprocess.run(
+                ["g++", "-O3", *extra, "-shared", "-fPIC", "-std=c++17",
+                 "-o", _SO, _SRC],
+                capture_output=True, timeout=240)
+            if r.returncode == 0 and os.path.exists(_SO):
+                return True
+        return False
     except Exception:  # noqa: BLE001
         return False
 
@@ -119,6 +124,17 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.ht_cleanup_decode.argtypes = [
             u8p, ctypes.c_long, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, i32p, i32p, i64p]
+        lib.p14_diffs_hist.restype = ctypes.c_int
+        lib.p14_diffs_hist.argtypes = [
+            i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            i32p, i64p]
+        lib.p14_pack_scan32.restype = ctypes.c_long
+        lib.p14_pack_scan32.argtypes = [
+            i32p, ctypes.c_long, i32p, i32p, u8p, ctypes.c_long]
+        lib.p14_reconstruct.restype = ctypes.c_int
+        lib.p14_reconstruct.argtypes = [
+            i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            i32p]
         lib.dwt53_fwd.restype = ctypes.c_int
         lib.dwt53_fwd.argtypes = [
             i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -222,7 +238,7 @@ def pack_bits_msb_native(values: np.ndarray, lengths: np.ndarray,
     ln = np.ascontiguousarray(lengths, dtype=np.int64)
     total_bits = int(ln[ln > 0].sum()) if ln.size else 0
     cap = total_bits // 8 + 2
-    out = np.zeros(max(cap, 1), dtype=np.uint8)
+    out = np.empty(max(cap, 1), dtype=np.uint8)
     n = lib.pack_bits_msb(v, ln, v.size, pad_bit, out, out.size)
     if n < 0:
         return None
@@ -292,7 +308,7 @@ def jpg_encode_scan2_native(comp_zz, table_ids, dc_tables, ac_tables,
     if dcp is None or acp is None:
         return None
     cap = zz.size * 4 + 65536
-    out = np.zeros(cap, dtype=np.uint8)
+    out = np.empty(cap, dtype=np.uint8)
     n = lib.jpg_encode_scan2(zz.reshape(-1), ncomp, nblocks, tids, restart,
                              dcp[0], dcp[1], acp[0], acp[1], out, cap)
     if n < 0:
@@ -327,7 +343,7 @@ def ht_cleanup_encode_native(data: np.ndarray, kmax: int):
     src = np.ascontiguousarray(data, dtype=np.int64)
     e0, e1, _, _ = _ht_luts()
     cap = w * h * 8 + 4096
-    out = np.zeros(cap, dtype=np.uint8)
+    out = np.empty(cap, dtype=np.uint8)
     n = lib.ht_cleanup_encode(src, w, h, kmax, e0, e1, out, cap)
     if n < 0:
         return None
@@ -375,7 +391,7 @@ def packbits_encode_native(seg: np.ndarray):
     s = np.ascontiguousarray(seg, dtype=np.uint8)
     if s.size == 0:
         return b""
-    out = np.zeros(s.size + s.size // 128 + 16, dtype=np.uint8)
+    out = np.empty(s.size + s.size // 128 + 16, dtype=np.uint8)
     n = lib.packbits_encode(s, s.size, out, out.size)
     if n < 0:
         return None
@@ -393,7 +409,7 @@ def p14_pack_scan_native(diffs: np.ndarray, codes: np.ndarray,
     c = np.ascontiguousarray(codes, dtype=np.int32)
     ln = np.ascontiguousarray(lens, dtype=np.int32)
     cap = d.size * 5 + 1024
-    out = np.zeros(cap, dtype=np.uint8)
+    out = np.empty(cap, dtype=np.uint8)
     n = lib.p14_pack_scan(d, d.size, c, ln, out, cap)
     if n < 0:
         return None
@@ -411,7 +427,7 @@ def t1_encode_native(data: np.ndarray, style: int, orient: int,
     src = np.ascontiguousarray(data, dtype=np.int64)
     max_passes = 3 * 40
     cap = max(w * h * 6 + 1024, 4096)
-    out = np.zeros(cap, dtype=np.uint8)
+    out = np.empty(cap, dtype=np.uint8)
     rates = np.zeros(max_passes, dtype=np.int32)
     terms = np.zeros(max_passes, dtype=np.uint8)
     bps = np.zeros(max_passes, dtype=np.int32)
@@ -439,7 +455,7 @@ def jls_encode_scan_native(img: np.ndarray, maxval: int, near: int,
     h, w, comps = img.shape
     buf = np.ascontiguousarray(img, dtype=np.int64).reshape(-1)
     cap = max(w * h * comps * 4 + 4096, 8192)
-    out = np.zeros(cap, dtype=np.uint8)
+    out = np.empty(cap, dtype=np.uint8)
     n = lib.jls_encode_scan(buf, w, h, comps, maxval, near, reset,
                             t1, t2, t3, out, cap)
     if n < 0:
@@ -514,3 +530,56 @@ def dwt53_inv_native(arr: np.ndarray, levels: int, x0: int = 0,
     h, w = a.shape
     lib.dwt53_inv(a.reshape(-1), w, h, levels, x0, y0)
     return a
+
+
+def p14_diffs_hist_native(plane: np.ndarray, predictor: int,
+                          precision: int):
+    """Fused predict+diff+category-histogram (mirror of
+    ops/lossless_predict.encode_diffs + p14 categories).
+    Returns (diffs int32 [h, w], hist int64 [17]) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(plane, dtype=np.int32)
+    h, w = a.shape
+    diffs = np.empty(h * w, dtype=np.int32)
+    hist = np.zeros(17, dtype=np.int64)
+    r = lib.p14_diffs_hist(a.reshape(-1), w, h, predictor, precision,
+                           diffs, hist)
+    if r != 0:
+        return None
+    return diffs.reshape(h, w), hist
+
+
+def p14_pack_scan32_native(diffs: np.ndarray, codes: np.ndarray,
+                           lengths: np.ndarray):
+    """int32 fused-put variant of p14_pack_scan_native."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    d = np.ascontiguousarray(diffs.reshape(-1), dtype=np.int32)
+    cap = d.size * 4 + 1024
+    out = np.empty(cap, dtype=np.uint8)
+    n = lib.p14_pack_scan32(d, d.size,
+                            np.ascontiguousarray(codes, dtype=np.int32),
+                            np.ascontiguousarray(lengths, dtype=np.int32),
+                            out, cap)
+    if n < 0:
+        return None
+    return out[:n].tobytes()
+
+
+def p14_reconstruct_native(diffs: np.ndarray, predictor: int,
+                           precision: int):
+    """Native inverse prediction (mirror of
+    ops/lossless_predict.reconstruct). Returns int32 [h, w] or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    d = np.ascontiguousarray(diffs, dtype=np.int32)
+    h, w = d.shape
+    out = np.empty((h, w), dtype=np.int32)
+    if lib.p14_reconstruct(d.reshape(-1), w, h, predictor, precision,
+                           out.reshape(-1)) != 0:
+        return None
+    return out

@@ -12,6 +12,7 @@
 #include <cstdint>
 #include <cstring>
 #include <cmath>
+#include <memory>
 #include <vector>
 
 namespace {
@@ -957,21 +958,60 @@ long jpg_encode_scan2(const int32_t* zz, int ncomp, long nblocks,
                       const int32_t* dc_codes, const int32_t* dc_lens,
                       const int32_t* ac_codes, const int32_t* ac_lens,
                       uint8_t* out, long out_cap) {
-  BitW w(out, out_cap, true);
-  bool overflow = false;
+  // two-pass per restart interval: raw MSB-first pack (no per-byte
+  // bounds/stuff branches), then one memchr FF->FF00 stuffing pass;
+  // RSTn markers are appended unstuffed between intervals. Raw bound:
+  // every symbol is <= 32 bits = 4 bytes.
+  std::unique_ptr<uint8_t[]> raw(
+      new uint8_t[(size_t)nblocks * ncomp * 64 * 4 + 64]);  // uninit POD
+  uint8_t* rp = raw.get();
+  size_t ro = 0;
+  uint64_t acc = 0;
+  int nacc = 0;
+  auto put = [&](uint64_t v, int len) {
+    acc = (acc << len) | (v & ((len >= 64) ? ~0ull : ((1ull << len) - 1)));
+    nacc += len;
+    while (nacc >= 8) {
+      nacc -= 8;
+      rp[ro++] = (uint8_t)(acc >> nacc);
+    }
+  };
+  long o = 0;
+  auto flush_interval = [&]() -> bool {
+    if (nacc > 0) {  // pad to byte with 1-bits
+      int fill = 8 - nacc;
+      put((1u << fill) - 1, fill);
+    }
+    size_t i = 0;
+    while (i < ro) {
+      const uint8_t* ff = (const uint8_t*)memchr(rp + i, 0xFF, ro - i);
+      size_t run = ff ? (size_t)(ff - (rp + i)) : ro - i;
+      if (o + (long)run + 2 > out_cap) return false;
+      memcpy(out + o, rp + i, run);
+      o += run;
+      i += run;
+      if (ff) {
+        out[o++] = 0xFF;
+        out[o++] = 0x00;
+        i++;
+      }
+    }
+    ro = 0;
+    return true;
+  };
+
   long interval = 0;
-  // emit intervals manually to byte-align + RSTn at boundaries
   std::vector<int64_t> prev_dc(ncomp, 0);
-  for (long b = 0; b < nblocks && !overflow; b++) {
+  for (long b = 0; b < nblocks; b++) {
     if (restart && b > 0 && b % restart == 0) {
-      if (!w.pad(1)) { overflow = true; break; }
-      if (w.o + 2 > out_cap) { overflow = true; break; }
-      out[w.o++] = 0xFF;
-      out[w.o++] = (uint8_t)(0xD0 + (interval % 8));
+      if (!flush_interval()) return -1;
+      if (o + 2 > out_cap) return -1;
+      out[o++] = 0xFF;
+      out[o++] = (uint8_t)(0xD0 + (interval % 8));
       interval++;
       for (int c = 0; c < ncomp; c++) prev_dc[c] = 0;
     }
-    for (int c = 0; c < ncomp && !overflow; c++) {
+    for (int c = 0; c < ncomp; c++) {
       const int32_t* blk = zz + ((size_t)c * nblocks + b) * 64;
       int tid = tids[c];
       const int32_t* dcod = dc_codes + tid * 256;
@@ -982,10 +1022,12 @@ long jpg_encode_scan2(const int32_t* zz, int ncomp, long nblocks,
       prev_dc[c] = blk[0];
       int cat = jpg_cat(diff);
       if (!dlen[cat]) return -1;
-      if (!w.put((uint32_t)dcod[cat], dlen[cat])) { overflow = true; break; }
       if (cat && cat != 16) {
-        uint32_t eb = (uint32_t)(diff < 0 ? diff + (1 << cat) - 1 : diff);
-        if (!w.put(eb, cat)) { overflow = true; break; }
+        uint32_t eb = (uint32_t)(diff < 0 ? diff + (1 << cat) - 1 : diff) &
+                      ((1u << cat) - 1);
+        put(((uint64_t)(uint32_t)dcod[cat] << cat) | eb, dlen[cat] + cat);
+      } else {
+        put((uint32_t)dcod[cat], dlen[cat]);
       }
       int last_nz = 0, run = 0;
       for (int k2 = 1; k2 < 64; k2++) {
@@ -993,31 +1035,26 @@ long jpg_encode_scan2(const int32_t* zz, int ncomp, long nblocks,
         if (v == 0) { run++; continue; }
         while (run >= 16) {
           if (!alen[0xF0]) return -1;
-          if (!w.put((uint32_t)acod[0xF0], alen[0xF0])) {
-            overflow = true; break;
-          }
+          put((uint32_t)acod[0xF0], alen[0xF0]);
           run -= 16;
         }
-        if (overflow) break;
         int ac = jpg_cat(v);
         int sym = (run << 4) | ac;
         if (!alen[sym]) return -1;
-        if (!w.put((uint32_t)acod[sym], alen[sym])) { overflow = true;
-                                                      break; }
-        uint32_t aeb = (uint32_t)(v < 0 ? v + (1 << ac) - 1 : v);
-        if (!w.put(aeb, ac)) { overflow = true; break; }
+        uint32_t aeb = (uint32_t)(v < 0 ? v + (1 << ac) - 1 : v) &
+                       ((1u << ac) - 1);
+        put(((uint64_t)(uint32_t)acod[sym] << ac) | aeb, alen[sym] + ac);
         run = 0;
         last_nz = k2;
       }
-      if (!overflow && last_nz < 63) {
+      if (last_nz < 63) {
         if (!alen[0]) return -1;
-        if (!w.put((uint32_t)acod[0], alen[0])) overflow = true;
+        put((uint32_t)acod[0], alen[0]);
       }
     }
   }
-  if (overflow) return -1;
-  if (!w.pad(1)) return -1;
-  return w.o;
+  if (!flush_interval()) return -1;
+  return o;
 }
 
 }  // extern "C"
@@ -2945,6 +2982,176 @@ int dwt53_inv(int32_t* data, int width, int height, int levels, int x0,
     }
     if (h > 1 || (h == 1 && !even_col))
       i53_vert(data, h, w, width, even_col, scratch);
+  }
+  return 0;
+}
+
+}  // extern "C"
+
+// ============================================================================
+// JPEG lossless (P14/SV1) fused fast paths — exact mirrors of
+// ops/lossless_predict.encode_diffs + entropy/huffman categories
+// (behavioral reference; parity pinned in tests/test_native.py).
+// ============================================================================
+
+extern "C" {
+
+// Fused predict + diff + category histogram for one [h x w] plane.
+// samples: int32 (original pixel values); predictor 1..7; diffs_out:
+// int32 [h*w] int16-wrapped differences; hist17: int64 [17] category
+// counts (accumulated, not cleared). Mirrors encode_diffs +
+// p14_cat_hist semantics.
+int p14_diffs_hist(const int32_t* samples, int w, int h, int predictor,
+                   int precision, int32_t* diffs_out, int64_t* hist17) {
+  if (w <= 0 || h <= 0 || predictor < 1 || predictor > 7) return -1;
+  const int32_t dflt = 1 << (precision - 1);
+  for (int y = 0; y < h; y++) {
+    const int32_t* row = samples + (size_t)y * w;
+    const int32_t* up = y > 0 ? row - w : nullptr;
+    int32_t* drow = diffs_out + (size_t)y * w;
+    for (int x = 0; x < w; x++) {
+      int32_t ra, rb, rc;
+      if (x > 0) {
+        ra = row[x - 1];
+        rb = up ? up[x] : dflt;
+        rc = up ? up[x - 1] : dflt;
+      } else {
+        // first column: Ra default (pred-1 exception: sample above)
+        ra = (predictor == 1 && y > 0) ? up[0] : dflt;
+        rb = up ? up[x] : dflt;
+        rc = dflt;
+      }
+      int32_t pred;
+      switch (predictor) {
+        case 1: pred = ra; break;
+        case 2: pred = rb; break;
+        case 3: pred = rc; break;
+        case 4: pred = ra + rb - rc; break;
+        case 5: pred = ra + ((rb - rc) >> 1); break;
+        case 6: pred = rb + ((ra - rc) >> 1); break;
+        default: pred = (ra + rb) >> 1; break;
+      }
+      if (x == 0 && y == 0) pred = dflt;
+      int32_t d = (((row[x] - pred) + 0x8000) & 0xFFFF) - 0x8000;
+      drow[x] = d;
+      int cat;
+      if (d == -32768) cat = 16;
+      else {
+        uint32_t a = (uint32_t)(d < 0 ? -d : d);
+        cat = a ? 32 - __builtin_clz(a) : 0;
+      }
+      hist17[cat]++;
+    }
+  }
+  return 0;
+}
+
+// int32 variant of p14_pack_scan: fused (code|ebits) single put into a
+// raw (unstuffed) buffer, then one memchr-driven FF->FF00 stuffing pass
+// — removes the per-byte bounds/stuff branches from the hot loop.
+long p14_pack_scan32(const int32_t* diffs, long n, const int32_t* codes,
+                     const int32_t* lens, uint8_t* out, long out_cap) {
+  std::vector<uint8_t> raw((size_t)n * 4 + 16);
+  uint8_t* rp = raw.data();
+  size_t ro = 0;
+  uint64_t acc = 0;
+  int nacc = 0;
+  for (long i = 0; i < n; i++) {
+    int32_t d = diffs[i];
+    int cat;
+    uint32_t ebits = 0;
+    if (d == -32768) {
+      cat = 16;
+    } else {
+      uint32_t a = (uint32_t)(d < 0 ? -d : d);
+      cat = a ? 32 - __builtin_clz(a) : 0;
+      if (cat) {
+        // extend bits: value if positive, value + 2^cat - 1 if negative
+        ebits = (uint32_t)(d >= 0 ? d : d + (1 << cat) - 1) &
+                ((1u << cat) - 1);
+      }
+    }
+    int elen = cat == 16 ? 0 : cat;
+    int len = lens[cat] + elen;
+    acc = (acc << len) | (((uint64_t)(uint32_t)codes[cat] << elen) | ebits);
+    nacc += len;
+    while (nacc >= 8) {
+      nacc -= 8;
+      rp[ro++] = (uint8_t)(acc >> nacc);
+    }
+  }
+  if (nacc > 0) {  // pad to byte with 1-bits (BitW.pad(1) semantics)
+    rp[ro++] = (uint8_t)((acc << (8 - nacc)) | ((1u << (8 - nacc)) - 1));
+  }
+  // FF -> FF 00 stuffing
+  long o = 0;
+  size_t i = 0;
+  while (i < ro) {
+    const uint8_t* ff = (const uint8_t*)memchr(rp + i, 0xFF, ro - i);
+    size_t run = ff ? (size_t)(ff - (rp + i)) : ro - i;
+    if (o + (long)run + 2 > out_cap) return -1;
+    memcpy(out + o, rp + i, run);
+    o += run;
+    i += run;
+    if (ff) {
+      out[o++] = 0xFF;
+      out[o++] = 0x00;
+      i++;
+    }
+  }
+  return o;
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// Inverse of p14_diffs_hist: diffs -> samples in [0, 2^P). Exact mirror
+// of ops/lossless_predict.reconstruct (per-sample recurrence form; the
+// numpy module stays the behavioral reference, parity in
+// tests/test_native.py).
+int p14_reconstruct(const int32_t* diffs, int w, int h, int predictor,
+                    int precision, int32_t* out) {
+  if (w <= 0 || h <= 0 || predictor < 1 || predictor > 7) return -1;
+  const int32_t dflt = 1 << (precision - 1);
+  const uint32_t mask = (uint32_t)((1u << precision) - 1);
+  for (int y = 0; y < h; y++) {
+    const int32_t* drow = diffs + (size_t)y * w;
+    int32_t* srow = out + (size_t)y * w;
+    const int32_t* up = y > 0 ? srow - w : nullptr;
+    for (int x = 0; x < w; x++) {
+      int32_t ra = x > 0 ? srow[x - 1] : 0;
+      int32_t rb = up ? up[x] : dflt;
+      int32_t rc = (up && x > 0) ? up[x - 1] : dflt;
+      int32_t pred;
+      if (x == 0) {
+        if (!up) pred = dflt;
+        else switch (predictor) {
+          case 1: case 2: case 4: case 6: pred = up[0]; break;
+          case 3: pred = dflt; break;
+          case 5: pred = dflt + ((up[0] - dflt) >> 1); break;
+          default: pred = (dflt + up[0]) >> 1; break;
+        }
+      } else if (!up) {
+        switch (predictor) {
+          case 2: case 3: pred = dflt; break;
+          case 1: case 4: case 5: pred = ra; break;
+          case 6: pred = dflt + ((ra - dflt) >> 1); break;
+          default: pred = (ra + dflt) >> 1; break;
+        }
+      } else {
+        switch (predictor) {
+          case 1: pred = ra; break;
+          case 2: pred = rb; break;
+          case 3: pred = rc; break;
+          case 4: pred = ra + rb - rc; break;
+          case 5: pred = ra + ((rb - rc) >> 1); break;
+          case 6: pred = rb + ((ra - rc) >> 1); break;
+          default: pred = (ra + rb) >> 1; break;
+        }
+      }
+      srow[x] = (int32_t)((uint32_t)(pred + drow[x]) & mask);
+    }
   }
   return 0;
 }

@@ -14,8 +14,10 @@ reconstruction accuracy.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import List, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from .dwt53 import _edge_left, _edge_right, _level_windows
@@ -177,3 +179,13 @@ def dwt53_norm(level: int, orient: int) -> float:
     if not (0 <= orient <= 3):
         return 1.0
     return DWT53_NORMS[orient][level]
+
+
+@partial(jax.jit, static_argnames=("levels", "x0", "y0"))
+def fwd97_multilevel_jit(x, levels: int, x0: int = 0, y0: int = 0):
+    return fwd97_multilevel(x, levels, x0, y0)
+
+
+@partial(jax.jit, static_argnames=("levels", "x0", "y0"))
+def inv97_multilevel_jit(x, levels: int, x0: int = 0, y0: int = 0):
+    return inv97_multilevel(x, levels, x0, y0)

@@ -51,3 +51,28 @@ def test_corrupted_stream_decode_never_crashes(uid, ba, bs, rng):
             codec.decode(bad, out)
         except Exception:
             pass  # any clean Python exception is acceptable
+
+
+def test_hostile_siz_dimensions_rejected():
+    """A tiny stream claiming a multi-exabyte image must raise
+    CorruptStreamError before any allocation (advisor round-1 low)."""
+    import struct
+
+    from go_dicom_codec_tpu.codecs.jpeg2000 import J2KDecoder
+    from go_dicom_codec_tpu.errors import CorruptStreamError
+
+    def siz(xsiz, ysiz, xo=0, yo=0, xt=None, yt=None, ncomp=1):
+        p = struct.pack(">HIIIIIIIIH", 0, xsiz, ysiz, xo, yo,
+                        xt if xt is not None else max(xsiz, 1),
+                        yt if yt is not None else max(ysiz, 1), 0, 0,
+                        ncomp)
+        p += bytes([7, 1, 1]) * ncomp
+        return (b"\xff\x4f" + struct.pack(">HH", 0xFF51, len(p) + 2) + p
+                + b"\xff\xd9")
+
+    for hostile in (siz(1 << 30, 1 << 30),          # 4 EiB output
+                    siz(10, 10, xo=10),             # Xsiz <= XOsiz
+                    siz(10, 10, xt=0),              # zero tile
+                    siz(10, 10, ncomp=0)):          # no components
+        with pytest.raises(CorruptStreamError):
+            J2KDecoder().decode(hostile)

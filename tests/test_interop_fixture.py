@@ -22,7 +22,12 @@ from go_dicom_codec_tpu.codecs.jpeg2000 import J2KDecoder
 FIXTURE = os.path.join(os.path.dirname(__file__), "..", "test-data",
                        "ct1_kakadu.j2c")
 
-PINNED_SHA256 = "531339e26d7b4721e90aae8ae77ab6cd8ec3642c0ec3e9a233d210b9945eceb5"
+# Re-pinned round 2: the 9/7 inverse now runs under jit (one fused XLA
+# launch); float reassociation moved 110/262144 pixels by exactly 1 LSB
+# at the int-round boundary vs the eager trace — both equally valid
+# lossy reconstructions (test_kakadu_foreign_crosscheck bounds us
+# against an independent decoder).
+PINNED_SHA256 = "fe204919a6d84ffa01540d5b09c70a3b700dddc24dd14bc1b91339b90f30e85c"
 
 
 @pytest.fixture(scope="module")
@@ -62,3 +67,17 @@ def test_kakadu_resilient_truncation(decoded):
     part = arr[:, :, 0].astype(float)
     # coarse image recovered: still strongly correlated with the full one
     assert np.corrcoef(part.ravel(), full.ravel())[0, 1] > 0.8
+
+
+def test_kakadu_foreign_crosscheck(decoded):
+    """Our decode of the Kakadu stream agrees with PIL's OpenJPEG within
+    lossy-decoder rounding — an external anchor, so the pinned checksum
+    above can never drift into plausible-but-wrong territory."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    a, _, _ = decoded
+    pil = np.asarray(PIL_Image.open(io.BytesIO(open(FIXTURE, "rb").read())))
+    # PIL represents signed 16-bit samples offset into uint16
+    pil = pil.reshape(a.shape).astype(np.int64) - (1 << 15)
+    assert np.abs(pil - a.astype(np.int64)).max() <= 2

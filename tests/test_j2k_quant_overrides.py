@@ -157,3 +157,23 @@ def test_htj2k_codestream_uses_openjph_qcd(rng):
     pix, *_ = decode_to_pixels(s)
     np.testing.assert_array_equal(
         np.frombuffer(pix, "<u2").reshape(64, 64), img)
+
+
+def test_rate_levels_convenience_mapping(rng):
+    """fo-dicom rate/rate_levels → layer_rates translation (reference
+    lossless/codec.go:337-376)."""
+    from go_dicom_codec_tpu.codecs.j2k_adapters import openjpeg_layer_rates
+
+    # leading levels above the rate become intermediate layers; the
+    # final layer is rate scaled by stored/allocated bits
+    assert openjpeg_layer_rates(10, [80, 40, 20, 5], 12, 16, False) == \
+        [80.0, 40.0, 20.0, 10.0 * 12 / 16]
+    assert openjpeg_layer_rates(10, None, 16, 16, True) == [10.0, 0.0]
+    assert openjpeg_layer_rates(0, [80], 12, 16, False) is None
+
+    # end to end: the encoded stream carries the derived layer count
+    img = _smooth(rng, 12)
+    stream = _encode_via_adapter(img, 12,
+                                 dict(rate=8, rate_levels=[64, 32, 16]))
+    cs = j2k.parse_codestream(stream)
+    assert cs.cod.num_layers == 4

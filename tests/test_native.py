@@ -237,3 +237,37 @@ def test_dwt53_native_parity(h, w, levels, x0, y0, rng):
     goti = dwt53_inv_native(got, levels, x0, y0)
     np.testing.assert_array_equal(refi, goti)
     np.testing.assert_array_equal(goti, a)  # perfect reconstruction
+
+
+@pytest.mark.parametrize("predictor", [1, 2, 3, 4, 5, 6, 7])
+@pytest.mark.parametrize("shape", [(64, 64), (17, 3), (1, 9), (9, 1)])
+def test_p14_native_parity(predictor, shape, rng):
+    """Fused native predict/diff/hist and native reconstruct are exact
+    mirrors of ops/lossless_predict (the behavioral reference)."""
+    from go_dicom_codec_tpu.native import (p14_diffs_hist_native,
+                                           p14_reconstruct_native)
+    from go_dicom_codec_tpu.ops.lossless_predict import (encode_diffs,
+                                                         reconstruct)
+
+    h, w = shape
+    for precision in (8, 12, 16):
+        img = rng.integers(0, 1 << precision, (h, w)).astype(np.int64)
+        ref = encode_diffs(img, predictor, precision)
+        res = p14_diffs_hist_native(img, predictor, precision)
+        if res is None:
+            pytest.skip("native library unavailable")
+        diffs, hist = res
+        np.testing.assert_array_equal(diffs, ref)
+        cats = np.where(ref.reshape(-1) == -32768, 16,
+                        np.abs(ref.reshape(-1)))
+        # histogram parity: recompute categories the reference way
+        from go_dicom_codec_tpu.entropy.huffman import categories
+        want_hist = np.bincount(
+            np.where(ref.reshape(-1) == -32768, 16,
+                     categories(ref.reshape(-1))), minlength=17)[:17]
+        np.testing.assert_array_equal(hist, want_hist)
+        rec_ref = reconstruct(ref, predictor, precision)
+        rec_nat = p14_reconstruct_native(ref.astype(np.int32), predictor,
+                                         precision)
+        np.testing.assert_array_equal(rec_nat, rec_ref)
+        np.testing.assert_array_equal(rec_ref, img)
