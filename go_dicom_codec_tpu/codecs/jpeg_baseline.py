@@ -101,6 +101,17 @@ def encode(pixels: bytes | np.ndarray, width: int, height: int,
             p, jnp.asarray(qtables[t]), level_shift=level))
         comp_zz.append(zz.reshape(-1, 64))
 
+    return encode_from_zigzag(comp_zz, qtables, plane_tables, width,
+                              height, components, precision, sof_marker,
+                              write_jfif, optimize_huffman)
+
+
+def encode_from_zigzag(comp_zz, qtables, plane_tables, width: int,
+                       height: int, components: int, precision: int = 8,
+                       sof_marker: int = mk.SOF0, write_jfif: bool = False,
+                       optimize_huffman: Optional[bool] = None) -> bytes:
+    """Host stage only: Huffman + framing from precomputed zigzag blocks
+    (the device stage may have run batched elsewhere — pipeline.py)."""
     # Host stage: optimal Huffman + entropy coding (native one-pass scan
     # walker first; vectorized numpy pipeline as behavioral reference)
     n_tables = 2 if components == 3 else 1

@@ -128,14 +128,13 @@ def build_optimal_table(freq256: np.ndarray) -> HuffmanTable:
     codesize = [0] * 257
     others = [-1] * 257
 
+    alive = [sym for sym in range(257) if freq[sym]]
     while True:
         # smallest nonzero frequency; ties → highest symbol (libjpeg rule)
         c1 = c2 = -1
         v1 = v2 = None
-        for sym in range(257):
+        for sym in alive:
             f = freq[sym]
-            if not f:
-                continue
             if v1 is None or f <= v1:
                 c2, v2 = c1, v1
                 c1, v1 = sym, f
@@ -146,6 +145,7 @@ def build_optimal_table(freq256: np.ndarray) -> HuffmanTable:
 
         freq[c1] += freq[c2]
         freq[c2] = 0
+        alive.remove(c2)
         s = c1
         while True:
             codesize[s] += 1

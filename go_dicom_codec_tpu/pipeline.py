@@ -140,3 +140,51 @@ def j2k_rgb_lossless_encode_transform(frames: jnp.ndarray, levels: int = 5,
     coeffs = fwd53_multilevel(comps, levels)
     m = codeblock_max_abs(coeffs, cb, cb)
     return coeffs, m, max_bitplane(m)
+
+
+@partial(jax.jit, static_argnames=("level",))
+def _jpeg_device_stage(x, qtable, level):
+    """Batched JPEG device stage: [B, H, W] → [B, nby, nbx, 64] int32."""
+    from .ops.dct8x8 import encode_plane_to_zigzag
+
+    return encode_plane_to_zigzag(x, qtable, level_shift=level)
+
+
+def encode_frames_pipelined_jpeg(frames, quality: int = 90,
+                                 precision: int = 8, chunk: int = 8):
+    """Double-buffered JPEG baseline/extended multi-frame encode.
+
+    The device runs DCT+quant+zigzag for chunk k+1 (one batched jit
+    dispatch) while the host Huffman-codes chunk k — the same
+    host↔device overlap as the J2K pipeline. Grayscale frames [F, H, W];
+    returns a list of JPEG byte streams identical to the per-frame
+    scalar encoder's output.
+    """
+    import numpy as np
+
+    from .codecs import jpeg_common as jc
+    from .codecs.jpeg_baseline import encode_from_zigzag
+    from .codestream import jpeg_markers as mk
+
+    frames = np.asarray(frames)
+    f, h, w = frames.shape
+    qtable = jc.scale_quant_table(jc.LUMA_QUANT, quality, 255)
+    level = 1 << (precision - 1)
+    sof = mk.SOF0 if precision <= 8 else mk.SOF1
+
+    chunks = [frames[i : i + chunk] for i in range(0, f, chunk)]
+    pending = _jpeg_device_stage(
+        jnp.asarray(chunks[0].astype(np.int32)), jnp.asarray(qtable), level)
+    out = []
+    for ci in range(len(chunks)):
+        zz = np.asarray(pending)  # sync chunk ci
+        if ci + 1 < len(chunks):  # overlap: dispatch next device work
+            pending = _jpeg_device_stage(
+                jnp.asarray(chunks[ci + 1].astype(np.int32)),
+                jnp.asarray(qtable), level)
+        for k in range(zz.shape[0]):
+            out.append(encode_from_zigzag(
+                [zz[k].reshape(-1, 64)], [qtable], [0], w, h, 1,
+                precision=precision, sof_marker=sof,
+                write_jfif=precision > 8))
+    return out

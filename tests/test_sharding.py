@@ -91,3 +91,21 @@ def test_pad_batch_to_devices():
     padded, orig = pad_batch_to_devices(batch, 8)
     assert padded.shape[0] == 8 and orig == 5
     assert (padded[5:] == 0).all()
+
+
+def test_encode_frames_sharded_byte_identical(rng):
+    """The mesh-sharded multi-frame encode produces byte-identical
+    codestreams to the scalar single-frame encoder, across all 8
+    virtual devices."""
+    from go_dicom_codec_tpu.parallel.mesh import (encode_frames_sharded,
+                                                  make_mesh)
+    from go_dicom_codec_tpu.pipeline import encode_frames_pipelined
+
+    frames = (np.cumsum(rng.integers(-9, 10, (5, 64, 64)), axis=2)
+              % 4096).astype(np.int32)
+    mesh = make_mesh(tile_parallel=2)
+    sharded = encode_frames_sharded(frames, bit_depth=12, levels=3,
+                                    mesh=mesh)
+    scalar = encode_frames_pipelined(frames, bit_depth=12, levels=3)
+    assert len(sharded) == 5
+    assert sharded == scalar
