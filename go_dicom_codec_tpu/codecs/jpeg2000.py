@@ -409,8 +409,10 @@ class J2KEncoder:
                      ) -> bytes:
         coeffs = self._tile_coeffs(arr, rect, cod, qcd, bit_depth, signed,
                                    use_mct, roi_shifts, precomputed_coeffs)
-        return self._encode_tile_entropy(coeffs, rect, cod, qcd, bit_depth,
-                                         roi_shifts)
+        from ..utils.profiling import maybe_stage
+        with maybe_stage("j2k.encode.entropy"):
+            return self._encode_tile_entropy(coeffs, rect, cod, qcd,
+                                             bit_depth, roi_shifts)
 
     def _tile_coeffs(self, arr: np.ndarray, rect, cod: j2k.CodInfo,
                      qcd: j2k.QcdInfo, bit_depth: int, signed: bool,
@@ -420,6 +422,15 @@ class J2KEncoder:
                      ) -> np.ndarray:
         """Device stage for one tile: DC shift (+MCT) + DWT (+quant,
         +ROI pre-shift) → packed coefficient array [C, th, tw]."""
+        from ..utils.profiling import maybe_stage
+        with maybe_stage("j2k.encode.transform"):
+            return self._tile_coeffs_timed(arr, rect, cod, qcd, bit_depth,
+                                           signed, use_mct, roi_shifts,
+                                           precomputed_coeffs)
+
+    def _tile_coeffs_timed(self, arr, rect, cod, qcd, bit_depth, signed,
+                           use_mct, roi_shifts=None,
+                           precomputed_coeffs=None) -> np.ndarray:
         roi_shifts = roi_shifts or {}
         tx0, ty0, tx1, ty1 = rect
         ncomp = arr.shape[2] if arr is not None else \

@@ -1929,19 +1929,24 @@ int jls_decode_scan(const uint8_t* data, int len, int w, int h, int comps,
 namespace jpg {
 
 struct BitRd {
-  const uint8_t* data;
-  long nbits;
+  const uint8_t* data;   // caller guarantees >= 4 bytes of 0xFF padding
+  long nbits;            // (reads beyond the stream see 1-bits)
   long pos = 0;
+  std::vector<uint8_t> padded;  // owning storage when padding was added
+
+  void init_padded(const uint8_t* src, long nbits_) {
+    long n = (nbits_ + 7) >> 3;
+    padded.resize((size_t)n + 4);
+    memcpy(padded.data(), src, (size_t)n);
+    memset(padded.data() + n, 0xFF, 4);
+    data = padded.data();
+    nbits = nbits_;
+  }
 
   inline uint32_t win32(long p) const {
-    long byte = p >> 3;
-    // reads beyond the stream return 1-bits (JPEG padding)
-    auto get = [&](long i) -> uint32_t {
-      long n = (nbits + 7) >> 3;
-      return i < n ? data[i] : 0xFF;
-    };
-    return (get(byte) << 24) | (get(byte + 1) << 16) | (get(byte + 2) << 8) |
-           get(byte + 3);
+    uint32_t v;
+    memcpy(&v, data + (p >> 3), 4);  // padded: always in bounds
+    return __builtin_bswap32(v);
   }
   inline int peek16() const { return (win32(pos) >> (16 - (pos & 7))) & 0xFFFF; }
   inline int take(int n) {
@@ -2003,7 +2008,8 @@ int jpg_decode_scan(const uint8_t* destuffed, long nbytes, int ncomp,
                     const uint8_t* ac_bits, const uint8_t* ac_vals,
                     const int32_t* ac_nvals,
                     int32_t* out, const int64_t* out_offsets) {
-  jpg::BitRd br{destuffed, nbytes * 8};
+  jpg::BitRd br;
+  br.init_padded(destuffed, nbytes * 8);
   jpg::HuffLut dct[4], act[4];
   for (int t = 0; t < 4; t++) {
     if (dc_nvals[t] > 0) dct[t].build(dc_bits + t * 16, dc_vals + t * 256,
@@ -2068,7 +2074,8 @@ int jpg_lossless_decode_scan(const uint8_t* destuffed, long nbytes,
                              const int32_t* comp_tid,
                              const uint8_t* bits, const uint8_t* vals,
                              const int32_t* nvals, int32_t* diffs) {
-  jpg::BitRd br{destuffed, nbytes * 8};
+  jpg::BitRd br;
+  br.init_padded(destuffed, nbytes * 8);
   jpg::HuffLut tabs[4];
   for (int t = 0; t < 4; t++)
     if (nvals[t] > 0) tabs[t].build(bits + t * 16, vals + t * 256, nvals[t]);
