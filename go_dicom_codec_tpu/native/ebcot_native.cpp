@@ -454,8 +454,10 @@ struct T1CF {
   }
 };
 
-// Encode one code-block (templated pass engine; see T1CF).
-template <typename MT>
+// Encode one code-block (templated pass engine; see T1CF). VSC is a
+// compile-time flag so the stripe-boundary masking branches vanish in
+// the (overwhelmingly common) non-VSC instantiation.
+template <typename MT, bool VSC>
 int t1_encode_impl(const int64_t* src, int w, int h, int style, int orient,
                    int roishift, uint8_t* out, int out_cap, int* numbps_out,
                    int* npasses_out, int* pass_rates, uint8_t* pass_terms,
@@ -503,8 +505,8 @@ int t1_encode_impl(const int64_t* src, int w, int h, int style, int orient,
   int pass_type = 2, bitplane = maxbp, pass_idx = 0;
   bool prev_term = false;
   const uint8_t* zc = ZC_LUT[orient];
-  bool vsc = (style & S_VSC) != 0;
-  const uint32_t vsig = vsc ? (SIG18 & ~SIG_ROW4) : SIG18;
+  constexpr bool vsc = VSC;
+  constexpr uint32_t vsig = VSC ? (SIG18 & ~SIG_ROW4) : SIG18;
 
   while (bitplane >= 0 && pass_idx < max_passes) {
     if (pass_type == 0 || (pass_type == 2 && pass_idx == 0)) {
@@ -714,15 +716,24 @@ int t1_encode(const int64_t* src, int w, int h, int style, int orient,
     uint64_t av = (uint64_t)(v < 0 ? -v : v);
     if (av > maxabs) maxabs = av;
   }
+  const bool vsc = (style & S_VSC) != 0;
   if (maxabs < (1u << 30))
-    return t1_encode_impl<uint32_t>(src, w, h, style, orient, roishift, out,
-                                    out_cap, numbps_out, npasses_out,
-                                    pass_rates, pass_terms, pass_bitplanes,
-                                    pass_nmsedec, max_passes);
-  return t1_encode_impl<uint64_t>(src, w, h, style, orient, roishift, out,
-                                  out_cap, numbps_out, npasses_out,
-                                  pass_rates, pass_terms, pass_bitplanes,
-                                  pass_nmsedec, max_passes);
+    return vsc ? t1_encode_impl<uint32_t, true>(
+                     src, w, h, style, orient, roishift, out, out_cap,
+                     numbps_out, npasses_out, pass_rates, pass_terms,
+                     pass_bitplanes, pass_nmsedec, max_passes)
+               : t1_encode_impl<uint32_t, false>(
+                     src, w, h, style, orient, roishift, out, out_cap,
+                     numbps_out, npasses_out, pass_rates, pass_terms,
+                     pass_bitplanes, pass_nmsedec, max_passes);
+  return vsc ? t1_encode_impl<uint64_t, true>(
+                   src, w, h, style, orient, roishift, out, out_cap,
+                   numbps_out, npasses_out, pass_rates, pass_terms,
+                   pass_bitplanes, pass_nmsedec, max_passes)
+             : t1_encode_impl<uint64_t, false>(
+                   src, w, h, style, orient, roishift, out, out_cap,
+                   numbps_out, npasses_out, pass_rates, pass_terms,
+                   pass_bitplanes, pass_nmsedec, max_passes);
 }
 
 // MSB-first bit writer with a 64-bit accumulator; optional JPEG
@@ -1062,7 +1073,7 @@ long jpg_encode_scan2(const int32_t* zz, int ncomp, long nblocks,
 namespace {
 
 // Decode one code-block into out (templated pass engine; see T1CF).
-template <typename MT>
+template <typename MT, bool VSC>
 int t1_decode_impl(const uint8_t* stream, int stream_len, int w, int h,
                    int style, int orient, int num_passes, int numbps,
                    int roishift, const int32_t* seg_ends, int n_segs,
@@ -1111,8 +1122,8 @@ int t1_decode_impl(const uint8_t* stream, int stream_len, int w, int h,
   bool need_new = true;
   int pass_type = 2, bitplane = maxbp, pass_idx = 0;
   const uint8_t* zc = ZC_LUT[orient];
-  bool vsc = (style & S_VSC) != 0;
-  const uint32_t vsig = vsc ? (SIG18 & ~SIG_ROW4) : SIG18;
+  constexpr bool vsc = VSC;
+  constexpr uint32_t vsig = VSC ? (SIG18 & ~SIG_ROW4) : SIG18;
 
   // magnitude|sign representation: new significance sets the plane bit
   // and the sign MSB; refinement adds the plane bit to the magnitude
@@ -1305,13 +1316,20 @@ extern "C" {
 int t1_decode(const uint8_t* stream, int stream_len, int w, int h, int style,
               int orient, int num_passes, int numbps, int roishift,
               const int32_t* seg_ends, int n_segs, int64_t* out_data) {
+  const bool vsc = (style & S_VSC) != 0;
   if (numbps <= 30)
-    return t1_decode_impl<uint32_t>(stream, stream_len, w, h, style, orient,
-                                    num_passes, numbps, roishift, seg_ends,
-                                    n_segs, out_data);
-  return t1_decode_impl<uint64_t>(stream, stream_len, w, h, style, orient,
-                                  num_passes, numbps, roishift, seg_ends,
-                                  n_segs, out_data);
+    return vsc ? t1_decode_impl<uint32_t, true>(
+                     stream, stream_len, w, h, style, orient, num_passes,
+                     numbps, roishift, seg_ends, n_segs, out_data)
+               : t1_decode_impl<uint32_t, false>(
+                     stream, stream_len, w, h, style, orient, num_passes,
+                     numbps, roishift, seg_ends, n_segs, out_data);
+  return vsc ? t1_decode_impl<uint64_t, true>(
+                   stream, stream_len, w, h, style, orient, num_passes,
+                   numbps, roishift, seg_ends, n_segs, out_data)
+             : t1_decode_impl<uint64_t, false>(
+                   stream, stream_len, w, h, style, orient, num_passes,
+                   numbps, roishift, seg_ends, n_segs, out_data);
 }
 
 }  // extern "C"
