@@ -1025,6 +1025,10 @@ class J2KDecoder:
 
         # T1 decode + assemble packed coefficient arrays per component
         # (int64: MaxShift-scaled ROI magnitudes can exceed 31 bits)
+        for cr in comp_rects:
+            if cr[2] <= cr[0] or cr[3] <= cr[1]:
+                raise CorruptStreamError(
+                    f"corrupt component rect {cr} (subsampling/tile grid)")
         packed_list = [
             np.zeros((cr[3] - cr[1], cr[2] - cr[0]), dtype=np.int64)
             for cr in comp_rects]

@@ -604,6 +604,8 @@ def decode(data: bytes):
                 lse = vals  # MAXVAL, T1, T2, T3, RESET
         elif marker == mk.SOS:
             p = r.read_segment()
+            if len(p) < 1 or len(p) < 3 + p[0] * 2:
+                raise CorruptStreamError("truncated JPEG-LS SOS header")
             ns = p[0]
             near = p[1 + ns * 2]
             ilv = p[2 + ns * 2]

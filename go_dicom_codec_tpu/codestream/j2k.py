@@ -535,7 +535,16 @@ def parse_codestream(data: bytes) -> Codestream:
     """Parse main header + tile-parts (reference codestream/parser.go:24-520).
 
     Tile-part bodies with the same Isot are concatenated in TPsot order.
+    Any struct-level short-buffer error from corrupted segment payloads
+    surfaces as CorruptStreamError.
     """
+    try:
+        return _parse_codestream(data)
+    except struct.error as e:
+        raise CorruptStreamError(f"corrupt marker payload: {e}") from e
+
+
+def _parse_codestream(data: bytes) -> Codestream:
     if len(data) < 4 or struct.unpack_from(">H", data, 0)[0] != SOC:
         raise CorruptStreamError("missing SOC marker")
     pos = 2
@@ -578,7 +587,8 @@ def parse_codestream(data: bytes) -> Codestream:
             _, payload, body_start = read_seg(pos)
             if len(payload) < 8 or body_start + 2 > len(data):
                 raise CorruptStreamError("truncated SOT segment")
-            isot, psot, tpsot, tnsot = struct.unpack(">HIBB", payload)
+            # unpack_from: a corrupt Lsot can legally exceed 10 bytes
+            isot, psot, tpsot, tnsot = struct.unpack_from(">HIBB", payload)
             tcod = tqcd = None
             tcoc: Dict[int, CocInfo] = {}
             tqcc: Dict[int, QcdInfo] = {}
@@ -692,7 +702,12 @@ def parse_siz(payload: bytes) -> SizInfo:
         if off + 3 > len(payload):
             raise CorruptStreamError("SIZ truncated component table")
         ssiz, xr, yr = struct.unpack_from(">BBB", payload, off)
-        comps.append(((ssiz & 0x7F) + 1, bool(ssiz & 0x80), xr, yr))
+        depth = (ssiz & 0x7F) + 1
+        if depth > 38:  # T.800 A.5.1: Ssiz precision is at most 38 bits
+            raise CorruptStreamError(f"SIZ component depth {depth} > 38")
+        if xr == 0 or yr == 0:
+            raise CorruptStreamError("SIZ zero subsampling factor")
+        comps.append((depth, bool(ssiz & 0x80), xr, yr))
         off += 3
     return SizInfo(xsiz=xsiz, ysiz=ysiz, xosiz=xo, yosiz=yo, xtsiz=xt,
                    ytsiz=yt, xtosiz=xto, ytosiz=yto, components=comps)

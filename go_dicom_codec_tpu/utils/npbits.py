@@ -105,13 +105,19 @@ class BitReader:
 
     def peek16(self) -> int:
         p = self.pos
-        return int(self.win32[p >> 3] >> np.uint64(16 - (p & 7))) & 0xFFFF
+        b = p >> 3
+        if b >= self.win32.size:   # past the end: JPEG 1-bit padding
+            return 0xFFFF
+        return int(self.win32[b] >> np.uint64(16 - (p & 7))) & 0xFFFF
 
     def take(self, n: int) -> int:
         """Read n (<= 24) bits MSB-first."""
         p = self.pos
-        v = int(self.win32[p >> 3] >> np.uint64(32 - (p & 7) - n)) & ((1 << n) - 1)
+        b = p >> 3
         self.pos = p + n
+        if b >= self.win32.size:   # past the end: JPEG 1-bit padding
+            return (1 << n) - 1
+        v = int(self.win32[b] >> np.uint64(32 - (p & 7) - n)) & ((1 << n) - 1)
         return v
 
     def skip(self, n: int) -> None:

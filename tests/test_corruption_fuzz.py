@@ -76,3 +76,73 @@ def test_hostile_siz_dimensions_rejected():
                     siz(10, 10, ncomp=0)):          # no components
         with pytest.raises(CorruptStreamError):
             J2KDecoder().decode(hostile)
+
+
+def test_hostile_siz_component_table_rejected():
+    """Fuzz-found round 2: corrupted Ssiz (depth > 38 → 1<<127 overflow)
+    and zero subsampling factors (negative component rects) must raise
+    CorruptStreamError, not ValueError/OverflowError."""
+    import struct
+
+    from go_dicom_codec_tpu.codecs.jpeg2000 import J2KDecoder
+    from go_dicom_codec_tpu.errors import CorruptStreamError
+
+    def stream(ssiz=11, xr=1, yr=1):
+        p = struct.pack(">HIIIIIIIIH", 0, 16, 16, 0, 0, 16, 16, 0, 0, 1)
+        p += bytes([ssiz, xr, yr])
+        return (b"\xff\x4f" + struct.pack(">HH", 0xFF51, len(p) + 2) + p
+                + b"\xff\xd9")
+
+    for bad in (stream(ssiz=0x7F),    # depth 128: 1 << 127 downstream
+                stream(xr=0),         # zero subsampling → empty rect
+                stream(yr=0)):
+        with pytest.raises(CorruptStreamError):
+            J2KDecoder(resilient=True).decode(bad)
+
+
+def test_corrupted_sot_length_rejected():
+    """Fuzz-found: SOT with Lsot > 10 used exact-size struct.unpack and
+    raised struct.error instead of CorruptStreamError."""
+    import struct
+
+    from go_dicom_codec_tpu.codestream.j2k import parse_codestream
+    from go_dicom_codec_tpu.errors import CorruptStreamError
+
+    p = struct.pack(">HIIIIIIIIH", 0, 8, 8, 0, 0, 8, 8, 0, 0, 1)
+    p += bytes([7, 1, 1])
+    s = (b"\xff\x4f" + struct.pack(">HH", 0xFF51, len(p) + 2) + p
+         # SOT claiming Lsot=14 (4 junk bytes after Psot/TPsot/TNsot)
+         + struct.pack(">HHHIBB", 0xFF90, 14, 0, 16, 0, 1) + b"\x00" * 4
+         + b"\xff\x93" + b"\x00" + b"\xff\xd9")
+    try:
+        parse_codestream(s)
+    except CorruptStreamError:
+        pass  # either outcome is fine as long as it's a codec error
+
+
+def test_python_bitreader_overrun_returns_padding():
+    """Fuzz-found: BitReader read past the destuffed scan raised
+    IndexError; JPEG semantics pad with 1-bits instead."""
+    from go_dicom_codec_tpu.utils.npbits import BitReader
+
+    br = BitReader(np.asarray([0x12, 0x34], dtype=np.uint8))
+    for _ in range(8):
+        br.take(8)  # run far past the end
+    assert br.peek16() == 0xFFFF
+    assert br.take(8) == 0xFF
+
+
+def test_jpegls_truncated_sos_rejected(rng):
+    """Fuzz-found: JPEG-LS SOS with fewer bytes than the component list
+    claims raised IndexError."""
+    from go_dicom_codec_tpu.codecs import jpegls
+    from go_dicom_codec_tpu.errors import CorruptStreamError
+
+    img = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+    data = bytearray(jpegls.encode(img.tobytes(), 16, 16, 1, 8))
+    i = data.find(b"\xff\xda")
+    assert i > 0
+    # claim 4 components but keep the 1-component payload length
+    data[i + 4] = 4
+    with pytest.raises(CorruptStreamError):
+        jpegls.decode(bytes(data))
