@@ -1026,7 +1026,10 @@ class J2KDecoder:
         # T1 decode + assemble packed coefficient arrays per component
         # (int64: MaxShift-scaled ROI magnitudes can exceed 31 bits)
         for cr in comp_rects:
-            if cr[2] <= cr[0] or cr[3] <= cr[1]:
+            # empty tile-components are conformant (T.800 B.3: a
+            # subsampled grid can round a 1-column tile to nothing);
+            # only inverted rects are corrupt
+            if cr[2] < cr[0] or cr[3] < cr[1]:
                 raise CorruptStreamError(
                     f"corrupt component rect {cr} (subsampling/tile grid)")
         packed_list = [
@@ -1195,6 +1198,11 @@ class J2KDecoder:
                 cod_c = cods[c]
                 ctx0, cty0, ctx1, cty1 = comp_rects[c]
                 cth, ctw = cty1 - cty0, ctx1 - ctx0
+                if cth == 0 or ctw == 0:
+                    # T.800 B.3: subsampling rounded this tile-component
+                    # to nothing — contribute a zero plane
+                    recs.append(np.zeros((th, tw), dtype=np.int32))
+                    continue
                 pk = packed_list[c].astype(np.int32)
                 if cod_c.transform == 1:
                     from .. import native as _nat

@@ -674,11 +674,12 @@ def _next_marker(data: bytes, pos: int) -> int:
     return struct.unpack_from(">H", data, pos)[0]
 
 
-# Hostile-stream guard: reject SIZ grids whose decoded pixel area would
-# exhaust host memory before any real data is seen (a 20-byte stream can
-# otherwise claim Xsiz=Ysiz=2^30 and trigger a 4 EiB allocation).
-# 2^31 samples ≈ 8 GiB of int32 per component — beyond any DICOM frame.
-MAX_DECODE_PIXELS = 1 << 31
+# Hostile-stream guard: reject SIZ grids whose decoded SAMPLE count
+# (area × components) would exhaust host memory before any real data is
+# seen (a 20-byte stream can otherwise claim Xsiz=Ysiz=2^30 and trigger
+# a 4 EiB allocation). The decoder materializes int64 coefficient
+# planes, so 2^28 samples ≈ 2 GiB — already beyond any DICOM frame.
+MAX_DECODE_PIXELS = 1 << 28
 
 
 def parse_siz(payload: bytes) -> SizInfo:
@@ -692,10 +693,10 @@ def parse_siz(payload: bytes) -> SizInfo:
         raise CorruptStreamError("SIZ: zero tile size")
     if csiz == 0:
         raise CorruptStreamError("SIZ: zero components")
-    if (xsiz - xo) * (ysiz - yo) > MAX_DECODE_PIXELS:
+    if (xsiz - xo) * (ysiz - yo) * max(csiz, 1) > MAX_DECODE_PIXELS:
         raise CorruptStreamError(
-            f"SIZ: image area {(xsiz - xo)}x{(ysiz - yo)} exceeds the "
-            f"decode cap ({MAX_DECODE_PIXELS} samples)")
+            f"SIZ: {(xsiz - xo)}x{(ysiz - yo)}x{csiz} samples exceed the "
+            f"decode cap ({MAX_DECODE_PIXELS})")
     comps = []
     off = 36
     for _ in range(csiz):

@@ -1962,8 +1962,10 @@ struct BitRd {
   }
 
   inline uint32_t win32(long p) const {
+    long b = p >> 3;
+    if (b >= (nbits + 7) >> 3) return 0xFFFFFFFFu;  // far past the end
     uint32_t v;
-    memcpy(&v, data + (p >> 3), 4);  // padded: always in bounds
+    memcpy(&v, data + b, 4);  // 4-byte 0xFF pad keeps this in bounds
     return __builtin_bswap32(v);
   }
   inline int peek16() const { return (win32(pos) >> (16 - (pos & 7))) & 0xFFFF; }
@@ -1978,20 +1980,23 @@ struct BitRd {
 
 struct HuffLut {
   std::vector<int32_t> lut;  // (len<<8)|sym, 0 invalid
+  bool valid = false;
   void build(const uint8_t* bits16, const uint8_t* vals, int nvals) {
     lut.assign(1 << 16, 0);
     int code = 0, k = 0;
     for (int length = 1; length <= 16; length++) {
       for (int i = 0; i < bits16[length - 1] && k < nvals; i++) {
         int sym = vals[k];
-        long lo = (long)code << (16 - length);
         long hi = (long)(code + 1) << (16 - length);
+        if (hi > (1 << 16)) return;  // oversubscribed DHT: keep invalid
+        long lo = (long)code << (16 - length);
         for (long j = lo; j < hi; j++) lut[j] = (length << 8) | sym;
         code++;
         k++;
       }
       code <<= 1;
     }
+    valid = true;
   }
   inline int decode(BitRd& br, bool* ok) const {
     int e = lut[br.peek16()];
@@ -2048,7 +2053,7 @@ int jpg_decode_scan(const uint8_t* destuffed, long nbytes, int ncomp,
       for (int ci = 0; ci < ncomp; ci++) {
         const jpg::HuffLut& dtab = dct[comp_dc[ci]];
         const jpg::HuffLut& atab = act[comp_ac[ci]];
-        if (dtab.lut.empty() || atab.lut.empty()) return -2;
+        if (!dtab.valid || !atab.valid) return -2;
         for (int bv = 0; bv < comp_v[ci]; bv++)
           for (int bh = 0; bh < comp_h[ci]; bh++) {
             int bx = mx * comp_h[ci] + bh;
@@ -2101,7 +2106,7 @@ int jpg_lossless_decode_scan(const uint8_t* destuffed, long nbytes,
   long n = (long)w * h * ncomp;
   for (long i = 0; i < n; i++) {
     const jpg::HuffLut& tab = tabs[comp_tid[i % ncomp]];
-    if (tab.lut.empty()) return -2;
+    if (!tab.valid) return -2;
     int cat = tab.decode(br, &ok);
     if (!ok) return -1;
     if (cat == 0) { diffs[i] = 0; continue; }

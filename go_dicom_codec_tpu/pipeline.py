@@ -73,6 +73,8 @@ def encode_frames_pipelined(frames, bit_depth: int = 16,
     from .codestream import j2k as j2kcs
 
     frames = np.asarray(frames)
+    if frames.shape[0] == 0:
+        return []
     rgb = frames.ndim == 4
     if rgb:
         f, h, w, nc = frames.shape
@@ -168,6 +170,8 @@ def encode_frames_pipelined_jpeg(frames, quality: int = 90,
 
     frames = np.asarray(frames)
     f, h, w = frames.shape
+    if f == 0:
+        return []
     qtable = jc.scale_quant_table(jc.LUMA_QUANT, quality, 255)
     level = 1 << (precision - 1)
     sof = mk.SOF0 if precision <= 8 else mk.SOF1

@@ -146,3 +146,70 @@ def test_jpegls_truncated_sos_rejected(rng):
     data[i + 4] = 4
     with pytest.raises(CorruptStreamError):
         jpegls.decode(bytes(data))
+
+
+def test_oversubscribed_dht_rejected(rng):
+    """Review-found: a DHT claiming 255 one-bit codes overflowed the
+    native 16-bit LUT (heap write); must fail as a clean codec error."""
+    from go_dicom_codec_tpu.codecs import jpeg_baseline as jb
+    from go_dicom_codec_tpu.errors import CodecError
+
+    img = (rng.integers(0, 200, (16, 16))).astype(np.uint8)
+    data = bytearray(jb.encode(img.tobytes(), 16, 16, 1, quality=90))
+    i = data.find(b"\xff\xc4")
+    assert i > 0
+    data[i + 5] = 255  # bits[1] := 255 one-bit codes (oversubscribed)
+    with pytest.raises(Exception) as ei:
+        jb.decode(bytes(data))
+    assert isinstance(ei.value, CodecError) or "Corrupt" in type(
+        ei.value).__name__
+
+
+def test_decode_cap_counts_components():
+    """Review-found: the SIZ decode cap ignored Csiz, so thousands of
+    components multiplied past the memory guard."""
+    import struct
+
+    from go_dicom_codec_tpu.codestream.j2k import parse_siz
+    from go_dicom_codec_tpu.errors import CorruptStreamError
+
+    ncomp = 16384
+    p = struct.pack(">HIIIIIIIIH", 0, 1 << 13, 1 << 13, 0, 0,
+                    1 << 13, 1 << 13, 0, 0, ncomp)
+    p += bytes([7, 1, 1]) * ncomp
+    with pytest.raises(CorruptStreamError):
+        parse_siz(p)
+
+
+def test_empty_subsampled_tile_component_is_conformant():
+    """Review-found: T.800 B.3 — a subsampled component can round a
+    narrow image region to an empty rect; that is legal, not corrupt."""
+    import struct
+
+    from go_dicom_codec_tpu.codecs.jpeg2000 import J2KDecoder
+
+    # 1-column image at odd offset; comp 1 subsampled XRsiz=2 ->
+    # ceil(5/2) == ceil(6/2) == 3: comp-1 rect is empty
+    p = struct.pack(">HIIIIIIIIH", 0, 6, 4, 5, 0, 6, 4, 0, 0, 2)
+    p += bytes([7, 1, 1]) + bytes([7, 2, 1])
+    siz = struct.pack(">HH", 0xFF51, len(p) + 2) + p
+    codp = bytes([0, 0]) + struct.pack(">H", 1) + bytes([0, 0, 4, 4, 0, 1])
+    cod = struct.pack(">HH", 0xFF52, len(codp) + 2) + codp
+    qcdp = bytes([0 | (2 << 5), 8 << 3])
+    qcd = struct.pack(">HH", 0xFF5C, len(qcdp) + 2) + qcdp
+    body = b"\x00\x00"  # one empty packet per component (LRCP, 0 levels)
+    sot = struct.pack(">HHHIBB", 0xFF90, 10, 0, 12 + 2 + len(body), 0, 1)
+    stream = (b"\xff\x4f" + siz + cod + qcd + sot + b"\xff\x93" + body
+              + b"\xff\xd9")
+    arr, _, _ = J2KDecoder().decode(stream)
+    assert arr.shape == (4, 1, 2)
+
+
+def test_pipelined_encoders_empty_input():
+    from go_dicom_codec_tpu.pipeline import (encode_frames_pipelined,
+                                             encode_frames_pipelined_jpeg)
+
+    assert encode_frames_pipelined_jpeg(
+        np.empty((0, 32, 32), dtype=np.uint8)) == []
+    assert encode_frames_pipelined(
+        np.empty((0, 32, 32), dtype=np.int32), bit_depth=12) == []
