@@ -110,12 +110,19 @@ def main(argv=None) -> int:
         y = x + 1
         return y, jnp.sum(y[:, :1, :1]).astype(jnp.float32)
 
+    def dct_pallas(x):
+        from ..ops.pallas_dct import fdct8x8_quant_pallas
+
+        o = fdct8x8_quant_pallas(x, qtable, level_shift=2048)
+        return o, jnp.sum(o[:, :1, :1]).astype(jnp.float32)
+
     kernels = [
         ("dwt53_stats", dwt53_stats, xi),
         ("dwt97_deadzone_quant", dwt97_quant, xf),
         ("dct8x8_quant_zigzag", dct_grid, xi),
         ("rct_forward", rct, xi),
         ("ict_forward", ict, xf),
+        ("dct8x8_quant_pallas", dct_pallas, xi),
         ("xplus1_ceiling", copy, xi),
     ]
     for name, fn, x in kernels:
