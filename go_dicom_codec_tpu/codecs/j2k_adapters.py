@@ -12,7 +12,7 @@ from typing import Optional
 import numpy as np
 
 from .. import uids
-from ..errors import UnsupportedFormatError
+from ..errors import CorruptStreamError, UnsupportedFormatError
 from ..frames import FrameInfo, PixelData, frame_to_array
 from ..params import Parameters, require_range
 from ..registry import Codec, get_global_registry
@@ -203,7 +203,25 @@ class J2KLosslessCodec(Codec):
     def decode(self, old_pixel_data: PixelData, new_pixel_data: PixelData,
                parameters: Optional[Parameters] = None) -> None:
         info = old_pixel_data.get_frame_info()
-        for i in range(old_pixel_data.frame_count()):
+        nframes = old_pixel_data.frame_count()
+        if nframes > 1:
+            # batched host-T1 / device-IDWT overlap (bit-identical to
+            # the scalar path); falls back for shapes it can't batch
+            try:
+                from ..pipeline import decode_frames_pipelined
+
+                streams = [old_pixel_data.get_frame(i)
+                           for i in range(nframes)]
+                from ..codestream import j2k as j2kcs
+                cs0 = j2kcs.parse_codestream(streams[0])
+                depth, signed, _, _ = cs0.siz.components[0]
+                for arr in decode_frames_pipelined(streams):
+                    new_pixel_data.add_frame(
+                        self._pack_pixels(arr, depth, signed, info))
+                return
+            except (UnsupportedFormatError, ValueError, CorruptStreamError):
+                pass  # heterogeneous/multi-tile: scalar path below
+        for i in range(nframes):
             pix, w, h, c, depth, signed = decode_to_pixels(
                 old_pixel_data.get_frame(i))
             if (info.bytes_allocated == 2 and depth <= 8):
@@ -212,6 +230,21 @@ class J2KLosslessCodec(Codec):
                 wd = np.dtype("<i2") if signed else np.dtype("<u2")
                 pix = np.frombuffer(pix, dtype=dt).astype(wd).tobytes()
             new_pixel_data.add_frame(pix)
+
+    @staticmethod
+    def _pack_pixels(arr: np.ndarray, depth: int, signed: bool,
+                     info: FrameInfo) -> bytes:
+        """Clip/cast like decode_to_pixels, honoring the container."""
+        lo, hi = ((-(1 << (depth - 1)), (1 << (depth - 1)) - 1) if signed
+                  else (0, (1 << depth) - 1))
+        arr = np.clip(arr, lo, hi)
+        if depth <= 8 and info.bytes_allocated == 2:
+            dt = np.dtype("<i2") if signed else np.dtype("<u2")
+        elif depth <= 8:
+            dt = np.int8 if signed else np.uint8
+        else:
+            dt = np.dtype("<i2") if signed else np.dtype("<u2")
+        return np.ascontiguousarray(arr.astype(dt)).tobytes()
 
 
 class J2KMCLosslessCodec(J2KLosslessCodec):

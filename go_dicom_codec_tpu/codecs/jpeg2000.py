@@ -951,7 +951,8 @@ class J2KDecoder:
                      rgn_shifts: Optional[Dict[int, int]] = None,
                      mct_bindings_inv=None,
                      poc=None, gs_masks=None,
-                     comp_rects=None) -> np.ndarray:
+                     comp_rects=None,
+                     _return_packed: bool = False) -> np.ndarray:
         """cods/qcds: effective per-component CodInfo/QcdInfo (COD+COC,
         QCD+QCC resolution done by Codestream.cod_for/qcd_for).
         gs_masks: tile-local bool masks per General-Scaling component.
@@ -1132,6 +1133,14 @@ class J2KDecoder:
         if uniform:
             packed = np.stack(packed_list).astype(np.int32)
 
+        if _return_packed:
+            # pipeline.decode_frames_pipelined: host stage done — hand
+            # the packed coefficient stack to the batched device IDWT
+            if packed is None:
+                raise UnsupportedFormatError(
+                    "packed decode requires uniform component grids")
+            return packed
+
         # device stage: inverse DWT (+ inverse MCT) + DC unshift.
         # Homogeneous tiles (no COC variation — the common case) run the
         # whole component stack in one launch; heterogeneous per-component
@@ -1253,3 +1262,37 @@ def decode_to_pixels(data: bytes):
     arr = np.clip(arr, lo, hi)
     return (np.ascontiguousarray(arr.astype(dt)).tobytes(), w, h, c,
             depth, signed)
+
+
+def decode_to_packed(data: bytes):
+    """Host stage only for a single-tile codestream: parse + T1 +
+    subband assembly, stopping before the inverse DWT. Returns
+    (packed [C, th, tw] int32, siz, cod) — the input the batched
+    device IDWT in pipeline.decode_frames_pipelined consumes.
+
+    Raises UnsupportedFormatError for multi-tile or non-uniform
+    component grids (those decode through J2KDecoder.decode).
+    """
+    cs = j2k.parse_codestream(data)
+    siz = cs.siz
+    ncomp = len(siz.components)
+    if len(cs.tiles) != 1:
+        raise UnsupportedFormatError("packed decode is single-tile only")
+    tidx, tile = next(iter(cs.tiles.items()))
+    ntx, _ = siz.num_tiles
+    rect = siz.tile_rect(tidx % ntx, tidx // ntx)
+    cods = [cs.cod_for(c, tile) for c in range(ncomp)]
+    qcds = [cs.qcd_for(c, tile) for c in range(ncomp)]
+    tx0, ty0, tx1, ty1 = rect
+    comp_rects = [(tx0, ty0, tx1, ty1)] * ncomp
+    for c in range(ncomp):
+        _, _, xr, yr = siz.components[c]
+        if max(xr, 1) != 1 or max(yr, 1) != 1:
+            raise UnsupportedFormatError(
+                "packed decode requires unsubsampled components")
+    depth0, signed0, _, _ = siz.components[0]
+    packed = J2KDecoder()._decode_tile(
+        tile.data, rect, cods, qcds, ncomp, depth0, signed0,
+        cs.rgn_shifts, None, poc=cs.poc_for(tile), gs_masks=None,
+        comp_rects=comp_rects, _return_packed=True)
+    return packed, siz, cs.cod_for(0, tile)

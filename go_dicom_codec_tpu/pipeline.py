@@ -192,3 +192,71 @@ def encode_frames_pipelined_jpeg(frames, quality: int = 90,
                 precision=precision, sof_marker=sof,
                 write_jfif=precision > 8))
     return out
+
+
+@partial(jax.jit, static_argnames=("levels", "x0", "y0", "bits", "signed",
+                                   "mct"))
+def _j2k_decode_device_stage(packed, levels, x0, y0, bits, signed, mct):
+    """Batched inverse device stage: [B, C, th, tw] int32 packed
+    coefficients → reconstructed samples (inverse 5/3 + inverse RCT +
+    DC unshift)."""
+    from .ops.dwt53 import inv53_multilevel
+    from .ops.mct import inv_dc_level_shift, rct_inverse
+
+    rec = inv53_multilevel(packed, levels, x0=x0, y0=y0)
+    if mct and rec.shape[1] >= 3:
+        r_, g_, b_ = rct_inverse(rec[:, 0], rec[:, 1], rec[:, 2])
+        rec = jnp.concatenate(
+            [jnp.stack([r_, g_, b_], axis=1), rec[:, 3:]], axis=1)
+    return inv_dc_level_shift(rec, bits, signed)
+
+
+def decode_frames_pipelined(streams, chunk: int = 8):
+    """Double-buffered J2K-lossless multi-frame DECODE.
+
+    The host entropy-decodes (T1 + T2) chunk k+1 while the device runs
+    the batched inverse 5/3 + inverse RCT + DC unshift for chunk k —
+    the decode-side mirror of encode_frames_pipelined. Requires
+    homogeneous single-tile reversible streams of equal geometry (the
+    shape the encode pipelines emit); pixel output is bit-identical to
+    J2KDecoder.decode per frame.
+
+    Returns a list of [H, W, C] int32 arrays.
+    """
+    import numpy as np
+
+    from .codecs.jpeg2000 import decode_to_packed
+
+    if not streams:
+        return []
+
+    def host_stage(group):
+        packs = []
+        meta = None
+        for s in group:
+            packed, siz, cod = decode_to_packed(s)
+            if cod.transform != 1:
+                raise ValueError("decode pipeline is for reversible streams")
+            m = (packed.shape, cod.num_levels, siz.xosiz, siz.yosiz,
+                 siz.components[0][:2], cod.mct)
+            if meta is None:
+                meta = m
+            elif m != meta:
+                raise ValueError("decode pipeline needs equal-geometry "
+                                 "streams")
+            packs.append(packed)
+        return np.stack(packs), meta
+
+    groups = [streams[i : i + chunk] for i in range(0, len(streams), chunk)]
+    out = []
+    prev = None  # (device array pending, frame count)
+    for gi, group in enumerate(groups):
+        batch, meta = host_stage(group)  # host T1 for THIS chunk
+        shape, levels, x0, y0, (bits, signed), mct = meta
+        pending = _j2k_decode_device_stage(
+            jnp.asarray(batch), levels, x0, y0, bits, signed, bool(mct))
+        if prev is not None:
+            out.extend(np.asarray(prev))  # sync previous chunk's device work
+        prev = pending
+    out.extend(np.asarray(prev))
+    return [np.moveaxis(f, 0, -1) for f in out]

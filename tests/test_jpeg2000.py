@@ -180,3 +180,57 @@ def test_decoder_rejects_garbage():
         J2KDecoder().decode(b"\x00" * 40)
     with pytest.raises(Exception):
         J2KDecoder().decode(b"\xff\x4f\xff\xd9")
+
+
+def test_decode_frames_pipelined_bit_identical(rng):
+    """The batched decode pipeline (host T1 overlapped with device
+    inverse stage) reproduces the scalar decoder bit-for-bit, gray and
+    RGB-RCT."""
+    from go_dicom_codec_tpu.pipeline import (decode_frames_pipelined,
+                                             encode_frames_pipelined)
+
+    frames = (np.cumsum(rng.integers(-9, 10, (5, 48, 40)), axis=2)
+              % 4096).astype(np.int32)
+    streams = encode_frames_pipelined(frames, bit_depth=12, levels=3)
+    got = decode_frames_pipelined(streams, chunk=2)
+    assert len(got) == 5
+    for k, s in enumerate(streams):
+        arr, _, _ = J2KDecoder().decode(s)
+        np.testing.assert_array_equal(got[k], arr)
+
+    rgb = rng.integers(0, 256, (4, 32, 32, 3)).astype(np.uint8)
+    streams = encode_frames_pipelined(rgb, bit_depth=8, levels=2)
+    got = decode_frames_pipelined(streams, chunk=3)
+    for k, s in enumerate(streams):
+        arr, _, _ = J2KDecoder().decode(s)
+        np.testing.assert_array_equal(got[k], arr)
+
+
+def test_adapter_multiframe_decode_batched(rng):
+    """Multi-frame .90 decode takes the batched pipeline and matches the
+    per-frame scalar output byte for byte (incl. 16-bit container
+    widening)."""
+    import go_dicom_codec_tpu as dc
+
+    frames = (np.cumsum(rng.integers(-9, 10, (4, 40, 40)), axis=2)
+              % 4096).astype("<u2")
+    info = dc.FrameInfo(width=40, height=40, bits_allocated=16,
+                        bits_stored=12)
+    codec = dc.get_global_registry().get_codec(dc.uids.JPEG_2000_LOSSLESS)
+    src = dc.MemoryPixelData(info=info)
+    for f in frames:
+        src.add_frame(f.tobytes())
+    enc = dc.MemoryPixelData(info=info, encapsulated=True)
+    codec.encode(src, enc)
+    dec = dc.MemoryPixelData(info=info)
+    codec.decode(enc, dec)
+    for i in range(4):
+        assert dec.get_frame(i) == src.get_frame(i)
+
+    # scalar single-frame path must agree with each batched frame
+    for i in range(4):
+        one = dc.MemoryPixelData(info=info, encapsulated=True)
+        one.add_frame(enc.get_frame(i))
+        d1 = dc.MemoryPixelData(info=info)
+        codec.decode(one, d1)
+        assert d1.get_frame(0) == dec.get_frame(i)
