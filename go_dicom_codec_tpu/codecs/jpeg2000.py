@@ -1081,12 +1081,14 @@ class J2KDecoder:
                                         bytes(st.seg_data), g.width,
                                         g.height, cod.cb_style, bg.orient,
                                         st.num_passes, st.numbps,
-                                        seg_ends=st.seg_ends)
+                                        seg_ends=st.seg_ends,
+                                        ojp_recon=True)
                                     if blk is None:
                                         dec = T1Decoder(
                                             g.width, g.height,
                                             style=cod.cb_style,
-                                            orientation=bg.orient)
+                                            orientation=bg.orient,
+                                            openjpeg_reconstruction=True)
                                         blk = dec.decode(
                                             bytes(st.seg_data),
                                             st.num_passes, st.numbps,

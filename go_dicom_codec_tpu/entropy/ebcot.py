@@ -666,6 +666,9 @@ class T1Decoder:
         out = np.zeros((h, w), dtype=np.int64)
         for y in range(h):
             out[y] = d[(y + 1) * pw + 1 : (y + 1) * pw + 1 + w]
+        if self.ojp_recon:
+            # halve out of the doubled domain, truncating toward zero
+            out = np.sign(out) * (np.abs(out) >> 1)
         return out
 
     def _termination_pattern(self, maxbp: int, num_passes: int) -> List[bool]:
@@ -691,14 +694,19 @@ class T1Decoder:
 
     def _recon_sig(self, bp: int, sign: int) -> int:
         if self.ojp_recon:
-            v = (1 << bp) | ((1 << bp) >> 1)
+            # doubled domain: one-plus-half at 2^(bp+1) | 2^bp; the
+            # final halving in decode() makes complete blocks exact and
+            # truncated ones mid-bin (reference t1/decoder.go:630-646 +
+            # tile_decoder.go:989-993, transposed to our unshifted T1
+            # coefficient domain)
+            v = (1 << (bp + 1)) | (1 << bp)
         else:
             v = 1 << bp
         return -v if sign else v
 
     def _recon_ref(self, cur: int, bp: int, bit: int) -> int:
         if self.ojp_recon:
-            poshalf = (1 << bp) >> 1
+            poshalf = 1 << bp
             if (bit != 0) != (cur < 0):
                 return cur + poshalf
             return cur - poshalf

@@ -74,7 +74,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.t1_decode.argtypes = [
             u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            i32p, ctypes.c_int, i64p]
+            i32p, ctypes.c_int, ctypes.c_int, i64p]
         lib.jls_encode_scan.restype = ctypes.c_int
         lib.jls_encode_scan.argtypes = [
             i64p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -483,8 +483,13 @@ def jls_decode_scan_native(data: bytes, w: int, h: int, comps: int,
 
 def t1_decode_native(stream: bytes, w: int, h: int, style: int, orient: int,
                      num_passes: int, numbps: int, roishift: int = 0,
-                     seg_ends=None):
-    """Native T1 decode → int64 [h, w] array, or None if unavailable."""
+                     seg_ends=None, ojp_recon: bool = False):
+    """Native T1 decode → int64 [h, w] array, or None if unavailable.
+
+    ojp_recon: OpenJPEG one-plus-half mid-bin reconstruction (exact on
+    fully-decoded blocks; mid-bin at the lowest decoded plane for
+    truncated ones) — what the codec decode path uses, mirroring the
+    reference tile decoder (t2/tile_decoder.go:594)."""
     lib = get_lib()
     if lib is None:
         return None
@@ -500,7 +505,8 @@ def t1_decode_native(stream: bytes, w: int, h: int, style: int, orient: int,
         n_segs = segs.size
     out = np.zeros(h * w, dtype=np.int64)
     r = lib.t1_decode(buf, len(stream), w, h, style, orient, num_passes,
-                      numbps, roishift, segs, n_segs, out)
+                      numbps, roishift, segs, n_segs,
+                      1 if ojp_recon else 0, out)
     if r != 0:
         return None
     return out.reshape(h, w)

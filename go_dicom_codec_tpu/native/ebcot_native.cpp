@@ -1077,7 +1077,7 @@ template <typename MT, bool VSC>
 int t1_decode_impl(const uint8_t* stream, int stream_len, int w, int h,
                    int style, int orient, int num_passes, int numbps,
                    int roishift, const int32_t* seg_ends, int n_segs,
-                   int64_t* out_data) {
+                   int ojp_recon, int64_t* out_data) {
   constexpr MT MSB = T1CF<MT>::MSB;
   constexpr MT MAGMASK = T1CF<MT>::MAGMASK;
   build_luts();
@@ -1126,12 +1126,27 @@ int t1_decode_impl(const uint8_t* stream, int stream_len, int w, int h,
   constexpr uint32_t vsig = VSC ? (SIG18 & ~SIG_ROW4) : SIG18;
 
   // magnitude|sign representation: new significance sets the plane bit
-  // and the sign MSB; refinement adds the plane bit to the magnitude
+  // and the sign MSB; refinement adds the plane bit to the magnitude.
+  // ojp_recon = OpenJPEG one-plus-half mid-bin rules (reference
+  // t1/decoder.go:630-646, enabled by the tile decoder at
+  // t2/tile_decoder.go:594): exact for fully-decoded blocks, mid-bin
+  // at the lowest decoded plane for truncated ones.
+  // ojp_recon decodes in a doubled domain (one-plus-half at 2^(bp+1))
+  // and halves at unpack: exact for complete blocks, mid-bin at the
+  // lowest decoded plane for truncated ones (reference
+  // t1/decoder.go:630-646 + tile_decoder.go:989-993, transposed to the
+  // unshifted coefficient domain this T1 codes).
   auto recon_sig = [&](int bp_, int sign) -> MT {
-    return ((MT)1 << bp_) | (sign ? MSB : (MT)0);
+    MT v = ojp_recon ? (((MT)1 << (bp_ + 1)) | ((MT)1 << bp_))
+                     : ((MT)1 << bp_);
+    return v | (sign ? MSB : (MT)0);
   };
   auto recon_ref = [&](MT cur, int bp_, int bit) -> MT {
-    return bit ? cur + ((MT)1 << bp_) : cur;
+    if (!ojp_recon) return bit ? cur + ((MT)1 << bp_) : cur;
+    MT poshalf = (MT)1 << bp_;
+    MT mag = cur & MAGMASK;
+    mag = bit ? mag + poshalf : mag - poshalf;
+    return mag | (cur & MSB);
   };
 
   while (bitplane >= 0 && pass_idx < num_passes) {
@@ -1300,6 +1315,7 @@ int t1_decode_impl(const uint8_t* stream, int stream_len, int w, int h,
     for (int x = 0; x < w; x++) {
       MT m = base[(size_t)x * 4];
       int64_t mag = (int64_t)(m & MAGMASK);
+      if (ojp_recon) mag >>= 1;  // out of the doubled domain
       row[x] = (m & MSB) ? -mag : mag;
     }
   }
@@ -1315,21 +1331,25 @@ extern "C" {
 // overflow 30 magnitude bits.
 int t1_decode(const uint8_t* stream, int stream_len, int w, int h, int style,
               int orient, int num_passes, int numbps, int roishift,
-              const int32_t* seg_ends, int n_segs, int64_t* out_data) {
+              const int32_t* seg_ends, int n_segs, int ojp_recon,
+              int64_t* out_data) {
   const bool vsc = (style & S_VSC) != 0;
-  if (numbps <= 30)
+  if (numbps <= 29)
     return vsc ? t1_decode_impl<uint32_t, true>(
                      stream, stream_len, w, h, style, orient, num_passes,
-                     numbps, roishift, seg_ends, n_segs, out_data)
+                     numbps, roishift, seg_ends, n_segs, ojp_recon,
+                     out_data)
                : t1_decode_impl<uint32_t, false>(
                      stream, stream_len, w, h, style, orient, num_passes,
-                     numbps, roishift, seg_ends, n_segs, out_data);
+                     numbps, roishift, seg_ends, n_segs, ojp_recon,
+                     out_data);
   return vsc ? t1_decode_impl<uint64_t, true>(
                    stream, stream_len, w, h, style, orient, num_passes,
-                   numbps, roishift, seg_ends, n_segs, out_data)
+                   numbps, roishift, seg_ends, n_segs, ojp_recon, out_data)
              : t1_decode_impl<uint64_t, false>(
                    stream, stream_len, w, h, style, orient, num_passes,
-                   numbps, roishift, seg_ends, n_segs, out_data);
+                   numbps, roishift, seg_ends, n_segs, ojp_recon,
+                   out_data);
 }
 
 }  // extern "C"

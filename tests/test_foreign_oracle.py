@@ -161,3 +161,69 @@ def test_htj2k_lossy_foreign(rng):
     pil = _pil_decode(stream, img.shape, 12)
     assert np.abs(pil.astype(int) - mine.astype(int)).max() <= 1
     assert np.abs(pil.astype(int) - img.astype(int)).max() <= 64
+
+
+# ---------------------------------------------------------------------
+# reverse direction: FOREIGN-encoded streams decoded by THIS repo
+# (live complement to the static Kakadu/OpenJPH golden fixtures)
+# ---------------------------------------------------------------------
+
+def test_pil_encoded_jpeg_decodes_here(rng):
+    """libjpeg-encoded baseline scan → our decoder, checked against
+    PIL's own decode (decoder-vs-decoder, quant loss cancelled)."""
+    from go_dicom_codec_tpu.codecs import jpeg_baseline as jb
+
+    img = _smooth(rng, 64, 96, 1, 8)
+    buf = io.BytesIO()
+    PIL_Image.fromarray(img).save(buf, format="JPEG", quality=90)
+    pix, w, h, c = jb.decode(buf.getvalue())
+    ours = np.frombuffer(pix, np.uint8).reshape(img.shape)
+    theirs = np.asarray(PIL_Image.open(io.BytesIO(buf.getvalue())))
+    assert np.abs(ours.astype(int) - theirs.astype(int)).max() <= 1
+
+
+@pytest.mark.parametrize("mode,arr_fn", [
+    ("L", lambda rng: _smooth(rng, 64, 96, 1, 8)),
+    ("RGB", lambda rng: _smooth(rng, 48, 64, 3, 8)),
+])
+def test_pil_encoded_j2k_lossless_decodes_here(rng, mode, arr_fn):
+    """OpenJPEG-encoded reversible raw codestreams decode bit-exact."""
+    from go_dicom_codec_tpu.codecs.jpeg2000 import decode_to_pixels
+
+    img = arr_fn(rng)
+    buf = io.BytesIO()
+    PIL_Image.fromarray(img).save(buf, format="JPEG2000", no_jp2=True,
+                                  irreversible=False)
+    pix, w, h, c, depth, signed = decode_to_pixels(buf.getvalue())
+    got = np.frombuffer(pix, np.uint8).reshape(img.shape)
+    np.testing.assert_array_equal(got, img)
+
+
+def test_pil_encoded_j2k_16bit_decodes_here(rng, tmp_path):
+    from go_dicom_codec_tpu.codecs.jpeg2000 import decode_to_pixels
+
+    img = _smooth(rng, 64, 64, 1, 16).astype("<u2")
+    fn = tmp_path / "x.j2k"  # some PIL encode paths need a real file
+    PIL_Image.fromarray(img).save(  # uint16 → I;16
+
+        str(fn), format="JPEG2000", no_jp2=True, irreversible=False)
+    pix, w, h, c, depth, signed = decode_to_pixels(fn.read_bytes())
+    got = np.frombuffer(pix, "<u2" if not signed else "<i2")
+    np.testing.assert_array_equal(
+        got.reshape(img.shape).astype(np.int64), img.astype(np.int64))
+
+
+def test_pil_encoded_j2k_lossy_decodes_here(rng, tmp_path):
+    from go_dicom_codec_tpu.codecs.jpeg2000 import decode_to_pixels
+
+    img = _smooth(rng, 64, 96, 1, 8)
+    fn = tmp_path / "x.j2k"
+    PIL_Image.fromarray(img).save(str(fn), format="JPEG2000", no_jp2=True,
+                                  irreversible=True,
+                                  quality_mode="rates", quality_layers=[10])
+    pix, *_ = decode_to_pixels(fn.read_bytes())
+    got = np.frombuffer(pix, np.uint8).reshape(img.shape)
+    theirs = np.asarray(PIL_Image.open(io.BytesIO(fn.read_bytes())))
+    # both decoders reconstruct the same lossy stream
+    assert np.abs(got.astype(int)
+                  - theirs.reshape(img.shape).astype(int)).max() <= 2

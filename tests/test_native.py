@@ -271,3 +271,37 @@ def test_p14_native_parity(predictor, shape, rng):
                                          precision)
         np.testing.assert_array_equal(rec_nat, rec_ref)
         np.testing.assert_array_equal(rec_ref, img)
+
+
+def test_t1_ojp_reconstruction_parity_and_midbin(rng):
+    """ojp_recon (the codec decode mode): native == Python on truncated
+    streams, exact on complete ones, and mid-bin beats plane-floor
+    reconstruction on truncated blocks."""
+    from go_dicom_codec_tpu import native as nat
+    from go_dicom_codec_tpu.entropy.ebcot import T1Decoder
+
+    data = rng.integers(-2000, 2001, (32, 32)).astype(np.int64)
+    r = nat.t1_encode_native(data, style=0, orient=0, roishift=0)
+    if r is None:
+        pytest.skip("native library unavailable")
+    stream, numbps, rates, terms, bps, nmse = r
+    full = len(rates)
+
+    # complete stream: ojp recon must stay exact
+    out = nat.t1_decode_native(stream, 32, 32, 0, 0, full, numbps, 0,
+                               None, ojp_recon=True)
+    np.testing.assert_array_equal(out, data)
+
+    # truncated stream: parity native vs Python, and better MSE
+    for npass in (1, 4, 7):
+        cut = stream[: rates[npass - 1]]
+        out_n = nat.t1_decode_native(cut, 32, 32, 0, 0, npass, numbps, 0,
+                                     None, ojp_recon=True)
+        out_p = T1Decoder(32, 32, 0, 0, openjpeg_reconstruction=True
+                          ).decode(cut, npass, numbps)
+        np.testing.assert_array_equal(out_n, out_p)
+        out_floor = nat.t1_decode_native(cut, 32, 32, 0, 0, npass, numbps,
+                                         0, None, ojp_recon=False)
+        mse_mid = np.mean((out_n - data) ** 2.0)
+        mse_floor = np.mean((out_floor - data) ** 2.0)
+        assert mse_mid <= mse_floor
