@@ -212,12 +212,13 @@ class J2KLosslessCodec(Codec):
 
                 streams = [old_pixel_data.get_frame(i)
                            for i in range(nframes)]
-                from ..codestream import j2k as j2kcs
-                cs0 = j2kcs.parse_codestream(streams[0])
-                depth, signed, _, _ = cs0.siz.components[0]
-                for arr in decode_frames_pipelined(streams):
-                    new_pixel_data.add_frame(
-                        self._pack_pixels(arr, depth, signed, info))
+                frames, (depth, signed) = decode_frames_pipelined(
+                    streams, return_info=True)
+                from .jpeg2000 import pack_decoded_pixels
+                widen = info.bytes_allocated == 2 and depth <= 8
+                for arr in frames:
+                    new_pixel_data.add_frame(pack_decoded_pixels(
+                        arr, depth, signed, widen16=widen))
                 return
             except (UnsupportedFormatError, ValueError, CorruptStreamError):
                 pass  # heterogeneous/multi-tile: scalar path below
@@ -230,21 +231,6 @@ class J2KLosslessCodec(Codec):
                 wd = np.dtype("<i2") if signed else np.dtype("<u2")
                 pix = np.frombuffer(pix, dtype=dt).astype(wd).tobytes()
             new_pixel_data.add_frame(pix)
-
-    @staticmethod
-    def _pack_pixels(arr: np.ndarray, depth: int, signed: bool,
-                     info: FrameInfo) -> bytes:
-        """Clip/cast like decode_to_pixels, honoring the container."""
-        lo, hi = ((-(1 << (depth - 1)), (1 << (depth - 1)) - 1) if signed
-                  else (0, (1 << depth) - 1))
-        arr = np.clip(arr, lo, hi)
-        if depth <= 8 and info.bytes_allocated == 2:
-            dt = np.dtype("<i2") if signed else np.dtype("<u2")
-        elif depth <= 8:
-            dt = np.int8 if signed else np.uint8
-        else:
-            dt = np.dtype("<i2") if signed else np.dtype("<u2")
-        return np.ascontiguousarray(arr.astype(dt)).tobytes()
 
 
 class J2KMCLosslessCodec(J2KLosslessCodec):

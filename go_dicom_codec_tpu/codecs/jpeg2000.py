@@ -1249,20 +1249,28 @@ class J2KDecoder:
         return tile_out
 
 
-def decode_to_pixels(data: bytes):
-    """Decode a codestream → (pixel bytes, width, height, comps, depth,
-    signed), packing like reference decoder.go GetPixelData:777-947."""
-    arr, siz, cod = J2KDecoder().decode(data)
-    depth, signed, _, _ = siz.components[0]
-    h, w, c = arr.shape
-    if depth <= 8:
-        dt = np.int8 if signed else np.uint8
-    else:
-        dt = np.dtype("<i2") if signed else np.dtype("<u2")
+def pack_decoded_pixels(arr: np.ndarray, depth: int, signed: bool,
+                        widen16: bool = False) -> bytes:
+    """Clip to the declared dynamic range and pack little-endian
+    (reference decoder.go GetPixelData:777-947). widen16 forces a
+    16-bit container for <=8-bit samples (DICOM BitsAllocated=16)."""
     lo, hi = (-(1 << (depth - 1)), (1 << (depth - 1)) - 1) if signed else \
         (0, (1 << depth) - 1)
     arr = np.clip(arr, lo, hi)
-    return (np.ascontiguousarray(arr.astype(dt)).tobytes(), w, h, c,
+    if depth <= 8 and not widen16:
+        dt = np.int8 if signed else np.uint8
+    else:
+        dt = np.dtype("<i2") if signed else np.dtype("<u2")
+    return np.ascontiguousarray(arr.astype(dt)).tobytes()
+
+
+def decode_to_pixels(data: bytes):
+    """Decode a codestream → (pixel bytes, width, height, comps, depth,
+    signed)."""
+    arr, siz, cod = J2KDecoder().decode(data)
+    depth, signed, _, _ = siz.components[0]
+    h, w, c = arr.shape
+    return (pack_decoded_pixels(arr, depth, signed), w, h, c,
             depth, signed)
 
 
@@ -1280,11 +1288,23 @@ def decode_to_packed(data: bytes):
     ncomp = len(siz.components)
     if len(cs.tiles) != 1:
         raise UnsupportedFormatError("packed decode is single-tile only")
+    if cs.mct_segments or cs.mcc_segments or cs.mco_segments:
+        # Part-2 custom MCT inversion happens in the scalar device stage
+        raise UnsupportedFormatError("packed decode: custom MCT streams "
+                                     "use the scalar path")
+    if any(st == 1 for st in cs.rgn_styles.values()):
+        # General-Scaling ROI needs COM-geometry masks (scalar path)
+        raise UnsupportedFormatError("packed decode: General-Scaling ROI "
+                                     "uses the scalar path")
     tidx, tile = next(iter(cs.tiles.items()))
     ntx, _ = siz.num_tiles
     rect = siz.tile_rect(tidx % ntx, tidx // ntx)
     cods = [cs.cod_for(c, tile) for c in range(ncomp)]
     qcds = [cs.qcd_for(c, tile) for c in range(ncomp)]
+    if any(cc != cods[0] for cc in cods[1:]):
+        # COC-heterogeneous components take per-component inverse paths
+        raise UnsupportedFormatError("packed decode: per-component COD "
+                                     "overrides use the scalar path")
     tx0, ty0, tx1, ty1 = rect
     comp_rects = [(tx0, ty0, tx1, ty1)] * ncomp
     for c in range(ncomp):

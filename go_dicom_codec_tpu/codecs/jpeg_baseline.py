@@ -206,6 +206,8 @@ def decode(data: bytes,
             h = (p[1] << 8) | p[2]
             w = (p[3] << 8) | p[4]
             nc = p[5]
+            if len(p) < 6 + nc * 3:
+                raise CorruptStreamError("truncated SOF component table")
             comps = []
             for i in range(nc):
                 off = 6 + i * 3

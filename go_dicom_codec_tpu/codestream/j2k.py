@@ -691,6 +691,8 @@ def parse_siz(payload: bytes) -> SizInfo:
         raise CorruptStreamError("SIZ: empty image region (Xsiz<=XOsiz)")
     if xt == 0 or yt == 0:
         raise CorruptStreamError("SIZ: zero tile size")
+    if xto > xo or yto > yo:  # T.800 A.5.1: XTOsiz <= XOsiz
+        raise CorruptStreamError("SIZ: tile origin beyond image origin")
     if csiz == 0:
         raise CorruptStreamError("SIZ: zero components")
     if (xsiz - xo) * (ysiz - yo) * max(csiz, 1) > MAX_DECODE_PIXELS:

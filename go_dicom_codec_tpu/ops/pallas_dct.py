@@ -45,12 +45,6 @@ def _block_diag_dt() -> np.ndarray:
     return bd
 
 
-def _qtile(qtable: np.ndarray) -> np.ndarray:
-    """[8, 128] per-position divisors: the 8×8 table tiled across lanes."""
-    q = np.asarray(qtable, dtype=np.float32).reshape(8, 8)
-    return np.tile(q, (1, BLOCKS_PER_TILE))
-
-
 def _kernel(x_ref, d_ref, bdt_ref, qt_ref, shift_ref, o_ref):
     xt = x_ref[0].astype(jnp.float32) - shift_ref[0]          # [8, 128]
     y = jnp.dot(d_ref[...], xt, preferred_element_type=jnp.float32)
@@ -77,7 +71,7 @@ def fdct8x8_quant_pallas(x: jnp.ndarray, qtable: jnp.ndarray,
     d = jnp.asarray(_D_np)
     bdt = jnp.asarray(_block_diag_dt())
     qt = jnp.tile(jnp.asarray(qtable, dtype=jnp.float32).reshape(8, 8),
-                  (1, BLOCKS_PER_TILE))
+                  (1, BLOCKS_PER_TILE))  # _qtile, traced
     shift = jnp.full((8, LANE), np.float32(level_shift))
 
     grid = (b, h // 8, w // LANE)

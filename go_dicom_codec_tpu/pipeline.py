@@ -211,7 +211,8 @@ def _j2k_decode_device_stage(packed, levels, x0, y0, bits, signed, mct):
     return inv_dc_level_shift(rec, bits, signed)
 
 
-def decode_frames_pipelined(streams, chunk: int = 8):
+def decode_frames_pipelined(streams, chunk: int = 8,
+                            return_info: bool = False):
     """Double-buffered J2K-lossless multi-frame DECODE.
 
     The host entropy-decodes (T1 + T2) chunk k+1 while the device runs
@@ -228,35 +229,40 @@ def decode_frames_pipelined(streams, chunk: int = 8):
     from .codecs.jpeg2000 import decode_to_packed
 
     if not streams:
-        return []
+        return ([], None) if return_info else []
+
+    global_meta = [None]  # enforced across ALL chunks, not just within
 
     def host_stage(group):
         packs = []
-        meta = None
         for s in group:
             packed, siz, cod = decode_to_packed(s)
             if cod.transform != 1:
                 raise ValueError("decode pipeline is for reversible streams")
             m = (packed.shape, cod.num_levels, siz.xosiz, siz.yosiz,
                  siz.components[0][:2], cod.mct)
-            if meta is None:
-                meta = m
-            elif m != meta:
+            if global_meta[0] is None:
+                global_meta[0] = m
+            elif m != global_meta[0]:
                 raise ValueError("decode pipeline needs equal-geometry "
                                  "streams")
             packs.append(packed)
-        return np.stack(packs), meta
+        return np.stack(packs)
 
     groups = [streams[i : i + chunk] for i in range(0, len(streams), chunk)]
     out = []
-    prev = None  # (device array pending, frame count)
-    for gi, group in enumerate(groups):
-        batch, meta = host_stage(group)  # host T1 for THIS chunk
-        shape, levels, x0, y0, (bits, signed), mct = meta
+    prev = None  # device array pending readback
+    for group in groups:
+        batch = host_stage(group)  # host T1 for THIS chunk
+        shape, levels, x0, y0, (bits, signed), mct = global_meta[0]
         pending = _j2k_decode_device_stage(
             jnp.asarray(batch), levels, x0, y0, bits, signed, bool(mct))
         if prev is not None:
             out.extend(np.asarray(prev))  # sync previous chunk's device work
         prev = pending
     out.extend(np.asarray(prev))
-    return [np.moveaxis(f, 0, -1) for f in out]
+    frames = [np.moveaxis(f, 0, -1) for f in out]
+    if return_info:
+        _, _, _, _, (bits, signed), _ = global_meta[0]
+        return frames, (bits, signed)
+    return frames

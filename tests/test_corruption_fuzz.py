@@ -213,3 +213,28 @@ def test_pipelined_encoders_empty_input():
         np.empty((0, 32, 32), dtype=np.uint8)) == []
     assert encode_frames_pipelined(
         np.empty((0, 32, 32), dtype=np.int32), bit_depth=12) == []
+
+
+def test_fuzz_round3_regressions(rng):
+    """Round-3 fuzz finds: tile origin beyond image origin (ntx=0 →
+    modulo-by-zero) and truncated SOF component tables (IndexError)."""
+    import struct
+
+    from go_dicom_codec_tpu.codecs import jpeg_baseline as jb
+    from go_dicom_codec_tpu.codecs.jpeg2000 import J2KDecoder
+    from go_dicom_codec_tpu.errors import CorruptStreamError
+
+    p = struct.pack(">HIIIIIIIIH", 0, 16, 16, 4, 4, 16, 16, 8, 8, 1)
+    p += bytes([7, 1, 1])
+    s = (b"\xff\x4f" + struct.pack(">HH", 0xFF51, len(p) + 2) + p
+         + b"\xff\xd9")
+    with pytest.raises(CorruptStreamError):
+        J2KDecoder(resilient=True).decode(s)
+
+    img = rng.integers(0, 200, (16, 16)).astype(np.uint8)
+    data = bytearray(jb.encode(img.tobytes(), 16, 16, 1))
+    i = data.find(b"\xff\xc0")
+    assert i > 0
+    data[i + 9] = 200  # SOF claims 200 components, payload has 1
+    with pytest.raises(CorruptStreamError):
+        jb.decode(bytes(data))

@@ -234,3 +234,68 @@ def test_adapter_multiframe_decode_batched(rng):
         d1 = dc.MemoryPixelData(info=info)
         codec.decode(one, d1)
         assert d1.get_frame(0) == dec.get_frame(i)
+
+
+def test_adapter_multiframe_decode_fallback_classes(rng):
+    """Review-found: stream classes the batched decode can't handle must
+    fall back to the scalar path and still decode exactly — custom
+    Part-2 MCT, General-Scaling ROI, and mixed-geometry frame sets."""
+    import go_dicom_codec_tpu as dc
+    from go_dicom_codec_tpu.codecs.j2k_roi import ROIRegion
+
+    reg = dc.get_global_registry()
+
+    # (a) .92 with a custom MCT matrix carried in MCT/MCC markers
+    rgb = rng.integers(0, 256, (3, 32, 32, 3)).astype(np.uint8)
+    info = dc.FrameInfo(width=32, height=32, bits_allocated=8,
+                        bits_stored=8, samples_per_pixel=3,
+                        photometric_interpretation="RGB")
+    codec = reg.get_codec(dc.uids.JPEG_2000_MC_LOSSLESS)
+    m = [[0.5, 0.25, 0.25], [0.25, 0.5, 0.25], [0.25, 0.25, 0.5]]
+    minv = np.linalg.inv(np.asarray(m)).tolist()
+    src = dc.MemoryPixelData(info=info)
+    for f in rgb:
+        src.add_frame(f.tobytes())
+    enc = dc.MemoryPixelData(info=info, encapsulated=True)
+    codec.encode(src, enc, dc.Parameters(mct_matrix=m, mct_inverse=minv))
+    dec = dc.MemoryPixelData(info=info)
+    codec.decode(enc, dec)
+    for i in range(3):
+        one = dc.MemoryPixelData(info=info, encapsulated=True)
+        one.add_frame(enc.get_frame(i))
+        d1 = dc.MemoryPixelData(info=info)
+        codec.decode(one, d1)
+        assert dec.get_frame(i) == d1.get_frame(0)
+
+    # (b) General-Scaling ROI (Srgn=1 + COM geometry)
+    gray = (np.cumsum(rng.integers(-9, 10, (3, 48, 48)), axis=2)
+            % 4096).astype("<u2")
+    ginfo = dc.FrameInfo(width=48, height=48, bits_allocated=16,
+                         bits_stored=12)
+    gcodec = reg.get_codec(dc.uids.JPEG_2000_LOSSLESS)
+    gsrc = dc.MemoryPixelData(info=ginfo)
+    for f in gray:
+        gsrc.add_frame(f.tobytes())
+    genc = dc.MemoryPixelData(info=ginfo, encapsulated=True)
+    gcodec.encode(gsrc, genc, dc.Parameters(
+        roi_regions=[ROIRegion(shape="rect", rect=(8, 8, 16, 16))],
+        roi_style="general"))
+    gdec = dc.MemoryPixelData(info=ginfo)
+    gcodec.decode(genc, gdec)
+    for i in range(3):
+        assert gdec.get_frame(i) == gsrc.get_frame(i)
+
+    # (c) mixed geometry across frames: pipeline must refuse, adapter
+    # falls back and decodes each frame correctly
+    from go_dicom_codec_tpu.codecs.jpeg2000 import (J2KEncodeParams,
+                                                    J2KEncoder)
+    from go_dicom_codec_tpu.pipeline import decode_frames_pipelined
+
+    a = (rng.integers(0, 256, (16, 16))).astype(np.uint8)
+    b = (rng.integers(0, 4096, (16, 16))).astype("<u2")
+    s1 = J2KEncoder(J2KEncodeParams(num_levels=2)).encode(
+        a.tobytes(), 16, 16, 1, 8, False)
+    s2 = J2KEncoder(J2KEncodeParams(num_levels=2)).encode(
+        b.tobytes(), 16, 16, 1, 12, False)
+    with pytest.raises(ValueError):
+        decode_frames_pipelined([s1, s2], chunk=1)
