@@ -236,6 +236,8 @@ def parse_dht(payload: bytes):
         tc_th = payload[off]
         off += 1
         bits = list(payload[off : off + 16])
+        if len(bits) != 16:
+            raise CorruptStreamError("truncated DHT bits table")
         off += 16
         total = sum(bits)
         vals = np.frombuffer(payload[off : off + total], dtype=np.uint8)

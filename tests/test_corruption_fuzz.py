@@ -238,3 +238,19 @@ def test_fuzz_round3_regressions(rng):
     data[i + 9] = 200  # SOF claims 200 components, payload has 1
     with pytest.raises(CorruptStreamError):
         jb.decode(bytes(data))
+
+
+def test_truncated_dht_bits_rejected(rng):
+    """Fuzz round 4: a DHT segment ending inside the 16-entry bits table
+    raised IndexError in HuffmanTable construction."""
+    from go_dicom_codec_tpu.codecs import jpeg_baseline as jb
+    from go_dicom_codec_tpu.errors import CorruptStreamError
+
+    img = rng.integers(0, 200, (16, 16)).astype(np.uint8)
+    data = bytearray(jb.encode(img.tobytes(), 16, 16, 1))
+    i = data.find(b"\xff\xc4")
+    assert i > 0
+    # shrink the declared DHT length so the bits table is cut short
+    data[i + 2 : i + 4] = (8).to_bytes(2, "big")
+    with pytest.raises(CorruptStreamError):
+        jb.decode(bytes(data))
