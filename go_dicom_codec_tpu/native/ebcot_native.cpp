@@ -1368,6 +1368,7 @@ const int J_[32] = {0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3,
 struct Traits {
   int maxval, near_, reset, t1, t2, t3;
   int range_, qbpp, limit;
+  std::vector<int8_t> qlut;  // qgrad LUT over d in [-maxval, maxval]
 
   void init() {
     range_ = near_ == 0 ? maxval + 1
@@ -1407,7 +1408,7 @@ struct Traits {
   int reconstruct(int pred, int err) const {
     return fix_reconstructed(pred + dequantize(err));
   }
-  int qgrad(int d) const {
+  int qgrad_slow(int d) const {
     if (d <= -t3) return -4;
     if (d <= -t2) return -3;
     if (d <= -t1) return -2;
@@ -1418,6 +1419,12 @@ struct Traits {
     if (d < t3) return 3;
     return 4;
   }
+  void build_qlut() {  // one lookup replaces the 8-way comparison chain
+    qlut.resize((size_t)2 * maxval + 1);
+    for (int d = -maxval; d <= maxval; d++)
+      qlut[(size_t)(d + maxval)] = (int8_t)qgrad_slow(d);
+  }
+  inline int qgrad(int d) const { return qlut[(size_t)(d + maxval)]; }
   bool is_near(int a, int b) const {
     int d = a - b;
     return (d < 0 ? -d : d) <= near_;
@@ -1911,6 +1918,7 @@ int jls_encode_scan(int64_t* img, int w, int h, int comps, int maxval,
   jls::Scan s;
   s.t = jls::Traits{maxval, near_, reset, t1, t2, t3};
   s.t.init();
+  s.t.build_qlut();
   s.init();
   jls::GWriter gw;
   if (comps == 1)
@@ -1936,6 +1944,7 @@ int jls_decode_scan(const uint8_t* data, int len, int w, int h, int comps,
       jls::Scan s;
       s.t = jls::Traits{maxval, near_, reset, t1, t2, t3};
       s.t.init();
+  s.t.build_qlut();
       s.init();
       memset(plane.data(), 0, plane.size() * sizeof(int64_t));
       jls::code_component<false>(s, nullptr, &gr, plane.data(), w, h);
@@ -1948,6 +1957,7 @@ int jls_decode_scan(const uint8_t* data, int len, int w, int h, int comps,
   jls::Scan s;
   s.t = jls::Traits{maxval, near_, reset, t1, t2, t3};
   s.t.init();
+  s.t.build_qlut();
   s.init();
   memset(out, 0, (size_t)w * h * comps * sizeof(int64_t));
   jls::code_interleaved<false>(s, nullptr, &gr, out, w, h, comps);
