@@ -201,6 +201,9 @@ def decode(data: bytes):
                 continue
             if cat == 16:
                 diffs[i] = -32768
+            elif cat > 16:
+                # corrupted DHT symbol: P14 categories are 0..16
+                raise CorruptStreamError(f"invalid SSSS category {cat}")
             else:
                 diffs[i] = hf.receive_extend(br.take(cat), cat)
 

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..errors import CorruptStreamError
+
 
 def grouped_arange(lengths: np.ndarray) -> np.ndarray:
     """[3,2] -> [0,1,2,0,1]; per-group arange, fully vectorized."""
@@ -112,6 +114,8 @@ class BitReader:
 
     def take(self, n: int) -> int:
         """Read n (<= 24) bits MSB-first."""
+        if n > 24:
+            raise CorruptStreamError(f"bit read of {n} > 24 bits")
         p = self.pos
         b = p >> 3
         self.pos = p + n

@@ -254,3 +254,28 @@ def test_truncated_dht_bits_rejected(rng):
     data[i + 2 : i + 4] = (8).to_bytes(2, "big")
     with pytest.raises(CorruptStreamError):
         jb.decode(bytes(data))
+
+
+def test_corrupt_p14_category_rejected(rng):
+    """Fuzz round 5: a corrupted DHT can map a symbol to category > 16,
+    which drove a >24-bit read through the Python bit reader."""
+    from go_dicom_codec_tpu.codecs import jpeg_lossless as jl
+    from go_dicom_codec_tpu.errors import CorruptStreamError
+    from go_dicom_codec_tpu.utils.npbits import BitReader
+
+    img = rng.integers(0, 4096, (16, 16)).astype("<u2")
+    data = bytearray(jl.encode(img.tobytes(), 16, 16, 1, 12))
+    i = data.find(b"\xff\xc4")
+    assert i > 0
+    # remap every DHT value byte to an out-of-range category
+    ln = int.from_bytes(data[i + 2 : i + 4], "big")
+    for j in range(i + 4 + 1 + 16, i + 2 + ln):
+        data[j] = 200
+    try:
+        jl.decode(bytes(data))
+    except CorruptStreamError:
+        pass  # clean rejection is the contract; garbage decode is not
+
+    br = BitReader(np.asarray([1, 2, 3], dtype=np.uint8))
+    with pytest.raises(CorruptStreamError):
+        br.take(200)
