@@ -229,6 +229,8 @@ def decode(data: bytes,
             restart = (p[0] << 8) | p[1]
         elif marker == mk.SOS:
             p = r.read_segment()
+            if len(p) < 1 or len(p) < 1 + p[0] * 2:
+                raise CorruptStreamError("truncated SOS header")
             ns = p[0]
             sel = []
             for i in range(ns):

@@ -146,6 +146,8 @@ def decode(data: bytes):
             h = (p[1] << 8) | p[2]
             w = (p[3] << 8) | p[4]
             nc = p[5]
+            if len(p) < 6 + nc * 3:
+                raise CorruptStreamError("truncated SOF3 component table")
             comps = [(p[6 + i * 3], p[8 + i * 3]) for i in range(nc)]
             frame = (precision, w, h, comps)
         elif marker == mk.DHT:
@@ -154,6 +156,8 @@ def decode(data: bytes):
                     dc_tables[tid] = tab
         elif marker == mk.SOS:
             p = r.read_segment()
+            if len(p) < 1 or len(p) < 4 + p[0] * 2:
+                raise CorruptStreamError("truncated SOS header")
             ns = p[0]
             scan_sel = [(p[1 + i * 2], p[2 + i * 2] >> 4) for i in range(ns)]
             predictor = p[1 + ns * 2]

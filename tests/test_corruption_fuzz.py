@@ -279,3 +279,18 @@ def test_corrupt_p14_category_rejected(rng):
     br = BitReader(np.asarray([1, 2, 3], dtype=np.uint8))
     with pytest.raises(CorruptStreamError):
         br.take(200)
+
+
+def test_truncated_sof3_component_table_rejected(rng):
+    """Fuzz round 6: P14's own SOF3/SOS parsers had the same
+    truncated-component-table IndexError as baseline's."""
+    from go_dicom_codec_tpu.codecs import jpeg_lossless as jl
+    from go_dicom_codec_tpu.errors import CorruptStreamError
+
+    img = rng.integers(0, 4096, (16, 16)).astype("<u2")
+    data = bytearray(jl.encode(img.tobytes(), 16, 16, 1, 12))
+    i = data.find(b"\xff\xc3")
+    assert i > 0
+    data[i + 9] = 99  # claim 99 components
+    with pytest.raises(CorruptStreamError):
+        jl.decode(bytes(data))
