@@ -27,7 +27,7 @@ from ..entropy import huffman as hf
 from ..errors import CorruptStreamError, UnsupportedFormatError
 from ..frames import FrameInfo, PixelData, frame_to_array
 from ..ops.dct8x8 import (decode_zigzag_to_plane, encode_plane_to_zigzag,
-                          rgb_to_ycbcr, ycbcr_to_rgb)
+                          rgb_to_ycbcr_np, ycbcr_to_rgb_np)
 from ..params import Parameters, require_range
 from ..registry import Codec, get_global_registry
 from . import jpeg_common as jc
@@ -86,20 +86,33 @@ def encode(pixels: bytes | np.ndarray, width: int, height: int,
         qtables.append(jc.scale_quant_table(jc.CHROMA_QUANT, quality, max_q))
 
     level = 1 << (precision - 1)
-    # Device stage: color transform + full-grid DCT/quant/zigzag
-    if components == 1:
-        planes = [jnp.asarray(arr[:, :, 0].astype(np.int32))]
-        plane_tables = [0]
-    else:
-        ycc = np.asarray(rgb_to_ycbcr(jnp.asarray(arr)))
-        planes = [jnp.asarray(ycc[:, :, i].astype(np.int32)) for i in range(3)]
-        plane_tables = [0, 1, 1]
+    plane_tables = [0] if components == 1 else [0, 1, 1]
 
-    comp_zz = []
-    for p, t in zip(planes, plane_tables):
-        zz = np.asarray(encode_plane_to_zigzag(
-            p, jnp.asarray(qtables[t]), level_shift=level))
-        comp_zz.append(zz.reshape(-1, 64))
+    # Host-native fast path: single-frame DCT+quant never pays a device
+    # dispatch round trip (same policy as the J2K 5/3 host fast path in
+    # jpeg2000.py; VERDICT r2 measured 63 ms/frame on the tunneled TPU
+    # backend for the device path below).
+    from ..native import jpg_fdct_quant_native
+
+    comp_zz = None
+    if components == 1:
+        planes_np = [arr[:, :, 0]]
+    else:
+        ycc = rgb_to_ycbcr_np(arr)
+        planes_np = [ycc[:, :, i] for i in range(3)]
+    native_zz = [jpg_fdct_quant_native(p, qtables[t], level)
+                 for p, t in zip(planes_np, plane_tables)]
+    if all(z is not None for z in native_zz):
+        comp_zz = [z.reshape(-1, 64) for z in native_zz]
+
+    if comp_zz is None:
+        # Device stage: color transform + full-grid DCT/quant/zigzag
+        comp_zz = []
+        for p, t in zip(planes_np, plane_tables):
+            zz = np.asarray(encode_plane_to_zigzag(
+                jnp.asarray(p.astype(np.int32)), jnp.asarray(qtables[t]),
+                level_shift=level))
+            comp_zz.append(zz.reshape(-1, 64))
 
     return encode_from_zigzag(comp_zz, qtables, plane_tables, width,
                               height, components, precision, sof_marker,
@@ -266,7 +279,10 @@ def decode(data: bytes,
     comp_zz = jc.decode_scan(scan_bytes, layout, dc_tables, ac_tables,
                              mcu_cols, mcu_rows, restart)
 
-    # Device stage: dequant + IDCT + clamp per component, then upsample
+    # Dequant + IDCT + clamp per component (host-native fast path, else
+    # one device launch), then upsample
+    from ..native import jpg_idct_native
+
     level = 1 << (precision - 1)
     max_val = (1 << precision) - 1
     planes = []
@@ -275,22 +291,27 @@ def decode(data: bytes,
         nrows = mcu_rows * cv
         if tq not in qtables:
             raise CorruptStreamError(f"missing quant table {tq}")
-        zzd = jnp.asarray(zz.reshape(nrows, bpr, 64))
-        plane = np.asarray(decode_zigzag_to_plane(
-            zzd, jnp.asarray(qtables[tq]), level_shift=level,
-            max_val=max_val))
-        # nearest-neighbor upsample to full resolution
-        ys = (np.arange(height) * cv) // max_v
-        xs = (np.arange(width) * ch) // max_h
-        planes.append(plane[np.ix_(ys, xs)])
+        plane = jpg_idct_native(zz.reshape(nrows, bpr, 64), qtables[tq],
+                                level, max_val)
+        if plane is None:
+            zzd = jnp.asarray(zz.reshape(nrows, bpr, 64))
+            plane = np.asarray(decode_zigzag_to_plane(
+                zzd, jnp.asarray(qtables[tq]), level_shift=level,
+                max_val=max_val))
+        if ch == max_h and cv == max_v:
+            planes.append(plane[:height, :width])
+        else:
+            # nearest-neighbor upsample to full resolution
+            ys = (np.arange(height) * cv) // max_v
+            xs = (np.arange(width) * ch) // max_h
+            planes.append(plane[np.ix_(ys, xs)])
 
     nc = len(planes)
     if nc == 1:
         out = planes[0].astype(np.uint8 if precision == 8 else "<u2")
         return out.tobytes(), width, height, 1
     ycc = np.stack(planes, axis=-1).astype(np.uint8)
-    rgb = np.asarray(ycbcr_to_rgb(jnp.asarray(ycc)))
-    return rgb.tobytes(), width, height, 3
+    return ycbcr_to_rgb_np(ycc).tobytes(), width, height, 3
 
 
 class JPEGBaselineCodec(Codec):

@@ -143,6 +143,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.dwt53_inv.argtypes = [
             i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int]
+        lib.jpg_fdct_quant.restype = ctypes.c_int
+        lib.jpg_fdct_quant.argtypes = [
+            u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p,
+            ctypes.c_int, i32p]
+        lib.jpg_idct.restype = ctypes.c_int
+        lib.jpg_idct.argtypes = [
+            i32p, ctypes.c_int, ctypes.c_int, i32p, ctypes.c_int,
+            ctypes.c_int, i32p]
         _LIB = lib
         return _LIB
 
@@ -268,8 +276,13 @@ def jpg_scan_hist_native(comp_zz, table_ids):
     lib = get_lib()
     if lib is None:
         return None
-    zz = np.ascontiguousarray(np.concatenate(
-        [np.asarray(z, dtype=np.int32).reshape(-1, 64) for z in comp_zz]))
+    if len(comp_zz) == 1:
+        zz = np.ascontiguousarray(
+            np.asarray(comp_zz[0], dtype=np.int32).reshape(-1, 64))
+    else:
+        zz = np.ascontiguousarray(np.concatenate(
+            [np.asarray(z, dtype=np.int32).reshape(-1, 64)
+             for z in comp_zz]))
     ncomp = len(comp_zz)
     nblocks = zz.shape[0] // ncomp
     tids = np.asarray(table_ids, dtype=np.int32)
@@ -288,8 +301,13 @@ def jpg_encode_scan2_native(comp_zz, table_ids, dc_tables, ac_tables,
     lib = get_lib()
     if lib is None:
         return None
-    zz = np.ascontiguousarray(np.concatenate(
-        [np.asarray(z, dtype=np.int32).reshape(-1, 64) for z in comp_zz]))
+    if len(comp_zz) == 1:
+        zz = np.ascontiguousarray(
+            np.asarray(comp_zz[0], dtype=np.int32).reshape(-1, 64))
+    else:
+        zz = np.ascontiguousarray(np.concatenate(
+            [np.asarray(z, dtype=np.int32).reshape(-1, 64)
+             for z in comp_zz]))
     ncomp = len(comp_zz)
     nblocks = zz.shape[0] // ncomp
     tids = np.asarray(table_ids, dtype=np.int32)
@@ -573,6 +591,51 @@ def p14_pack_scan32_native(diffs: np.ndarray, codes: np.ndarray,
     if n < 0:
         return None
     return out[:n].tobytes()
+
+
+def jpg_fdct_quant_native(plane: np.ndarray, qtable: np.ndarray,
+                          level_shift: int):
+    """Host DCT+quant+zigzag over the whole plane (double precision;
+    mirror in role of ops/dct8x8.encode_plane_to_zigzag — may differ ±1
+    from the float32 device path at rounding ties). plane: [h, w] int;
+    qtable: [8, 8] raster. Returns [nby, nbx, 64] int32, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(plane)
+    if a.dtype == np.uint8:
+        st = 1
+    elif a.dtype == np.uint16:
+        st = 2
+    else:
+        a = np.ascontiguousarray(a, dtype=np.int32)
+        st = 0
+    h, w = a.shape
+    nby, nbx = -(-h // 8), -(-w // 8)
+    q = np.ascontiguousarray(qtable, dtype=np.int32).reshape(-1)
+    out = np.empty(nby * nbx * 64, dtype=np.int32)
+    if lib.jpg_fdct_quant(a.reshape(-1).view(np.uint8), st, w, h, q,
+                          level_shift, out) != 0:
+        return None
+    return out.reshape(nby, nbx, 64)
+
+
+def jpg_idct_native(zz: np.ndarray, qtable: np.ndarray, level_shift: int,
+                    max_val: int):
+    """Host inv-zigzag+dequant+IDCT+clamp (role of
+    ops/dct8x8.decode_zigzag_to_plane). zz: [nby, nbx, 64] int32.
+    Returns [nby*8, nbx*8] int32, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    z = np.ascontiguousarray(zz, dtype=np.int32)
+    nby, nbx = z.shape[0], z.shape[1]
+    q = np.ascontiguousarray(qtable, dtype=np.int32).reshape(-1)
+    out = np.empty((nby * 8, nbx * 8), dtype=np.int32)
+    if lib.jpg_idct(z.reshape(-1), nby, nbx, q, level_shift, max_val,
+                    out.reshape(-1)) != 0:
+        return None
+    return out
 
 
 def p14_reconstruct_native(diffs: np.ndarray, predictor: int,

@@ -15,6 +15,10 @@
 #include <memory>
 #include <vector>
 
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
+
 namespace {
 
 // ---- MQ tables (ISO Table C.2) ---------------------------------------------
@@ -914,6 +918,27 @@ static inline int jpg_cat(int64_t d) {
   return a ? 64 - __builtin_clzll(a) : 0;
 }
 
+// bit k set <=> blk[k] != 0 (one vectorizable pass; lets the AC loop
+// visit only nonzero coefficients instead of all 64)
+static inline uint64_t jpg_nz_mask(const int32_t* blk) {
+#if defined(__AVX2__)
+  uint64_t m = 0;
+  const __m256i zero = _mm256_setzero_si256();
+  for (int j = 0; j < 8; j++) {
+    __m256i v = _mm256_loadu_si256((const __m256i*)(blk + j * 8));
+    int zb = _mm256_movemask_ps(
+        _mm256_castsi256_ps(_mm256_cmpeq_epi32(v, zero)));
+    m |= (uint64_t)(~zb & 0xFF) << (j * 8);
+  }
+  return m;
+#else
+  uint64_t m = 0;
+  for (int k = 0; k < 64; k++)
+    if (blk[k]) m |= 1ull << k;
+  return m;
+#endif
+}
+
 // visit(sym, is_dc, tid, ebits, elen)
 template <typename F>
 static void jpg_scan_walk(const int32_t* zz, int ncomp, long nblocks,
@@ -932,15 +957,17 @@ static void jpg_scan_walk(const int32_t* zz, int ncomp, long nblocks,
       if (cat && cat != 16)
         eb = (uint32_t)(diff < 0 ? diff + (1 << cat) - 1 : diff);
       visit(cat, true, tid, eb, cat == 16 ? 0 : cat);
-      int last_nz = 0, run = 0;
-      for (int k2 = 1; k2 < 64; k2++) {
-        int32_t v = blk[k2];
-        if (v == 0) { run++; continue; }
+      int last_nz = 0;
+      uint64_t m = jpg_nz_mask(blk) & ~1ull;
+      while (m) {
+        int k2 = __builtin_ctzll(m);
+        m &= m - 1;
+        int run = k2 - last_nz - 1;
         while (run >= 16) { visit(0xF0, false, tid, 0, 0); run -= 16; }
+        int32_t v = blk[k2];
         int ac = jpg_cat(v);
         uint32_t aeb = (uint32_t)(v < 0 ? v + (1 << ac) - 1 : v);
         visit((run << 4) | ac, false, tid, aeb, ac);
-        run = 0;
         last_nz = k2;
       }
       if (last_nz < 63) visit(0x00, false, tid, 0, 0);
@@ -977,19 +1004,24 @@ long jpg_encode_scan2(const int32_t* zz, int ncomp, long nblocks,
       new uint8_t[(size_t)nblocks * ncomp * 64 * 4 + 64]);  // uninit POD
   uint8_t* rp = raw.get();
   size_t ro = 0;
+  // branchless MSB-first writer: acc holds pending bits left-aligned;
+  // every put stores the full 8-byte window and advances by the whole
+  // bytes completed (callers pass len <= 32, nacc stays < 8 after).
   uint64_t acc = 0;
   int nacc = 0;
   auto put = [&](uint64_t v, int len) {
-    acc = (acc << len) | (v & ((len >= 64) ? ~0ull : ((1ull << len) - 1)));
+    acc |= (v & ((1ull << len) - 1)) << (64 - nacc - len);
     nacc += len;
-    while (nacc >= 8) {
-      nacc -= 8;
-      rp[ro++] = (uint8_t)(acc >> nacc);
-    }
+    uint64_t wv = __builtin_bswap64(acc);
+    memcpy(rp + ro, &wv, 8);
+    int nb = nacc >> 3;
+    ro += nb;
+    acc <<= nb * 8;
+    nacc &= 7;
   };
   long o = 0;
   auto flush_interval = [&]() -> bool {
-    if (nacc > 0) {  // pad to byte with 1-bits
+    if (nacc) {  // pad to byte with 1-bits (nacc < 8; put emits it)
       int fill = 8 - nacc;
       put((1u << fill) - 1, fill);
     }
@@ -1040,22 +1072,28 @@ long jpg_encode_scan2(const int32_t* zz, int ncomp, long nblocks,
       } else {
         put((uint32_t)dcod[cat], dlen[cat]);
       }
-      int last_nz = 0, run = 0;
-      for (int k2 = 1; k2 < 64; k2++) {
-        int32_t v = blk[k2];
-        if (v == 0) { run++; continue; }
+      int last_nz = 0;
+      uint64_t m = jpg_nz_mask(blk) & ~1ull;
+      while (m) {
+        int k2 = __builtin_ctzll(m);
+        m &= m - 1;
+        int run = k2 - last_nz - 1;
         while (run >= 16) {
           if (!alen[0xF0]) return -1;
           put((uint32_t)acod[0xF0], alen[0xF0]);
           run -= 16;
         }
-        int ac = jpg_cat(v);
+        int32_t v = blk[k2];
+        // branchless category + extend bits (v != 0 here)
+        int32_t sgn = v >> 31;
+        uint32_t a = (uint32_t)((v ^ sgn) - sgn);
+        int ac = 32 - __builtin_clz(a);
         int sym = (run << 4) | ac;
         if (!alen[sym]) return -1;
-        uint32_t aeb = (uint32_t)(v < 0 ? v + (1 << ac) - 1 : v) &
-                       ((1u << ac) - 1);
+        uint32_t aeb =
+            (uint32_t)(v + (sgn & (int32_t)((1u << ac) - 1))) &
+            ((1u << ac) - 1);
         put(((uint64_t)(uint32_t)acod[sym] << ac) | aeb, alen[sym] + ac);
-        run = 0;
         last_nz = k2;
       }
       if (last_nz < 63) {
@@ -3214,6 +3252,262 @@ int p14_reconstruct(const int32_t* diffs, int w, int h, int predictor,
     }
   }
   return 0;
+}
+
+}  // extern "C"
+
+// ---- JPEG 8x8 DCT host fast path -------------------------------------------
+// Host mirror of ops/dct8x8.encode_plane_to_zigzag / decode_zigzag_to_plane
+// (role of reference jpeg/standard/dct.go + jpeg/baseline/encoder.go:440-468):
+// double-precision separable orthonormal DCT-II, round-half-away quant,
+// T.81 zigzag.  Exists so single-frame JPEG encode/decode never pays a
+// device dispatch round trip (same policy as the J2K 5/3 host fast path,
+// codecs/jpeg2000.py).  Not byte-pinned against the float32 device path:
+// quantized coefficients may differ by +-1 at razor-thin rounding ties.
+
+namespace jdct {
+
+const int ZZ[64] = {
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
+
+struct DctMat {
+  double d[8][8];
+  DctMat() {
+    const double pi = 3.14159265358979323846;
+    for (int u = 0; u < 8; u++) {
+      double c = (u == 0) ? std::sqrt(0.125) : 0.5;
+      for (int x = 0; x < 8; x++)
+        d[u][x] = c * std::cos((2 * x + 1) * u * pi / 16.0);
+    }
+  }
+};
+const DctMat DM;
+
+inline void fdct_block(const double* in, double* out) {
+  double tmp[64];
+  // rows: tmp[u][y] = sum_x D[u][x] * in[x][y]
+  for (int u = 0; u < 8; u++)
+    for (int y = 0; y < 8; y++) {
+      double s = 0;
+      for (int x = 0; x < 8; x++) s += DM.d[u][x] * in[x * 8 + y];
+      tmp[u * 8 + y] = s;
+    }
+  // cols: out[u][v] = sum_y tmp[u][y] * D[v][y]
+  for (int u = 0; u < 8; u++)
+    for (int v = 0; v < 8; v++) {
+      double s = 0;
+      for (int y = 0; y < 8; y++) s += tmp[u * 8 + y] * DM.d[v][y];
+      out[u * 8 + v] = s;
+    }
+}
+
+inline void idct_block(const double* in, double* out) {
+  double tmp[64];
+  // x[x][y] = sum_u sum_v D[u][x] F[u][v] D[v][y]
+  for (int x = 0; x < 8; x++)
+    for (int v = 0; v < 8; v++) {
+      double s = 0;
+      for (int u = 0; u < 8; u++) s += DM.d[u][x] * in[u * 8 + v];
+      tmp[x * 8 + v] = s;
+    }
+  for (int x = 0; x < 8; x++)
+    for (int y = 0; y < 8; y++) {
+      double s = 0;
+      for (int v = 0; v < 8; v++) s += tmp[x * 8 + v] * DM.d[v][y];
+      out[x * 8 + y] = s;
+    }
+}
+
+}  // namespace jdct
+
+extern "C" {
+
+// plane [h, w] int32 raw samples -> out [ceil(h/8)*ceil(w/8)*64] int32
+// zigzag quantized blocks (row-major block order), edge-replicated pad.
+//
+// Two vectorizable float32 passes (same precision as the device einsum):
+// pass 1 runs the vertical 8-point transform across whole image rows;
+// pass 2 does the horizontal transform per block fused with quant+zigzag.
+// src_type: 0 = int32, 1 = uint8, 2 = uint16 (native-endian)
+int jpg_fdct_quant(const uint8_t* plane, int src_type, int w, int h,
+                   const int32_t* q64, int level_shift, int32_t* out) {
+  if (w <= 0 || h <= 0) return -1;
+  int nbx = (w + 7) / 8, nby = (h + 7) / 8;
+  int pw = nbx * 8, ph = nby * 8;
+
+  // edge-replicated padded copy (float, level-shifted)
+  std::vector<float> src((size_t)ph * pw);
+  for (int y = 0; y < ph; y++) {
+    int sy = y < h ? y : h - 1;
+    float* drow = src.data() + (size_t)y * pw;
+    if (src_type == 1) {
+      const uint8_t* row = plane + (long)sy * w;
+      for (int x = 0; x < w; x++) drow[x] = (float)(row[x] - level_shift);
+      for (int x = w; x < pw; x++)
+        drow[x] = (float)(row[w - 1] - level_shift);
+    } else if (src_type == 2) {
+      const uint16_t* row = (const uint16_t*)plane + (long)sy * w;
+      for (int x = 0; x < w; x++) drow[x] = (float)(row[x] - level_shift);
+      for (int x = w; x < pw; x++)
+        drow[x] = (float)(row[w - 1] - level_shift);
+    } else {
+      const int32_t* row = (const int32_t*)plane + (long)sy * w;
+      for (int x = 0; x < w; x++) drow[x] = (float)(row[x] - level_shift);
+      for (int x = w; x < pw; x++)
+        drow[x] = (float)(row[w - 1] - level_shift);
+    }
+  }
+
+  float D[8][8];
+  for (int u = 0; u < 8; u++)
+    for (int x = 0; x < 8; x++) D[u][x] = (float)jdct::DM.d[u][x];
+  // transposed copy so the pass-2 inner loop is f[v] += t * D[v][x]
+  float DT[8][8];
+  for (int u = 0; u < 8; u++)
+    for (int x = 0; x < 8; x++) DT[x][u] = D[u][x];
+  float rq[64];
+  for (int i = 0; i < 64; i++) rq[i] = 1.0f / (float)q64[i];
+
+  std::vector<float> tmp((size_t)8 * pw);
+  for (int by = 0; by < nby; by++) {
+    const float* band = src.data() + (size_t)by * 8 * pw;
+    // pass 1: tmp[u][col] = sum_y D[u][y] * band[y][col], whole band rows
+    for (int u = 0; u < 8; u++) {
+      const float d0 = D[u][0], d1 = D[u][1], d2 = D[u][2], d3 = D[u][3],
+                  d4 = D[u][4], d5 = D[u][5], d6 = D[u][6], d7 = D[u][7];
+      float* t = tmp.data() + (size_t)u * pw;
+      const float* r0 = band;
+      for (int c = 0; c < pw; c++) {
+        t[c] = d0 * r0[c] + d1 * r0[c + pw] + d2 * r0[c + 2 * pw] +
+               d3 * r0[c + 3 * pw] + d4 * r0[c + 4 * pw] +
+               d5 * r0[c + 5 * pw] + d6 * r0[c + 6 * pw] +
+               d7 * r0[c + 7 * pw];
+      }
+    }
+    // pass 2: per block, f[u][v] = sum_x tmp[u][x] * D[v][x]; quant+zigzag
+#if defined(__AVX2__) && defined(__FMA__)
+    {
+      __m256 dr[8];
+      for (int x = 0; x < 8; x++) dr[x] = _mm256_loadu_ps(DT[x]);
+      for (int bx = 0; bx < nbx; bx++) {
+        alignas(32) float f[64];
+        for (int u = 0; u < 8; u++) {
+          const float* t = tmp.data() + (size_t)u * pw + bx * 8;
+          __m256 acc = _mm256_mul_ps(_mm256_broadcast_ss(t), dr[0]);
+          for (int x = 1; x < 8; x++)
+            acc = _mm256_fmadd_ps(_mm256_broadcast_ss(t + x), dr[x], acc);
+          _mm256_store_ps(f + u * 8, acc);
+        }
+        int32_t* dst = out + ((long)by * nbx + bx) * 64;
+        for (int i = 0; i < 64; i++) {
+          float r = f[jdct::ZZ[i]] * rq[jdct::ZZ[i]];
+          dst[i] = (int32_t)(r + std::copysignf(0.5f, r));
+        }
+      }
+    }
+#else
+    for (int bx = 0; bx < nbx; bx++) {
+      float f[64];
+      for (int u = 0; u < 8; u++) {
+        const float* t = tmp.data() + (size_t)u * pw + bx * 8;
+        float* fr = f + u * 8;
+        for (int v = 0; v < 8; v++) fr[v] = 0.0f;
+        for (int x = 0; x < 8; x++) {
+          const float tv = t[x];
+          const float* dtc = DT[x];
+          for (int v = 0; v < 8; v++) fr[v] += tv * dtc[v];
+        }
+      }
+      int32_t* dst = out + ((long)by * nbx + bx) * 64;
+      for (int i = 0; i < 64; i++) {
+        float r = f[jdct::ZZ[i]] * rq[jdct::ZZ[i]];
+        dst[i] = (int32_t)(r + std::copysignf(0.5f, r));
+      }
+    }
+#endif
+  }
+  return 0;
+}
+
+// zz [nby*nbx, 64] int32 zigzag -> out plane [nby*8, nbx*8] int32 clamped
+// to [0, max_val] after dequant + IDCT + level shift (floor(s+0.5)).
+int jpg_idct(const int32_t* zz, int nby, int nbx, const int32_t* q64,
+             int level_shift, int max_val, int32_t* out) {
+  if (nbx <= 0 || nby <= 0) return -1;
+  long w = (long)nbx * 8;
+#if defined(__AVX2__) && defined(__FMA__)
+  float qf[64];
+  for (int i = 0; i < 64; i++) qf[i] = (float)q64[i];
+  float Dt[8][8];  // Dt[u] = row u of D as a vector over x
+  for (int u = 0; u < 8; u++)
+    for (int x = 0; x < 8; x++) Dt[u][x] = (float)jdct::DM.d[u][x];
+  __m256 drow[8];
+  for (int u = 0; u < 8; u++) drow[u] = _mm256_loadu_ps(Dt[u]);
+  const __m256 half = _mm256_set1_ps(0.5f);
+  const __m256 lvl = _mm256_set1_ps((float)level_shift);
+  const __m256i vmax = _mm256_set1_epi32(max_val);
+  const __m256i vzero = _mm256_setzero_si256();
+  for (int by = 0; by < nby; by++) {
+    for (int bx = 0; bx < nbx; bx++) {
+      const int32_t* src = zz + ((long)by * nbx + bx) * 64;
+      alignas(32) float f[64];
+      for (int i = 0; i < 64; i++)
+        f[jdct::ZZ[i]] = (float)src[i] * qf[jdct::ZZ[i]];
+      // tmp[x][v] = sum_u D[u][x] * f[u][v]  (vector over v)
+      alignas(32) float tmp[64];
+      __m256 frow[8];
+      for (int u = 0; u < 8; u++) frow[u] = _mm256_load_ps(f + u * 8);
+      for (int x = 0; x < 8; x++) {
+        __m256 acc = _mm256_mul_ps(
+            _mm256_broadcast_ss(&Dt[0][x]), frow[0]);
+        for (int u = 1; u < 8; u++)
+          acc = _mm256_fmadd_ps(_mm256_broadcast_ss(&Dt[u][x]), frow[u],
+                                acc);
+        _mm256_store_ps(tmp + x * 8, acc);
+      }
+      // s[x][y] = sum_v tmp[x][v] * D[v][y]; +level, floor(+0.5), clamp
+      for (int x = 0; x < 8; x++) {
+        const float* t = tmp + x * 8;
+        __m256 acc = _mm256_mul_ps(_mm256_broadcast_ss(t), drow[0]);
+        for (int v = 1; v < 8; v++)
+          acc = _mm256_fmadd_ps(_mm256_broadcast_ss(t + v), drow[v], acc);
+        acc = _mm256_floor_ps(
+            _mm256_add_ps(_mm256_add_ps(acc, lvl), half));
+        __m256i iv = _mm256_cvttps_epi32(acc);
+        iv = _mm256_min_epi32(_mm256_max_epi32(iv, vzero), vmax);
+        _mm256_storeu_si256(
+            (__m256i*)(out + ((long)by * 8 + x) * w + (long)bx * 8), iv);
+      }
+    }
+  }
+  return 0;
+#else
+  double q[64];
+  for (int i = 0; i < 64; i++) q[i] = (double)q64[i];
+  double f[64], s[64];
+  for (int by = 0; by < nby; by++) {
+    for (int bx = 0; bx < nbx; bx++) {
+      const int32_t* src = zz + ((long)by * nbx + bx) * 64;
+      for (int i = 0; i < 64; i++)
+        f[jdct::ZZ[i]] = (double)src[i] * q[jdct::ZZ[i]];
+      jdct::idct_block(f, s);
+      for (int y = 0; y < 8; y++) {
+        int32_t* dst = out + ((long)by * 8 + y) * w + (long)bx * 8;
+        for (int x = 0; x < 8; x++) {
+          double v = std::floor(s[y * 8 + x] + (double)level_shift + 0.5);
+          int32_t iv = (int32_t)v;
+          if (iv < 0) iv = 0;
+          if (iv > max_val) iv = max_val;
+          dst[x] = iv;
+        }
+      }
+    }
+  }
+  return 0;
+#endif
 }
 
 }  // extern "C"

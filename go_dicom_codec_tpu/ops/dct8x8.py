@@ -145,6 +145,30 @@ def ycbcr_to_rgb(ycc: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(out, 0, 255).astype(jnp.uint8)
 
 
+def rgb_to_ycbcr_np(rgb: np.ndarray) -> np.ndarray:
+    """Host numpy mirror of rgb_to_ycbcr (bit-exact: pure integer math)."""
+    r = rgb[..., 0].astype(np.int32)
+    g = rgb[..., 1].astype(np.int32)
+    b = rgb[..., 2].astype(np.int32)
+    y = (19595 * r + 38470 * g + 7471 * b + 32768) >> 16
+    cb = (-11056 * r - 21712 * g + 32768 * b + 8421376) >> 16
+    cr = (32768 * r - 27440 * g - 5328 * b + 8421376) >> 16
+    out = np.stack([y, cb, cr], axis=-1)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def ycbcr_to_rgb_np(ycc: np.ndarray) -> np.ndarray:
+    """Host numpy mirror of ycbcr_to_rgb (bit-exact: pure integer math)."""
+    y = ycc[..., 0].astype(np.int32)
+    cb = ycc[..., 1].astype(np.int32) - 128
+    cr = ycc[..., 2].astype(np.int32) - 128
+    r = y + ((91881 * cr) >> 16)
+    g = y - ((22554 * cb + 46802 * cr) >> 16)
+    b = y + ((116130 * cb) >> 16)
+    out = np.stack([r, g, b], axis=-1)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
 @partial(jax.jit, static_argnames=("level_shift",))
 def encode_plane_to_zigzag(plane: jnp.ndarray, qtable: jnp.ndarray,
                            level_shift: int = 128) -> jnp.ndarray:

@@ -305,3 +305,85 @@ def test_t1_ojp_reconstruction_parity_and_midbin(rng):
         mse_mid = np.mean((out_n - data) ** 2.0)
         mse_floor = np.mean((out_floor - data) ** 2.0)
         assert mse_mid <= mse_floor
+
+
+# ---------------------------------------------------------------- JPEG DCT
+
+@pytest.mark.parametrize("shape", [(64, 64), (512, 512), (60, 52), (17, 9)])
+@pytest.mark.parametrize("dtype,bits", [(np.uint8, 8), (np.uint16, 12)])
+def test_jpg_fdct_native_vs_device(shape, dtype, bits, rng):
+    """Host float32 DCT agrees with the device float32 einsum path
+    everywhere except razor-thin rounding ties (|diff| <= 1, rare)."""
+    import jax.numpy as jnp
+
+    from go_dicom_codec_tpu.codecs import jpeg_common as jc
+    from go_dicom_codec_tpu.native import jpg_fdct_quant_native
+    from go_dicom_codec_tpu.ops.dct8x8 import encode_plane_to_zigzag
+
+    h, w = shape
+    img = rng.integers(0, (1 << bits) - 1, (h, w)).astype(dtype)
+    q = jc.scale_quant_table(jc.LUMA_QUANT, 85, 255)
+    level = 1 << (bits - 1)
+    native = jpg_fdct_quant_native(img, q, level)
+    assert native is not None
+    dev = np.asarray(encode_plane_to_zigzag(
+        jnp.asarray(img.astype(np.int32)), jnp.asarray(q),
+        level_shift=level))
+    diff = np.abs(native.astype(np.int64) - dev.astype(np.int64))
+    assert diff.max() <= 1
+    assert (diff != 0).mean() < 1e-2
+
+
+def test_jpg_fdct_native_dtype_agreement(rng):
+    """uint8 / uint16 / int32 inputs produce identical coefficients."""
+    from go_dicom_codec_tpu.codecs import jpeg_common as jc
+    from go_dicom_codec_tpu.native import jpg_fdct_quant_native
+
+    img = rng.integers(0, 255, (48, 40)).astype(np.uint8)
+    q = jc.scale_quant_table(jc.LUMA_QUANT, 90, 255)
+    a = jpg_fdct_quant_native(img, q, 128)
+    b = jpg_fdct_quant_native(img.astype(np.uint16), q, 128)
+    c = jpg_fdct_quant_native(img.astype(np.int32), q, 128)
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(a, c)
+
+
+@pytest.mark.parametrize("bits", [8, 12])
+def test_jpg_idct_native_vs_device(bits, rng):
+    import jax.numpy as jnp
+
+    from go_dicom_codec_tpu.codecs import jpeg_common as jc
+    from go_dicom_codec_tpu.native import (jpg_fdct_quant_native,
+                                           jpg_idct_native)
+    from go_dicom_codec_tpu.ops.dct8x8 import decode_zigzag_to_plane
+
+    img = rng.integers(0, (1 << bits) - 1, (64, 80)).astype(
+        np.uint8 if bits == 8 else np.uint16)
+    q = jc.scale_quant_table(jc.LUMA_QUANT, 85, 255)
+    level = 1 << (bits - 1)
+    zz = jpg_fdct_quant_native(img, q, level)
+    native = jpg_idct_native(zz, q, level, (1 << bits) - 1)
+    assert native is not None
+    dev = np.asarray(decode_zigzag_to_plane(
+        jnp.asarray(zz), jnp.asarray(q), level_shift=level,
+        max_val=(1 << bits) - 1))
+    diff = np.abs(native.astype(np.int64) - dev.astype(np.int64))
+    assert diff.max() <= 1
+    assert (diff != 0).mean() < 1e-2
+
+
+def test_jpg_dct_native_roundtrip_quality(rng):
+    """Native fdct->idct reconstruction error is bounded by quant steps."""
+    from go_dicom_codec_tpu.codecs import jpeg_common as jc
+    from go_dicom_codec_tpu.native import (jpg_fdct_quant_native,
+                                           jpg_idct_native)
+
+    y, x = np.mgrid[0:128, 0:128]
+    img = np.clip((np.sin(x / 9.0) + np.cos(y / 7.0)) * 60 + 128
+                  + rng.normal(0, 2, (128, 128)), 0, 255).astype(np.uint8)
+    q = jc.scale_quant_table(jc.LUMA_QUANT, 95, 255)
+    zz = jpg_fdct_quant_native(img, q, 128)
+    rec = jpg_idct_native(zz, q, 128, 255)
+    err = np.abs(rec.astype(int) - img.astype(int))
+    assert err.max() <= 16
+    assert err.mean() < 3.0
