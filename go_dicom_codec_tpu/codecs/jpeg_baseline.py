@@ -300,11 +300,18 @@ def decode(data: bytes,
                 max_val=max_val))
         if ch == max_h and cv == max_v:
             planes.append(plane[:height, :width])
-        else:
-            # nearest-neighbor upsample to full resolution
+        elif max_h % ch or max_v % cv:
+            # non-integer ratio: nearest-neighbor
             ys = (np.arange(height) * cv) // max_v
             xs = (np.arange(width) * ch) // max_h
             planes.append(plane[np.ix_(ys, xs)])
+        else:
+            # libjpeg-style fancy upsample to full resolution (matches
+            # the PIL foreign oracle; nearest for non-2x factors)
+            cw = -(-width * ch // max_h)
+            chh = -(-height * cv // max_v)
+            planes.append(jc.fancy_upsample(
+                plane[:chh, :cw], max_h // ch, max_v // cv, height, width))
 
     nc = len(planes)
     if nc == 1:
@@ -352,7 +359,19 @@ class JPEGBaselineCodec(Codec):
     def decode(self, old_pixel_data: PixelData, new_pixel_data: PixelData,
                parameters: Optional[Parameters] = None) -> None:
         for i in range(old_pixel_data.frame_count()):
-            pixels, _, _, _ = decode(old_pixel_data.get_frame(i))
+            data = old_pixel_data.get_frame(i)
+            try:
+                pixels, _, _, _ = decode(data)
+            except UnsupportedFormatError as exc:
+                # third-party .50 streams are occasionally progressive;
+                # the reference decodes those through Go stdlib
+                # image/jpeg in its Extended path — accept them here too
+                from . import jpeg_progressive as jp
+
+                try:
+                    pixels, _, _, _ = jp.decode(data)
+                except Exception:
+                    raise exc
             new_pixel_data.add_frame(pixels)
 
 

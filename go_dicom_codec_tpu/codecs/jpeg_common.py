@@ -363,3 +363,47 @@ def _decode_block(br: BitReader, dct: hf.HuffmanTable, act: hf.HuffmanTable,
         coef[k] = hf.receive_extend(br.take(s), s)
         k += 1
     return coef
+
+
+def fancy_upsample(plane: np.ndarray, fh: int, fv: int, height: int,
+                   width: int) -> np.ndarray:
+    """libjpeg-style triangular chroma upsampling (jdsample.c
+    h2v1/h2v2_fancy_upsample semantics) for 2x factors; nearest-neighbor
+    for anything else. plane: [ch, cw] int; → [height, width] int32.
+
+    Matches what the PIL/libjpeg foreign oracle computes, so decoded
+    subsampled streams agree with it to IDCT rounding.
+    """
+    p = plane.astype(np.int32)
+    ch, cw = p.shape
+    if fv == 2:
+        iy = np.arange(height) >> 1
+        oy = np.where((np.arange(height) & 1) == 0, iy - 1, iy + 1)
+        np.clip(iy, 0, ch - 1, out=iy)
+        np.clip(oy, 0, ch - 1, out=oy)
+        s = 3 * p[iy] + p[oy]          # [height, cw], 2 fraction bits
+        sh = 2
+    elif fv == 1:
+        ys = np.minimum(np.arange(height), ch - 1)
+        s = p[ys]
+        sh = 0
+    else:
+        ys = np.minimum(np.arange(height) // fv, ch - 1)
+        s = p[ys]
+        sh = 0
+    if fh == 2:
+        ix = np.arange(width) >> 1
+        ox = np.where((np.arange(width) & 1) == 0, ix - 1, ix + 1)
+        np.clip(ix, 0, cw - 1, out=ix)
+        np.clip(ox, 0, cw - 1, out=ox)
+        even = (np.arange(width) & 1) == 0
+        # jdsample.c: h2v2 rounds +8 even / +7 odd, h2v1 +1 even / +2 odd
+        bias = np.where(even, 8, 7) if sh == 2 else np.where(even, 1, 2)
+        out = (3 * s[:, ix] + s[:, ox] + bias) >> (sh + 2)
+    elif fh == 1:
+        xs = np.minimum(np.arange(width), cw - 1)
+        out = (s[:, xs] + ((1 << sh) >> 1)) >> sh if sh else s[:, xs]
+    else:
+        xs = np.minimum(np.arange(width) // fh, cw - 1)
+        out = (s[:, xs] + ((1 << sh) >> 1)) >> sh if sh else s[:, xs]
+    return out

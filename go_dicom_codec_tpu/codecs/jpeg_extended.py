@@ -52,24 +52,38 @@ def encode(pixels: bytes, width: int, height: int, components: int,
     raise UnsupportedFormatError(f"bit depth {bit_depth} not in (8, 12)")
 
 
-def detect_bit_depth(data: bytes) -> int:
-    """Peek at the SOF to find the sample precision."""
+def detect_sof(data: bytes):
+    """Peek at the SOF → (marker, sample precision)."""
     r = mk.JpegReader(data)
     if r.read_marker() != mk.SOI:
         raise CorruptStreamError("missing SOI")
     while True:
         marker = r.read_marker()
-        if marker in (mk.SOF0, mk.SOF1, mk.SOF3, mk.SOF55):
-            return r.read_segment()[0]
+        if marker in (mk.SOF0, mk.SOF1, mk.SOF2, mk.SOF3, mk.SOF55):
+            return marker, r.read_segment()[0]
         if marker in (mk.SOS, mk.EOI):
             raise CorruptStreamError("no SOF before scan")
         if mk.has_length(marker):
             r.read_segment()
 
 
+def detect_bit_depth(data: bytes) -> int:
+    """Peek at the SOF to find the sample precision."""
+    return detect_sof(data)[1]
+
+
 def decode(data: bytes):
-    """Byte-level decode → (pixels, width, height, components, bit_depth)."""
-    depth = detect_bit_depth(data)
+    """Byte-level decode → (pixels, width, height, components, bit_depth).
+
+    Accepts progressive (SOF2) 8-bit streams like the reference's
+    Extended decode, which rides Go stdlib image/jpeg
+    (jpeg/extended/encoder_simple.go:35-46)."""
+    sof, depth = detect_sof(data)
+    if sof == mk.SOF2:
+        from . import jpeg_progressive as jp
+
+        px, w, h, c = jp.decode(data)
+        return px, w, h, c, 8
     if depth == 12:
         px, w, h, c = jb.decode(data, expected_sofs=(mk.SOF1,),
                                 max_precision=12)

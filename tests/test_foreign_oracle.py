@@ -227,3 +227,49 @@ def test_pil_encoded_j2k_lossy_decodes_here(rng, tmp_path):
     # both decoders reconstruct the same lossy stream
     assert np.abs(got.astype(int)
                   - theirs.reshape(img.shape).astype(int)).max() <= 2
+
+
+# ------------------------------------------------- progressive (SOF2)
+
+@pytest.mark.parametrize("mode,shape,kw", [
+    ("L", (64, 96), {}),
+    ("L", (61, 67), {"quality": 50}),
+    ("RGB", (64, 96, 3), {}),                    # 4:2:0
+    ("RGB", (48, 64, 3), {"subsampling": 0}),    # 4:4:4
+    ("RGB", (48, 64, 3), {"subsampling": 1}),    # 4:2:2
+])
+def test_pil_progressive_jpeg_decodes_here(rng, mode, shape, kw):
+    """libjpeg progressive (SOF2) streams decode here (reference parity:
+    its Extended path rides Go stdlib image/jpeg, which accepts SOF2 —
+    /root/reference/jpeg/extended/encoder_simple.go:35-46)."""
+    from go_dicom_codec_tpu.codecs import jpeg_extended as je
+
+    n = 1 if mode == "L" else 3
+    img = _smooth(rng, shape[0], shape[1], n, 8)
+    buf = io.BytesIO()
+    kw.setdefault("quality", 90)
+    PIL_Image.fromarray(img).save(buf, format="JPEG", progressive=True,
+                                  **kw)
+    pix, w, h, c, depth = je.decode(buf.getvalue())
+    ours = np.frombuffer(pix, np.uint8).reshape(img.shape)
+    theirs = np.asarray(PIL_Image.open(buf)).reshape(img.shape)
+    # IDCT + fancy-upsample + YCbCr rounding differences only
+    assert np.abs(ours.astype(int) - theirs.astype(int)).max() <= 6
+
+
+def test_pil_progressive_via_baseline_registry(rng):
+    """A progressive frame inside the .50 transfer syntax still decodes
+    (generous fallback; third-party archives contain such streams)."""
+    img = _smooth(rng, 64, 64, 1, 8)
+    buf = io.BytesIO()
+    PIL_Image.fromarray(img).save(buf, format="JPEG", progressive=True,
+                                  quality=90)
+    info = dc.FrameInfo(width=64, height=64, bits_allocated=8,
+                        bits_stored=8)
+    enc = dc.MemoryPixelData(info=info, encapsulated=True)
+    enc.add_frame(buf.getvalue())
+    dec = dc.MemoryPixelData(info=info)
+    dc.get_global_registry().get_codec(UID_BASELINE).decode(enc, dec)
+    ours = np.frombuffer(dec.get_frame(0), np.uint8).reshape(img.shape)
+    theirs = np.asarray(PIL_Image.open(buf)).reshape(img.shape)
+    assert np.abs(ours.astype(int) - theirs.astype(int)).max() <= 2
