@@ -32,15 +32,26 @@ BATCH, H, W, LEVELS, ITERS = 32, 512, 512, 5, 30
 
 
 def _chained(x):
-    """ITERS transform steps chained on device: one dispatch total."""
+    """ITERS transform steps chained on device: one dispatch total.
+
+    Each step is the full encode device stage per the north star's
+    "DWT+quant" wording (round-2 verdict item #5): DC shift + multilevel
+    5/3 + per-codeblock max/bitplane stats + deadzone quantization of
+    the coefficients (sign-magnitude deadzone with a fixed-point step,
+    the form the lossy path and PCRD slope scaling consume).
+    """
 
     def body(_, carry):
         frames, acc = carry
         coeffs, cb_max, cb_bits = j2k_lossless_encode_transform(
             frames, levels=LEVELS, bits=16, signed=False, cb=64)
-        # feed coefficients back as the next batch (keeps the loop
-        # device-resident); accumulate stats so nothing is dead code
-        return coeffs, acc + jnp.sum(cb_bits.astype(jnp.int32))
+        # deadzone quant: q = sign(c) * floor(|c| * (1/Δ))  (Δ = 2 here,
+        # fixed-point reciprocal multiply like the device lossy stage)
+        mag = jnp.abs(coeffs)
+        q = jnp.sign(coeffs) * ((mag * 32768) >> 16)
+        # feed quantized coefficients back as the next batch (keeps the
+        # loop device-resident); accumulate so nothing is dead code
+        return q, acc + jnp.sum(cb_bits.astype(jnp.int32)) + q[0, 0, 0]
 
     out, acc = jax.lax.fori_loop(0, ITERS, body,
                                  (x, jnp.int32(0)))
@@ -83,7 +94,7 @@ def main() -> None:
           file=sys.stderr)
 
     print(json.dumps({
-        "metric": "j2k_lossless_dwt53_encode_throughput",
+        "metric": "j2k_dwt53_quant_stats_encode_throughput",
         "value": round(mpx, 1),
         "unit": "Mpx/s/chip",
         "vs_baseline": round(mpx / 224.0, 2),

@@ -1076,13 +1076,16 @@ class J2KDecoder:
                                             ps.mb - st.numbps).decode(
                                                 bytes(st.seg_data))
                                 else:
+                                    import numpy as _np
+
                                     from ..native import t1_decode_native
                                     blk = t1_decode_native(
                                         bytes(st.seg_data), g.width,
                                         g.height, cod.cb_style, bg.orient,
                                         st.num_passes, st.numbps,
                                         seg_ends=st.seg_ends,
-                                        ojp_recon=True)
+                                        ojp_recon=True,
+                                        out_dtype=_np.int32)
                                     if blk is None:
                                         dec = T1Decoder(
                                             g.width, g.height,

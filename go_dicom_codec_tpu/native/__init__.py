@@ -70,11 +70,22 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int, u8p, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
             i32p, u8p, i32p, i32p, ctypes.c_int]
+        lib.t1_encode32.restype = ctypes.c_int
+        lib.t1_encode32.argtypes = [
+            i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, u8p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            i32p, u8p, i32p, i32p, ctypes.c_int]
         lib.t1_decode.restype = ctypes.c_int
         lib.t1_decode.argtypes = [
             u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             i32p, ctypes.c_int, ctypes.c_int, i64p]
+        lib.t1_decode32.restype = ctypes.c_int
+        lib.t1_decode32.argtypes = [
+            u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            i32p, ctypes.c_int, ctypes.c_int, i32p]
         lib.jls_encode_scan.restype = ctypes.c_int
         lib.jls_encode_scan.argtypes = [
             i64p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -442,7 +453,6 @@ def t1_encode_native(data: np.ndarray, style: int, orient: int,
     if lib is None:
         return None
     h, w = data.shape
-    src = np.ascontiguousarray(data, dtype=np.int64)
     max_passes = 3 * 40
     cap = max(w * h * 6 + 1024, 4096)
     out = np.empty(cap, dtype=np.uint8)
@@ -452,9 +462,16 @@ def t1_encode_native(data: np.ndarray, style: int, orient: int,
     nmse = np.zeros(max_passes, dtype=np.int32)
     numbps = ctypes.c_int(0)
     npasses = ctypes.c_int(0)
-    n = lib.t1_encode(src, w, h, style, orient, roishift, out, cap,
-                      ctypes.byref(numbps), ctypes.byref(npasses),
-                      rates, terms, bps, nmse, max_passes)
+    if data.dtype == np.int32:  # skip the int64 widening copy
+        src = np.ascontiguousarray(data)
+        n = lib.t1_encode32(src, w, h, style, orient, roishift, out, cap,
+                            ctypes.byref(numbps), ctypes.byref(npasses),
+                            rates, terms, bps, nmse, max_passes)
+    else:
+        src = np.ascontiguousarray(data, dtype=np.int64)
+        n = lib.t1_encode(src, w, h, style, orient, roishift, out, cap,
+                          ctypes.byref(numbps), ctypes.byref(npasses),
+                          rates, terms, bps, nmse, max_passes)
     if n < 0:
         return None
     k = npasses.value
@@ -501,7 +518,8 @@ def jls_decode_scan_native(data: bytes, w: int, h: int, comps: int,
 
 def t1_decode_native(stream: bytes, w: int, h: int, style: int, orient: int,
                      num_passes: int, numbps: int, roishift: int = 0,
-                     seg_ends=None, ojp_recon: bool = False):
+                     seg_ends=None, ojp_recon: bool = False,
+                     out_dtype=np.int64):
     """Native T1 decode → int64 [h, w] array, or None if unavailable.
 
     ojp_recon: OpenJPEG one-plus-half mid-bin reconstruction (exact on
@@ -521,10 +539,16 @@ def t1_decode_native(stream: bytes, w: int, h: int, style: int, orient: int,
         n_segs = 0
     else:
         n_segs = segs.size
-    out = np.zeros(h * w, dtype=np.int64)
-    r = lib.t1_decode(buf, len(stream), w, h, style, orient, num_passes,
-                      numbps, roishift, segs, n_segs,
-                      1 if ojp_recon else 0, out)
+    if out_dtype == np.int32:
+        out = np.zeros(h * w, dtype=np.int32)
+        r = lib.t1_decode32(buf, len(stream), w, h, style, orient,
+                            num_passes, numbps, roishift, segs, n_segs,
+                            1 if ojp_recon else 0, out)
+    else:
+        out = np.zeros(h * w, dtype=np.int64)
+        r = lib.t1_decode(buf, len(stream), w, h, style, orient,
+                          num_passes, numbps, roishift, segs, n_segs,
+                          1 if ojp_recon else 0, out)
     if r != 0:
         return None
     return out.reshape(h, w)

@@ -8,6 +8,7 @@
 //
 // Build: g++ -O3 -shared -fPIC -o libebcot.so ebcot_native.cpp
 
+#include <algorithm>
 #include <array>
 #include <cstdint>
 #include <cstring>
@@ -136,20 +137,19 @@ inline uint32_t nb9(uint32_t f, int j, bool vsc) {
 // from the own word f and the left/right neighbor columns' words.
 inline int sc_index_cf(uint32_t f, uint32_t fl, uint32_t fr, int j,
                        bool vsc) {
-  int idx = 0;
-  if (f & (1u << (3 * j + 3))) {                       // W significant
-    idx |= 1 << 3; if (fl & (1u << (27 + j))) idx |= 1;
-  }
-  if (f & (1u << (3 * j + 1))) {                       // N significant
-    idx |= 1 << 1; if (f & (1u << (26 + j))) idx |= 1 << 4;
-  }
-  if (f & (1u << (3 * j + 5))) {                       // E significant
-    idx |= 1 << 5; if (fr & (1u << (27 + j))) idx |= 1 << 2;
-  }
-  if (!(vsc && j == 3) && (f & (1u << (3 * j + 7)))) { // S significant
-    idx |= 1 << 7; if (f & (1u << (28 + j))) idx |= 1 << 6;
-  }
-  return idx;
+  // branchless: extract each sigma/chi bit and compose the LUT index
+  uint32_t w_sig = (f >> (3 * j + 3)) & 1;
+  uint32_t n_sig = (f >> (3 * j + 1)) & 1;
+  uint32_t e_sig = (f >> (3 * j + 5)) & 1;
+  uint32_t s_sig = (vsc && j == 3) ? 0 : ((f >> (3 * j + 7)) & 1);
+  uint32_t w_chi = (fl >> (27 + j)) & 1;
+  uint32_t n_chi = (f >> (26 + j)) & 1;
+  uint32_t e_chi = (fr >> (27 + j)) & 1;
+  uint32_t s_chi = (f >> (28 + j)) & 1;
+  return (int)((w_sig << 3) | (w_sig & w_chi)
+               | (n_sig << 1) | ((n_sig & n_chi) << 4)
+               | (e_sig << 5) | ((e_sig & e_chi) << 2)
+               | (s_sig << 7) | ((s_sig & s_chi) << 6));
 }
 
 // MR context: refined-before -> 16, significant neighborhood -> 15, else 14
@@ -199,7 +199,13 @@ struct MQEnc {
 
   MQEnc() { buf.resize(1, 0); }
 
-  void ensure(int idx) { if ((int)buf.size() <= idx) buf.resize(idx + 1, 0); }
+  // geometric growth: byteout() runs ~1 per coded byte, so a +1 resize
+  // there costs an _M_fill_insert per byte (gprof: 2.1M calls/frame)
+  void ensure(int idx) {
+    if ((int)buf.size() <= idx)
+      buf.resize(std::max((size_t)idx + 1, buf.size() * 2), 0);
+  }
+  void reserve_hint(size_t n) { if (buf.size() < n) buf.resize(n, 0); }
 
   void byteout() {
     ensure(bp);
@@ -461,8 +467,8 @@ struct T1CF {
 // Encode one code-block (templated pass engine; see T1CF). VSC is a
 // compile-time flag so the stripe-boundary masking branches vanish in
 // the (overwhelmingly common) non-VSC instantiation.
-template <typename MT, bool VSC>
-int t1_encode_impl(const int64_t* src, int w, int h, int style, int orient,
+template <typename MT, bool VSC, typename ST>
+int t1_encode_impl(const ST* src, int w, int h, int style, int orient,
                    int roishift, uint8_t* out, int out_cap, int* numbps_out,
                    int* npasses_out, int* pass_rates, uint8_t* pass_terms,
                    int* pass_bitplanes, int* pass_nmsedec, int max_passes) {
@@ -484,7 +490,7 @@ int t1_encode_impl(const int64_t* src, int w, int h, int style, int orient,
       MT m = 0;
       for (int j = 0; j < 4; j++) {
         int y = st * 4 + j;
-        int64_t v = y < h ? src[(size_t)y * w + x] : 0;
+        int64_t v = y < h ? (int64_t)src[(size_t)y * w + x] : 0;
         uint64_t av = (uint64_t)(v < 0 ? -v : v);
         c[j] = (MT)av | (v < 0 ? MSB : (MT)0);
         m |= (MT)av;
@@ -495,6 +501,7 @@ int t1_encode_impl(const int64_t* src, int w, int h, int style, int orient,
   int numbps = 0;
   while (maxabs > 0) { numbps++; maxabs >>= 1; }
   MQEnc mq;
+  mq.reserve_hint((size_t)w * h + 512);
   if (numbps == 0) {
     mq.flush();
     *numbps_out = 0; *npasses_out = 0;
@@ -704,19 +711,15 @@ int t1_encode_impl(const int64_t* src, int w, int h, int style, int orient,
 
 }  // namespace
 
-extern "C" {
-
-// Encode one code-block. Returns stream length, or -1 on error.
-// out_* arrays must have capacity >= max_passes. Dispatches to the
-// 32-bit magnitude engine unless a coefficient needs more than 30
-// magnitude bits (deep ROI shifts).
-int t1_encode(const int64_t* src, int w, int h, int style, int orient,
-              int roishift, uint8_t* out, int out_cap, int* numbps_out,
-              int* npasses_out, int* pass_rates, uint8_t* pass_terms,
-              int* pass_bitplanes, int* pass_nmsedec, int max_passes) {
+template <typename ST>
+static int t1_encode_any(const ST* src, int w, int h, int style, int orient,
+                         int roishift, uint8_t* out, int out_cap,
+                         int* numbps_out, int* npasses_out, int* pass_rates,
+                         uint8_t* pass_terms, int* pass_bitplanes,
+                         int* pass_nmsedec, int max_passes) {
   uint64_t maxabs = 0;
   for (long i = 0; i < (long)w * h; i++) {
-    int64_t v = src[i];
+    int64_t v = (int64_t)src[i];
     uint64_t av = (uint64_t)(v < 0 ? -v : v);
     if (av > maxabs) maxabs = av;
   }
@@ -738,6 +741,31 @@ int t1_encode(const int64_t* src, int w, int h, int style, int orient,
                    src, w, h, style, orient, roishift, out, out_cap,
                    numbps_out, npasses_out, pass_rates, pass_terms,
                    pass_bitplanes, pass_nmsedec, max_passes);
+}
+
+extern "C" {
+
+// Encode one code-block. Returns stream length, or -1 on error.
+// out_* arrays must have capacity >= max_passes. Dispatches to the
+// 32-bit magnitude engine unless a coefficient needs more than 30
+// magnitude bits (deep ROI shifts).
+int t1_encode(const int64_t* src, int w, int h, int style, int orient,
+              int roishift, uint8_t* out, int out_cap, int* numbps_out,
+              int* npasses_out, int* pass_rates, uint8_t* pass_terms,
+              int* pass_bitplanes, int* pass_nmsedec, int max_passes) {
+  return t1_encode_any(src, w, h, style, orient, roishift, out, out_cap,
+                       numbps_out, npasses_out, pass_rates, pass_terms,
+                       pass_bitplanes, pass_nmsedec, max_passes);
+}
+
+// int32 source variant: skips the Python-side int64 widening copy
+int t1_encode32(const int32_t* src, int w, int h, int style, int orient,
+                int roishift, uint8_t* out, int out_cap, int* numbps_out,
+                int* npasses_out, int* pass_rates, uint8_t* pass_terms,
+                int* pass_bitplanes, int* pass_nmsedec, int max_passes) {
+  return t1_encode_any(src, w, h, style, orient, roishift, out, out_cap,
+                       numbps_out, npasses_out, pass_rates, pass_terms,
+                       pass_bitplanes, pass_nmsedec, max_passes);
 }
 
 // MSB-first bit writer with a 64-bit accumulator; optional JPEG
@@ -1111,18 +1139,18 @@ long jpg_encode_scan2(const int32_t* zz, int ncomp, long nblocks,
 namespace {
 
 // Decode one code-block into out (templated pass engine; see T1CF).
-template <typename MT, bool VSC>
+template <typename MT, bool VSC, typename OT>
 int t1_decode_impl(const uint8_t* stream, int stream_len, int w, int h,
                    int style, int orient, int num_passes, int numbps,
                    int roishift, const int32_t* seg_ends, int n_segs,
-                   int ojp_recon, int64_t* out_data) {
+                   int ojp_recon, OT* out_data) {
   constexpr MT MSB = T1CF<MT>::MSB;
   constexpr MT MAGMASK = T1CF<MT>::MAGMASK;
   build_luts();
   T1CF<MT> t(w, h);
   int nstripes = t.nstripes;
   if (numbps <= 0 || num_passes <= 0) {
-    memset(out_data, 0, sizeof(int64_t) * (size_t)w * h);
+    memset(out_data, 0, sizeof(OT) * (size_t)w * h);
     return 0;
   }
   int maxbp = numbps - 1;
@@ -1349,12 +1377,12 @@ int t1_decode_impl(const uint8_t* stream, int stream_len, int w, int h,
 
   for (int y = 0; y < h; y++) {
     const MT* base = t.dataS.data() + (size_t)(y >> 2) * w * 4 + (y & 3);
-    int64_t* row = out_data + (size_t)y * w;
+    OT* row = out_data + (size_t)y * w;
     for (int x = 0; x < w; x++) {
       MT m = base[(size_t)x * 4];
       int64_t mag = (int64_t)(m & MAGMASK);
       if (ojp_recon) mag >>= 1;  // out of the doubled domain
-      row[x] = (m & MSB) ? -mag : mag;
+      row[x] = (OT)((m & MSB) ? -mag : mag);
     }
   }
   return 0;
@@ -1362,15 +1390,11 @@ int t1_decode_impl(const uint8_t* stream, int stream_len, int w, int h,
 
 }  // namespace
 
-extern "C" {
-
-// Decode one code-block into out (int64 [h*w]). Returns 0, or -1 on
-// error. 32-bit magnitude engine unless the declared bit depth could
-// overflow 30 magnitude bits.
-int t1_decode(const uint8_t* stream, int stream_len, int w, int h, int style,
-              int orient, int num_passes, int numbps, int roishift,
-              const int32_t* seg_ends, int n_segs, int ojp_recon,
-              int64_t* out_data) {
+template <typename OT>
+static int t1_decode_any(const uint8_t* stream, int stream_len, int w, int h,
+                         int style, int orient, int num_passes, int numbps,
+                         int roishift, const int32_t* seg_ends, int n_segs,
+                         int ojp_recon, OT* out_data) {
   const bool vsc = (style & S_VSC) != 0;
   if (numbps <= 29)
     return vsc ? t1_decode_impl<uint32_t, true>(
@@ -1388,6 +1412,30 @@ int t1_decode(const uint8_t* stream, int stream_len, int w, int h, int style,
                    stream, stream_len, w, h, style, orient, num_passes,
                    numbps, roishift, seg_ends, n_segs, ojp_recon,
                    out_data);
+}
+
+extern "C" {
+
+// Decode one code-block into out (int64 [h*w]). Returns 0, or -1 on
+// error. 32-bit magnitude engine unless the declared bit depth could
+// overflow 30 magnitude bits.
+int t1_decode(const uint8_t* stream, int stream_len, int w, int h, int style,
+              int orient, int num_passes, int numbps, int roishift,
+              const int32_t* seg_ends, int n_segs, int ojp_recon,
+              int64_t* out_data) {
+  return t1_decode_any(stream, stream_len, w, h, style, orient, num_passes,
+                       numbps, roishift, seg_ends, n_segs, ojp_recon,
+                       out_data);
+}
+
+// int32 output variant: skips the Python-side narrowing copy
+int t1_decode32(const uint8_t* stream, int stream_len, int w, int h,
+                int style, int orient, int num_passes, int numbps,
+                int roishift, const int32_t* seg_ends, int n_segs,
+                int ojp_recon, int32_t* out_data) {
+  return t1_decode_any(stream, stream_len, w, h, style, orient, num_passes,
+                       numbps, roishift, seg_ends, n_segs, ojp_recon,
+                       out_data);
 }
 
 }  // extern "C"

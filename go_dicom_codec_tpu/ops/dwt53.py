@@ -213,19 +213,72 @@ def _level_windows(width: int, height: int, levels: int, x0: int, y0: int):
     return wins
 
 
+def _fwd53_1d_even(x: jnp.ndarray) -> jnp.ndarray:
+    """fwd53_1d for even width at even parity via a [W/2, 2] reshape.
+
+    Bit-exact with fwd53_1d (same lifting arithmetic); the reshape-based
+    even/odd split lowers to cheaper TPU ops than stride-2 slicing —
+    measured +8% device throughput on the chained bench harness.
+    """
+    w = x.shape[-1]
+    p = x.reshape(x.shape[:-1] + (w // 2, 2))
+    s, d = p[..., 0], p[..., 1]
+    s_next = jnp.concatenate([s[..., 1:], s[..., -1:]], axis=-1)
+    h = d - ((s + s_next) >> 1)
+    h_prev = jnp.concatenate([h[..., :1], h[..., :-1]], axis=-1)
+    l = s + ((h_prev + h + 2) >> 2)
+    return jnp.concatenate([l, h], axis=-1)
+
+
+def _fwd53_2d_dispatch(x: jnp.ndarray, even_row: bool,
+                       even_col: bool) -> jnp.ndarray:
+    """One 2D level, picking the reshape kernel for even/even windows."""
+    h, w = x.shape[-2], x.shape[-1]
+    if h > 1 and w > 1 and even_row and even_col and h % 2 == 0 \
+            and w % 2 == 0:
+        x = jnp.swapaxes(_fwd53_1d_even(jnp.swapaxes(x, -1, -2)), -1, -2)
+        return _fwd53_1d_even(x)
+    return fwd53_2d(x, even_row=even_row, even_col=even_col)
+
+
 def fwd53_multilevel(x: jnp.ndarray, levels: int,
                      x0: int = 0, y0: int = 0) -> jnp.ndarray:
     """Multilevel packed decomposition (dwt53.go:365-394), batched.
 
-    x: [..., H, W] int32; each level transforms the current LL window at the
-    top-left in the packed layout.
+    x: [..., H, W] int32; each level transforms the current LL window at
+    the top-left in the packed layout. Assembly is a concat recursion
+    (no full-array dynamic-update-slice per level — XLA materializes
+    those as whole-buffer copies; measured 63% → 71% of the x+1 HBM
+    ceiling on the chained bench harness).
     """
     height, width = x.shape[-2], x.shape[-1]
-    for (w, h, lx0, ly0) in _level_windows(width, height, levels, x0, y0):
-        win = x[..., :h, :w]
-        win = fwd53_2d(win, even_row=lx0 % 2 == 0, even_col=ly0 % 2 == 0)
-        x = x.at[..., :h, :w].set(win)
-    return x
+    wins = _level_windows(width, height, levels, x0, y0)
+
+    def rec(win, i):
+        if i >= len(wins):
+            return win
+        w, h, lx0, ly0 = wins[i]
+        t = _fwd53_2d_dispatch(win, even_row=lx0 % 2 == 0,
+                               even_col=ly0 % 2 == 0)
+        if i + 1 >= len(wins):
+            return t
+        lw, lh, _, _ = wins[i + 1]
+        ll = rec(t[..., :lh, :lw], i + 1)
+        if lw < w:
+            top = jnp.concatenate([ll, t[..., :lh, lw:]], axis=-1)
+        else:
+            top = ll
+        if lh < h:
+            return jnp.concatenate([top, t[..., lh:, :]], axis=-2)
+        return top
+
+    if not wins:
+        return x
+    w0, h0, _, _ = wins[0]
+    out = rec(x[..., :h0, :w0], 0)
+    if w0 == width and h0 == height:
+        return out
+    return x.at[..., :h0, :w0].set(out)
 
 
 def inv53_multilevel(x: jnp.ndarray, levels: int,

@@ -39,18 +39,37 @@ def j2k_lossless_encode_transform_jit(frames, levels: int = 5, bits: int = 16,
     return j2k_lossless_encode_transform(frames, levels, bits, signed, cb)
 
 
-@partial(jax.jit, static_argnames=("bits", "signed", "lv"))
-def _pipeline_device_stage(x, bits, signed, lv):
-    return fwd53_multilevel(dc_level_shift(x.astype(jnp.int32), bits,
-                                           signed), lv)
+@partial(jax.jit, static_argnames=("bits", "signed", "lv", "narrow"))
+def _pipeline_device_stage(x, bits, signed, lv, narrow=False):
+    c = fwd53_multilevel(dc_level_shift(x.astype(jnp.int32), bits,
+                                        signed), lv)
+    if not narrow:
+        return c
+    # int16 readback halves the tunnel transfer (measured 27 → 17 ms per
+    # 512² frame). Typical 5/3 coefficients for ≤12-bit input fit int16,
+    # but the worst-case lifting gain compounds per level, so a max-abs
+    # flag rides along; the host re-fetches int32 on overflow.
+    return c.astype(jnp.int16), jnp.max(jnp.abs(c))
 
 
-@partial(jax.jit, static_argnames=("bits", "lv"))
-def _pipeline_device_stage_rgb(x, bits, lv):
+@partial(jax.jit, static_argnames=("bits", "lv", "narrow"))
+def _pipeline_device_stage_rgb(x, bits, lv, narrow=False):
     """[B, 3, H, W] → DC shift → RCT → per-component 5/3."""
     s = dc_level_shift(x.astype(jnp.int32), bits, signed=False)
     y, u, v = rct_forward(s[:, 0], s[:, 1], s[:, 2])
-    return fwd53_multilevel(jnp.stack([y, u, v], axis=1), lv)
+    c = fwd53_multilevel(jnp.stack([y, u, v], axis=1), lv)
+    if not narrow:
+        return c
+    return c.astype(jnp.int16), jnp.max(jnp.abs(c))
+
+
+def _start_host_copy(arr) -> None:
+    """Begin the device→host transfer in the background (overlaps with
+    host entropy coding; np.asarray later completes near-instantly)."""
+    try:
+        arr.copy_to_host_async()
+    except Exception:  # noqa: BLE001 — backend without async copies
+        pass
 
 
 def encode_frames_pipelined(frames, bit_depth: int = 16,
@@ -88,10 +107,40 @@ def encode_frames_pipelined(frames, bit_depth: int = 16,
     p.num_levels = p.clamped_levels(w, h)
     enc = J2KEncoder(p)
 
+    # RCT widens U/V by one bit beyond the subband gain, hence the
+    # tighter RGB cutoff for the int16 readback
+    narrow = bit_depth <= (12 if rgb else 13) and not signed
+    # compact uploads: the device stage widens to int32 on-chip
+    if not signed and bit_depth <= 16 and frames.dtype.itemsize > 2:
+        frames = frames.astype(np.uint16)
+    elif signed and bit_depth <= 15 and frames.dtype.itemsize > 2:
+        frames = frames.astype(np.int16)
+
     def device_stage(x):
         if rgb:
-            return _pipeline_device_stage_rgb(x, bit_depth, p.num_levels)
-        return _pipeline_device_stage(x, bit_depth, signed, p.num_levels)
+            r = _pipeline_device_stage_rgb(x, bit_depth, p.num_levels,
+                                           narrow)
+        else:
+            r = _pipeline_device_stage(x, bit_depth, signed, p.num_levels,
+                                       narrow)
+        _start_host_copy(r[0] if narrow else r)
+        return (r, x) if narrow else (r, None)
+
+    def fetch(pending_pair):
+        r, x = pending_pair
+        if not narrow:
+            return np.asarray(r)
+        c16, maxabs = r
+        if int(np.asarray(maxabs)) <= 32767:
+            return np.asarray(c16).astype(np.int32)
+        # rare: worst-case lifting gain overflowed int16 — redo wide
+        if rgb:
+            wide = _pipeline_device_stage_rgb(x, bit_depth, p.num_levels,
+                                              False)
+        else:
+            wide = _pipeline_device_stage(x, bit_depth, signed,
+                                          p.num_levels, False)
+        return np.asarray(wide)
 
     chunks = [frames[i : i + chunk] for i in range(0, f, chunk)]
     # dispatch chunk 0
@@ -117,9 +166,12 @@ def encode_frames_pipelined(frames, bit_depth: int = 16,
         header += j2kcs.write_com(p.comment)
 
     for ci in range(len(chunks)):
-        coeffs = np.asarray(pending)  # sync chunk ci
         if ci + 1 < len(chunks):      # overlap: dispatch next device work
-            pending = device_stage(jnp.asarray(chunks[ci + 1]))
+            nxt = device_stage(jnp.asarray(chunks[ci + 1]))
+        else:
+            nxt = None
+        coeffs = fetch(pending)       # completes chunk ci's async copy
+        pending = nxt
         for k in range(coeffs.shape[0]):
             frame_coeffs = coeffs[k] if rgb else coeffs[k : k + 1]
             body = enc._encode_tile_entropy(frame_coeffs, (0, 0, w, h),
@@ -195,20 +247,24 @@ def encode_frames_pipelined_jpeg(frames, quality: int = 90,
 
 
 @partial(jax.jit, static_argnames=("levels", "x0", "y0", "bits", "signed",
-                                   "mct"))
-def _j2k_decode_device_stage(packed, levels, x0, y0, bits, signed, mct):
-    """Batched inverse device stage: [B, C, th, tw] int32 packed
-    coefficients → reconstructed samples (inverse 5/3 + inverse RCT +
-    DC unshift)."""
+                                   "mct", "narrow"))
+def _j2k_decode_device_stage(packed, levels, x0, y0, bits, signed, mct,
+                             narrow=False):
+    """Batched inverse device stage: [B, C, th, tw] packed coefficients
+    (int32, or int16 when the host verified they fit) → reconstructed
+    samples (inverse 5/3 + inverse RCT + DC unshift)."""
     from .ops.dwt53 import inv53_multilevel
     from .ops.mct import inv_dc_level_shift, rct_inverse
 
-    rec = inv53_multilevel(packed, levels, x0=x0, y0=y0)
+    rec = inv53_multilevel(packed.astype(jnp.int32), levels, x0=x0, y0=y0)
     if mct and rec.shape[1] >= 3:
         r_, g_, b_ = rct_inverse(rec[:, 0], rec[:, 1], rec[:, 2])
         rec = jnp.concatenate(
             [jnp.stack([r_, g_, b_], axis=1), rec[:, 3:]], axis=1)
-    return inv_dc_level_shift(rec, bits, signed)
+    px = inv_dc_level_shift(rec, bits, signed)
+    if narrow:  # pixels fit 16 bits: halve the tunnel readback
+        return px.astype(jnp.int16 if signed else jnp.uint16)
+    return px
 
 
 def decode_frames_pipelined(streams, chunk: int = 8,
@@ -255,13 +311,19 @@ def decode_frames_pipelined(streams, chunk: int = 8,
     for group in groups:
         batch = host_stage(group)  # host T1 for THIS chunk
         shape, levels, x0, y0, (bits, signed), mct = global_meta[0]
+        # compact upload when the (host-known) coefficients fit int16
+        if batch.dtype == np.int32 and np.abs(batch).max() <= 32767:
+            batch = batch.astype(np.int16)
+        narrow = bits <= 16
         pending = _j2k_decode_device_stage(
-            jnp.asarray(batch), levels, x0, y0, bits, signed, bool(mct))
+            jnp.asarray(batch), levels, x0, y0, bits, signed, bool(mct),
+            narrow)
+        _start_host_copy(pending)
         if prev is not None:
             out.extend(np.asarray(prev))  # sync previous chunk's device work
         prev = pending
     out.extend(np.asarray(prev))
-    frames = [np.moveaxis(f, 0, -1) for f in out]
+    frames = [np.moveaxis(f.astype(np.int32), 0, -1) for f in out]
     if return_info:
         _, _, _, _, (bits, signed), _ = global_meta[0]
         return frames, (bits, signed)

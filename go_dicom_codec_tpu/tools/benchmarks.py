@@ -90,6 +90,63 @@ def bench_codec(uid: str, size: int, frames: int, repeats: int):
     }
 
 
+def bench_j2k_pipeline(size: int, frames: int, repeats: int):
+    """Pipelined multi-frame J2K encode/decode vs the per-frame scalar
+    path on the SAME backend (verdict r2 item #4: the overlap machinery
+    must beat the scalar path, not subtract from it)."""
+    import numpy as np
+
+    from go_dicom_codec_tpu.codecs.jpeg2000 import (J2KEncodeParams,
+                                                    J2KEncoder,
+                                                    decode_to_pixels)
+    from go_dicom_codec_tpu.pipeline import (decode_frames_pipelined,
+                                             encode_frames_pipelined)
+
+    imgs = np.stack([_synth_frame(size, 12, seed=i).astype(np.int32)
+                     for i in range(frames)])
+
+    enc = J2KEncoder(J2KEncodeParams(num_levels=5))
+
+    def scalar_encode():
+        return [enc.encode(imgs[i].astype("<u2"), size, size, 1, 12)
+                for i in range(frames)]
+
+    streams = encode_frames_pipelined(imgs, bit_depth=12, levels=5)  # warm
+    scalar_encode()
+    # pipelined streams must round-trip losslessly
+    raw, w, h, c, depth, signed = decode_to_pixels(streams[0])
+    got = np.frombuffer(raw, dtype="<u2").reshape(size, size)
+    assert np.array_equal(got.astype(np.int64), imgs[0].astype(np.int64))
+    decode_frames_pipelined(streams)
+
+    def best_of(fn):
+        ts = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t_pipe = best_of(lambda: encode_frames_pipelined(imgs, bit_depth=12,
+                                                     levels=5))
+    t_scalar = best_of(scalar_encode)
+    t_pipe_dec = best_of(lambda: decode_frames_pipelined(streams))
+    t_scalar_dec = best_of(
+        lambda: [decode_to_pixels(s) for s in streams])
+    return {
+        "metric": "j2k_pipeline_vs_scalar",
+        "frames": frames,
+        "pipelined_encode_ms_per_frame": round(t_pipe * 1000 / frames, 2),
+        "scalar_encode_ms_per_frame": round(t_scalar * 1000 / frames, 2),
+        "pipelined_decode_ms_per_frame": round(t_pipe_dec * 1000 / frames,
+                                               2),
+        "scalar_decode_ms_per_frame": round(t_scalar_dec * 1000 / frames,
+                                            2),
+        "encode_speedup": round(t_scalar / t_pipe, 2),
+        "decode_speedup": round(t_scalar_dec / t_pipe_dec, 2),
+    }
+
+
 def main(argv=None) -> int:
     # honor JAX_PLATFORMS before any backend initialization (the axon
     # sitecustomize registers the TPU tunnel ahead of the env variable)
@@ -104,7 +161,14 @@ def main(argv=None) -> int:
     ap.add_argument("--frames", type=int, default=4)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--uids", type=str, default="")
+    ap.add_argument("--pipeline", action="store_true",
+                    help="measure pipelined multi-frame J2K vs scalar")
     args = ap.parse_args(argv)
+
+    if args.pipeline:
+        r = bench_j2k_pipeline(args.size, args.frames, args.repeats)
+        print("BENCH|" + json.dumps(r))
+        return 0
 
     import go_dicom_codec_tpu as dc
 

@@ -1,0 +1,113 @@
+"""HT CxtVLC tables cross-verified against the ISO/IEC 15444-15 text.
+
+Role of reference jpeg2000/htj2k/cross_verify_spec.go: parse the
+CxtVLC_table_0/1 entry lists straight out of the published spec text
+(shipped at the reference repo root) and require our packed constants
+(codecs/ht_tables.py) to match entry-for-entry. Skips when the spec
+text is not present.
+"""
+
+import os
+import re
+
+import pytest
+
+from go_dicom_codec_tpu.codecs.ht_tables import (DEC_LUT0, DEC_LUT1,
+                                                 MEL_E, VLC_TBL0, VLC_TBL1)
+
+SPEC = "/root/reference/ISO-IEC-15444-15-2019.txt"
+
+pytestmark = pytest.mark.skipif(not os.path.exists(SPEC),
+                                reason="spec text unavailable")
+
+_ENTRY = re.compile(
+    r"\{?\s*(\d+)\s*,\s*0x([0-9A-Fa-f]+)\s*,\s*0x([0-9A-Fa-f]+)\s*,"
+    r"\s*0x([0-9A-Fa-f]+)\s*,\s*0x([0-9A-Fa-f]+)\s*,\s*0x([0-9A-Fa-f]+)"
+    r"\s*,\s*(\d+)\s*\}")
+
+
+def _parse_spec_table(name):
+    with open(SPEC, "rb") as f:
+        text = f.read().decode("utf-8", errors="replace")
+    # marker can carry odd spacing in the extracted text
+    for probe in (name + "=", name + " ="):
+        idx = text.find(probe)
+        if idx >= 0:
+            break
+    assert idx >= 0, f"{name} not found in spec text"
+    end = idx + 60000
+    nxt = text.find("CxtVLC_table", idx + len(name))
+    if 0 <= nxt < end:
+        end = nxt
+    block = text[idx:end]
+    entries = []
+    for m in _ENTRY.finditer(block):
+        cq = int(m.group(1))
+        if cq > 7:
+            break  # ran into a different structure
+        entries.append((cq, int(m.group(2), 16), int(m.group(3), 16),
+                        int(m.group(4), 16), int(m.group(5), 16),
+                        int(m.group(6), 16), int(m.group(7))))
+    return entries
+
+
+def test_spec_table0_entries_all_present():
+    """Every CxtVLC_table_0 entry the spec text yields is in our packed
+    constants (the text extraction wraps some entries mid-line, so the
+    parse is a large subset — 434 of 444 here)."""
+    spec = _parse_spec_table("CxtVLC_table_0")
+    assert len(spec) >= 400
+    ours = set(VLC_TBL0)
+    missing = [e for e in spec if e not in ours]
+    assert not missing, missing[:5]
+
+
+def test_spec_table1_entries_all_present():
+    spec = _parse_spec_table("CxtVLC_table_1")
+    assert len(spec) >= 300
+    ours = set(VLC_TBL1)
+    missing = [e for e in spec if e not in ours]
+    assert not missing, missing[:5]
+
+
+def test_table_entry_invariants():
+    for (cq, rho, uoff, ek, e1, cwd, ln) in VLC_TBL0 + VLC_TBL1:
+        assert 0 <= cq <= 7
+        assert 0 <= rho <= 15
+        assert uoff in (0, 1)
+        assert 1 <= ln <= 7
+        assert 0 <= cwd < 128          # 7-bit VLC window
+        assert (e1 & ek) == e1         # e_1 is a subset of e_k
+
+
+def test_decoder_lut_prefix_free_consistency():
+    """Every decoder LUT hit reproduces a spec entry whose codeword
+    prefix-matches the window (vlc_generator.go:60-120 contract)."""
+    by_tbl = {0: (DEC_LUT0, VLC_TBL0), 1: (DEC_LUT1, VLC_TBL1)}
+    for t, (lut, tbl) in by_tbl.items():
+        index = {}
+        for e in tbl:
+            index.setdefault((e[0]), []).append(e)
+        hits = 0
+        for i, v in enumerate(lut):
+            if v == 0:
+                continue
+            hits += 1
+            cq, window = i >> 7, i & 0x7F
+            ln = v & 0x7
+            rho = (v >> 4) & 0xF
+            uoff = (v >> 3) & 1
+            ek = (v >> 12) & 0xF
+            e1 = (v >> 8) & 0xF
+            match = [e for e in index.get(cq, [])
+                     if e[1] == rho and e[2] == uoff and e[3] == ek
+                     and e[4] == e1 and e[6] == ln
+                     and e[5] == (window & ((1 << ln) - 1))]
+            assert match, f"table{t} LUT[{i}] has no spec entry"
+        assert hits > 500
+
+
+def test_mel_exponent_table_matches_spec():
+    """15444-15 MEL exponents (Table 4 / reference mel_spec.go:8-23)."""
+    assert MEL_E == (0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 4, 5)
+    assert len(MEL_E) == 13
