@@ -111,23 +111,12 @@ AC_CHROMA = HuffmanTable(
 
 # ---- optimal table construction (libjpeg jpeg_gen_optimal_table) ----------
 
-def build_optimal_table(freq256: np.ndarray) -> HuffmanTable:
-    """Length-limited (16) optimal table per T.81 Annex K.2 / libjpeg.
-
-    Role of reference jpeg/standard/optimal_huffman.go:7 — two-smallest
-    merge with the 'others' chain, pseudo-symbol 256 reserving the all-ones
-    code, then the >16-bit reshuffle.
-    """
-    MAXLEN = 32
-    # plain-Python lists: only ~#nonzero-symbols merge rounds happen, so
-    # per-call numpy dispatch overhead dominated the array formulation
-    freq = [0] * 257
-    for i, v in enumerate(np.asarray(freq256, dtype=np.int64).tolist()):
-        freq[i] = v
-    freq[256] = 1  # reserve all-ones code
+def _huffman_code_sizes(freq257, maxlen):
+    """K.2 two-smallest merge with the 'others' chain → per-symbol code
+    sizes; ok=False when any size exceeds maxlen (caller rescales)."""
+    freq = list(freq257)
     codesize = [0] * 257
     others = [-1] * 257
-
     alive = [sym for sym in range(257) if freq[sym]]
     while True:
         # smallest nonzero frequency; ties → highest symbol (libjpeg rule)
@@ -157,11 +146,36 @@ def build_optimal_table(freq256: np.ndarray) -> HuffmanTable:
         while s >= 0:
             codesize[s] += 1
             s = others[s]
+    return codesize, max(codesize) <= maxlen
 
+
+def build_optimal_table(freq256: np.ndarray) -> HuffmanTable:
+    """Length-limited (16) optimal table per T.81 Annex K.2 / libjpeg.
+
+    Role of reference jpeg/standard/optimal_huffman.go:7 — two-smallest
+    merge with the 'others' chain, pseudo-symbol 256 reserving the all-ones
+    code, then the >16-bit reshuffle.
+    """
+    MAXLEN = 32
+    # plain-Python lists: only ~#nonzero-symbols merge rounds happen, so
+    # per-call numpy dispatch overhead dominated the array formulation
+    base_freq = [0] * 257
+    for i, v in enumerate(np.asarray(freq256, dtype=np.int64).tolist()):
+        base_freq[i] = v
+    base_freq[256] = 1  # reserve all-ones code
+
+    while True:  # retry with halved counts if the tree exceeds MAXLEN
+        codesize, ok = _huffman_code_sizes(base_freq, MAXLEN)
+        if ok:
+            break
+        # pathological skew (libjpeg would raise JERR_HUFF_CLEN_OVERFLOW
+        # here): flatten the distribution and rebuild
+        base_freq = [(f + 1) // 2 if f else 0 for f in base_freq]
+        base_freq[256] = max(base_freq[256], 1)
     bits = [0] * (MAXLEN + 1)
     for size in codesize:
         if size > 0:
-            bits[min(size, MAXLEN)] += 1
+            bits[size] += 1
 
     for size in range(MAXLEN, 16, -1):
         while bits[size] > 0:

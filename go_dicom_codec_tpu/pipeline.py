@@ -72,15 +72,41 @@ def _start_host_copy(arr) -> None:
         pass
 
 
+def _tunnel_backend() -> bool:
+    """True when the device is reached over the axon relay, where
+    host<->device transfers run through an in-process proxy and cost
+    more than the host-native DWT they would replace (measured: 8-frame
+    512² chunk ≈ 150 ms upload + 135 ms readback vs ~3 ms/frame host
+    5/3). The relay registers its backend as plain "tpu", so the env
+    markers are the reliable signal."""
+    import os
+
+    if os.environ.get("JAX_PLATFORMS", "") == "axon" or \
+            os.environ.get("AXON_LOOPBACK_RELAY") or \
+            os.environ.get("PALLAS_AXON_POOL_IPS"):
+        try:
+            return jax.default_backend() != "cpu"
+        except Exception:  # noqa: BLE001
+            return True
+    return False
+
+
 def encode_frames_pipelined(frames, bit_depth: int = 16,
                             signed: bool = False, levels: int = 5,
-                            chunk: int = 8, params=None):
+                            chunk: int = 8, params=None,
+                            device: str = "auto"):
     """Double-buffered J2K-lossless multi-frame encode.
 
-    The device transforms chunk k+1 (async jit dispatch) while the host
-    entropy-codes chunk k — the host↔HBM overlap the SURVEY north star
-    calls for (§2.10 item 4; replaces the reference's sequential frame
-    loop, rle/rle.go:44-57 pattern).
+    The device transforms chunk k+1 (async jit dispatch + async host
+    copy) while the host entropy-codes chunk k — the host↔HBM overlap
+    the SURVEY north star calls for (§2.10 item 4; replaces the
+    reference's sequential frame loop, rle/rle.go:44-57 pattern).
+
+    device: "auto" picks the transform engine per backend — the batched
+    device stage on directly-attached accelerators (and the CPU
+    backend, where transfers are free), the bit-parity host-native 5/3
+    when the only device sits behind the axon tunnel; "device"/"host"
+    force one. Output bytes are identical either way.
 
     frames: [F, H, W] (grayscale) or [F, H, W, 3] (RGB — encoded with the
     reversible RCT like the scalar path). Returns list of codestream
@@ -106,6 +132,31 @@ def encode_frames_pipelined(frames, bit_depth: int = 16,
     p = params or J2KEncodeParams(num_levels=levels)
     p.num_levels = p.clamped_levels(w, h)
     enc = J2KEncoder(p)
+
+    if device == "auto":
+        from . import native as _n  # noqa: F401 (import check only)
+        from .native import get_lib
+
+        use_host = _tunnel_backend() and get_lib() is not None
+    else:
+        use_host = device == "host"
+    if use_host:
+        from .native import dwt53_fwd_native
+        from .ops.mct import rct_forward as _rct
+
+        def host_transform(arr):
+            x = arr.astype(np.int32) - (
+                0 if signed else (1 << (bit_depth - 1)))
+            if rgb:
+                y, u, v = _rct(x[:, 0], x[:, 1], x[:, 2])
+                x = np.stack([np.asarray(y), np.asarray(u),
+                              np.asarray(v)], axis=1)
+                return np.stack([
+                    np.stack([dwt53_fwd_native(x[k, c], p.num_levels)
+                              for c in range(3)])
+                    for k in range(x.shape[0])])
+            return np.stack([dwt53_fwd_native(x[k], p.num_levels)
+                             for k in range(x.shape[0])])
 
     # RCT widens U/V by one bit beyond the subband gain, hence the
     # tighter RGB cutoff for the int16 readback
@@ -142,9 +193,15 @@ def encode_frames_pipelined(frames, bit_depth: int = 16,
                                           p.num_levels, False)
         return np.asarray(wide)
 
+    # overlap needs >= 2 chunks in flight; small chunks also bound the
+    # serial fill (first chunk's upload+compute+readback is unhidden)
+    if f > 1:
+        chunk = max(1, min(chunk, -(-f // 2), 4))
     chunks = [frames[i : i + chunk] for i in range(0, f, chunk)]
-    # dispatch chunk 0
-    pending = device_stage(jnp.asarray(chunks[0]))
+    if not use_host:
+        # dispatch chunk 0 (device_put returns immediately; the transfer
+        # proceeds while the host assembles headers below)
+        pending = device_stage(jax.device_put(chunks[0]))
     out = []
     siz = j2kcs.SizInfo(xsiz=w, ysiz=h, xtsiz=w, ytsiz=h,
                         components=[(bit_depth, signed, 1, 1)] * nc)
@@ -166,12 +223,15 @@ def encode_frames_pipelined(frames, bit_depth: int = 16,
         header += j2kcs.write_com(p.comment)
 
     for ci in range(len(chunks)):
-        if ci + 1 < len(chunks):      # overlap: dispatch next device work
-            nxt = device_stage(jnp.asarray(chunks[ci + 1]))
+        if use_host:
+            coeffs = host_transform(chunks[ci])
         else:
-            nxt = None
-        coeffs = fetch(pending)       # completes chunk ci's async copy
-        pending = nxt
+            if ci + 1 < len(chunks):  # overlap: dispatch next device work
+                nxt = device_stage(jax.device_put(chunks[ci + 1]))
+            else:
+                nxt = None
+            coeffs = fetch(pending)   # completes chunk ci's async copy
+            pending = nxt
         for k in range(coeffs.shape[0]):
             frame_coeffs = coeffs[k] if rgb else coeffs[k : k + 1]
             body = enc._encode_tile_entropy(frame_coeffs, (0, 0, w, h),
@@ -268,15 +328,17 @@ def _j2k_decode_device_stage(packed, levels, x0, y0, bits, signed, mct,
 
 
 def decode_frames_pipelined(streams, chunk: int = 8,
-                            return_info: bool = False):
+                            return_info: bool = False,
+                            device: str = "auto"):
     """Double-buffered J2K-lossless multi-frame DECODE.
 
     The host entropy-decodes (T1 + T2) chunk k+1 while the device runs
     the batched inverse 5/3 + inverse RCT + DC unshift for chunk k —
-    the decode-side mirror of encode_frames_pipelined. Requires
-    homogeneous single-tile reversible streams of equal geometry (the
-    shape the encode pipelines emit); pixel output is bit-identical to
-    J2KDecoder.decode per frame.
+    the decode-side mirror of encode_frames_pipelined (same
+    backend-aware `device` selection). Requires homogeneous single-tile
+    reversible streams of equal geometry (the shape the encode
+    pipelines emit); pixel output is bit-identical to J2KDecoder.decode
+    per frame.
 
     Returns a list of [H, W, C] int32 arrays.
     """
@@ -286,6 +348,13 @@ def decode_frames_pipelined(streams, chunk: int = 8,
 
     if not streams:
         return ([], None) if return_info else []
+
+    if device == "auto":
+        from .native import get_lib
+
+        use_host = _tunnel_backend() and get_lib() is not None
+    else:
+        use_host = device == "host"
 
     global_meta = [None]  # enforced across ALL chunks, not just within
 
@@ -311,6 +380,26 @@ def decode_frames_pipelined(streams, chunk: int = 8,
     for group in groups:
         batch = host_stage(group)  # host T1 for THIS chunk
         shape, levels, x0, y0, (bits, signed), mct = global_meta[0]
+        if use_host:
+            from .native import dwt53_inv_native
+            from .ops.mct import rct_inverse as _rcti
+
+            recs = []
+            for k in range(batch.shape[0]):
+                rec = np.stack([
+                    dwt53_inv_native(batch[k, c], levels, x0, y0)
+                    for c in range(batch.shape[1])])
+                if mct and rec.shape[0] >= 3:
+                    r_, g_, b_ = _rcti(rec[0], rec[1], rec[2])
+                    rec = np.stack([np.asarray(r_), np.asarray(g_),
+                                    np.asarray(b_)]
+                                   + [rec[i]
+                                      for i in range(3, rec.shape[0])])
+                if not signed:
+                    rec = rec + (1 << (bits - 1))
+                recs.append(rec)
+            out.extend(recs)
+            continue
         # compact upload when the (host-known) coefficients fit int16
         if batch.dtype == np.int32 and np.abs(batch).max() <= 32767:
             batch = batch.astype(np.int16)
@@ -322,8 +411,10 @@ def decode_frames_pipelined(streams, chunk: int = 8,
         if prev is not None:
             out.extend(np.asarray(prev))  # sync previous chunk's device work
         prev = pending
-    out.extend(np.asarray(prev))
-    frames = [np.moveaxis(f.astype(np.int32), 0, -1) for f in out]
+    if prev is not None:
+        out.extend(np.asarray(prev))
+    frames = [np.moveaxis(np.asarray(f).astype(np.int32), 0, -1)
+              for f in out]
     if return_info:
         _, _, _, _, (bits, signed), _ = global_meta[0]
         return frames, (bits, signed)

@@ -53,6 +53,30 @@ FORMAT_DEFINITIONS = [
 ]
 
 
+_CLINICAL_NPZ = "test-data/clinical_pixels.npz"
+
+
+def _clinical_fixture(bits, samples):
+    """Real anonymized clinical pixels (role of the reference's 5
+    embedded .dcm fixtures, cmd/dicom-interop-validation/main.go:89-90):
+    XR (8-bit), CT (12-bit), MR (signed 16-bit) from
+    test-data/clinical_pixels.npz; RGB formats get a colorized XR.
+
+    Returns (array, signed)."""
+    import os
+
+    base = os.path.join(os.path.dirname(__file__), "..", "..")
+    z = np.load(os.path.join(base, _CLINICAL_NPZ))
+    if samples == 3:
+        xr = z["xr_u8"][:512, :512]
+        return np.stack([xr, xr >> 1, 255 - xr], axis=-1), False
+    if bits <= 8:
+        return z["xr_u8"][:512, :512], False
+    if bits <= 12:
+        return z["ct_u12"].astype("<u2"), False
+    return z["mr_s16"].astype("<i2"), True
+
+
 def _make_fixture(width, height, bits, samples, seed):
     rng = np.random.default_rng(seed)
     # smooth CT-like content so lossy formats meet their tolerance
@@ -98,9 +122,10 @@ def _pil_check(stream: bytes, img, bits: int, tol: int):
     return err <= tol, err
 
 
-def run_format(args: Tuple[str, str, int, int, int, int, int, int, str]):
+def run_format(args):
     """One format's encode→decode check. Runs in a worker process."""
-    label, uid, bits, samples, tol, width, height, seed, oracle = args
+    (label, uid, bits, samples, tol, width, height, seed, oracle,
+     fixture) = args
     import os
 
     # workers must never contend for the (single) TPU tunnel, and CPU
@@ -116,11 +141,17 @@ def run_format(args: Tuple[str, str, int, int, int, int, int, int, str]):
     import go_dicom_codec_tpu as dc
 
     try:
-        img = _make_fixture(width, height, bits, samples, seed)
+        signed = False
+        if fixture == "clinical":
+            img, signed = _clinical_fixture(bits, samples)
+            height, width = img.shape[:2]
+        else:
+            img = _make_fixture(width, height, bits, samples, seed)
         info = dc.FrameInfo(
             width=width, height=height,
             bits_allocated=8 if bits <= 8 else 16, bits_stored=bits,
             samples_per_pixel=samples,
+            pixel_representation=1 if signed else 0,
             photometric_interpretation="RGB" if samples == 3 else
             "MONOCHROME2")
         src = dc.MemoryPixelData(info=info)
@@ -137,7 +168,7 @@ def run_format(args: Tuple[str, str, int, int, int, int, int, int, str]):
         if err > tol:
             return (label, False, f"maxerr={err} exceeds tol={tol}")
         detail = f"maxerr={err} tol={tol} ratio={ratio:.2f}x"
-        if oracle == "pil" and label in PIL_DECODABLE:
+        if oracle == "pil" and label in PIL_DECODABLE and not signed:
             ok, ferr = _pil_check(enc.get_frame(0), img, bits, tol)
             if not ok:
                 return (label, False,
@@ -166,12 +197,16 @@ def main(argv: Optional[List[str]] = None) -> int:
                     choices=("self", "pil"),
                     help="'pil': also decode streams with PIL "
                          "(libjpeg/OpenJPEG foreign oracle)")
+    ap.add_argument("--fixture", type=str, default="synthetic",
+                    choices=("synthetic", "clinical"),
+                    help="'clinical': real XR/CT/MR pixels from "
+                         "test-data/clinical_pixels.npz")
     opts = ap.parse_args(argv)
 
     width, height = (int(v) for v in opts.size.split("x"))
     wanted = set(opts.formats.split(",")) if opts.formats else None
     jobs = [(label, uid, bits, samples, tol, width, height, opts.seed,
-             opts.oracle)
+             opts.oracle, opts.fixture)
             for (label, uid, bits, samples, tol) in FORMAT_DEFINITIONS
             if wanted is None or label in wanted]
 

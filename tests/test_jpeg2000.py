@@ -299,3 +299,40 @@ def test_adapter_multiframe_decode_fallback_classes(rng):
         b.tobytes(), 16, 16, 1, 12, False)
     with pytest.raises(ValueError):
         decode_frames_pipelined([s1, s2], chunk=1)
+
+
+def test_pipeline_host_strategy_identical(rng):
+    """device='host' (the tunnel-backend auto choice) produces the same
+    codestreams and pixels as the device path."""
+    from go_dicom_codec_tpu.pipeline import (decode_frames_pipelined,
+                                             encode_frames_pipelined)
+
+    frames = (np.cumsum(rng.integers(-9, 10, (5, 64, 48)), axis=2)
+              % 4096).astype(np.int32)
+    via_dev = encode_frames_pipelined(frames, bit_depth=12, levels=3,
+                                      device="device")
+    via_host = encode_frames_pipelined(frames, bit_depth=12, levels=3,
+                                       device="host")
+    assert via_dev == via_host
+    px_dev = decode_frames_pipelined(via_dev, device="device")
+    px_host = decode_frames_pipelined(via_dev, device="host")
+    for a, b in zip(px_dev, px_host):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_pipeline_host_strategy_rgb(rng):
+    from go_dicom_codec_tpu.pipeline import (decode_frames_pipelined,
+                                             encode_frames_pipelined)
+
+    rgb = (np.cumsum(rng.integers(-5, 6, (3, 32, 40, 3)), axis=2)
+           % 256).astype(np.int32)
+    via_dev = encode_frames_pipelined(rgb, bit_depth=8, levels=2,
+                                      device="device")
+    via_host = encode_frames_pipelined(rgb, bit_depth=8, levels=2,
+                                       device="host")
+    assert via_dev == via_host
+    px_host = decode_frames_pipelined(via_host, device="host")
+    for k in range(3):
+        np.testing.assert_array_equal(
+            px_host[k].astype(np.int64),
+            rgb[k].astype(np.int64))
