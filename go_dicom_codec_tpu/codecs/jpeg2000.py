@@ -458,6 +458,37 @@ class J2KEncoder:
                 coeffs = np.stack([
                     _nat.dwt53_fwd_native(c, cod.num_levels, tx0, ty0)
                     for c in comps_np])
+        elif (cod.transform == 0 and not self.params.mct_bindings
+                and self.params.mct_matrix is None):
+            # irreversible host fast path: float32 ICT + native 9/7 +
+            # deadzone quant (same role/policy as the 5/3 branch above;
+            # the native 9/7 is float32 like XLA but not bit-pinned —
+            # a lossy stage, bounded by roundtrip/oracle tests)
+            from .. import native as _nat
+            if _nat.get_lib() is not None:
+                comps_np = np.moveaxis(tile, -1, 0).astype(np.float32)
+                comps_np = comps_np - (0.0 if signed
+                                       else float(1 << (bit_depth - 1)))
+                if use_mct and ncomp == 3:
+                    y_, cb_, cr_ = ict_forward(comps_np[0], comps_np[1],
+                                               comps_np[2])
+                    comps_np = np.stack([np.asarray(y_), np.asarray(cb_),
+                                         np.asarray(cr_)])
+                fcoeffs = np.stack([
+                    _nat.dwt97_fwd_native(c, cod.num_levels, tx0, ty0)
+                    for c in comps_np])
+                coeffs = np.zeros(fcoeffs.shape, dtype=np.int32)
+                band_steps = self._band_deltas(qcd, cod.num_levels,
+                                               bit_depth)
+                from .j2k_geometry import packed_band_layout
+                for bg in packed_band_layout(tx0, ty0, tx1, ty1,
+                                             cod.num_levels):
+                    delta = band_steps[_band_index(bg.resolution,
+                                                   bg.band)]
+                    sl = (slice(None),
+                          slice(bg.row_off, bg.row_off + bg.height),
+                          slice(bg.col_off, bg.col_off + bg.width))
+                    coeffs[sl] = jq.deadzone_quantize(fcoeffs[sl], delta)
         if coeffs is None:
             coeffs = self._tile_coeffs_device(
                 tile, rect, cod, qcd, bit_depth, signed, use_mct, ncomp)
@@ -1189,15 +1220,31 @@ class J2KDecoder:
                     sl = (slice(bg.row_off, bg.row_off + bg.height),
                           slice(bg.col_off, bg.col_off + bg.width))
                     fpacked[c][sl] = jq.dequantize(packed[c][sl], delta)
-            rec = inv97_multilevel(jnp.asarray(fpacked), cod.num_levels,
-                                   x0=tx0, y0=ty0)
-            if mct_bindings_inv:
-                rec = _apply_mct_bindings_inverse(rec, mct_bindings_inv)
-            elif cod.mct == 1 and ncomp >= 3:
-                r_, g_, b_ = ict_inverse(rec[0], rec[1], rec[2])
-                rec = jnp.stack([r_, g_, b_]
-                                + [rec[i] for i in range(3, ncomp)])
-            rec = jnp.round(rec).astype(jnp.int32)
+            from .. import native as _nat
+            if _nat.get_lib() is not None and not mct_bindings_inv:
+                # host fast path: native float32 9/7 inverse + numpy
+                # inverse ICT (no device dispatch; see encode-side note)
+                rec = np.stack([
+                    _nat.dwt97_inv_native(fpacked[c], cod.num_levels,
+                                          tx0, ty0)
+                    for c in range(ncomp)])
+                if cod.mct == 1 and ncomp >= 3:
+                    r_, g_, b_ = ict_inverse(rec[0], rec[1], rec[2])
+                    rec = np.stack([np.asarray(r_), np.asarray(g_),
+                                    np.asarray(b_)]
+                                   + [rec[i] for i in range(3, ncomp)])
+                rec = np.round(rec).astype(np.int32)
+            else:
+                rec = inv97_multilevel(jnp.asarray(fpacked),
+                                       cod.num_levels, x0=tx0, y0=ty0)
+                if mct_bindings_inv:
+                    rec = _apply_mct_bindings_inverse(rec,
+                                                      mct_bindings_inv)
+                elif cod.mct == 1 and ncomp >= 3:
+                    r_, g_, b_ = ict_inverse(rec[0], rec[1], rec[2])
+                    rec = jnp.stack([r_, g_, b_]
+                                    + [rec[i] for i in range(3, ncomp)])
+                rec = jnp.round(rec).astype(jnp.int32)
         else:
             # COC-heterogeneous styles and/or XRsiz/YRsiz-subsampled
             # grids: per-component inverse transforms on each component's

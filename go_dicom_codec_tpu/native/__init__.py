@@ -154,6 +154,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.dwt53_inv.argtypes = [
             i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int]
+        f32p = np.ctypeslib.ndpointer(dtype=np.float32,
+                                      flags="C_CONTIGUOUS")
+        lib.dwt97_fwd.restype = ctypes.c_int
+        lib.dwt97_fwd.argtypes = [
+            f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int]
+        lib.dwt97_inv.restype = ctypes.c_int
+        lib.dwt97_inv.argtypes = [
+            f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int]
         lib.jpg_fdct_quant.restype = ctypes.c_int
         lib.jpg_fdct_quant.argtypes = [
             u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p,
@@ -577,6 +587,33 @@ def dwt53_inv_native(arr: np.ndarray, levels: int, x0: int = 0,
     a = np.ascontiguousarray(arr, dtype=np.int32).copy()
     h, w = a.shape
     lib.dwt53_inv(a.reshape(-1), w, h, levels, x0, y0)
+    return a
+
+
+def dwt97_fwd_native(arr: np.ndarray, levels: int, x0: int = 0,
+                     y0: int = 0):
+    """Native in-place multilevel forward 9/7 (float32; mirror in role
+    of ops/dwt97.fwd97_multilevel — same lifting, not bit-pinned vs
+    XLA). Returns a new float32 array, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(arr, dtype=np.float32).copy()
+    h, w = a.shape
+    lib.dwt97_fwd(a.reshape(-1), w, h, levels, x0, y0)
+    return a
+
+
+def dwt97_inv_native(arr: np.ndarray, levels: int, x0: int = 0,
+                     y0: int = 0):
+    """Native in-place multilevel inverse 9/7 (float32). Returns a new
+    float32 array, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(arr, dtype=np.float32).copy()
+    h, w = a.shape
+    lib.dwt97_inv(a.reshape(-1), w, h, levels, x0, y0)
     return a
 
 

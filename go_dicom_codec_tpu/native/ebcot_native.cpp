@@ -3559,3 +3559,237 @@ int jpg_idct(const int32_t* zz, int nby, int nbx, const int32_t* q64,
 }
 
 }  // extern "C"
+
+// ============================================================================
+// Irreversible 9/7 float DWT host fast path — mirror in role of
+// ops/dwt97.py (OpenJPEG-style float32 lifting, parity-aware windows).
+// float32 like the XLA path but NOT bit-pinned against it: lossy-stage
+// values may differ in the last ulp (tolerance-tested), same policy as
+// the JPEG DCT host path above.
+// ============================================================================
+
+namespace w97 {
+
+const float ALPHA = -1.586134342f, BETA = -0.052980118f,
+            GAMMA = 0.882911075f, DELTA = 0.443506852f,
+            KK = 1.230174105f, INV_K = 0.812893066f;
+
+inline int iclamp(int v, int lo, int hi) {
+  return v < lo ? lo : (v > hi ? hi : v);
+}
+
+// one (predict, update) lifting pair on deinterleaved s[sn], d[dn]
+// (ops/dwt97.py _predict_update clamp semantics)
+inline void pair_line(float* s, float* d, int sn, int dn, bool even,
+                      float cp, float cu) {
+  if (even) {
+    if (cp != 0.0f)
+      for (int i = 0; i < dn; i++)
+        d[i] += cp * (s[i] + s[iclamp(i + 1, 0, sn - 1)]);
+    if (cu != 0.0f)
+      for (int i = 0; i < sn; i++)
+        s[i] += cu * (d[iclamp(i - 1, 0, dn - 1)] + d[iclamp(i, 0, dn - 1)]);
+  } else {
+    if (cp != 0.0f)
+      for (int i = 0; i < dn; i++)
+        d[i] += cp * (s[iclamp(i - 1, 0, sn - 1)] + s[iclamp(i, 0, sn - 1)]);
+    if (cu != 0.0f)
+      for (int i = 0; i < sn; i++)
+        s[i] += cu * (d[i] + d[iclamp(i + 1, 0, dn - 1)]);
+  }
+}
+
+// forward 1D along a row -> packed [L | H] in place
+void f97_line(float* x, int n, bool even, float* tmp) {
+  if (n <= 1) return;
+  int sn = even ? (n + 1) / 2 : n / 2;
+  int dn = n - sn;
+  float* s = tmp;
+  float* d = tmp + sn;
+  if (even) {
+    for (int i = 0; i < sn; i++) s[i] = x[2 * i];
+    for (int i = 0; i < dn; i++) d[i] = x[2 * i + 1];
+  } else {
+    for (int i = 0; i < dn; i++) d[i] = x[2 * i];
+    for (int i = 0; i < sn; i++) s[i] = x[2 * i + 1];
+  }
+  pair_line(s, d, sn, dn, even, ALPHA, BETA);
+  pair_line(s, d, sn, dn, even, GAMMA, DELTA);
+  for (int i = 0; i < sn; i++) x[i] = s[i] * INV_K;
+  for (int i = 0; i < dn; i++) x[sn + i] = d[i] * KK;
+}
+
+// inverse 1D from packed [L | H]
+void i97_line(float* x, int n, bool even, float* tmp) {
+  if (n <= 1) return;
+  int sn = even ? (n + 1) / 2 : n / 2;
+  int dn = n - sn;
+  float* s = tmp;
+  float* d = tmp + sn;
+  for (int i = 0; i < sn; i++) s[i] = x[i] * KK;
+  for (int i = 0; i < dn; i++) d[i] = x[sn + i] * INV_K;
+  pair_line(s, d, sn, dn, even, 0.0f, -DELTA);
+  pair_line(s, d, sn, dn, even, -GAMMA, -BETA);
+  pair_line(s, d, sn, dn, even, -ALPHA, 0.0f);
+  if (even) {
+    for (int i = 0; i < sn; i++) x[2 * i] = s[i];
+    for (int i = 0; i < dn; i++) x[2 * i + 1] = d[i];
+  } else {
+    for (int i = 0; i < dn; i++) x[2 * i] = d[i];
+    for (int i = 0; i < sn; i++) x[2 * i + 1] = s[i];
+  }
+}
+
+// row-wise vertical pair (deinterleaved row planes s/d in scratch)
+inline void pair_vert(float* s, float* d, int sn, int dn, int w,
+                      bool even, float cp, float cu) {
+  auto S = [&](int i) { return s + (size_t)iclamp(i, 0, sn - 1) * w; };
+  auto D = [&](int i) { return d + (size_t)iclamp(i, 0, dn - 1) * w; };
+  if (even) {
+    if (cp != 0.0f)
+      for (int i = 0; i < dn; i++) {
+        float* o = d + (size_t)i * w;
+        const float* a = S(i);
+        const float* b = S(i + 1);
+        for (int x = 0; x < w; x++) o[x] += cp * (a[x] + b[x]);
+      }
+    if (cu != 0.0f)
+      for (int i = 0; i < sn; i++) {
+        float* o = s + (size_t)i * w;
+        const float* a = D(i - 1);
+        const float* b = D(i);
+        for (int x = 0; x < w; x++) o[x] += cu * (a[x] + b[x]);
+      }
+  } else {
+    if (cp != 0.0f)
+      for (int i = 0; i < dn; i++) {
+        float* o = d + (size_t)i * w;
+        const float* a = S(i - 1);
+        const float* b = S(i);
+        for (int x = 0; x < w; x++) o[x] += cp * (a[x] + b[x]);
+      }
+    if (cu != 0.0f)
+      for (int i = 0; i < sn; i++) {
+        float* o = s + (size_t)i * w;
+        const float* a = d + (size_t)i * w;  // d[i], i < sn <= dn
+        const float* b = D(i + 1);
+        for (int x = 0; x < w; x++) o[x] += cu * (a[x] + b[x]);
+      }
+  }
+}
+
+void f97_vert(float* a, int h, int w, long stride, bool even,
+              std::vector<float>& scratch) {
+  if (h <= 1) return;
+  int sn = even ? (h + 1) / 2 : h / 2;
+  int dn = h - sn;
+  scratch.resize((size_t)h * w);
+  float* s = scratch.data();
+  float* d = scratch.data() + (size_t)sn * w;
+  auto row = [&](int y) { return a + (size_t)y * stride; };
+  if (even) {
+    for (int i = 0; i < sn; i++)
+      memcpy(s + (size_t)i * w, row(2 * i), sizeof(float) * w);
+    for (int i = 0; i < dn; i++)
+      memcpy(d + (size_t)i * w, row(2 * i + 1), sizeof(float) * w);
+  } else {
+    for (int i = 0; i < dn; i++)
+      memcpy(d + (size_t)i * w, row(2 * i), sizeof(float) * w);
+    for (int i = 0; i < sn; i++)
+      memcpy(s + (size_t)i * w, row(2 * i + 1), sizeof(float) * w);
+  }
+  pair_vert(s, d, sn, dn, w, even, w97::ALPHA, w97::BETA);
+  pair_vert(s, d, sn, dn, w, even, w97::GAMMA, w97::DELTA);
+  for (int i = 0; i < sn; i++) {
+    float* o = row(i);
+    const float* p = s + (size_t)i * w;
+    for (int x = 0; x < w; x++) o[x] = p[x] * INV_K;
+  }
+  for (int i = 0; i < dn; i++) {
+    float* o = row(sn + i);
+    const float* p = d + (size_t)i * w;
+    for (int x = 0; x < w; x++) o[x] = p[x] * KK;
+  }
+}
+
+void i97_vert(float* a, int h, int w, long stride, bool even,
+              std::vector<float>& scratch) {
+  if (h <= 1) return;
+  int sn = even ? (h + 1) / 2 : h / 2;
+  int dn = h - sn;
+  scratch.resize((size_t)h * w);
+  float* s = scratch.data();
+  float* d = scratch.data() + (size_t)sn * w;
+  auto row = [&](int y) { return a + (size_t)y * stride; };
+  for (int i = 0; i < sn; i++) {
+    const float* p = row(i);
+    float* o = s + (size_t)i * w;
+    for (int x = 0; x < w; x++) o[x] = p[x] * KK;
+  }
+  for (int i = 0; i < dn; i++) {
+    const float* p = row(sn + i);
+    float* o = d + (size_t)i * w;
+    for (int x = 0; x < w; x++) o[x] = p[x] * INV_K;
+  }
+  pair_vert(s, d, sn, dn, w, even, 0.0f, -DELTA);
+  pair_vert(s, d, sn, dn, w, even, -GAMMA, -BETA);
+  pair_vert(s, d, sn, dn, w, even, -ALPHA, 0.0f);
+  if (even) {
+    for (int i = 0; i < sn; i++)
+      memcpy(row(2 * i), s + (size_t)i * w, sizeof(float) * w);
+    for (int i = 0; i < dn; i++)
+      memcpy(row(2 * i + 1), d + (size_t)i * w, sizeof(float) * w);
+  } else {
+    for (int i = 0; i < dn; i++)
+      memcpy(row(2 * i), d + (size_t)i * w, sizeof(float) * w);
+    for (int i = 0; i < sn; i++)
+      memcpy(row(2 * i + 1), s + (size_t)i * w, sizeof(float) * w);
+  }
+}
+
+}  // namespace w97
+
+extern "C" {
+
+// In-place multilevel forward 9/7 on float32 [height x width]
+// (stride == width). Mirror in role of ops/dwt97.fwd97_multilevel.
+int dwt97_fwd(float* data, int width, int height, int levels, int x0,
+              int y0) {
+  if (width <= 0 || height <= 0) return 0;
+  std::vector<std::array<int, 4>> wins;
+  dwt_windows(width, height, levels, x0, y0, wins);
+  std::vector<float> scratch, line;
+  for (auto& win : wins) {
+    int w = win[0], h = win[1];
+    bool even_row = win[2] % 2 == 0, even_col = win[3] % 2 == 0;
+    if (h > 1) w97::f97_vert(data, h, w, width, even_col, scratch);
+    if (w > 1) {
+      line.resize((size_t)w);
+      for (int y = 0; y < h; y++)
+        w97::f97_line(data + (size_t)y * width, w, even_row, line.data());
+    }
+  }
+  return 0;
+}
+
+// In-place multilevel inverse 9/7.
+int dwt97_inv(float* data, int width, int height, int levels, int x0,
+              int y0) {
+  if (width <= 0 || height <= 0) return 0;
+  std::vector<std::array<int, 4>> wins;
+  dwt_windows(width, height, levels, x0, y0, wins);
+  std::vector<float> scratch, line;
+  for (auto it = wins.rbegin(); it != wins.rend(); ++it) {
+    int w = (*it)[0], h = (*it)[1];
+    bool even_row = (*it)[2] % 2 == 0, even_col = (*it)[3] % 2 == 0;
+    if (w > 1) {
+      line.resize((size_t)w);
+      for (int y = 0; y < h; y++)
+        w97::i97_line(data + (size_t)y * width, w, even_row, line.data());
+    }
+    if (h > 1) w97::i97_vert(data, h, w, width, even_col, scratch);
+  }
+  return 0;
+}
+
+}  // extern "C"

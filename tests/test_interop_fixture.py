@@ -22,12 +22,18 @@ from go_dicom_codec_tpu.codecs.jpeg2000 import J2KDecoder
 FIXTURE = os.path.join(os.path.dirname(__file__), "..", "test-data",
                        "ct1_kakadu.j2c")
 
-# Re-pinned round 2: the 9/7 inverse now runs under jit (one fused XLA
-# launch); float reassociation moved 110/262144 pixels by exactly 1 LSB
-# at the int-round boundary vs the eager trace — both equally valid
-# lossy reconstructions (test_kakadu_foreign_crosscheck bounds us
-# against an independent decoder).
-PINNED_SHA256 = "fe204919a6d84ffa01540d5b09c70a3b700dddc24dd14bc1b91339b90f30e85c"
+# Round 3: the 9/7 inverse gained a native host fast path (float32,
+# same lifting as XLA but not bit-pinned — a few pixels differ by 1 LSB
+# at the int-round boundary). Both reconstructions are pinned; the
+# PIL/OpenJPEG crosscheck below bounds either against an independent
+# decoder. (Round-2 note: the jit sha itself was re-pinned when the
+# 9/7 moved under jit.)
+PINNED_SHA256 = {
+    # native host 9/7 (default when the toolchain is available)
+    "34c23b3228e63944c0a4f041b8447c07f91b94bebc88aea0daa4f137d3bd4db4",
+    # XLA jit 9/7 (GDCT_DISABLE_NATIVE / no toolchain)
+    "fe204919a6d84ffa01540d5b09c70a3b700dddc24dd14bc1b91339b90f30e85c",
+}
 
 
 @pytest.fixture(scope="module")
@@ -56,7 +62,7 @@ def test_kakadu_decode_pinned(decoded):
     assert corr > 0.97
     # pinned pixel checksum
     sha = hashlib.sha256(a.astype("<i4").tobytes()).hexdigest()
-    assert sha == PINNED_SHA256
+    assert sha in PINNED_SHA256
 
 
 def test_kakadu_resilient_truncation(decoded):
