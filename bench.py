@@ -69,17 +69,11 @@ def _chained_copy(x):
     return jax.lax.fori_loop(0, ITERS, body, (x, jnp.int32(0)))
 
 
-def _run(jfn, frames, repeats=3):
+def _time_once(jfn, frames):
+    t0 = time.perf_counter()
     out = jfn(frames)
     np.asarray(out[1])  # readback is the only reliable sync on axon
-    best = None
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        out = jfn(frames)
-        np.asarray(out[1])
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-    return BATCH * H * W * ITERS / best / 1e6
+    return time.perf_counter() - t0
 
 
 def main() -> None:
@@ -87,11 +81,27 @@ def main() -> None:
     frames = jnp.asarray(rng.integers(0, 1 << 12, size=(BATCH, H, W),
                                       dtype=np.int32))
 
-    mpx = _run(jax.jit(_chained), frames)
-    ceiling = _run(jax.jit(_chained_copy), frames, repeats=2)
+    fn = jax.jit(_chained)
+    fn_copy = jax.jit(_chained_copy)
+    _time_once(fn, frames)       # compile
+    _time_once(fn_copy, frames)  # compile
+    # interleaved pairs: the tunnel's throughput drifts minute to minute,
+    # so the efficiency ratio is only meaningful within adjacent runs
+    px = BATCH * H * W * ITERS
+    best_t = best_c = None
+    ratios = []
+    for _ in range(3):
+        tc = _time_once(fn_copy, frames)
+        tt = _time_once(fn, frames)
+        ratios.append(tc / tt)
+        best_t = tt if best_t is None else min(best_t, tt)
+        best_c = tc if best_c is None else min(best_c, tc)
+    mpx = px / best_t / 1e6
+    ceiling = px / best_c / 1e6
+    eff = 100 * sorted(ratios)[len(ratios) // 2]
     print(f"x+1 ceiling (same chained harness): {ceiling:.0f} Mpx/s; "
-          f"transform reaches {100 * mpx / max(ceiling, 1):.0f}% of it",
-          file=sys.stderr)
+          f"transform reaches {eff:.0f}% of it "
+          f"(median of interleaved pairs)", file=sys.stderr)
 
     print(json.dumps({
         "metric": "j2k_dwt53_quant_stats_encode_throughput",
