@@ -17,7 +17,7 @@ segment gets a fresh bit reader, DC predictors and EOB run reset.
 from __future__ import annotations
 
 import re
-from typing import Dict, List, Tuple
+from typing import Dict, List
 
 import numpy as np
 

@@ -29,7 +29,7 @@ from __future__ import annotations
 import argparse
 import sys
 from concurrent.futures import ProcessPoolExecutor
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 
