@@ -121,7 +121,32 @@ class JPEGExtendedCodec(Codec):
             qv = parameters.get_parameter("quality")
             if isinstance(qv, int) and 1 <= qv <= 100:
                 q = qv
-        for i in range(old_pixel_data.frame_count()):
+        nframes = old_pixel_data.frame_count()
+        if nframes > 1 and info.samples_per_pixel == 1 and depth == 12:
+            # batched device DCT for multi-frame 12-bit (same policy as
+            # the baseline adapter: only off-tunnel accelerators win)
+            import jax
+
+            from ..pipeline import _tunnel_backend, \
+                encode_frames_pipelined_jpeg
+
+            use_device = False
+            try:
+                use_device = (jax.default_backend() != "cpu"
+                              and not _tunnel_backend())
+            except Exception:  # noqa: BLE001
+                pass
+            if use_device:
+                frames = np.stack([
+                    np.frombuffer(old_pixel_data.get_frame(i),
+                                  dtype="<u2").reshape(
+                                      info.height, info.width)
+                    for i in range(nframes)])
+                for stream in encode_frames_pipelined_jpeg(
+                        frames, quality=q, precision=12):
+                    new_pixel_data.add_frame(stream)
+                return
+        for i in range(nframes):
             frame = old_pixel_data.get_frame(i)
             if info.samples_per_pixel == 3 and info.planar_configuration == 1:
                 frame = np.ascontiguousarray(

@@ -271,8 +271,10 @@ def encode_frames_pipelined_jpeg(frames, quality: int = 90,
     The device runs DCT+quant+zigzag for chunk k+1 (one batched jit
     dispatch) while the host Huffman-codes chunk k — the same
     host↔device overlap as the J2K pipeline. Grayscale frames [F, H, W];
-    returns a list of JPEG byte streams identical to the per-frame
-    scalar encoder's output.
+    returns a list of JPEG byte streams. Streams match the per-frame
+    encoder run with GDCT_DISABLE_NATIVE (both use the float32 device
+    DCT); the native host DCT may differ ±1 at quantizer rounding ties
+    (see CLAUDE.md invariants) — all equally valid lossy encodes.
     """
     import numpy as np
 

@@ -192,3 +192,59 @@ def test_decoder_rejects_garbage():
         decode(b"\x00\x01\x02")
     with pytest.raises(CodecError):
         decode(b"\xff\xd8\xff\xd9")  # SOI+EOI, no frame
+
+
+def test_multiframe_adapter_and_jpeg_pipeline_agree(rng):
+    """The batched JPEG pipeline (device path) and the per-frame adapter
+    both decode to within quantizer tolerance of the source; pipeline
+    streams equal per-frame streams encoded with the device DCT."""
+    import go_dicom_codec_tpu as dc
+    from go_dicom_codec_tpu.pipeline import encode_frames_pipelined_jpeg
+
+    frames = np.stack([
+        np.clip(np.cumsum(rng.integers(-5, 6, (48, 64)), axis=1) + 100,
+                0, 255).astype(np.uint8)
+        for _ in range(3)])
+    info = dc.FrameInfo(width=64, height=48, bits_allocated=8,
+                        bits_stored=8)
+    src = dc.MemoryPixelData(info=info)
+    for fr in frames:
+        src.add_frame(fr.tobytes())
+    codec = dc.get_global_registry().get_codec(dc.uids.JPEG_BASELINE_8BIT)
+    enc = dc.MemoryPixelData(info=info, encapsulated=True)
+    codec.encode(src, enc)         # CPU backend in tests → per-frame path
+    assert enc.frame_count() == 3
+    piped = encode_frames_pipelined_jpeg(frames, quality=90)
+    assert len(piped) == 3
+    dec = dc.MemoryPixelData(info=info)
+    codec.decode(enc, dec)
+    for k in range(3):
+        got = np.frombuffer(dec.get_frame(k), np.uint8).reshape(48, 64)
+        assert np.abs(got.astype(int)
+                      - frames[k].astype(int)).max() <= 32
+        # pipeline stream decodes to the same tolerance
+        px, w, h, c = decode(piped[k])
+        got2 = np.frombuffer(px, np.uint8).reshape(48, 64)
+        assert np.abs(got2.astype(int)
+                      - frames[k].astype(int)).max() <= 32
+
+
+def test_multiframe_extended12_adapter(rng):
+    import go_dicom_codec_tpu as dc
+
+    frames = [np.clip(np.cumsum(rng.integers(-40, 41, (32, 40)), axis=1)
+                      + 2000, 0, 4095).astype("<u2") for _ in range(2)]
+    info = dc.FrameInfo(width=40, height=32, bits_allocated=16,
+                        bits_stored=12)
+    src = dc.MemoryPixelData(info=info)
+    for fr in frames:
+        src.add_frame(fr.tobytes())
+    codec = dc.get_global_registry().get_codec(dc.uids.JPEG_EXTENDED_12BIT)
+    enc = dc.MemoryPixelData(info=info, encapsulated=True)
+    codec.encode(src, enc)
+    dec = dc.MemoryPixelData(info=info)
+    codec.decode(enc, dec)
+    for k in range(2):
+        got = np.frombuffer(dec.get_frame(k), "<u2").reshape(32, 40)
+        assert np.abs(got.astype(int)
+                      - frames[k].astype(int)).max() <= 128
