@@ -1110,13 +1110,21 @@ class J2KDecoder:
                                     import numpy as _np
 
                                     from ..native import t1_decode_native
+                                    # int32 output skips a narrowing
+                                    # copy, but MaxShift-ROI-scaled
+                                    # magnitudes (numbps up to Mb+Srgn)
+                                    # can exceed 31 bits — those blocks
+                                    # must come back int64 (the ROI
+                                    # unshift below restores range)
+                                    odt = (_np.int32 if st.numbps <= 30
+                                           else _np.int64)
                                     blk = t1_decode_native(
                                         bytes(st.seg_data), g.width,
                                         g.height, cod.cb_style, bg.orient,
                                         st.num_passes, st.numbps,
                                         seg_ends=st.seg_ends,
                                         ojp_recon=True,
-                                        out_dtype=_np.int32)
+                                        out_dtype=odt)
                                     if blk is None:
                                         dec = T1Decoder(
                                             g.width, g.height,

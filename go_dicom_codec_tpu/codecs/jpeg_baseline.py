@@ -26,8 +26,8 @@ from ..codestream import jpeg_markers as mk
 from ..entropy import huffman as hf
 from ..errors import CorruptStreamError, UnsupportedFormatError
 from ..frames import FrameInfo, PixelData, frame_to_array
-from ..ops.dct8x8 import (decode_zigzag_to_plane, encode_plane_to_zigzag,
-                          rgb_to_ycbcr_np, ycbcr_to_rgb_np)
+from ..ops.dct8x8 import (encode_plane_to_zigzag, rgb_to_ycbcr_np,
+                          ycbcr_to_rgb_np)
 from ..params import Parameters, require_range
 from ..registry import Codec, get_global_registry
 from . import jpeg_common as jc
@@ -281,37 +281,13 @@ def decode(data: bytes,
 
     # Dequant + IDCT + clamp per component (host-native fast path, else
     # one device launch), then upsample
-    from ..native import jpg_idct_native
-
-    level = 1 << (precision - 1)
-    max_val = (1 << precision) - 1
     planes = []
-    for ci, ((ch, cv, tq), zz) in enumerate(zip(order, comp_zz)):
-        bpr = mcu_cols * ch
-        nrows = mcu_rows * cv
+    for (ch, cv, tq), zz in zip(order, comp_zz):
         if tq not in qtables:
             raise CorruptStreamError(f"missing quant table {tq}")
-        plane = jpg_idct_native(zz.reshape(nrows, bpr, 64), qtables[tq],
-                                level, max_val)
-        if plane is None:
-            zzd = jnp.asarray(zz.reshape(nrows, bpr, 64))
-            plane = np.asarray(decode_zigzag_to_plane(
-                zzd, jnp.asarray(qtables[tq]), level_shift=level,
-                max_val=max_val))
-        if ch == max_h and cv == max_v:
-            planes.append(plane[:height, :width])
-        elif max_h % ch or max_v % cv:
-            # non-integer ratio: nearest-neighbor
-            ys = (np.arange(height) * cv) // max_v
-            xs = (np.arange(width) * ch) // max_h
-            planes.append(plane[np.ix_(ys, xs)])
-        else:
-            # libjpeg-style fancy upsample to full resolution (matches
-            # the PIL foreign oracle; nearest for non-2x factors)
-            cw = -(-width * ch // max_h)
-            chh = -(-height * cv // max_v)
-            planes.append(jc.fancy_upsample(
-                plane[:chh, :cw], max_h // ch, max_v // cv, height, width))
+        planes.append(jc.idct_and_assemble(
+            zz.reshape(mcu_rows * cv, mcu_cols * ch, 64), qtables[tq],
+            precision, ch, cv, max_h, max_v, height, width))
 
     nc = len(planes)
     if nc == 1:
@@ -353,18 +329,10 @@ class JPEGBaselineCodec(Codec):
             # batched multi-frame path: device DCT for chunk k+1 overlaps
             # host Huffman for chunk k on attached accelerators; behind
             # the tunnel the per-frame native DCT below IS the fast path
-            import jax
+            from ..pipeline import (encode_frames_pipelined_jpeg,
+                                    prefer_batched_device)
 
-            from ..pipeline import _tunnel_backend, \
-                encode_frames_pipelined_jpeg
-
-            use_device = False
-            try:
-                use_device = (jax.default_backend() != "cpu"
-                              and not _tunnel_backend())
-            except Exception:  # noqa: BLE001
-                pass
-            if use_device:
+            if prefer_batched_device():
                 frames = np.stack([
                     np.frombuffer(old_pixel_data.get_frame(i),
                                   dtype=np.uint8).reshape(

@@ -365,33 +365,66 @@ def _decode_block(br: BitReader, dct: hf.HuffmanTable, act: hf.HuffmanTable,
     return coef
 
 
+def idct_and_assemble(cf: np.ndarray, qtable: np.ndarray, precision: int,
+                      ch: int, cv: int, max_h: int, max_v: int,
+                      height: int, width: int) -> np.ndarray:
+    """Dequant + IDCT one component's zigzag block grid ([rows, cols, 64]
+    int32) — native host fast path, else one device launch — then bring
+    it to full image resolution: crop at full rate, nearest-neighbor for
+    non-integer ratios, libjpeg-style upsample otherwise.
+
+    Shared by the sequential (jpeg_baseline) and progressive
+    (jpeg_progressive) decoders.
+    """
+    from ..native import jpg_idct_native
+
+    level = 1 << (precision - 1)
+    max_val = (1 << precision) - 1
+    plane = jpg_idct_native(cf, qtable, level, max_val)
+    if plane is None:
+        import jax.numpy as jnp
+
+        from ..ops.dct8x8 import decode_zigzag_to_plane
+
+        plane = np.asarray(decode_zigzag_to_plane(
+            jnp.asarray(cf), jnp.asarray(qtable),
+            level_shift=level, max_val=max_val))
+    if ch == max_h and cv == max_v:
+        return plane[:height, :width]
+    if max_h % ch or max_v % cv:
+        ys = (np.arange(height) * cv) // max_v
+        xs = (np.arange(width) * ch) // max_h
+        return plane[np.ix_(ys, xs)]
+    cw = -(-width * ch // max_h)
+    chh = -(-height * cv // max_v)
+    return fancy_upsample(plane[:chh, :cw], max_h // ch, max_v // cv,
+                          height, width)
+
+
 def fancy_upsample(plane: np.ndarray, fh: int, fv: int, height: int,
                    width: int) -> np.ndarray:
     """libjpeg-style triangular chroma upsampling (jdsample.c
-    h2v1/h2v2_fancy_upsample semantics) for 2x factors; nearest-neighbor
-    for anything else. plane: [ch, cw] int; → [height, width] int32.
+    h2v1/h2v2_fancy_upsample semantics) for the fh==2 cases; every other
+    factor combination — including 4:4:0 (fh==1, fv==2) — replicates
+    samples like libjpeg's int_upsample, which is what jinit_upsampler
+    selects for them. plane: [ch, cw] int; → [height, width] int32.
 
     Matches what the PIL/libjpeg foreign oracle computes, so decoded
     subsampled streams agree with it to IDCT rounding.
     """
     p = plane.astype(np.int32)
     ch, cw = p.shape
-    if fv == 2:
-        iy = np.arange(height) >> 1
-        oy = np.where((np.arange(height) & 1) == 0, iy - 1, iy + 1)
-        np.clip(iy, 0, ch - 1, out=iy)
-        np.clip(oy, 0, ch - 1, out=oy)
-        s = 3 * p[iy] + p[oy]          # [height, cw], 2 fraction bits
-        sh = 2
-    elif fv == 1:
-        ys = np.minimum(np.arange(height), ch - 1)
-        s = p[ys]
-        sh = 0
-    else:
-        ys = np.minimum(np.arange(height) // fv, ch - 1)
-        s = p[ys]
-        sh = 0
-    if fh == 2:
+    if fh == 2 and fv in (1, 2):
+        if fv == 2:
+            iy = np.arange(height) >> 1
+            oy = np.where((np.arange(height) & 1) == 0, iy - 1, iy + 1)
+            np.clip(iy, 0, ch - 1, out=iy)
+            np.clip(oy, 0, ch - 1, out=oy)
+            s = 3 * p[iy] + p[oy]      # [height, cw], 2 fraction bits
+            sh = 2
+        else:
+            s = p[np.minimum(np.arange(height), ch - 1)]
+            sh = 0
         ix = np.arange(width) >> 1
         ox = np.where((np.arange(width) & 1) == 0, ix - 1, ix + 1)
         np.clip(ix, 0, cw - 1, out=ix)
@@ -399,11 +432,7 @@ def fancy_upsample(plane: np.ndarray, fh: int, fv: int, height: int,
         even = (np.arange(width) & 1) == 0
         # jdsample.c: h2v2 rounds +8 even / +7 odd, h2v1 +1 even / +2 odd
         bias = np.where(even, 8, 7) if sh == 2 else np.where(even, 1, 2)
-        out = (3 * s[:, ix] + s[:, ox] + bias) >> (sh + 2)
-    elif fh == 1:
-        xs = np.minimum(np.arange(width), cw - 1)
-        out = (s[:, xs] + ((1 << sh) >> 1)) >> sh if sh else s[:, xs]
-    else:
-        xs = np.minimum(np.arange(width) // fh, cw - 1)
-        out = (s[:, xs] + ((1 << sh) >> 1)) >> sh if sh else s[:, xs]
-    return out
+        return (3 * s[:, ix] + s[:, ox] + bias) >> (sh + 2)
+    ys = np.minimum(np.arange(height) // max(fv, 1), ch - 1)
+    xs = np.minimum(np.arange(width) // max(fh, 1), cw - 1)
+    return p[np.ix_(ys, xs)]

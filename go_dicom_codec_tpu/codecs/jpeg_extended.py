@@ -125,18 +125,10 @@ class JPEGExtendedCodec(Codec):
         if nframes > 1 and info.samples_per_pixel == 1 and depth == 12:
             # batched device DCT for multi-frame 12-bit (same policy as
             # the baseline adapter: only off-tunnel accelerators win)
-            import jax
+            from ..pipeline import (encode_frames_pipelined_jpeg,
+                                    prefer_batched_device)
 
-            from ..pipeline import _tunnel_backend, \
-                encode_frames_pipelined_jpeg
-
-            use_device = False
-            try:
-                use_device = (jax.default_backend() != "cpu"
-                              and not _tunnel_backend())
-            except Exception:  # noqa: BLE001
-                pass
-            if use_device:
+            if prefer_batched_device():
                 frames = np.stack([
                     np.frombuffer(old_pixel_data.get_frame(i),
                                   dtype="<u2").reshape(

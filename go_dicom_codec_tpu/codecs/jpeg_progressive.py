@@ -142,35 +142,13 @@ def decode(data: bytes):
                      max_h, max_v)
 
     # dequant + IDCT + assemble
-    from ..native import jpg_idct_native
-
-    level = 1 << (precision - 1)
-    max_val = (1 << precision) - 1
     planes = []
-    for ci, ((_, ch, cv, tq), cf) in enumerate(zip(comps, coef)):
+    for (_, ch, cv, tq), cf in zip(comps, coef):
         if tq not in qtables:
             raise CorruptStreamError(f"missing quant table {tq}")
-        plane = jpg_idct_native(cf, qtables[tq], level, max_val)
-        if plane is None:
-            import jax.numpy as jnp
-
-            from ..ops.dct8x8 import decode_zigzag_to_plane
-
-            plane = np.asarray(decode_zigzag_to_plane(
-                jnp.asarray(cf), jnp.asarray(qtables[tq]),
-                level_shift=level, max_val=max_val))
-        if ch == max_h and cv == max_v:
-            planes.append(plane[:height, :width])
-        elif max_h % ch or max_v % cv:
-            # non-integer ratio: nearest-neighbor
-            ys = (np.arange(height) * cv) // max_v
-            xs = (np.arange(width) * ch) // max_h
-            planes.append(plane[np.ix_(ys, xs)])
-        else:
-            cw = -(-width * ch // max_h)
-            chh = -(-height * cv // max_v)
-            planes.append(jc.fancy_upsample(
-                plane[:chh, :cw], max_h // ch, max_v // cv, height, width))
+        planes.append(jc.idct_and_assemble(
+            cf, qtables[tq], precision, ch, cv, max_h, max_v,
+            height, width))
 
     if len(planes) == 1:
         return planes[0].astype(np.uint8).tobytes(), width, height, 1

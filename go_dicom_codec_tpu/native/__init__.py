@@ -530,7 +530,10 @@ def t1_decode_native(stream: bytes, w: int, h: int, style: int, orient: int,
                      num_passes: int, numbps: int, roishift: int = 0,
                      seg_ends=None, ojp_recon: bool = False,
                      out_dtype=np.int64):
-    """Native T1 decode → int64 [h, w] array, or None if unavailable.
+    """Native T1 decode → [h, w] array of out_dtype (int64 default;
+    int32 skips a widening copy but the caller must guarantee decoded
+    magnitudes fit — e.g. numbps ≤ 30, see the ROI note in
+    codecs/jpeg2000.py), or None if unavailable.
 
     ojp_recon: OpenJPEG one-plus-half mid-bin reconstruction (exact on
     fully-decoded blocks; mid-bin at the lowest decoded plane for
@@ -656,9 +659,10 @@ def p14_pack_scan32_native(diffs: np.ndarray, codes: np.ndarray,
 
 def jpg_fdct_quant_native(plane: np.ndarray, qtable: np.ndarray,
                           level_shift: int):
-    """Host DCT+quant+zigzag over the whole plane (double precision;
-    mirror in role of ops/dct8x8.encode_plane_to_zigzag — may differ ±1
-    from the float32 device path at rounding ties). plane: [h, w] int;
+    """Host DCT+quant+zigzag over the whole plane (float32, the same
+    precision as the device einsum; mirror in role of
+    ops/dct8x8.encode_plane_to_zigzag — may still differ ±1 at rounding
+    ties because the summation order differs). plane: [h, w] int;
     qtable: [8, 8] raster. Returns [nby, nbx, 64] int32, or None."""
     lib = get_lib()
     if lib is None:

@@ -3334,24 +3334,6 @@ struct DctMat {
 };
 const DctMat DM;
 
-inline void fdct_block(const double* in, double* out) {
-  double tmp[64];
-  // rows: tmp[u][y] = sum_x D[u][x] * in[x][y]
-  for (int u = 0; u < 8; u++)
-    for (int y = 0; y < 8; y++) {
-      double s = 0;
-      for (int x = 0; x < 8; x++) s += DM.d[u][x] * in[x * 8 + y];
-      tmp[u * 8 + y] = s;
-    }
-  // cols: out[u][v] = sum_y tmp[u][y] * D[v][y]
-  for (int u = 0; u < 8; u++)
-    for (int v = 0; v < 8; v++) {
-      double s = 0;
-      for (int y = 0; y < 8; y++) s += tmp[u * 8 + y] * DM.d[v][y];
-      out[u * 8 + v] = s;
-    }
-}
-
 inline void idct_block(const double* in, double* out) {
   double tmp[64];
   // x[x][y] = sum_u sum_v D[u][x] F[u][v] D[v][y]

@@ -274,11 +274,10 @@ def fwd53_multilevel(x: jnp.ndarray, levels: int,
 
     if not wins:
         return x
-    w0, h0, _, _ = wins[0]
-    out = rec(x[..., :h0, :w0], 0)
-    if w0 == width and h0 == height:
-        return out
-    return x.at[..., :h0, :w0].set(out)
+    # the finest window always spans the whole array (_level_windows
+    # starts from (width, height)), so rec consumes x in full
+    assert wins[0][:2] == (width, height)
+    return rec(x, 0)
 
 
 def inv53_multilevel(x: jnp.ndarray, levels: int,

@@ -91,6 +91,17 @@ def _tunnel_backend() -> bool:
     return False
 
 
+def prefer_batched_device() -> bool:
+    """True when a batched device compute path beats the per-frame host
+    path for multi-frame pipelines: a real accelerator is attached AND
+    it is not reached over the axon relay (where transfer cost dominates
+    — see _tunnel_backend). Adapters use this to pick their strategy."""
+    try:
+        return jax.default_backend() != "cpu" and not _tunnel_backend()
+    except Exception:  # noqa: BLE001
+        return False
+
+
 def encode_frames_pipelined(frames, bit_depth: int = 16,
                             signed: bool = False, levels: int = 5,
                             chunk: int = 8, params=None,

@@ -62,7 +62,34 @@ def test_kakadu_decode_pinned(decoded):
     assert corr > 0.97
     # pinned pixel checksum
     sha = hashlib.sha256(a.astype("<i4").tobytes()).hexdigest()
-    assert sha in PINNED_SHA256
+    if sha not in PINNED_SHA256:
+        # the native 9/7 is scalar float32 built with -march=native, so
+        # FMA contraction can flip last-ulp results on other hosts; an
+        # unknown checksum must still agree with the jit reconstruction
+        # to 1 LSB on a vanishing fraction of pixels (round-3 review)
+        import os
+        import subprocess
+        import sys
+
+        env = dict(os.environ, GDCT_DISABLE_NATIVE="1",
+                   JAX_PLATFORMS="cpu")
+        code = (
+            "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+            "import sys, numpy as np\n"
+            "from go_dicom_codec_tpu.codecs.jpeg2000 import J2KDecoder\n"
+            f"arr, _, _ = J2KDecoder().decode(open({FIXTURE!r},"
+            " 'rb').read())\n"
+            "sys.stdout.buffer.write(arr[:, :, 0].astype('<i4')"
+            ".tobytes())\n")
+        out = subprocess.run([sys.executable, "-c", code], env=env,
+                             capture_output=True, timeout=600,
+                             cwd=os.path.dirname(os.path.dirname(
+                                 os.path.abspath(__file__))))
+        assert out.returncode == 0, out.stderr[-2000:]
+        jit_ref = np.frombuffer(out.stdout, "<i4").reshape(512, 512)
+        diff = np.abs(a.astype(np.int64) - jit_ref.astype(np.int64))
+        assert diff.max() <= 1
+        assert (diff != 0).mean() < 1e-2
 
 
 def test_kakadu_resilient_truncation(decoded):

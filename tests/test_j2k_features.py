@@ -415,3 +415,24 @@ def test_block_decoder_factory_injection(rng):
     dec.set_block_decoder_factory(ht_factory)
     arr, _, _ = dec.decode(ht_stream)
     np.testing.assert_array_equal(arr[:, :, 0].astype("<u2"), img)
+
+
+def test_maxshift_roi_16bit_roundtrip(rng):
+    """Regression (round-3 review): 16-bit MaxShift ROI drives block
+    numbps past 31 bits (Srgn = depth+3), so the native T1 decode must
+    return int64 for those blocks — the int32 fast path silently
+    wrapped the scaled magnitudes (maxerr 43264 on this exact shape)."""
+    from go_dicom_codec_tpu.codecs.j2k_roi import ROIRegion
+    from go_dicom_codec_tpu.codecs.jpeg2000 import (J2KEncodeParams,
+                                                    J2KEncoder,
+                                                    decode_to_pixels)
+
+    img = rng.integers(0, 65535, (48, 48)).astype("<u2")
+    params = J2KEncodeParams(
+        num_levels=2,
+        roi_regions=[ROIRegion(shape="rect", rect=(8, 8, 24, 24))])
+    stream = J2KEncoder(params).encode(img.tobytes(), 48, 48, 1, 16)
+    raw, w, h, c, depth, signed = decode_to_pixels(stream)
+    got = np.frombuffer(raw, "<u2").reshape(48, 48)
+    np.testing.assert_array_equal(got.astype(np.int64),
+                                  img.astype(np.int64))

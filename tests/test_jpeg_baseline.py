@@ -248,3 +248,23 @@ def test_multiframe_extended12_adapter(rng):
         got = np.frombuffer(dec.get_frame(k), "<u2").reshape(32, 40)
         assert np.abs(got.astype(int)
                       - frames[k].astype(int)).max() <= 128
+
+
+def test_fancy_upsample_440_replicates_like_libjpeg(rng):
+    """Regression (round-3 review): libjpeg only fancy-filters h2v1 and
+    h2v2 (jinit_upsampler); 4:4:0 (fh=1, fv=2) and any other factor get
+    int_upsample — plain replication. The triangular vertical filter we
+    applied for fh=1/fv=2 broke the claimed oracle parity."""
+    from go_dicom_codec_tpu.codecs.jpeg_common import fancy_upsample
+
+    plane = rng.integers(0, 256, (5, 8)).astype(np.int32)
+    out = fancy_upsample(plane, 1, 2, 10, 8)
+    np.testing.assert_array_equal(out, np.repeat(plane, 2, axis=0))
+    # generic factors (e.g. 4x) also replicate
+    out = fancy_upsample(plane, 4, 4, 20, 32)
+    np.testing.assert_array_equal(
+        out, np.repeat(np.repeat(plane, 4, axis=0), 4, axis=1))
+    # the fancy 2x cases keep triangular filtering (not replication)
+    grad = np.arange(64, dtype=np.int32).reshape(4, 16) * 4
+    assert not np.array_equal(fancy_upsample(grad, 2, 2, 8, 32),
+                              np.repeat(np.repeat(grad, 2, 0), 2, 1))
