@@ -90,3 +90,47 @@ def test_jls_near_parameter():
     p = JPEGLSParameters(near=3)
     assert p.get_parameter("near") == 3
     p.validate()
+
+
+def test_jls_near_parameter_surface():
+    """nearlossless/parameters_test.go: WithNEAR fluency, validation
+    bounds, type safety through the string-keyed Parameters surface,
+    and custom parameter passthrough."""
+    import pytest
+
+    from go_dicom_codec_tpu.codecs.jpegls import JPEGLSParameters
+
+    p = JPEGLSParameters()
+    assert p.near == 0            # default is lossless
+    p2 = p.with_near(7)
+    assert p2.near == 7 and p.near == 0   # fluent copy, not mutation
+    p2.validate()
+    with pytest.raises(Exception):
+        JPEGLSParameters(near=-1).validate()
+    with pytest.raises(Exception):
+        JPEGLSParameters(near=256).validate()
+    # custom string-keyed parameters ride along untouched
+    p3 = p2.with_("myext", "abc")
+    assert p3.get_parameter("myext") == "abc" and p3.near == 7
+
+
+def test_jls_lossless_uid_forces_near_zero(rng=None):
+    """nearlossless vs lossless codec split: the lossless UID ignores a
+    stray NEAR>0 parameter (reference keeps separate packages; here one
+    base class guards it — jpegls.py _JPEGLSBase)."""
+    import numpy as np
+
+    import go_dicom_codec_tpu as dc
+    from go_dicom_codec_tpu.codecs.jpegls import JPEGLSParameters
+
+    img = (np.arange(32 * 32, dtype=np.uint8) % 251).reshape(32, 32)
+    info = dc.FrameInfo(width=32, height=32, bits_allocated=8,
+                        bits_stored=8)
+    src = dc.MemoryPixelData(info=info)
+    src.add_frame(img.tobytes())
+    codec = dc.get_global_registry().get_codec(dc.uids.JPEG_LS_LOSSLESS)
+    enc = dc.MemoryPixelData(info=info, encapsulated=True)
+    codec.encode(src, enc, JPEGLSParameters(near=5))
+    dec = dc.MemoryPixelData(info=info)
+    codec.decode(enc, dec)
+    assert dec.get_frame(0) == src.get_frame(0)  # still bit-exact
