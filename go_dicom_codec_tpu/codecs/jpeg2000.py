@@ -470,10 +470,10 @@ class J2KEncoder:
                 comps_np = comps_np - (0.0 if signed
                                        else float(1 << (bit_depth - 1)))
                 if use_mct and ncomp == 3:
-                    y_, cb_, cr_ = ict_forward(comps_np[0], comps_np[1],
-                                               comps_np[2])
-                    comps_np = np.stack([np.asarray(y_), np.asarray(cb_),
-                                         np.asarray(cr_)])
+                    from ..ops.mct import ict_forward_np
+                    y_, cb_, cr_ = ict_forward_np(comps_np[0], comps_np[1],
+                                                  comps_np[2])
+                    comps_np = np.stack([y_, cb_, cr_])
                 fcoeffs = np.stack([
                     _nat.dwt97_fwd_native(c, cod.num_levels, tx0, ty0)
                     for c in comps_np])
@@ -1237,9 +1237,9 @@ class J2KDecoder:
                                           tx0, ty0)
                     for c in range(ncomp)])
                 if cod.mct == 1 and ncomp >= 3:
-                    r_, g_, b_ = ict_inverse(rec[0], rec[1], rec[2])
-                    rec = np.stack([np.asarray(r_), np.asarray(g_),
-                                    np.asarray(b_)]
+                    from ..ops.mct import ict_inverse_np
+                    r_, g_, b_ = ict_inverse_np(rec[0], rec[1], rec[2])
+                    rec = np.stack([r_, g_, b_]
                                    + [rec[i] for i in range(3, ncomp)])
                 rec = np.round(rec).astype(np.int32)
             else:

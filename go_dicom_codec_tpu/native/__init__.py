@@ -34,8 +34,8 @@ def _build() -> bool:
         # safe; fall back to the portable baseline if it fails
         for extra in (["-march=native"], []):
             r = subprocess.run(
-                ["g++", "-O3", *extra, "-shared", "-fPIC", "-std=c++17",
-                 "-o", _SO, _SRC],
+                ["g++", "-O3", "-fwrapv", *extra, "-shared", "-fPIC",
+                 "-std=c++17", "-o", _SO, _SRC],
                 capture_output=True, timeout=240)
             if r.returncode == 0 and os.path.exists(_SO):
                 return True

@@ -1038,6 +1038,7 @@ long jpg_encode_scan2(const int32_t* zz, int ncomp, long nblocks,
   uint64_t acc = 0;
   int nacc = 0;
   auto put = [&](uint64_t v, int len) {
+    if (!len) return;  // len==0 with nacc==0 would be a 64-bit shift (UB)
     acc |= (v & ((1ull << len) - 1)) << (64 - nacc - len);
     nacc += len;
     uint64_t wv = __builtin_bswap64(acc);
@@ -3305,13 +3306,16 @@ int p14_reconstruct(const int32_t* diffs, int w, int h, int predictor,
 }  // extern "C"
 
 // ---- JPEG 8x8 DCT host fast path -------------------------------------------
-// Host mirror of ops/dct8x8.encode_plane_to_zigzag / decode_zigzag_to_plane
-// (role of reference jpeg/standard/dct.go + jpeg/baseline/encoder.go:440-468):
-// double-precision separable orthonormal DCT-II, round-half-away quant,
-// T.81 zigzag.  Exists so single-frame JPEG encode/decode never pays a
-// device dispatch round trip (same policy as the J2K 5/3 host fast path,
-// codecs/jpeg2000.py).  Not byte-pinned against the float32 device path:
-// quantized coefficients may differ by +-1 at razor-thin rounding ties.
+// Host mirror of ops/dct_int.py (role of reference jpeg/standard/dct_ijg.go,
+// idct_ijg.go and the 12-bit variant sequential12.go:239): the integer IJG
+// islow DCT, CONST_BITS=13 / PASS1_BITS=2, forward output retains the
+// factor-of-8 scale removed by a round-half-away /8q quantizer.  Pure int32
+// arithmetic (built with -fwrapv) so the result is byte-identical to the
+// numpy and jit lanes on any backend — lossy JPEG streams are deterministic
+// across lanes by construction.  Butterfly passes are written lane-wise
+// (inner loop over 8 int32 lanes, `final` hoisted to a template parameter)
+// so -O3 -march=native auto-vectorizes them to AVX2 epi32; quantization is
+// a branchless exact floor-division (double reciprocal + one-step fixup).
 
 namespace jdct {
 
@@ -3321,223 +3325,276 @@ const int ZZ[64] = {
     35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
 
-struct DctMat {
-  double d[8][8];
-  DctMat() {
-    const double pi = 3.14159265358979323846;
-    for (int u = 0; u < 8; u++) {
-      double c = (u == 0) ? std::sqrt(0.125) : 0.5;
-      for (int x = 0; x < 8; x++)
-        d[u][x] = c * std::cos((2 * x + 1) * u * pi / 16.0);
-    }
-  }
-};
-const DctMat DM;
+const int32_t CONST_BITS = 13, PASS1_BITS = 2;
+const int32_t FIX_0_298631336 = 2446, FIX_0_390180644 = 3196,
+              FIX_0_541196100 = 4433, FIX_0_765366865 = 6270,
+              FIX_0_899976223 = 7373, FIX_1_175875602 = 9633,
+              FIX_1_501321110 = 12299, FIX_1_847759065 = 15137,
+              FIX_1_961570560 = 16069, FIX_2_053119869 = 16819,
+              FIX_2_562915447 = 20995, FIX_3_072711026 = 25172;
 
-inline void idct_block(const double* in, double* out) {
-  double tmp[64];
-  // x[x][y] = sum_u sum_v D[u][x] F[u][v] D[v][y]
-  for (int x = 0; x < 8; x++)
-    for (int v = 0; v < 8; v++) {
-      double s = 0;
-      for (int u = 0; u < 8; u++) s += DM.d[u][x] * in[u * 8 + v];
-      tmp[x * 8 + v] = s;
+static inline int32_t descale(int32_t x, int n) {
+  return (x + ((int32_t)1 << (n - 1))) >> n;
+}
+
+// One forward islow pass along the FIRST index of in[8][8], lanes over the
+// second.  FINAL=false: row pass (even << P1, odd descale CONST-P1);
+// FINAL=true: column pass (even descale P1, odd descale CONST+P1).
+// P1 is the precision profile: 2 for 8-bit (classic libjpeg), 1 for
+// 12-bit (libjpeg-turbo 12-bit / reference sequential12.go:242 — the
+// extra headroom bit max-amplitude Nyquist blocks need).
+template <bool FINAL, int P1>
+static inline void fdct_pass(const int32_t in[8][8], int32_t out[8][8]) {
+  const int odd_shift = FINAL ? CONST_BITS + P1 : CONST_BITS - P1;
+  for (int j = 0; j < 8; j++) {
+    int32_t tmp0 = in[0][j] + in[7][j], tmp7 = in[0][j] - in[7][j];
+    int32_t tmp1 = in[1][j] + in[6][j], tmp6 = in[1][j] - in[6][j];
+    int32_t tmp2 = in[2][j] + in[5][j], tmp5 = in[2][j] - in[5][j];
+    int32_t tmp3 = in[3][j] + in[4][j], tmp4 = in[3][j] - in[4][j];
+
+    int32_t tmp10 = tmp0 + tmp3, tmp13 = tmp0 - tmp3;
+    int32_t tmp11 = tmp1 + tmp2, tmp12 = tmp1 - tmp2;
+
+    if (FINAL) {
+      out[0][j] = descale(tmp10 + tmp11, P1);
+      out[4][j] = descale(tmp10 - tmp11, P1);
+    } else {
+      out[0][j] = (tmp10 + tmp11) * (1 << P1);
+      out[4][j] = (tmp10 - tmp11) * (1 << P1);
     }
-  for (int x = 0; x < 8; x++)
-    for (int y = 0; y < 8; y++) {
-      double s = 0;
-      for (int v = 0; v < 8; v++) s += tmp[x * 8 + v] * DM.d[v][y];
-      out[x * 8 + y] = s;
-    }
+
+    int32_t z1 = (tmp12 + tmp13) * FIX_0_541196100;
+    out[2][j] = descale(z1 + tmp13 * FIX_0_765366865, odd_shift);
+    out[6][j] = descale(z1 - tmp12 * FIX_1_847759065, odd_shift);
+
+    z1 = tmp4 + tmp7;
+    int32_t z2 = tmp5 + tmp6, z3 = tmp4 + tmp6, z4 = tmp5 + tmp7;
+    int32_t z5 = (z3 + z4) * FIX_1_175875602;
+    tmp4 *= FIX_0_298631336;
+    tmp5 *= FIX_2_053119869;
+    tmp6 *= FIX_3_072711026;
+    tmp7 *= FIX_1_501321110;
+    z1 *= -FIX_0_899976223;
+    z2 *= -FIX_2_562915447;
+    z3 = z3 * -FIX_1_961570560 + z5;
+    z4 = z4 * -FIX_0_390180644 + z5;
+
+    out[7][j] = descale(tmp4 + z1 + z3, odd_shift);
+    out[5][j] = descale(tmp5 + z2 + z4, odd_shift);
+    out[3][j] = descale(tmp6 + z2 + z3, odd_shift);
+    out[1][j] = descale(tmp7 + z1 + z4, odd_shift);
+  }
+}
+
+// One inverse islow pass along the FIRST index, lanes over the second.
+// FINAL=false: descale CONST-P1; FINAL=true: output stage, descale
+// CONST+P1+3 (level shift/clamp are the caller's).  The 12-bit profile
+// calls the final pass with P1=0: its dequantized coefficients were
+// pre-halved for int32 headroom, and 13+0+3 == the compensated shift.
+template <bool FINAL, int P1>
+static inline void idct_pass(const int32_t in[8][8], int32_t out[8][8]) {
+  const int shift = FINAL ? (CONST_BITS + P1 + 3) : (CONST_BITS - P1);
+  for (int j = 0; j < 8; j++) {
+    int32_t z2 = in[2][j], z3 = in[6][j];
+    int32_t z1 = (z2 + z3) * FIX_0_541196100;
+    int32_t tmp2 = z1 - z3 * FIX_1_847759065;
+    int32_t tmp3 = z1 + z2 * FIX_0_765366865;
+    int32_t t0 = (in[0][j] + in[4][j]) * (1 << CONST_BITS);
+    int32_t t1 = (in[0][j] - in[4][j]) * (1 << CONST_BITS);
+    int32_t tmp10 = t0 + tmp3, tmp13 = t0 - tmp3;
+    int32_t tmp11 = t1 + tmp2, tmp12 = t1 - tmp2;
+
+    int32_t tmp0 = in[7][j], tmp1 = in[5][j];
+    tmp2 = in[3][j];
+    tmp3 = in[1][j];
+    z1 = tmp0 + tmp3;
+    z2 = tmp1 + tmp2;
+    z3 = tmp0 + tmp2;
+    int32_t z4 = tmp1 + tmp3;
+    int32_t z5 = (z3 + z4) * FIX_1_175875602;
+    tmp0 *= FIX_0_298631336;
+    tmp1 *= FIX_2_053119869;
+    tmp2 *= FIX_3_072711026;
+    tmp3 *= FIX_1_501321110;
+    z1 *= -FIX_0_899976223;
+    z2 *= -FIX_2_562915447;
+    z3 = z3 * -FIX_1_961570560 + z5;
+    z4 = z4 * -FIX_0_390180644 + z5;
+    tmp0 += z1 + z3;
+    tmp1 += z2 + z4;
+    tmp2 += z2 + z3;
+    tmp3 += z1 + z4;
+
+    out[0][j] = descale(tmp10 + tmp3, shift);
+    out[7][j] = descale(tmp10 - tmp3, shift);
+    out[1][j] = descale(tmp11 + tmp2, shift);
+    out[6][j] = descale(tmp11 - tmp2, shift);
+    out[2][j] = descale(tmp12 + tmp1, shift);
+    out[5][j] = descale(tmp12 - tmp1, shift);
+    out[3][j] = descale(tmp13 + tmp0, shift);
+    out[4][j] = descale(tmp13 - tmp0, shift);
+  }
+}
+
+static inline void transpose8(const int32_t a[8][8], int32_t b[8][8]) {
+#if defined(__AVX2__)
+  __m256i r0 = _mm256_loadu_si256((const __m256i*)a[0]);
+  __m256i r1 = _mm256_loadu_si256((const __m256i*)a[1]);
+  __m256i r2 = _mm256_loadu_si256((const __m256i*)a[2]);
+  __m256i r3 = _mm256_loadu_si256((const __m256i*)a[3]);
+  __m256i r4 = _mm256_loadu_si256((const __m256i*)a[4]);
+  __m256i r5 = _mm256_loadu_si256((const __m256i*)a[5]);
+  __m256i r6 = _mm256_loadu_si256((const __m256i*)a[6]);
+  __m256i r7 = _mm256_loadu_si256((const __m256i*)a[7]);
+  __m256i t0 = _mm256_unpacklo_epi32(r0, r1);
+  __m256i t1 = _mm256_unpackhi_epi32(r0, r1);
+  __m256i t2 = _mm256_unpacklo_epi32(r2, r3);
+  __m256i t3 = _mm256_unpackhi_epi32(r2, r3);
+  __m256i t4 = _mm256_unpacklo_epi32(r4, r5);
+  __m256i t5 = _mm256_unpackhi_epi32(r4, r5);
+  __m256i t6 = _mm256_unpacklo_epi32(r6, r7);
+  __m256i t7 = _mm256_unpackhi_epi32(r6, r7);
+  __m256i u0 = _mm256_unpacklo_epi64(t0, t2);
+  __m256i u1 = _mm256_unpackhi_epi64(t0, t2);
+  __m256i u2 = _mm256_unpacklo_epi64(t1, t3);
+  __m256i u3 = _mm256_unpackhi_epi64(t1, t3);
+  __m256i u4 = _mm256_unpacklo_epi64(t4, t6);
+  __m256i u5 = _mm256_unpackhi_epi64(t4, t6);
+  __m256i u6 = _mm256_unpacklo_epi64(t5, t7);
+  __m256i u7 = _mm256_unpackhi_epi64(t5, t7);
+  _mm256_storeu_si256((__m256i*)b[0], _mm256_permute2x128_si256(u0, u4, 0x20));
+  _mm256_storeu_si256((__m256i*)b[1], _mm256_permute2x128_si256(u1, u5, 0x20));
+  _mm256_storeu_si256((__m256i*)b[2], _mm256_permute2x128_si256(u2, u6, 0x20));
+  _mm256_storeu_si256((__m256i*)b[3], _mm256_permute2x128_si256(u3, u7, 0x20));
+  _mm256_storeu_si256((__m256i*)b[4], _mm256_permute2x128_si256(u0, u4, 0x31));
+  _mm256_storeu_si256((__m256i*)b[5], _mm256_permute2x128_si256(u1, u5, 0x31));
+  _mm256_storeu_si256((__m256i*)b[6], _mm256_permute2x128_si256(u2, u6, 0x31));
+  _mm256_storeu_si256((__m256i*)b[7], _mm256_permute2x128_si256(u3, u7, 0x31));
+#else
+  for (int i = 0; i < 8; i++)
+    for (int j = 0; j < 8; j++) b[j][i] = a[i][j];
+#endif
 }
 
 }  // namespace jdct
 
 extern "C" {
 
-// plane [h, w] int32 raw samples -> out [ceil(h/8)*ceil(w/8)*64] int32
-// zigzag quantized blocks (row-major block order), edge-replicated pad.
-//
-// Two vectorizable float32 passes (same precision as the device einsum):
-// pass 1 runs the vertical 8-point transform across whole image rows;
-// pass 2 does the horizontal transform per block fused with quant+zigzag.
+// plane [h, w] raw samples -> out [ceil(h/8)*ceil(w/8)*64] int32 zigzag
+// quantized blocks (row-major block order), edge-replicated pad.
+// Integer islow: row pass along x, column pass along y, round-half-away
+// /8q quantizer (reference encoder.go:440-468 semantics).
 // src_type: 0 = int32, 1 = uint8, 2 = uint16 (native-endian)
 int jpg_fdct_quant(const uint8_t* plane, int src_type, int w, int h,
                    const int32_t* q64, int level_shift, int32_t* out) {
   if (w <= 0 || h <= 0) return -1;
   int nbx = (w + 7) / 8, nby = (h + 7) / 8;
   int pw = nbx * 8, ph = nby * 8;
+  const bool p12 = level_shift >= 1024;  // ops/dct_int.pass1_bits
 
-  // edge-replicated padded copy (float, level-shifted)
-  std::vector<float> src((size_t)ph * pw);
+  // edge-replicated, level-shifted int32 copy (branch-free inner loops)
+  std::vector<int32_t> src((size_t)ph * pw);
   for (int y = 0; y < ph; y++) {
     int sy = y < h ? y : h - 1;
-    float* drow = src.data() + (size_t)y * pw;
+    int32_t* drow = src.data() + (size_t)y * pw;
     if (src_type == 1) {
       const uint8_t* row = plane + (long)sy * w;
-      for (int x = 0; x < w; x++) drow[x] = (float)(row[x] - level_shift);
-      for (int x = w; x < pw; x++)
-        drow[x] = (float)(row[w - 1] - level_shift);
+      for (int x = 0; x < w; x++) drow[x] = (int32_t)row[x] - level_shift;
     } else if (src_type == 2) {
       const uint16_t* row = (const uint16_t*)plane + (long)sy * w;
-      for (int x = 0; x < w; x++) drow[x] = (float)(row[x] - level_shift);
-      for (int x = w; x < pw; x++)
-        drow[x] = (float)(row[w - 1] - level_shift);
+      for (int x = 0; x < w; x++) drow[x] = (int32_t)row[x] - level_shift;
     } else {
       const int32_t* row = (const int32_t*)plane + (long)sy * w;
-      for (int x = 0; x < w; x++) drow[x] = (float)(row[x] - level_shift);
-      for (int x = w; x < pw; x++)
-        drow[x] = (float)(row[w - 1] - level_shift);
+      for (int x = 0; x < w; x++) drow[x] = row[x] - level_shift;
     }
+    for (int x = w; x < pw; x++) drow[x] = drow[w - 1];
   }
 
-  float D[8][8];
-  for (int u = 0; u < 8; u++)
-    for (int x = 0; x < 8; x++) D[u][x] = (float)jdct::DM.d[u][x];
-  // transposed copy so the pass-2 inner loop is f[v] += t * D[v][x]
-  float DT[8][8];
-  for (int u = 0; u < 8; u++)
-    for (int x = 0; x < 8; x++) DT[x][u] = D[u][x];
-  float rq[64];
-  for (int i = 0; i < 64; i++) rq[i] = 1.0f / (float)q64[i];
+  // per-position quant constants in raster order
+  int32_t qd[64], qhalf[64];
+  double qinv[64];
+  for (int i = 0; i < 64; i++) {
+    int32_t q = q64[i];
+    if (q < 1) q = 1;
+    qd[i] = q * 8;
+    qhalf[i] = q * 4;
+    qinv[i] = 1.0 / (double)qd[i];
+  }
 
-  std::vector<float> tmp((size_t)8 * pw);
   for (int by = 0; by < nby; by++) {
-    const float* band = src.data() + (size_t)by * 8 * pw;
-    // pass 1: tmp[u][col] = sum_y D[u][y] * band[y][col], whole band rows
-    for (int u = 0; u < 8; u++) {
-      const float d0 = D[u][0], d1 = D[u][1], d2 = D[u][2], d3 = D[u][3],
-                  d4 = D[u][4], d5 = D[u][5], d6 = D[u][6], d7 = D[u][7];
-      float* t = tmp.data() + (size_t)u * pw;
-      const float* r0 = band;
-      for (int c = 0; c < pw; c++) {
-        t[c] = d0 * r0[c] + d1 * r0[c + pw] + d2 * r0[c + 2 * pw] +
-               d3 * r0[c + 3 * pw] + d4 * r0[c + 4 * pw] +
-               d5 * r0[c + 5 * pw] + d6 * r0[c + 6 * pw] +
-               d7 * r0[c + 7 * pw];
-      }
-    }
-    // pass 2: per block, f[u][v] = sum_x tmp[u][x] * D[v][x]; quant+zigzag
-#if defined(__AVX2__) && defined(__FMA__)
-    {
-      __m256 dr[8];
-      for (int x = 0; x < 8; x++) dr[x] = _mm256_loadu_ps(DT[x]);
-      for (int bx = 0; bx < nbx; bx++) {
-        alignas(32) float f[64];
-        for (int u = 0; u < 8; u++) {
-          const float* t = tmp.data() + (size_t)u * pw + bx * 8;
-          __m256 acc = _mm256_mul_ps(_mm256_broadcast_ss(t), dr[0]);
-          for (int x = 1; x < 8; x++)
-            acc = _mm256_fmadd_ps(_mm256_broadcast_ss(t + x), dr[x], acc);
-          _mm256_store_ps(f + u * 8, acc);
-        }
-        int32_t* dst = out + ((long)by * nbx + bx) * 64;
-        for (int i = 0; i < 64; i++) {
-          float r = f[jdct::ZZ[i]] * rq[jdct::ZZ[i]];
-          dst[i] = (int32_t)(r + std::copysignf(0.5f, r));
-        }
-      }
-    }
-#else
+    const int32_t* band = src.data() + (size_t)by * 8 * pw;
     for (int bx = 0; bx < nbx; bx++) {
-      float f[64];
-      for (int u = 0; u < 8; u++) {
-        const float* t = tmp.data() + (size_t)u * pw + bx * 8;
-        float* fr = f + u * 8;
-        for (int v = 0; v < 8; v++) fr[v] = 0.0f;
-        for (int x = 0; x < 8; x++) {
-          const float tv = t[x];
-          const float* dtc = DT[x];
-          for (int v = 0; v < 8; v++) fr[v] += tv * dtc[v];
-        }
+      int32_t blk[8][8], bt[8][8], t1[8][8], t2[8][8], f[8][8];
+      for (int y = 0; y < 8; y++)
+        memcpy(blk[y], band + (size_t)y * pw + bx * 8, 8 * sizeof(int32_t));
+      // pass 1 along x: lanes over y -> t1[u][y]
+      jdct::transpose8(blk, bt);             // bt[x][y]
+      if (p12) jdct::fdct_pass<false, 1>(bt, t1);   // t1[u][y]
+      else     jdct::fdct_pass<false, 2>(bt, t1);
+      // pass 2 along y: lanes over u -> f[v][u]
+      jdct::transpose8(t1, t2);              // t2[y][u]
+      if (p12) jdct::fdct_pass<true, 1>(t2, f);     // f[v][u]
+      else     jdct::fdct_pass<true, 2>(t2, f);
+
+      // branchless exact quant: t = floor((|c|+4q)/8q) via double
+      // reciprocal + one-step fixup, then sign restore; vectorizable.
+      int32_t qs[64];
+      const int32_t* fr = &f[0][0];
+      for (int i = 0; i < 64; i++) {
+        int32_t c = fr[i];
+        int32_t neg = -(int32_t)(c < 0);
+        int32_t n = (c ^ neg) - neg + qhalf[i];  // |c| + 4q
+        int32_t t = (int32_t)((double)n * qinv[i]);
+        t -= (int32_t)(t * qd[i] > n);
+        t += (int32_t)((t + 1) * qd[i] <= n);
+        qs[i] = (t ^ neg) - neg;
       }
       int32_t* dst = out + ((long)by * nbx + bx) * 64;
-      for (int i = 0; i < 64; i++) {
-        float r = f[jdct::ZZ[i]] * rq[jdct::ZZ[i]];
-        dst[i] = (int32_t)(r + std::copysignf(0.5f, r));
-      }
+      for (int i = 0; i < 64; i++) dst[i] = qs[jdct::ZZ[i]];
     }
-#endif
   }
   return 0;
 }
 
 // zz [nby*nbx, 64] int32 zigzag -> out plane [nby*8, nbx*8] int32 clamped
-// to [0, max_val] after dequant + IDCT + level shift (floor(s+0.5)).
+// to [0, max_val] after fused dequant + integer islow IDCT + level shift.
 int jpg_idct(const int32_t* zz, int nby, int nbx, const int32_t* q64,
              int level_shift, int max_val, int32_t* out) {
   if (nbx <= 0 || nby <= 0) return -1;
   long w = (long)nbx * 8;
-#if defined(__AVX2__) && defined(__FMA__)
-  float qf[64];
-  for (int i = 0; i < 64; i++) qf[i] = (float)q64[i];
-  float Dt[8][8];  // Dt[u] = row u of D as a vector over x
-  for (int u = 0; u < 8; u++)
-    for (int x = 0; x < 8; x++) Dt[u][x] = (float)jdct::DM.d[u][x];
-  __m256 drow[8];
-  for (int u = 0; u < 8; u++) drow[u] = _mm256_loadu_ps(Dt[u]);
-  const __m256 half = _mm256_set1_ps(0.5f);
-  const __m256 lvl = _mm256_set1_ps((float)level_shift);
-  const __m256i vmax = _mm256_set1_epi32(max_val);
-  const __m256i vzero = _mm256_setzero_si256();
+  const bool p12 = level_shift >= 1024;  // ops/dct_int.pass1_bits
   for (int by = 0; by < nby; by++) {
     for (int bx = 0; bx < nbx; bx++) {
       const int32_t* src = zz + ((long)by * nbx + bx) * 64;
-      alignas(32) float f[64];
+      int32_t f[8][8], w1[8][8], w2[8][8], s[8][8], st[8][8];
+      // dequant at zigzag scatter -> f[v][u] raster; the 12-bit profile
+      // halves (round-half-up) for int32 headroom, compensated in the
+      // final descale (idct_pass<true, 0>)
+      int32_t* fr = &f[0][0];
       for (int i = 0; i < 64; i++)
-        f[jdct::ZZ[i]] = (float)src[i] * qf[jdct::ZZ[i]];
-      // tmp[x][v] = sum_u D[u][x] * f[u][v]  (vector over v)
-      alignas(32) float tmp[64];
-      __m256 frow[8];
-      for (int u = 0; u < 8; u++) frow[u] = _mm256_load_ps(f + u * 8);
-      for (int x = 0; x < 8; x++) {
-        __m256 acc = _mm256_mul_ps(
-            _mm256_broadcast_ss(&Dt[0][x]), frow[0]);
-        for (int u = 1; u < 8; u++)
-          acc = _mm256_fmadd_ps(_mm256_broadcast_ss(&Dt[u][x]), frow[u],
-                                acc);
-        _mm256_store_ps(tmp + x * 8, acc);
-      }
-      // s[x][y] = sum_v tmp[x][v] * D[v][y]; +level, floor(+0.5), clamp
-      for (int x = 0; x < 8; x++) {
-        const float* t = tmp + x * 8;
-        __m256 acc = _mm256_mul_ps(_mm256_broadcast_ss(t), drow[0]);
-        for (int v = 1; v < 8; v++)
-          acc = _mm256_fmadd_ps(_mm256_broadcast_ss(t + v), drow[v], acc);
-        acc = _mm256_floor_ps(
-            _mm256_add_ps(_mm256_add_ps(acc, lvl), half));
-        __m256i iv = _mm256_cvttps_epi32(acc);
-        iv = _mm256_min_epi32(_mm256_max_epi32(iv, vzero), vmax);
-        _mm256_storeu_si256(
-            (__m256i*)(out + ((long)by * 8 + x) * w + (long)bx * 8), iv);
-      }
-    }
-  }
-  return 0;
-#else
-  double q[64];
-  for (int i = 0; i < 64; i++) q[i] = (double)q64[i];
-  double f[64], s[64];
-  for (int by = 0; by < nby; by++) {
-    for (int bx = 0; bx < nbx; bx++) {
-      const int32_t* src = zz + ((long)by * nbx + bx) * 64;
-      for (int i = 0; i < 64; i++)
-        f[jdct::ZZ[i]] = (double)src[i] * q[jdct::ZZ[i]];
-      jdct::idct_block(f, s);
+        fr[jdct::ZZ[i]] = src[i] * q64[jdct::ZZ[i]];
+      if (p12)
+        for (int i = 0; i < 64; i++) fr[i] = (fr[i] + 1) >> 1;
+      // pass 1 along v: lanes over u (raster rows are already vectors)
+      if (p12) jdct::idct_pass<false, 1>(f, w1);    // w1[y][u]
+      else     jdct::idct_pass<false, 2>(f, w1);
+      // pass 2 along u: lanes over y
+      jdct::transpose8(w1, w2);              // w2[u][y]
+      if (p12) jdct::idct_pass<true, 0>(w2, s);     // s[x][y]
+      else     jdct::idct_pass<true, 2>(w2, s);
+      jdct::transpose8(s, st);               // st[y][x]
       for (int y = 0; y < 8; y++) {
         int32_t* dst = out + ((long)by * 8 + y) * w + (long)bx * 8;
         for (int x = 0; x < 8; x++) {
-          double v = std::floor(s[y * 8 + x] + (double)level_shift + 0.5);
-          int32_t iv = (int32_t)v;
-          if (iv < 0) iv = 0;
-          if (iv > max_val) iv = max_val;
-          dst[x] = iv;
+          int32_t v = st[y][x] + level_shift;
+          v = v < 0 ? 0 : v;
+          v = v > max_val ? max_val : v;
+          dst[x] = v;
         }
       }
     }
   }
   return 0;
-#endif
 }
 
 }  // extern "C"

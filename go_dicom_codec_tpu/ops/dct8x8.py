@@ -172,14 +172,20 @@ def ycbcr_to_rgb_np(ycc: np.ndarray) -> np.ndarray:
 @partial(jax.jit, static_argnames=("level_shift",))
 def encode_plane_to_zigzag(plane: jnp.ndarray, qtable: jnp.ndarray,
                            level_shift: int = 128) -> jnp.ndarray:
-    """One launch: pad → blocks → DCT → quant → zigzag.
+    """One launch: pad → blocks → integer islow DCT → quant → zigzag.
 
     plane: [..., H, W] integer samples. Returns [..., nby, nbx, 64] int32.
+
+    Uses the integer IJG DCT (ops/dct_int.py, reference dct_ijg.go) so the
+    result is byte-identical to the numpy and native host lanes on every
+    backend — lossy JPEG streams are deterministic across lanes.
     """
-    p = pad_replicate_to_8(plane).astype(jnp.float32) - float(level_shift)
+    from . import dct_int
+    p = pad_replicate_to_8(plane).astype(jnp.int32) - level_shift
     blocks = to_blocks(p)
-    f = fdct8x8(blocks)
-    q = quantize(f, qtable)
+    f = dct_int.fdct8x8_islow(blocks, jnp,
+                              p1=dct_int.pass1_bits(level_shift))
+    q = dct_int.quantize_islow(f, qtable, jnp)
     return zigzag_scan(q)
 
 
@@ -187,13 +193,53 @@ def encode_plane_to_zigzag(plane: jnp.ndarray, qtable: jnp.ndarray,
 def decode_zigzag_to_plane(zz: jnp.ndarray, qtable: jnp.ndarray,
                            level_shift: int = 128,
                            max_val: int = 255) -> jnp.ndarray:
-    """One launch: inv-zigzag → dequant → IDCT → level shift → clamp.
+    """One launch: inv-zigzag → integer islow dequant+IDCT → shift → clamp.
 
     zz: [..., nby, nbx, 64] int32. Returns [..., H, W] int32 in [0, max_val].
+    Integer IJG inverse (reference idct_ijg.go) — deterministic across
+    lanes, see encode_plane_to_zigzag.
     """
-    blocks = inv_zigzag_scan(zz)
-    f = dequantize(blocks, qtable)
-    s = idct8x8(f) + float(level_shift)
-    s = jnp.floor(s + 0.5)
-    plane = from_blocks(s.astype(jnp.int32))
+    from . import dct_int
+    blocks = inv_zigzag_scan(zz).astype(jnp.int32)
+    s = dct_int.idct8x8_islow(blocks, jnp.asarray(qtable), jnp,
+                              p1=dct_int.pass1_bits(level_shift)
+                              ) + level_shift
+    plane = from_blocks(s)
     return jnp.clip(plane, 0, max_val)
+
+
+def encode_plane_to_zigzag_np(plane: np.ndarray, qtable: np.ndarray,
+                              level_shift: int = 128) -> np.ndarray:
+    """numpy mirror of encode_plane_to_zigzag (bit-identical)."""
+    from . import dct_int
+    h, w = plane.shape[-2:]
+    ph, pw = (-h) % 8, (-w) % 8
+    p = plane
+    if ph or pw:
+        pad = [(0, 0)] * (plane.ndim - 2) + [(0, ph), (0, pw)]
+        p = np.pad(plane, pad, mode="edge")
+    p = p.astype(np.int32) - level_shift
+    hh, ww = p.shape[-2:]
+    lead = p.shape[:-2]
+    blocks = p.reshape(lead + (hh // 8, 8, ww // 8, 8)).swapaxes(-3, -2)
+    f = dct_int.fdct8x8_islow(blocks, np,
+                              p1=dct_int.pass1_bits(level_shift))
+    q = dct_int.quantize_islow(f, np.asarray(qtable, dtype=np.int32), np)
+    flat = q.reshape(q.shape[:-2] + (64,))
+    return flat[..., ZIGZAG]
+
+
+def decode_zigzag_to_plane_np(zz: np.ndarray, qtable: np.ndarray,
+                              level_shift: int = 128,
+                              max_val: int = 255) -> np.ndarray:
+    """numpy mirror of decode_zigzag_to_plane (bit-identical)."""
+    from . import dct_int
+    blocks = (zz[..., INV_ZIGZAG].reshape(zz.shape[:-1] + (8, 8))
+              .astype(np.int32))
+    s = dct_int.idct8x8_islow(blocks, np.asarray(qtable, dtype=np.int32),
+                              np, p1=dct_int.pass1_bits(level_shift)
+                              ) + level_shift
+    lead = s.shape[:-4]
+    nby, nbx = s.shape[-4], s.shape[-3]
+    plane = s.swapaxes(-3, -2).reshape(lead + (nby * 8, nbx * 8))
+    return np.clip(plane, 0, max_val)

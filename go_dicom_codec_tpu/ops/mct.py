@@ -77,6 +77,39 @@ def ict_inverse(y: jnp.ndarray, cb: jnp.ndarray, cr: jnp.ndarray):
     return r, g, b
 
 
+def ict_forward_np(r, g, b):
+    """numpy mirror of ict_forward for host fast paths (no device dispatch).
+
+    Same float32 arithmetic/order as the jnp version; used by the native
+    9/7 encode/decode paths in codecs/jpeg2000.py where the data already
+    lives on the host and a per-tile device round trip would defeat the
+    point of the fast path.
+    """
+    import numpy as _np
+    rf = _np.asarray(r, dtype=_np.float32)
+    gf = _np.asarray(g, dtype=_np.float32)
+    bf = _np.asarray(b, dtype=_np.float32)
+    y = _np.float32(_ICT_FWD[0][0]) * rf + _np.float32(_ICT_FWD[0][1]) * gf \
+        + _np.float32(_ICT_FWD[0][2]) * bf
+    cb = _np.float32(_ICT_FWD[1][0]) * rf + _np.float32(_ICT_FWD[1][1]) * gf \
+        + _np.float32(_ICT_FWD[1][2]) * bf
+    cr = _np.float32(_ICT_FWD[2][0]) * rf + _np.float32(_ICT_FWD[2][1]) * gf \
+        + _np.float32(_ICT_FWD[2][2]) * bf
+    return y, cb, cr
+
+
+def ict_inverse_np(y, cb, cr):
+    """numpy mirror of ict_inverse (see ict_forward_np)."""
+    import numpy as _np
+    yf = _np.asarray(y, dtype=_np.float32)
+    cbf = _np.asarray(cb, dtype=_np.float32)
+    crf = _np.asarray(cr, dtype=_np.float32)
+    r = yf + _np.float32(_ICT_INV_CR) * crf
+    g = yf + _np.float32(_ICT_INV_CB_G) * cbf + _np.float32(_ICT_INV_CR_G) * crf
+    b = yf + _np.float32(_ICT_INV_CB) * cbf
+    return r, g, b
+
+
 def ict_forward_int(r: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray):
     """ICT with round-to-nearest int32 results (colorspace/ict.go:9-16)."""
     y, cb, cr = ict_forward(r, g, b)

@@ -312,13 +312,14 @@ def test_t1_ojp_reconstruction_parity_and_midbin(rng):
 @pytest.mark.parametrize("shape", [(64, 64), (512, 512), (60, 52), (17, 9)])
 @pytest.mark.parametrize("dtype,bits", [(np.uint8, 8), (np.uint16, 12)])
 def test_jpg_fdct_native_vs_device(shape, dtype, bits, rng):
-    """Host float32 DCT agrees with the device float32 einsum path
-    everywhere except razor-thin rounding ties (|diff| <= 1, rare)."""
+    """Native integer islow DCT is BYTE-IDENTICAL to the jit lane and the
+    numpy lane (ops/dct_int.py is the one shared algorithm)."""
     import jax.numpy as jnp
 
     from go_dicom_codec_tpu.codecs import jpeg_common as jc
     from go_dicom_codec_tpu.native import jpg_fdct_quant_native
-    from go_dicom_codec_tpu.ops.dct8x8 import encode_plane_to_zigzag
+    from go_dicom_codec_tpu.ops.dct8x8 import (encode_plane_to_zigzag,
+                                               encode_plane_to_zigzag_np)
 
     h, w = shape
     img = rng.integers(0, (1 << bits) - 1, (h, w)).astype(dtype)
@@ -329,9 +330,10 @@ def test_jpg_fdct_native_vs_device(shape, dtype, bits, rng):
     dev = np.asarray(encode_plane_to_zigzag(
         jnp.asarray(img.astype(np.int32)), jnp.asarray(q),
         level_shift=level))
-    diff = np.abs(native.astype(np.int64) - dev.astype(np.int64))
-    assert diff.max() <= 1
-    assert (diff != 0).mean() < 1e-2
+    np.testing.assert_array_equal(native.reshape(dev.shape), dev)
+    npv = encode_plane_to_zigzag_np(img.astype(np.int32), q,
+                                    level_shift=level)
+    np.testing.assert_array_equal(npv, dev)
 
 
 def test_jpg_fdct_native_dtype_agreement(rng):
@@ -367,9 +369,7 @@ def test_jpg_idct_native_vs_device(bits, rng):
     dev = np.asarray(decode_zigzag_to_plane(
         jnp.asarray(zz), jnp.asarray(q), level_shift=level,
         max_val=(1 << bits) - 1))
-    diff = np.abs(native.astype(np.int64) - dev.astype(np.int64))
-    assert diff.max() <= 1
-    assert (diff != 0).mean() < 1e-2
+    np.testing.assert_array_equal(native, dev)
 
 
 def test_jpg_dct_native_roundtrip_quality(rng):
@@ -387,3 +387,51 @@ def test_jpg_dct_native_roundtrip_quality(rng):
     err = np.abs(rec.astype(int) - img.astype(int))
     assert err.max() <= 16
     assert err.mean() < 3.0
+
+
+def test_lossy_jpeg_streams_deterministic_across_lanes(rng, monkeypatch):
+    """Baseline/extended encode bytes are BYTE-IDENTICAL whether the
+    native library is used or the pure-Python lane is forced — the
+    integer islow DCT (ops/dct_int.py) is one algorithm on every lane,
+    so the round-2/3 float-DCT tie carve-out is gone."""
+    from go_dicom_codec_tpu import native as nat
+    from go_dicom_codec_tpu.codecs import jpeg_baseline, jpeg_extended
+
+    img8 = rng.integers(0, 256, (67, 53)).astype(np.uint8)
+    rgb = rng.integers(0, 256, (40, 44, 3)).astype(np.uint8)
+    img12 = rng.integers(0, 4096, (50, 62)).astype(np.uint16)
+
+    with_native = [
+        jpeg_baseline.encode(img8.tobytes(), 53, 67, 1, 85),
+        jpeg_baseline.encode(rgb.tobytes(), 44, 40, 3, 75),
+        jpeg_extended.encode(img12.tobytes(), 62, 50, 1, 12, 80),
+    ]
+    assert nat.get_lib() is not None  # the native lane actually ran
+
+    monkeypatch.setattr(nat, "get_lib", lambda: None)
+    without_native = [
+        jpeg_baseline.encode(img8.tobytes(), 53, 67, 1, 85),
+        jpeg_baseline.encode(rgb.tobytes(), 44, 40, 3, 75),
+        jpeg_extended.encode(img12.tobytes(), 62, 50, 1, 12, 80),
+    ]
+    for a, b in zip(with_native, without_native):
+        assert a == b
+
+
+def test_lossy_jpeg_decode_deterministic_across_lanes(rng, monkeypatch):
+    """Decoded lossy pixels are byte-identical native vs native-disabled."""
+    from go_dicom_codec_tpu import native as nat
+    from go_dicom_codec_tpu.codecs import jpeg_baseline, jpeg_extended
+
+    img8 = rng.integers(0, 256, (67, 53)).astype(np.uint8)
+    img12 = rng.integers(0, 4096, (50, 62)).astype(np.uint16)
+    s8 = jpeg_baseline.encode(img8.tobytes(), 53, 67, 1, 85)
+    s12 = jpeg_extended.encode(img12.tobytes(), 62, 50, 1, 12, 80)
+
+    a8 = jpeg_baseline.decode(s8)[0]
+    a12 = jpeg_extended.decode(s12)[0]
+    monkeypatch.setattr(nat, "get_lib", lambda: None)
+    b8 = jpeg_baseline.decode(s8)[0]
+    b12 = jpeg_extended.decode(s12)[0]
+    assert a8 == b8
+    assert a12 == b12
