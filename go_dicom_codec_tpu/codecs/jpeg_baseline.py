@@ -88,6 +88,22 @@ def encode(pixels: bytes | np.ndarray, width: int, height: int,
     level = 1 << (precision - 1)
     plane_tables = [0] if components == 1 else [0, 1, 1]
 
+    # fused native fast path: gray + standard K.3 tables (the default
+    # baseline configuration) runs DCT+quant+Huffman in ONE native call
+    # per frame — coefficient blocks never leave L1
+    if (components == 1 and precision <= 8
+            and (optimize_huffman is None or optimize_huffman is False)):
+        from ..native import jpg_encode_frame_native
+        plane = (arr[:, :, 0] if isinstance(pixels,
+                                            (bytes, bytearray, memoryview))
+                 else arr[:, :, 0])
+        scan = jpg_encode_frame_native(plane, qtables[0], level,
+                                       hf.DC_LUMA, hf.AC_LUMA)
+        if scan is not None:
+            return _assemble_stream(scan, qtables, [hf.DC_LUMA],
+                                    [hf.AC_LUMA], width, height, 1,
+                                    precision, sof_marker, write_jfif)
+
     # Host-native fast path: single-frame DCT+quant never pays a device
     # dispatch round trip (same policy as the J2K 5/3 host fast path in
     # jpeg2000.py; VERDICT r2 measured 63 ms/frame on the tunneled TPU
@@ -164,6 +180,16 @@ def encode_from_zigzag(comp_zz, qtables, plane_tables, width: int,
                    for t in range(n_tables)]
         scan = jc.encode_scan(stream, dc_tabs, ac_tabs)
 
+    return _assemble_stream(scan, qtables, dc_tabs, ac_tabs, width,
+                            height, components, precision, sof_marker,
+                            write_jfif)
+
+
+def _assemble_stream(scan: bytes, qtables, dc_tabs, ac_tabs, width: int,
+                     height: int, components: int, precision: int,
+                     sof_marker: int, write_jfif: bool) -> bytes:
+    """SOI..EOI framing around precomputed tables + scan bytes."""
+    n_tables = 2 if components == 3 else 1
     w = mk.JpegWriter()
     w.write_marker(mk.SOI)
     if write_jfif:

@@ -164,6 +164,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.dwt97_inv.argtypes = [
             f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int]
+        lib.jpg_encode_frame.restype = ctypes.c_long
+        lib.jpg_encode_frame.argtypes = [
+            u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p,
+            ctypes.c_int, i32p, i32p, i32p, i32p, u8p, ctypes.c_long]
         lib.jpg_fdct_quant.restype = ctypes.c_int
         lib.jpg_fdct_quant.argtypes = [
             u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p,
@@ -350,6 +354,41 @@ def jpg_encode_scan2_native(comp_zz, table_ids, dc_tables, ac_tables,
     out = np.empty(cap, dtype=np.uint8)
     n = lib.jpg_encode_scan2(zz.reshape(-1), ncomp, nblocks, tids, restart,
                              dcp[0], dcp[1], acp[0], acp[1], out, cap)
+    if n < 0:
+        return None
+    return out[:n].tobytes()
+
+
+def jpg_encode_frame_native(plane: np.ndarray, qtable: np.ndarray,
+                            level_shift: int, dc_table, ac_table):
+    """Fused gray-frame DCT+quant+Huffman scan → stuffed bytes, or None.
+
+    Single component, no restart markers; the coefficient block never
+    leaves L1 (native jpg_encode_frame)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(plane)
+    if a.dtype == np.uint8:
+        st = 1
+    elif a.dtype == np.uint16:
+        st = 2
+    elif a.dtype == np.int32:
+        st = 0
+    else:
+        a = a.astype(np.int32)
+        st = 0
+    h, w = a.shape
+    q = np.ascontiguousarray(np.asarray(qtable, dtype=np.int32).reshape(-1))
+    dcod = np.asarray(dc_table.code_of[:256], dtype=np.int32)
+    dlen = np.asarray(dc_table.len_of[:256], dtype=np.int32)
+    acod = np.asarray(ac_table.code_of[:256], dtype=np.int32)
+    alen = np.asarray(ac_table.len_of[:256], dtype=np.int32)
+    nblocks = ((h + 7) // 8) * ((w + 7) // 8)
+    cap = nblocks * 64 * 4 + 65536
+    out = np.empty(cap, dtype=np.uint8)
+    n = lib.jpg_encode_frame(a.reshape(-1).view(np.uint8), st, w, h, q,
+                             level_shift, dcod, dlen, acod, alen, out, cap)
     if n < 0:
         return None
     return out[:n].tobytes()

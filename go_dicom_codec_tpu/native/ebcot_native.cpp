@@ -1048,8 +1048,29 @@ long jpg_encode_scan2(const int32_t* zz, int ncomp, long nblocks,
     acc <<= nb * 8;
     nacc &= 7;
   };
+  // opportunistic symbol pairing: pending bits accumulate up to 48 and
+  // flush in one put — halves the serial acc/bswap/store chain length
+  uint64_t pv = 0;
+  int pl = 0;
+  auto emit = [&](uint64_t v, int len) {
+    if (pl + len > 48) {
+      put(pv, pl);
+      pv = 0;
+      pl = 0;
+    }
+    pv = (pv << len) | (v & ((1ull << len) - 1));
+    pl += len;
+  };
+  auto emit_flush = [&]() {
+    if (pl) {
+      put(pv, pl);
+      pv = 0;
+      pl = 0;
+    }
+  };
   long o = 0;
   auto flush_interval = [&]() -> bool {
+    emit_flush();
     if (nacc) {  // pad to byte with 1-bits (nacc < 8; put emits it)
       int fill = 8 - nacc;
       put((1u << fill) - 1, fill);
@@ -1097,9 +1118,9 @@ long jpg_encode_scan2(const int32_t* zz, int ncomp, long nblocks,
       if (cat && cat != 16) {
         uint32_t eb = (uint32_t)(diff < 0 ? diff + (1 << cat) - 1 : diff) &
                       ((1u << cat) - 1);
-        put(((uint64_t)(uint32_t)dcod[cat] << cat) | eb, dlen[cat] + cat);
+        emit(((uint64_t)(uint32_t)dcod[cat] << cat) | eb, dlen[cat] + cat);
       } else {
-        put((uint32_t)dcod[cat], dlen[cat]);
+        emit((uint32_t)dcod[cat], dlen[cat]);
       }
       int last_nz = 0;
       uint64_t m = jpg_nz_mask(blk) & ~1ull;
@@ -1109,7 +1130,7 @@ long jpg_encode_scan2(const int32_t* zz, int ncomp, long nblocks,
         int run = k2 - last_nz - 1;
         while (run >= 16) {
           if (!alen[0xF0]) return -1;
-          put((uint32_t)acod[0xF0], alen[0xF0]);
+          emit((uint32_t)acod[0xF0], alen[0xF0]);
           run -= 16;
         }
         int32_t v = blk[k2];
@@ -1122,12 +1143,12 @@ long jpg_encode_scan2(const int32_t* zz, int ncomp, long nblocks,
         uint32_t aeb =
             (uint32_t)(v + (sgn & (int32_t)((1u << ac) - 1))) &
             ((1u << ac) - 1);
-        put(((uint64_t)(uint32_t)acod[sym] << ac) | aeb, alen[sym] + ac);
+        emit(((uint64_t)(uint32_t)acod[sym] << ac) | aeb, alen[sym] + ac);
         last_nz = k2;
       }
       if (last_nz < 63) {
         if (!alen[0]) return -1;
-        put((uint32_t)acod[0], alen[0]);
+        emit((uint32_t)acod[0], alen[0]);
       }
     }
   }
@@ -3148,6 +3169,29 @@ extern "C" {
 // int32 [h*w] int16-wrapped differences; hist17: int64 [17] category
 // counts (accumulated, not cleared). Mirrors encode_diffs +
 // p14_cat_hist semantics.
+}  // extern "C"
+
+// Interior diff row (y >= 1, x >= 1): predictor templated so the inner
+// loop is branch-free and auto-vectorizes (P14 predicts from ORIGINAL
+// neighbors — no output recurrence, so the row is elementwise).
+template <int P>
+static inline void p14_diff_row(const int32_t* row, const int32_t* up,
+                                int32_t* drow, int w) {
+  for (int x = 1; x < w; x++) {
+    int32_t ra = row[x - 1], rb = up[x], rc = up[x - 1];
+    int32_t pred = P == 1   ? ra
+                   : P == 2 ? rb
+                   : P == 3 ? rc
+                   : P == 4 ? ra + rb - rc
+                   : P == 5 ? ra + ((rb - rc) >> 1)
+                   : P == 6 ? rb + ((ra - rc) >> 1)
+                            : (ra + rb) >> 1;
+    drow[x] = (((row[x] - pred) + 0x8000) & 0xFFFF) - 0x8000;
+  }
+}
+
+extern "C" {
+
 int p14_diffs_hist(const int32_t* samples, int w, int h, int predictor,
                    int precision, int32_t* diffs_out, int64_t* hist17) {
   if (w <= 0 || h <= 0 || predictor < 1 || predictor > 7) return -1;
@@ -3156,31 +3200,53 @@ int p14_diffs_hist(const int32_t* samples, int w, int h, int predictor,
     const int32_t* row = samples + (size_t)y * w;
     const int32_t* up = y > 0 ? row - w : nullptr;
     int32_t* drow = diffs_out + (size_t)y * w;
-    for (int x = 0; x < w; x++) {
-      int32_t ra, rb, rc;
-      if (x > 0) {
-        ra = row[x - 1];
-        rb = up ? up[x] : dflt;
-        rc = up ? up[x - 1] : dflt;
-      } else {
-        // first column: Ra default (pred-1 exception: sample above)
-        ra = (predictor == 1 && y > 0) ? up[0] : dflt;
-        rb = up ? up[x] : dflt;
-        rc = dflt;
+    if (y == 0) {
+      // first row: Rb = Rc = default, Ra = left (pred-independent forms)
+      drow[0] = (((row[0] - dflt) + 0x8000) & 0xFFFF) - 0x8000;
+      for (int x = 1; x < w; x++) {
+        int32_t ra = row[x - 1];
+        int32_t pred;
+        switch (predictor) {
+          case 1: pred = ra; break;
+          case 2: case 3: pred = dflt; break;
+          case 4: pred = ra; break;
+          case 5: pred = ra; break;
+          case 6: pred = dflt + ((ra - dflt) >> 1); break;
+          default: pred = (ra + dflt) >> 1; break;
+        }
+        drow[x] = (((row[x] - pred) + 0x8000) & 0xFFFF) - 0x8000;
       }
-      int32_t pred;
+    } else {
+      // first column: Ra default (pred-1 exception: sample above)
+      {
+        int32_t ra = (predictor == 1) ? up[0] : dflt;
+        int32_t rb = up[0], rc = dflt;
+        int32_t pred;
+        switch (predictor) {
+          case 1: pred = ra; break;
+          case 2: pred = rb; break;
+          case 3: pred = rc; break;
+          case 4: pred = ra + rb - rc; break;
+          case 5: pred = ra + ((rb - rc) >> 1); break;
+          case 6: pred = rb + ((ra - rc) >> 1); break;
+          default: pred = (ra + rb) >> 1; break;
+        }
+        drow[0] = (((row[0] - pred) + 0x8000) & 0xFFFF) - 0x8000;
+      }
       switch (predictor) {
-        case 1: pred = ra; break;
-        case 2: pred = rb; break;
-        case 3: pred = rc; break;
-        case 4: pred = ra + rb - rc; break;
-        case 5: pred = ra + ((rb - rc) >> 1); break;
-        case 6: pred = rb + ((ra - rc) >> 1); break;
-        default: pred = (ra + rb) >> 1; break;
+        case 1: p14_diff_row<1>(row, up, drow, w); break;
+        case 2: p14_diff_row<2>(row, up, drow, w); break;
+        case 3: p14_diff_row<3>(row, up, drow, w); break;
+        case 4: p14_diff_row<4>(row, up, drow, w); break;
+        case 5: p14_diff_row<5>(row, up, drow, w); break;
+        case 6: p14_diff_row<6>(row, up, drow, w); break;
+        default: p14_diff_row<7>(row, up, drow, w); break;
       }
-      if (x == 0 && y == 0) pred = dflt;
-      int32_t d = (((row[x] - pred) + 0x8000) & 0xFFFF) - 0x8000;
-      drow[x] = d;
+    }
+    // histogram pass (scalar scatter, separate so the diff loop above
+    // stays vectorized)
+    for (int x = 0; x < w; x++) {
+      int32_t d = drow[x];
       int cat;
       if (d == -32768) cat = 16;
       else {
@@ -3201,34 +3267,56 @@ long p14_pack_scan32(const int32_t* diffs, long n, const int32_t* codes,
   std::vector<uint8_t> raw((size_t)n * 4 + 16);
   uint8_t* rp = raw.data();
   size_t ro = 0;
+  // branchless MSB-first writer (same as jpg_encode_scan2): acc holds
+  // pending bits left-aligned, every put stores the whole 8-byte window
+  // and advances by completed bytes (len <= 32+16, nacc stays < 8)
   uint64_t acc = 0;
   int nacc = 0;
-  for (long i = 0; i < n; i++) {
-    int32_t d = diffs[i];
-    int cat;
-    uint32_t ebits = 0;
-    if (d == -32768) {
-      cat = 16;
-    } else {
-      uint32_t a = (uint32_t)(d < 0 ? -d : d);
-      cat = a ? 32 - __builtin_clz(a) : 0;
-      if (cat) {
-        // extend bits: value if positive, value + 2^cat - 1 if negative
-        ebits = (uint32_t)(d >= 0 ? d : d + (1 << cat) - 1) &
-                ((1u << cat) - 1);
-      }
-    }
-    int elen = cat == 16 ? 0 : cat;
-    int len = lens[cat] + elen;
-    acc = (acc << len) | (((uint64_t)(uint32_t)codes[cat] << elen) | ebits);
+  auto put = [&](uint64_t v, int len) {
+    if (!len) return;  // degenerate table; also avoids 64-bit-shift UB
+    acc |= (v & (~0ull >> (64 - len))) << (64 - nacc - len);
     nacc += len;
-    while (nacc >= 8) {
-      nacc -= 8;
-      rp[ro++] = (uint8_t)(acc >> nacc);
+    uint64_t wv = __builtin_bswap64(acc);
+    memcpy(rp + ro, &wv, 8);
+    int nb = nacc >> 3;
+    ro += nb;
+    acc <<= nb * 8;
+    nacc &= 7;
+  };
+  // chunked: a vectorizable pass precomputes category (float-exponent
+  // trick: |d| < 2^24 so (float)|d| is exact and cat = exp - 126) and
+  // extend bits; the serial bit-writer loop then only does table
+  // lookups and puts.
+  const long CH = 2048;
+  int32_t catb[CH];
+  uint32_t ebb[CH];
+  for (long base = 0; base < n; base += CH) {
+    long m = n - base < CH ? n - base : CH;
+    const int32_t* dp = diffs + base;
+    for (long i = 0; i < m; i++) {  // auto-vectorized
+      int32_t d = dp[i];
+      uint32_t a = (uint32_t)(d < 0 ? -d : d);
+      float fa = (float)a;
+      int32_t fb;
+      memcpy(&fb, &fa, 4);
+      int32_t cat = a ? (fb >> 23) - 126 : 0;
+      uint32_t msk = (1u << cat) - 1;
+      // d>=0: d; d<0: d + 2^cat - 1 (two's-complement masked)
+      uint32_t eb = (uint32_t)(d + ((d >> 31) & (int32_t)msk)) & msk;
+      catb[i] = cat;
+      ebb[i] = eb;
+    }
+    for (long i = 0; i < m; i++) {
+      int cat = catb[i];
+      int elen = cat == 16 ? 0 : cat;  // SSSS=16: no extend bits (d=-32768)
+      uint32_t eb = cat == 16 ? 0 : ebb[i];
+      put(((uint64_t)(uint32_t)codes[cat] << elen) | eb,
+          lens[cat] + elen);
     }
   }
   if (nacc > 0) {  // pad to byte with 1-bits (BitW.pad(1) semantics)
-    rp[ro++] = (uint8_t)((acc << (8 - nacc)) | ((1u << (8 - nacc)) - 1));
+    int fill = 8 - nacc;
+    put((1u << fill) - 1, fill);
   }
   // FF -> FF 00 stuffing
   long o = 0;
@@ -3436,6 +3524,124 @@ static inline void idct_pass(const int32_t in[8][8], int32_t out[8][8]) {
   }
 }
 
+#if defined(__AVX2__)
+// Register-resident AVX2 mirrors of the passes above: one __m256i per
+// butterfly element, lanes over the other axis.  Same int32 sequence —
+// vpmulld/vpaddd/vpsrad are exact, so parity with the scalar/np/jnp
+// lanes is preserved.
+namespace avx {
+typedef __m256i V;
+static inline V vadd(V a, V b) { return _mm256_add_epi32(a, b); }
+static inline V vsub(V a, V b) { return _mm256_sub_epi32(a, b); }
+static inline V vmul(V a, int32_t c) {
+  return _mm256_mullo_epi32(a, _mm256_set1_epi32(c));
+}
+static inline V vdesc(V x, int n) {
+  return _mm256_srai_epi32(
+      _mm256_add_epi32(x, _mm256_set1_epi32(1 << (n - 1))), n);
+}
+
+static inline void transpose(V r[8]) {
+  V t0 = _mm256_unpacklo_epi32(r[0], r[1]);
+  V t1 = _mm256_unpackhi_epi32(r[0], r[1]);
+  V t2 = _mm256_unpacklo_epi32(r[2], r[3]);
+  V t3 = _mm256_unpackhi_epi32(r[2], r[3]);
+  V t4 = _mm256_unpacklo_epi32(r[4], r[5]);
+  V t5 = _mm256_unpackhi_epi32(r[4], r[5]);
+  V t6 = _mm256_unpacklo_epi32(r[6], r[7]);
+  V t7 = _mm256_unpackhi_epi32(r[6], r[7]);
+  V u0 = _mm256_unpacklo_epi64(t0, t2);
+  V u1 = _mm256_unpackhi_epi64(t0, t2);
+  V u2 = _mm256_unpacklo_epi64(t1, t3);
+  V u3 = _mm256_unpackhi_epi64(t1, t3);
+  V u4 = _mm256_unpacklo_epi64(t4, t6);
+  V u5 = _mm256_unpackhi_epi64(t4, t6);
+  V u6 = _mm256_unpacklo_epi64(t5, t7);
+  V u7 = _mm256_unpackhi_epi64(t5, t7);
+  r[0] = _mm256_permute2x128_si256(u0, u4, 0x20);
+  r[1] = _mm256_permute2x128_si256(u1, u5, 0x20);
+  r[2] = _mm256_permute2x128_si256(u2, u6, 0x20);
+  r[3] = _mm256_permute2x128_si256(u3, u7, 0x20);
+  r[4] = _mm256_permute2x128_si256(u0, u4, 0x31);
+  r[5] = _mm256_permute2x128_si256(u1, u5, 0x31);
+  r[6] = _mm256_permute2x128_si256(u2, u6, 0x31);
+  r[7] = _mm256_permute2x128_si256(u3, u7, 0x31);
+}
+
+template <bool FINAL, int P1>
+static inline void fdct_pass(const V d[8], V o[8]) {
+  const int odd = FINAL ? CONST_BITS + P1 : CONST_BITS - P1;
+  V tmp0 = vadd(d[0], d[7]), tmp7 = vsub(d[0], d[7]);
+  V tmp1 = vadd(d[1], d[6]), tmp6 = vsub(d[1], d[6]);
+  V tmp2 = vadd(d[2], d[5]), tmp5 = vsub(d[2], d[5]);
+  V tmp3 = vadd(d[3], d[4]), tmp4 = vsub(d[3], d[4]);
+  V t10 = vadd(tmp0, tmp3), t13 = vsub(tmp0, tmp3);
+  V t11 = vadd(tmp1, tmp2), t12 = vsub(tmp1, tmp2);
+  if (FINAL) {
+    o[0] = vdesc(vadd(t10, t11), P1);
+    o[4] = vdesc(vsub(t10, t11), P1);
+  } else {
+    o[0] = _mm256_slli_epi32(vadd(t10, t11), P1);
+    o[4] = _mm256_slli_epi32(vsub(t10, t11), P1);
+  }
+  V z1 = vmul(vadd(t12, t13), FIX_0_541196100);
+  o[2] = vdesc(vadd(z1, vmul(t13, FIX_0_765366865)), odd);
+  o[6] = vdesc(vsub(z1, vmul(t12, FIX_1_847759065)), odd);
+  V za = vadd(tmp4, tmp7), zb = vadd(tmp5, tmp6);
+  V zc = vadd(tmp4, tmp6), zd = vadd(tmp5, tmp7);
+  V z5 = vmul(vadd(zc, zd), FIX_1_175875602);
+  V m4 = vmul(tmp4, FIX_0_298631336), m5 = vmul(tmp5, FIX_2_053119869);
+  V m6 = vmul(tmp6, FIX_3_072711026), m7 = vmul(tmp7, FIX_1_501321110);
+  V n1 = vmul(za, -FIX_0_899976223), n2 = vmul(zb, -FIX_2_562915447);
+  V n3 = vadd(vmul(zc, -FIX_1_961570560), z5);
+  V n4 = vadd(vmul(zd, -FIX_0_390180644), z5);
+  o[7] = vdesc(vadd(vadd(m4, n1), n3), odd);
+  o[5] = vdesc(vadd(vadd(m5, n2), n4), odd);
+  o[3] = vdesc(vadd(vadd(m6, n2), n3), odd);
+  o[1] = vdesc(vadd(vadd(m7, n1), n4), odd);
+}
+
+template <bool FINAL, int P1>
+static inline void idct_pass(const V d[8], V o[8]) {
+  const int shift = FINAL ? (CONST_BITS + P1 + 3) : (CONST_BITS - P1);
+  V z2 = d[2], z3 = d[6];
+  V z1 = vmul(vadd(z2, z3), FIX_0_541196100);
+  V tmp2 = vsub(z1, vmul(z3, FIX_1_847759065));
+  V tmp3 = vadd(z1, vmul(z2, FIX_0_765366865));
+  V t0 = _mm256_slli_epi32(vadd(d[0], d[4]), CONST_BITS);
+  V t1 = _mm256_slli_epi32(vsub(d[0], d[4]), CONST_BITS);
+  V t10 = vadd(t0, tmp3), t13 = vsub(t0, tmp3);
+  V t11 = vadd(t1, tmp2), t12 = vsub(t1, tmp2);
+
+  V a0 = d[7], a1 = d[5], a2 = d[3], a3 = d[1];
+  V w1 = vadd(a0, a3), w2 = vadd(a1, a2);
+  V w3 = vadd(a0, a2), w4 = vadd(a1, a3);
+  V z5 = vmul(vadd(w3, w4), FIX_1_175875602);
+  a0 = vmul(a0, FIX_0_298631336);
+  a1 = vmul(a1, FIX_2_053119869);
+  a2 = vmul(a2, FIX_3_072711026);
+  a3 = vmul(a3, FIX_1_501321110);
+  w1 = vmul(w1, -FIX_0_899976223);
+  w2 = vmul(w2, -FIX_2_562915447);
+  w3 = vadd(vmul(w3, -FIX_1_961570560), z5);
+  w4 = vadd(vmul(w4, -FIX_0_390180644), z5);
+  a0 = vadd(vadd(a0, w1), w3);
+  a1 = vadd(vadd(a1, w2), w4);
+  a2 = vadd(vadd(a2, w2), w3);
+  a3 = vadd(vadd(a3, w1), w4);
+
+  o[0] = vdesc(vadd(t10, a3), shift);
+  o[7] = vdesc(vsub(t10, a3), shift);
+  o[1] = vdesc(vadd(t11, a2), shift);
+  o[6] = vdesc(vsub(t11, a2), shift);
+  o[2] = vdesc(vadd(t12, a1), shift);
+  o[5] = vdesc(vsub(t12, a1), shift);
+  o[3] = vdesc(vadd(t13, a0), shift);
+  o[4] = vdesc(vsub(t13, a0), shift);
+}
+}  // namespace avx
+#endif  // __AVX2__
+
 static inline void transpose8(const int32_t a[8][8], int32_t b[8][8]) {
 #if defined(__AVX2__)
   __m256i r0 = _mm256_loadu_si256((const __m256i*)a[0]);
@@ -3485,75 +3691,373 @@ extern "C" {
 // Integer islow: row pass along x, column pass along y, round-half-away
 // /8q quantizer (reference encoder.go:440-468 semantics).
 // src_type: 0 = int32, 1 = uint8, 2 = uint16 (native-endian)
+}  // extern "C"
+
+namespace {
+
+// Shared frame-encode DCT context: padded-copy management, quant magic
+// constants, and the per-block register pipeline producing zigzag
+// quantized coefficients.  Used by jpg_fdct_quant (two-phase path) and
+// jpg_encode_frame (fused DCT+quant+Huffman, gray fast path).
+struct JFdct {
+  const uint8_t* plane;
+  int src_type, w, h, nbx, nby, pw, ph, level_shift;
+  bool p12, aligned;
+  std::vector<int32_t> src;
+  // Division by the invariant d=8q via exact magic multiply
+  // (Granlund-Montgomery): with s = 20 + ceil(log2 d) and
+  // m = floor(2^s/d)+1, floor(n*m >> s) == floor(n/d) for all
+  // 0 <= n < 2^19 — and |coef|+4q < 2^19 always (the final descale
+  // bounds |coef| <= 2^17 even for wrapped adversarial inputs; q is
+  // clamped to [1, 65535]).
+  alignas(32) int32_t qd[64];
+  alignas(32) int32_t qhalf[64];
+  alignas(32) uint32_t qmag[64];
+  alignas(32) uint32_t qsh[64];
+  double qinv[64];
+
+  bool init(const uint8_t* plane_, int src_type_, int w_, int h_,
+            const int32_t* q64, int level_shift_) {
+    plane = plane_;
+    src_type = src_type_;
+    w = w_;
+    h = h_;
+    level_shift = level_shift_;
+    if (w <= 0 || h <= 0) return false;
+    nbx = (w + 7) / 8;
+    nby = (h + 7) / 8;
+    pw = nbx * 8;
+    ph = nby * 8;
+    p12 = level_shift >= 1024;  // ops/dct_int.pass1_bits
+    // edge-replicated, level-shifted int32 copy (branch-free inner
+    // loops); skipped entirely for 8-aligned images — blocks load
+    // straight from the source rows
+    aligned = (w % 8 == 0) && (h % 8 == 0);
+    if (!aligned) {
+      src.resize((size_t)ph * pw);
+      for (int y = 0; y < ph; y++) {
+        int sy = y < h ? y : h - 1;
+        int32_t* drow = src.data() + (size_t)y * pw;
+        if (src_type == 1) {
+          const uint8_t* row = plane + (long)sy * w;
+          for (int x = 0; x < w; x++)
+            drow[x] = (int32_t)row[x] - level_shift;
+        } else if (src_type == 2) {
+          const uint16_t* row = (const uint16_t*)plane + (long)sy * w;
+          for (int x = 0; x < w; x++)
+            drow[x] = (int32_t)row[x] - level_shift;
+        } else {
+          const int32_t* row = (const int32_t*)plane + (long)sy * w;
+          for (int x = 0; x < w; x++) drow[x] = row[x] - level_shift;
+        }
+        for (int x = w; x < pw; x++) drow[x] = drow[w - 1];
+      }
+    }
+    for (int i = 0; i < 64; i++) {
+      int32_t q = q64[i];
+      if (q < 1) q = 1;
+      if (q > 65535) q = 65535;
+      qd[i] = q * 8;
+      qhalf[i] = q * 4;
+      qinv[i] = 1.0 / (double)qd[i];
+      uint32_t lg = 32 - __builtin_clz((uint32_t)qd[i] - 1);
+      qsh[i] = 20 + lg;
+      qmag[i] = (uint32_t)((((uint64_t)1 << qsh[i]) / (uint32_t)qd[i]) + 1);
+    }
+    return true;
+  }
+
+  // One block -> zigzag quantized coefficients qs[64].  If nzraster is
+  // non-null it receives the RASTER-order nonzero bitmask computed from
+  // the quant vectors (so callers avoid wide reloads of the freshly
+  // scalar-scattered qs — a store-forwarding stall).
+  void block_zz(int by, int bx, int32_t* qs,
+                uint64_t* nzraster = nullptr) const {
+    const int32_t* band =
+        aligned ? nullptr : src.data() + (size_t)by * 8 * pw;
+#if defined(__AVX2__)
+    // register-resident pipeline: load -> transpose -> pass1 ->
+    // transpose -> pass2 -> quant without touching memory in between
+    jdct::avx::V r[8], o[8];
+    const jdct::avx::V lvl = _mm256_set1_epi32(level_shift);
+    if (aligned && src_type == 1) {
+      const uint8_t* p0 = plane + ((long)by * 8) * w + bx * 8;
+      for (int y = 0; y < 8; y++)
+        r[y] = _mm256_sub_epi32(
+            _mm256_cvtepu8_epi32(
+                _mm_loadl_epi64((const __m128i*)(p0 + (long)y * w))),
+            lvl);
+    } else if (aligned && src_type == 2) {
+      const uint16_t* p0 =
+          (const uint16_t*)plane + ((long)by * 8) * w + bx * 8;
+      for (int y = 0; y < 8; y++)
+        r[y] = _mm256_sub_epi32(
+            _mm256_cvtepu16_epi32(
+                _mm_loadu_si128((const __m128i*)(p0 + (long)y * w))),
+            lvl);
+    } else if (aligned) {
+      const int32_t* p0 =
+          (const int32_t*)plane + ((long)by * 8) * w + bx * 8;
+      for (int y = 0; y < 8; y++)
+        r[y] = _mm256_sub_epi32(
+            _mm256_loadu_si256((const __m256i*)(p0 + (long)y * w)), lvl);
+    } else {
+      for (int y = 0; y < 8; y++)
+        r[y] = _mm256_loadu_si256(
+            (const __m256i*)(band + (size_t)y * pw + bx * 8));
+    }
+    jdct::avx::transpose(r);                       // [x] lanes y
+    if (p12) jdct::avx::fdct_pass<false, 1>(r, o); // [u] lanes y
+    else     jdct::avx::fdct_pass<false, 2>(r, o);
+    jdct::avx::transpose(o);                       // [y] lanes u
+    if (p12) jdct::avx::fdct_pass<true, 1>(o, r);  // [v] lanes u
+    else     jdct::avx::fdct_pass<true, 2>(o, r);
+    // fused quant: |c|+4q, magic-multiply exact /8q, sign restore
+    alignas(32) int32_t qr[64];
+    for (int v = 0; v < 8; v++) {
+      jdct::avx::V c = r[v];
+      jdct::avx::V half = _mm256_load_si256((const __m256i*)(qhalf + v * 8));
+      jdct::avx::V mag = _mm256_load_si256((const __m256i*)(qmag + v * 8));
+      jdct::avx::V sh = _mm256_load_si256((const __m256i*)(qsh + v * 8));
+      jdct::avx::V neg = _mm256_srai_epi32(c, 31);
+      jdct::avx::V n = _mm256_add_epi32(
+          _mm256_sub_epi32(_mm256_xor_si256(c, neg), neg), half);
+      jdct::avx::V lo = _mm256_srlv_epi64(
+          _mm256_mul_epu32(n, mag),
+          _mm256_blend_epi32(sh, _mm256_setzero_si256(), 0xAA));
+      jdct::avx::V hi = _mm256_srlv_epi64(
+          _mm256_mul_epu32(_mm256_srli_epi64(n, 32),
+                           _mm256_srli_epi64(mag, 32)),
+          _mm256_srli_epi64(sh, 32));
+      jdct::avx::V t =
+          _mm256_blend_epi32(lo, _mm256_slli_epi64(hi, 32), 0xAA);
+      t = _mm256_sub_epi32(_mm256_xor_si256(t, neg), neg);
+      _mm256_store_si256((__m256i*)(qr + v * 8), t);
+    }
+    if (nzraster) {
+      uint64_t m = 0;
+      const __m256i zero = _mm256_setzero_si256();
+      for (int v = 0; v < 8; v++) {
+        int zb = _mm256_movemask_ps(_mm256_castsi256_ps(_mm256_cmpeq_epi32(
+            _mm256_load_si256((const __m256i*)(qr + v * 8)), zero)));
+        m |= (uint64_t)(~zb & 0xFF) << (v * 8);
+      }
+      *nzraster = m;
+    }
+    for (int i = 0; i < 64; i++) qs[i] = qr[jdct::ZZ[i]];
+#else
+    alignas(32) int32_t f[64];
+    int32_t blk[8][8], bt[8][8], t1[8][8], t2[8][8];
+    int32_t(*f8)[8] = (int32_t(*)[8])f;
+    if (aligned) {
+      // direct level-shifted load from the source rows
+      if (src_type == 1) {
+        const uint8_t* p0 = plane + ((long)by * 8) * w + bx * 8;
+        for (int y = 0; y < 8; y++)
+          for (int x = 0; x < 8; x++)
+            blk[y][x] = (int32_t)p0[(long)y * w + x] - level_shift;
+      } else if (src_type == 2) {
+        const uint16_t* p0 =
+            (const uint16_t*)plane + ((long)by * 8) * w + bx * 8;
+        for (int y = 0; y < 8; y++)
+          for (int x = 0; x < 8; x++)
+            blk[y][x] = (int32_t)p0[(long)y * w + x] - level_shift;
+      } else {
+        const int32_t* p0 =
+            (const int32_t*)plane + ((long)by * 8) * w + bx * 8;
+        for (int y = 0; y < 8; y++)
+          for (int x = 0; x < 8; x++)
+            blk[y][x] = p0[(long)y * w + x] - level_shift;
+      }
+    } else {
+      for (int y = 0; y < 8; y++)
+        memcpy(blk[y], band + (size_t)y * pw + bx * 8,
+               8 * sizeof(int32_t));
+    }
+    // pass 1 along x: lanes over y -> t1[u][y]
+    jdct::transpose8(blk, bt);             // bt[x][y]
+    if (p12) jdct::fdct_pass<false, 1>(bt, t1);   // t1[u][y]
+    else     jdct::fdct_pass<false, 2>(bt, t1);
+    // pass 2 along y: lanes over u -> f[v][u]
+    jdct::transpose8(t1, t2);              // t2[y][u]
+    if (p12) jdct::fdct_pass<true, 1>(t2, f8);    // f[v][u]
+    else     jdct::fdct_pass<true, 2>(t2, f8);
+    // branchless exact quant: t = floor((|c|+4q)/8q) via double
+    // reciprocal + one-step fixup, then sign restore; vectorizable.
+    int32_t qr[64];
+    for (int i = 0; i < 64; i++) {
+      int32_t c = f[i];
+      int32_t neg = -(int32_t)(c < 0);
+      int32_t n = (c ^ neg) - neg + qhalf[i];  // |c| + 4q
+      int32_t t = (int32_t)((double)n * qinv[i]);
+      t -= (int32_t)(t * qd[i] > n);
+      t += (int32_t)((t + 1) * qd[i] <= n);
+      qr[i] = (t ^ neg) - neg;
+    }
+    if (nzraster) {
+      uint64_t m = 0;
+      for (int k = 0; k < 64; k++)
+        if (qr[k]) m |= 1ull << k;
+      *nzraster = m;
+    }
+    for (int i = 0; i < 64; i++) qs[i] = qr[jdct::ZZ[i]];
+#endif
+  }
+};
+
+// raster nonzero mask -> zigzag nonzero mask, byte-sliced LUT:
+// zz bit i is set iff raster bit ZZ[i] is set.
+struct ZZMaskLut {
+  uint64_t t[8][256];
+  ZZMaskLut() {
+    int inv[64];
+    for (int i = 0; i < 64; i++) inv[jdct::ZZ[i]] = i;
+    for (int v = 0; v < 8; v++)
+      for (int b = 0; b < 256; b++) {
+        uint64_t m = 0;
+        for (int x = 0; x < 8; x++)
+          if (b & (1 << x)) m |= 1ull << inv[v * 8 + x];
+        t[v][b] = m;
+      }
+  }
+  uint64_t operator()(uint64_t raster) const {
+    uint64_t m = 0;
+    for (int v = 0; v < 8; v++)
+      m |= t[v][(raster >> (v * 8)) & 0xFF];
+    return m;
+  }
+};
+const ZZMaskLut ZZMASK;
+
+}  // namespace
+
+extern "C" {
+
+// plane [h, w] raw samples -> out [ceil(h/8)*ceil(w/8)*64] int32 zigzag
+// quantized blocks (row-major block order), edge-replicated pad.
+// Integer islow: row pass along x, column pass along y, round-half-away
+// /8q quantizer (reference encoder.go:440-468 semantics).
+// src_type: 0 = int32, 1 = uint8, 2 = uint16 (native-endian)
 int jpg_fdct_quant(const uint8_t* plane, int src_type, int w, int h,
                    const int32_t* q64, int level_shift, int32_t* out) {
-  if (w <= 0 || h <= 0) return -1;
-  int nbx = (w + 7) / 8, nby = (h + 7) / 8;
-  int pw = nbx * 8, ph = nby * 8;
-  const bool p12 = level_shift >= 1024;  // ops/dct_int.pass1_bits
-
-  // edge-replicated, level-shifted int32 copy (branch-free inner loops)
-  std::vector<int32_t> src((size_t)ph * pw);
-  for (int y = 0; y < ph; y++) {
-    int sy = y < h ? y : h - 1;
-    int32_t* drow = src.data() + (size_t)y * pw;
-    if (src_type == 1) {
-      const uint8_t* row = plane + (long)sy * w;
-      for (int x = 0; x < w; x++) drow[x] = (int32_t)row[x] - level_shift;
-    } else if (src_type == 2) {
-      const uint16_t* row = (const uint16_t*)plane + (long)sy * w;
-      for (int x = 0; x < w; x++) drow[x] = (int32_t)row[x] - level_shift;
-    } else {
-      const int32_t* row = (const int32_t*)plane + (long)sy * w;
-      for (int x = 0; x < w; x++) drow[x] = row[x] - level_shift;
-    }
-    for (int x = w; x < pw; x++) drow[x] = drow[w - 1];
-  }
-
-  // per-position quant constants in raster order
-  int32_t qd[64], qhalf[64];
-  double qinv[64];
-  for (int i = 0; i < 64; i++) {
-    int32_t q = q64[i];
-    if (q < 1) q = 1;
-    qd[i] = q * 8;
-    qhalf[i] = q * 4;
-    qinv[i] = 1.0 / (double)qd[i];
-  }
-
-  for (int by = 0; by < nby; by++) {
-    const int32_t* band = src.data() + (size_t)by * 8 * pw;
-    for (int bx = 0; bx < nbx; bx++) {
-      int32_t blk[8][8], bt[8][8], t1[8][8], t2[8][8], f[8][8];
-      for (int y = 0; y < 8; y++)
-        memcpy(blk[y], band + (size_t)y * pw + bx * 8, 8 * sizeof(int32_t));
-      // pass 1 along x: lanes over y -> t1[u][y]
-      jdct::transpose8(blk, bt);             // bt[x][y]
-      if (p12) jdct::fdct_pass<false, 1>(bt, t1);   // t1[u][y]
-      else     jdct::fdct_pass<false, 2>(bt, t1);
-      // pass 2 along y: lanes over u -> f[v][u]
-      jdct::transpose8(t1, t2);              // t2[y][u]
-      if (p12) jdct::fdct_pass<true, 1>(t2, f);     // f[v][u]
-      else     jdct::fdct_pass<true, 2>(t2, f);
-
-      // branchless exact quant: t = floor((|c|+4q)/8q) via double
-      // reciprocal + one-step fixup, then sign restore; vectorizable.
-      int32_t qs[64];
-      const int32_t* fr = &f[0][0];
-      for (int i = 0; i < 64; i++) {
-        int32_t c = fr[i];
-        int32_t neg = -(int32_t)(c < 0);
-        int32_t n = (c ^ neg) - neg + qhalf[i];  // |c| + 4q
-        int32_t t = (int32_t)((double)n * qinv[i]);
-        t -= (int32_t)(t * qd[i] > n);
-        t += (int32_t)((t + 1) * qd[i] <= n);
-        qs[i] = (t ^ neg) - neg;
-      }
-      int32_t* dst = out + ((long)by * nbx + bx) * 64;
-      for (int i = 0; i < 64; i++) dst[i] = qs[jdct::ZZ[i]];
-    }
-  }
+  JFdct ctx;
+  if (!ctx.init(plane, src_type, w, h, q64, level_shift)) return -1;
+  for (int by = 0; by < ctx.nby; by++)
+    for (int bx = 0; bx < ctx.nbx; bx++)
+      ctx.block_zz(by, bx, out + ((long)by * ctx.nbx + bx) * 64);
   return 0;
+}
+
+// Fused single-component frame encoder: per-block DCT+quant feeding the
+// Huffman scan writer directly — the coefficient block never leaves L1
+// and the 1 MB zigzag buffer round trip of the two-phase path is gone.
+// Gray, no restart markers (the adapter falls back otherwise).
+// Returns scan bytes written (FF-stuffed, 1-padded), or -1.
+long jpg_encode_frame(const uint8_t* plane, int src_type, int w, int h,
+                      const int32_t* q64, int level_shift,
+                      const int32_t* dc_codes, const int32_t* dc_lens,
+                      const int32_t* ac_codes, const int32_t* ac_lens,
+                      uint8_t* out, long out_cap) {
+  JFdct ctx;
+  if (!ctx.init(plane, src_type, w, h, q64, level_shift)) return -1;
+  long nblocks = (long)ctx.nby * ctx.nbx;
+  std::unique_ptr<uint8_t[]> raw(
+      new uint8_t[(size_t)nblocks * 64 * 4 + 64]);  // uninit POD
+  uint8_t* rp = raw.get();
+  size_t ro = 0;
+  uint64_t acc = 0;
+  int nacc = 0;
+  auto put = [&](uint64_t v, int len) {
+    if (!len) return;
+    acc |= (v & ((1ull << len) - 1)) << (64 - nacc - len);
+    nacc += len;
+    uint64_t wv = __builtin_bswap64(acc);
+    memcpy(rp + ro, &wv, 8);
+    int nb = nacc >> 3;
+    ro += nb;
+    acc <<= nb * 8;
+    nacc &= 7;
+  };
+  uint64_t pv = 0;
+  int pl = 0;
+  auto emit = [&](uint64_t v, int len) {
+    if (pl + len > 48) {
+      put(pv, pl);
+      pv = 0;
+      pl = 0;
+    }
+    pv = (pv << len) | (v & ((1ull << len) - 1));
+    pl += len;
+  };
+  alignas(32) int32_t blk[64];
+  int64_t prev_dc = 0;
+  for (int by = 0; by < ctx.nby; by++) {
+    for (int bx = 0; bx < ctx.nbx; bx++) {
+      uint64_t rmask = 0;
+      ctx.block_zz(by, bx, blk, &rmask);
+      int64_t diff = (int64_t)blk[0] - prev_dc;
+      prev_dc = blk[0];
+      int cat = jpg_cat(diff);
+      if (!dc_lens[cat]) return -1;
+      if (cat && cat != 16) {
+        uint32_t eb = (uint32_t)(diff < 0 ? diff + (1 << cat) - 1 : diff) &
+                      ((1u << cat) - 1);
+        emit(((uint64_t)(uint32_t)dc_codes[cat] << cat) | eb,
+             dc_lens[cat] + cat);
+      } else {
+        emit((uint32_t)dc_codes[cat], dc_lens[cat]);
+      }
+      int last_nz = 0;
+      uint64_t m = ZZMASK(rmask) & ~1ull;
+      while (m) {
+        int k2 = __builtin_ctzll(m);
+        m &= m - 1;
+        int run = k2 - last_nz - 1;
+        while (run >= 16) {
+          if (!ac_lens[0xF0]) return -1;
+          emit((uint32_t)ac_codes[0xF0], ac_lens[0xF0]);
+          run -= 16;
+        }
+        int32_t v = blk[k2];
+        int32_t sgn = v >> 31;
+        uint32_t a = (uint32_t)((v ^ sgn) - sgn);
+        int ac = 32 - __builtin_clz(a);
+        int sym = (run << 4) | ac;
+        if (!ac_lens[sym]) return -1;
+        uint32_t aeb = (uint32_t)(v + (sgn & (int32_t)((1u << ac) - 1))) &
+                       ((1u << ac) - 1);
+        emit(((uint64_t)(uint32_t)ac_codes[sym] << ac) | aeb,
+             ac_lens[sym] + ac);
+        last_nz = k2;
+      }
+      if (last_nz < 63) {
+        if (!ac_lens[0]) return -1;
+        emit((uint32_t)ac_codes[0], ac_lens[0]);
+      }
+    }
+  }
+  if (pl) put(pv, pl);
+  if (nacc) {
+    int fill = 8 - nacc;
+    put((1u << fill) - 1, fill);
+  }
+  // FF -> FF 00 stuffing
+  long o = 0;
+  size_t i = 0;
+  while (i < ro) {
+    const uint8_t* ff = (const uint8_t*)memchr(rp + i, 0xFF, ro - i);
+    size_t run = ff ? (size_t)(ff - (rp + i)) : ro - i;
+    if (o + (long)run + 2 > out_cap) return -1;
+    memcpy(out + o, rp + i, run);
+    o += run;
+    i += run;
+    if (ff) {
+      out[o++] = 0xFF;
+      out[o++] = 0x00;
+      i++;
+    }
+  }
+  return o;
 }
 
 // zz [nby*nbx, 64] int32 zigzag -> out plane [nby*8, nbx*8] int32 clamped
@@ -3566,18 +4070,22 @@ int jpg_idct(const int32_t* zz, int nby, int nbx, const int32_t* q64,
   for (int by = 0; by < nby; by++) {
     for (int bx = 0; bx < nbx; bx++) {
       const int32_t* src = zz + ((long)by * nbx + bx) * 64;
-      int32_t f[8][8], w1[8][8], w2[8][8], s[8][8], st[8][8];
+      alignas(32) int32_t f[64];
       // dequant at zigzag scatter -> f[v][u] raster; the 12-bit profile
       // halves (round-half-up) for int32 headroom, compensated in the
       // final descale (idct_pass<true, 0>)
-      int32_t* fr = &f[0][0];
       for (int i = 0; i < 64; i++)
-        fr[jdct::ZZ[i]] = src[i] * q64[jdct::ZZ[i]];
+        f[jdct::ZZ[i]] = src[i] * q64[jdct::ZZ[i]];
       if (p12)
-        for (int i = 0; i < 64; i++) fr[i] = (fr[i] + 1) >> 1;
+        for (int i = 0; i < 64; i++) f[i] = (f[i] + 1) >> 1;
+      // auto-vectorized passes (measured FASTER than a register-resident
+      // AVX2 pipeline here: the scalar zigzag scatter right above makes
+      // wide vector loads of f stall on store-forwarding)
+      int32_t w1[8][8], w2[8][8], s[8][8], st[8][8];
+      int32_t(*f8)[8] = (int32_t(*)[8])f;
       // pass 1 along v: lanes over u (raster rows are already vectors)
-      if (p12) jdct::idct_pass<false, 1>(f, w1);    // w1[y][u]
-      else     jdct::idct_pass<false, 2>(f, w1);
+      if (p12) jdct::idct_pass<false, 1>(f8, w1);   // w1[y][u]
+      else     jdct::idct_pass<false, 2>(f8, w1);
       // pass 2 along u: lanes over y
       jdct::transpose8(w1, w2);              // w2[u][y]
       if (p12) jdct::idct_pass<true, 0>(w2, s);     // s[x][y]
