@@ -665,9 +665,16 @@ class J2KEncoder:
                                 native = True  # skip fallback below
                             else:
                                 from ..native import t1_encode_native
+                                # single-layer unrated: PCRD never reads
+                                # the distortion estimates — skip them
+                                eff = getattr(self, "_eff_rates", None)
+                                need_nmse = bool(
+                                    cod.num_layers > 1
+                                    or (eff and any(r > 0 for r in eff)))
                                 native = t1_encode_native(
                                     np.ascontiguousarray(blk_data),
-                                    cod.cb_style, bg.orient)
+                                    cod.cb_style, bg.orient,
+                                    need_nmse=need_nmse)
                                 if native is not None:
                                     (stream, numbps, rates, terms,
                                      bitplanes, nmsedecs) = native

@@ -69,13 +69,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
             i64p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, u8p, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
-            i32p, u8p, i32p, i32p, ctypes.c_int]
+            i32p, u8p, i32p, i32p, ctypes.c_int, ctypes.c_int]
         lib.t1_encode32.restype = ctypes.c_int
         lib.t1_encode32.argtypes = [
             i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, u8p, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
-            i32p, u8p, i32p, i32p, ctypes.c_int]
+            i32p, u8p, i32p, i32p, ctypes.c_int, ctypes.c_int]
         lib.t1_decode.restype = ctypes.c_int
         lib.t1_decode.argtypes = [
             u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -495,9 +495,14 @@ def p14_pack_scan_native(diffs: np.ndarray, codes: np.ndarray,
 
 
 def t1_encode_native(data: np.ndarray, style: int, orient: int,
-                     roishift: int = 0):
+                     roishift: int = 0, need_nmse: bool = True):
     """Native T1 encode; returns (bytes, numbps, rates, terms, bitplanes,
-    nmsedecs) or None when the native path is unavailable."""
+    nmsedecs) or None when the native path is unavailable.
+
+    need_nmse=False skips the NMSEDEC distortion accumulation (PCRD
+    inputs) — the stream/rates are identical, nmsedecs come back as
+    zeros; single-layer unrated encodes use this (measured ~15% of
+    dense-block encode time)."""
     lib = get_lib()
     if lib is None:
         return None
@@ -515,12 +520,14 @@ def t1_encode_native(data: np.ndarray, style: int, orient: int,
         src = np.ascontiguousarray(data)
         n = lib.t1_encode32(src, w, h, style, orient, roishift, out, cap,
                             ctypes.byref(numbps), ctypes.byref(npasses),
-                            rates, terms, bps, nmse, max_passes)
+                            rates, terms, bps, nmse, max_passes,
+                            1 if need_nmse else 0)
     else:
         src = np.ascontiguousarray(data, dtype=np.int64)
         n = lib.t1_encode(src, w, h, style, orient, roishift, out, cap,
                           ctypes.byref(numbps), ctypes.byref(npasses),
-                          rates, terms, bps, nmse, max_passes)
+                          rates, terms, bps, nmse, max_passes,
+                          1 if need_nmse else 0)
     if n < 0:
         return None
     k = npasses.value

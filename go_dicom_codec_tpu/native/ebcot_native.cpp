@@ -42,6 +42,24 @@ const uint8_t SWITCH_[47] = {1, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 1, 0,
                              0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
                              0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0};
 
+// Packed next-state tables indexed by the full ctx byte (state | mps<<7):
+// PNMPS folds the MPS-path transition, PNLPS folds NLPS + the SWITCH
+// sense flip — one load replaces state unpack + switch logic on the
+// encode hot path (byte-for-byte the same transitions).
+struct MQPackedTables {
+  uint8_t pnmps[256], pnlps[256];
+  MQPackedTables() {
+    for (int st = 0; st < 47; st++)
+      for (int mps = 0; mps < 2; mps++) {
+        int s = st | (mps << 7);
+        pnmps[s] = (uint8_t)(NMPS[st] | (mps << 7));
+        int nm = SWITCH_[st] ? 1 - mps : mps;
+        pnlps[s] = (uint8_t)(NLPS[st] | (nm << 7));
+      }
+  }
+};
+const MQPackedTables MQPT;
+
 // context indices
 const int CTX_RL = 17, CTX_UNI = 18, NUMCTX = 19;
 
@@ -227,30 +245,59 @@ struct MQEnc {
   }
 
   void renorme() {
-    while (a < 0x8000) {
-      a <<= 1; c <<= 1;
-      if (--ct == 0) byteout();
+    // clz form: one bulk shift instead of a mispredicted per-bit loop;
+    // a >= 0x8000 makes this a no-op, so encode() calls it
+    // unconditionally (a >= 1 always: a >= qe after the exchange rules)
+    int sh = __builtin_clz(a) - 16;
+    while (sh >= ct) {
+      a <<= ct;
+      c <<= ct;
+      sh -= ct;
+      ct = 0;
+      byteout();  // resets ct to 7 or 8
     }
+    a <<= sh;
+    c <<= sh;
+    ct -= sh;
+  }
+
+  // encode with the context byte held in a caller register — removes
+  // the per-symbol ctx[] store->load forward from the critical path in
+  // runs that reuse one context (MRP steady state).
+  inline void encode_s(int bit, uint8_t& s) {
+    uint32_t qe = QE[s & 0x7F];
+    uint32_t lps = (uint32_t)bit ^ (s >> 7);
+    a -= qe;
+    uint32_t nr = (uint32_t)(lps == 0) & (a >> 15);
+    uint32_t lt = a < qe;
+    uint32_t addq = lps ? lt : (nr | (lt ^ 1));
+    c += addq ? qe : 0;
+    uint32_t seta = lps ? (lt ^ 1) : ((nr ^ 1) & lt);
+    a = seta ? qe : a;
+    uint8_t nst = lps ? MQPT.pnlps[s] : MQPT.pnmps[s];
+    s = nr ? s : nst;
+    renorme();
   }
 
   void encode(int bit, int cx) {
+    // fully branchless flowchart (byte-identical transitions): random
+    // data makes every data-dependent branch here a ~50% mispredict,
+    // so all decisions are selects and renorme() self-no-ops.
     uint8_t s = ctx[cx];
-    int state = s & 0x7F, mps = s >> 7;
-    uint32_t qe = QE[state];
-    if (bit == mps) {
-      a -= qe;
-      if ((a & 0x8000) == 0) {
-        if (a < qe) a = qe; else c += qe;
-        ctx[cx] = NMPS[state] | (mps << 7);
-        renorme();
-      } else c += qe;
-    } else {
-      a -= qe;
-      if (a < qe) c += qe; else a = qe;
-      int nm = SWITCH_[state] ? 1 - mps : mps;
-      ctx[cx] = NLPS[state] | (nm << 7);
-      renorme();
-    }
+    uint32_t qe = QE[s & 0x7F];
+    uint32_t lps = (uint32_t)bit ^ (s >> 7);
+    a -= qe;
+    uint32_t nr = (uint32_t)(lps == 0) & (a >> 15);  // MPS, no renorm
+    uint32_t lt = a < qe;                    // shared exchange compare
+    // c += qe when: MPS && (no-renorm || !lt); LPS && lt
+    uint32_t addq = lps ? lt : (nr | (lt ^ 1));
+    c += addq ? qe : 0;
+    // a = qe when: MPS-renorm && lt; LPS && !lt
+    uint32_t seta = lps ? (lt ^ 1) : ((nr ^ 1) & lt);
+    a = seta ? qe : a;
+    uint8_t nst = lps ? MQPT.pnlps[s] : MQPT.pnmps[s];
+    ctx[cx] = nr ? s : nst;
+    renorme();
   }
 
   void setbits() {
@@ -344,35 +391,36 @@ struct MQDec {
   }
 
   void renormd() {
-    while (a < 0x8000) {
+    // clz form: bulk-shift between byteins; no-op when a >= 0x8000, so
+    // decode() calls it unconditionally
+    int sh = __builtin_clz(a) - 16;
+    while (sh) {
       if (ct == 0) bytein();
-      a <<= 1; c <<= 1; ct--;
+      int step = sh < ct ? sh : ct;
+      a <<= step;
+      c <<= step;
+      ct -= step;
+      sh -= step;
     }
   }
 
   int decode(int cx) {
+    // fully branchless (byte-identical decisions): packed next-state
+    // tables + selects; see MQEnc::encode for the rationale.
     uint8_t s = ctx[cx];
-    int state = s & 0x7F, mps = s >> 7, d;
-    uint32_t qe = QE[state];
+    uint32_t mps = s >> 7;
+    uint32_t qe = QE[s & 0x7F];
     a -= qe;
-    if ((c >> 16) < qe) {
-      if (a < qe) { a = qe; d = mps; ctx[cx] = NMPS[state] | (mps << 7); }
-      else {
-        a = qe; d = 1 - mps;
-        int nm = SWITCH_[state] ? 1 - mps : mps;
-        ctx[cx] = NLPS[state] | (nm << 7);
-      }
-      renormd();
-    } else {
-      c -= qe << 16;
-      if (a & 0x8000) return mps;
-      if (a < qe) {
-        d = 1 - mps;
-        int nm = SWITCH_[state] ? 1 - mps : mps;
-        ctx[cx] = NLPS[state] | (nm << 7);
-      } else { d = mps; ctx[cx] = NMPS[state] | (mps << 7); }
-      renormd();
-    }
+    uint32_t cold = (c >> 16) < qe;          // LPS-side of the interval
+    c -= cold ? 0 : (qe << 16);
+    uint32_t nr = (cold ^ 1) & (a >> 15);    // no renorm, no exchange
+    uint32_t lt = a < qe;
+    uint32_t flip = cold ^ lt;               // decision differs from MPS
+    int d = (int)(mps ^ (nr ? 0 : flip));
+    uint8_t nst = flip ? MQPT.pnlps[s] : MQPT.pnmps[s];
+    ctx[cx] = nr ? s : nst;
+    a = cold ? qe : a;
+    renormd();
     return d;
   }
 };
@@ -467,7 +515,7 @@ struct T1CF {
 // Encode one code-block (templated pass engine; see T1CF). VSC is a
 // compile-time flag so the stripe-boundary masking branches vanish in
 // the (overwhelmingly common) non-VSC instantiation.
-template <typename MT, bool VSC, typename ST>
+template <typename MT, bool VSC, bool NM, typename ST>
 int t1_encode_impl(const ST* src, int w, int h, int style, int orient,
                    int roishift, uint8_t* out, int out_cap, int* numbps_out,
                    int* npasses_out, int* pass_rates, uint8_t* pass_terms,
@@ -563,7 +611,7 @@ int t1_encode_impl(const ST* src, int w, int h, int style, int orient,
               Fr[x] = f;
               t.set_sig(st, x, j, sign);
               f = Fr[x];
-              nm += nmsedec_sig(av, bitplane);
+              if (NM) nm += nmsedec_sig(av, bitplane);
             }
           }
           Fr[x] = f;
@@ -580,12 +628,15 @@ int t1_encode_impl(const ST* src, int w, int h, int style, int orient,
           if (!raw && hh == 4 &&
               (f & (SIGMA_MID4 | PI4 | MU4)) == (SIGMA_MID4 | MU4)) {
             // steady state: all 4 significant + refined before + not
-            // visited this plane — four ctx-16 magnitude bits
+            // visited this plane — four ctx-16 magnitude bits with the
+            // context byte cached in a register across the run
+            uint8_t s16 = mq.ctx[16];
             for (int j = 0; j < 4; j++) {
               uint64_t av = (uint64_t)(c[j] & MAGMASK);
-              mq.encode((int)((av >> bitplane) & 1), 16);
-              nm += nmsedec_ref(av, bitplane);
+              mq.encode_s((int)((av >> bitplane) & 1), s16);
+              if (NM) nm += nmsedec_ref(av, bitplane);
             }
+            mq.ctx[16] = s16;
             continue;
           }
           for (int j = 0; j < hh; j++) {
@@ -596,7 +647,7 @@ int t1_encode_impl(const ST* src, int w, int h, int style, int orient,
             if (raw) mq.bypass_encode(bit);
             else mq.encode(bit, mr_context_cf(f, j, vsc));
             f |= 1u << (22 + j);            // mu: refined once
-            nm += nmsedec_ref(av, bitplane);
+            if (NM) nm += nmsedec_ref(av, bitplane);
           }
           Fr[x] = f;
         }
@@ -639,7 +690,7 @@ int t1_encode_impl(const ST* src, int w, int h, int style, int orient,
                 Fr[x] = f;
                 t.set_sig(st, x, j, sign);
                 f = Fr[x];
-                nm += nmsedec_sig(av, bitplane);
+                if (NM) nm += nmsedec_sig(av, bitplane);
               }
             }
             Fr[x] = f;
@@ -664,7 +715,7 @@ int t1_encode_impl(const ST* src, int w, int h, int style, int orient,
               Fr[x] = f;
               t.set_sig(st, x, j, sign);
               f = Fr[x];
-              nm += nmsedec_sig(av, bitplane);
+              if (NM) nm += nmsedec_sig(av, bitplane);
             }
           }
           Fr[x] = f & ~PI4;   // clear visited like the per-sample model
@@ -711,36 +762,55 @@ int t1_encode_impl(const ST* src, int w, int h, int style, int orient,
 
 }  // namespace
 
+template <typename MT, typename ST>
+static int t1_encode_vsc_nm(const ST* src, int w, int h, int style,
+                            int orient, int roishift, uint8_t* out,
+                            int out_cap, int* numbps_out, int* npasses_out,
+                            int* pass_rates, uint8_t* pass_terms,
+                            int* pass_bitplanes, int* pass_nmsedec,
+                            int max_passes, int need_nmse) {
+  const bool vsc = (style & S_VSC) != 0;
+  if (need_nmse)
+    return vsc ? t1_encode_impl<MT, true, true>(
+                     src, w, h, style, orient, roishift, out, out_cap,
+                     numbps_out, npasses_out, pass_rates, pass_terms,
+                     pass_bitplanes, pass_nmsedec, max_passes)
+               : t1_encode_impl<MT, false, true>(
+                     src, w, h, style, orient, roishift, out, out_cap,
+                     numbps_out, npasses_out, pass_rates, pass_terms,
+                     pass_bitplanes, pass_nmsedec, max_passes);
+  return vsc ? t1_encode_impl<MT, true, false>(
+                   src, w, h, style, orient, roishift, out, out_cap,
+                   numbps_out, npasses_out, pass_rates, pass_terms,
+                   pass_bitplanes, pass_nmsedec, max_passes)
+             : t1_encode_impl<MT, false, false>(
+                   src, w, h, style, orient, roishift, out, out_cap,
+                   numbps_out, npasses_out, pass_rates, pass_terms,
+                   pass_bitplanes, pass_nmsedec, max_passes);
+}
+
 template <typename ST>
 static int t1_encode_any(const ST* src, int w, int h, int style, int orient,
                          int roishift, uint8_t* out, int out_cap,
                          int* numbps_out, int* npasses_out, int* pass_rates,
                          uint8_t* pass_terms, int* pass_bitplanes,
-                         int* pass_nmsedec, int max_passes) {
+                         int* pass_nmsedec, int max_passes,
+                         int need_nmse) {
   uint64_t maxabs = 0;
   for (long i = 0; i < (long)w * h; i++) {
     int64_t v = (int64_t)src[i];
     uint64_t av = (uint64_t)(v < 0 ? -v : v);
     if (av > maxabs) maxabs = av;
   }
-  const bool vsc = (style & S_VSC) != 0;
   if (maxabs < (1u << 30))
-    return vsc ? t1_encode_impl<uint32_t, true>(
-                     src, w, h, style, orient, roishift, out, out_cap,
-                     numbps_out, npasses_out, pass_rates, pass_terms,
-                     pass_bitplanes, pass_nmsedec, max_passes)
-               : t1_encode_impl<uint32_t, false>(
-                     src, w, h, style, orient, roishift, out, out_cap,
-                     numbps_out, npasses_out, pass_rates, pass_terms,
-                     pass_bitplanes, pass_nmsedec, max_passes);
-  return vsc ? t1_encode_impl<uint64_t, true>(
-                   src, w, h, style, orient, roishift, out, out_cap,
-                   numbps_out, npasses_out, pass_rates, pass_terms,
-                   pass_bitplanes, pass_nmsedec, max_passes)
-             : t1_encode_impl<uint64_t, false>(
-                   src, w, h, style, orient, roishift, out, out_cap,
-                   numbps_out, npasses_out, pass_rates, pass_terms,
-                   pass_bitplanes, pass_nmsedec, max_passes);
+    return t1_encode_vsc_nm<uint32_t>(
+        src, w, h, style, orient, roishift, out, out_cap, numbps_out,
+        npasses_out, pass_rates, pass_terms, pass_bitplanes, pass_nmsedec,
+        max_passes, need_nmse);
+  return t1_encode_vsc_nm<uint64_t>(
+      src, w, h, style, orient, roishift, out, out_cap, numbps_out,
+      npasses_out, pass_rates, pass_terms, pass_bitplanes, pass_nmsedec,
+      max_passes, need_nmse);
 }
 
 extern "C" {
@@ -752,20 +822,24 @@ extern "C" {
 int t1_encode(const int64_t* src, int w, int h, int style, int orient,
               int roishift, uint8_t* out, int out_cap, int* numbps_out,
               int* npasses_out, int* pass_rates, uint8_t* pass_terms,
-              int* pass_bitplanes, int* pass_nmsedec, int max_passes) {
+              int* pass_bitplanes, int* pass_nmsedec, int max_passes,
+              int need_nmse) {
   return t1_encode_any(src, w, h, style, orient, roishift, out, out_cap,
                        numbps_out, npasses_out, pass_rates, pass_terms,
-                       pass_bitplanes, pass_nmsedec, max_passes);
+                       pass_bitplanes, pass_nmsedec, max_passes,
+                       need_nmse);
 }
 
 // int32 source variant: skips the Python-side int64 widening copy
 int t1_encode32(const int32_t* src, int w, int h, int style, int orient,
                 int roishift, uint8_t* out, int out_cap, int* numbps_out,
                 int* npasses_out, int* pass_rates, uint8_t* pass_terms,
-                int* pass_bitplanes, int* pass_nmsedec, int max_passes) {
+                int* pass_bitplanes, int* pass_nmsedec, int max_passes,
+                int need_nmse) {
   return t1_encode_any(src, w, h, style, orient, roishift, out, out_cap,
                        numbps_out, npasses_out, pass_rates, pass_terms,
-                       pass_bitplanes, pass_nmsedec, max_passes);
+                       pass_bitplanes, pass_nmsedec, max_passes,
+                       need_nmse);
 }
 
 // MSB-first bit writer with a 64-bit accumulator; optional JPEG

@@ -436,3 +436,39 @@ def test_maxshift_roi_16bit_roundtrip(rng):
     got = np.frombuffer(raw, "<u2").reshape(48, 48)
     np.testing.assert_array_equal(got.astype(np.int64),
                                   img.astype(np.int64))
+
+
+def test_adapter_defaults_bypass_style(rng):
+    """DICOM J2K adapters default to selective-arithmetic-bypass (lazy)
+    code-blocks — measured faster AND smaller than style 0 — while ROI
+    encodes fall back to pure MQ (foreign decoders disagree with the
+    ROI plane-skip schedule under bypass)."""
+    import go_dicom_codec_tpu as dc
+    from go_dicom_codec_tpu.codestream import j2k
+
+    img = rng.integers(0, 4096, (64, 64)).astype("<u2")
+    info = dc.FrameInfo(width=64, height=64, bits_allocated=16,
+                        bits_stored=12)
+    codec = dc.get_global_registry().get_codec(dc.uids.JPEG_2000_LOSSLESS)
+
+    def cod_style(params=None, exact=True):
+        src = dc.MemoryPixelData(info=info)
+        src.add_frame(img.tobytes())
+        enc = dc.MemoryPixelData(info=info, encapsulated=True)
+        codec.encode(src, enc, params)
+        cs = j2k.parse_codestream(enc.get_frame(0))
+        dec = dc.MemoryPixelData(info=info)
+        codec.decode(enc, dec)
+        if exact:
+            assert dec.get_frame(0) == src.get_frame(0)
+        return cs.cod.cb_style
+
+    assert cod_style() == 0x01                       # bypass default
+    assert cod_style(dc.Parameters(cb_style=0)) == 0  # explicit override
+    from go_dicom_codec_tpu.codecs.j2k_roi import ROIRegion
+    roi = dc.Parameters(
+        roi_regions=[ROIRegion(shape="rect", rect=(8, 8, 24, 24))],
+        roi_shift=6)
+    # low Srgn => background planes are dropped (not exact); only the
+    # style choice is under test here
+    assert cod_style(roi, exact=False) == 0          # ROI falls back to MQ
