@@ -149,7 +149,16 @@ class J2KEncoder:
         self.params = params or J2KEncodeParams()
 
     def encode(self, pixels, width: int, height: int, components: int,
-               bit_depth: int, signed: bool = False) -> bytes:
+               bit_depth: int, signed: bool = False,
+               precomputed_tiles=None) -> bytes:
+        """Full codestream encode.
+
+        precomputed_tiles: optional sequence of per-tile packed
+        coefficient arrays [C, th, tw] (raster tile order) computed
+        elsewhere — e.g. the sharded multi-chip device stage
+        (parallel/mesh.encode_frames_sharded) — which skip the transform
+        stage while keeping the FULL header/entropy/PCRD path.
+        """
         p = self.params
         if components not in (1, 3):
             raise UnsupportedFormatError("components must be 1 or 3")
@@ -218,52 +227,8 @@ class J2KEncoder:
             num_levels=levels, cb_width=p.cb_width, cb_height=p.cb_height,
             cb_style=cb_style, transform=1 if p.lossless else 0,
             precinct_exps=list(p.precincts) if p.precincts else None)
-        if p.htj2k:
-            # OpenJPH param_qcd quantization for HT code-blocks
-            # (reference encoder.go:1591, quantization.go:243-297)
-            kind, guard, vals = jq.openjph_qcd_values(
-                levels, bit_depth, p.lossless,
-                uses_rct=(use_mct and components == 3 and p.lossless))
-            if kind == "exponents":
-                qcd = j2k.QcdInfo(style=0, guard_bits=guard,
-                                  exponents=list(vals))
-            else:
-                qcd = j2k.QcdInfo(style=2, guard_bits=guard,
-                                  steps=list(vals))
-        elif p.lossless:
-            qcd = j2k.QcdInfo(style=0, guard_bits=p.guard_bits)
-            for r in range(levels + 1):
-                for band in ([0] if r == 0 else [1, 2, 3]):
-                    qcd.exponents.append(bit_depth + band_gain(band))
-        else:
-            # scalar expounded (style 2): (ε, μ) per subband
-            # (reference writeQCD encoder.go:1719-1733, quantization.go);
-            # custom_quant_steps overrides the quality curve when sized
-            # 3*levels+1, with quant_step_scale multiplying every step
-            # (reference lossy/codec.go:485 customQuantSteps)
-            qcd = j2k.QcdInfo(style=2, guard_bits=p.guard_bits)
-            steps = None
-            if (p.custom_quant_steps
-                    and len(p.custom_quant_steps) == 3 * levels + 1):
-                steps = [float(s) for s in p.custom_quant_steps]
-            quality = p.quality
-            scale = p.quant_step_scale
-            if scale and scale > 0 and scale != 1.0:
-                if steps is not None:
-                    steps = [s * scale for s in steps]
-                else:
-                    # scaling the base step by S == lowering quality by
-                    # 12.5*log2(S) (reference lossy/codec.go:414-424;
-                    # Go math.Round = half away from zero, not banker's)
-                    adj = 12.5 * math.log2(scale)
-                    adj = math.floor(adj + 0.5) if adj >= 0 \
-                        else math.ceil(adj - 0.5)
-                    quality = max(1, min(100, quality - int(adj)))
-            if steps is None:
-                steps = jq.step_sizes_97(levels, quality)
-            for step, (r, band) in zip(steps, jq.band_sequence(levels)):
-                rb = bit_depth + band_gain(band)
-                qcd.steps.append(jq.encode_step(step, rb))
+        qcd = self._build_qcd(levels, bit_depth, use_mct,
+                              components)
 
         roi_shift = 0
         roi_style = 0
@@ -375,9 +340,11 @@ class J2KEncoder:
             # allocate one shared byte budget so bits flow to the tiles
             # that need them (reference useGlobalPCRD encoder.go:2004).
             ctxs = []
-            for rect in rects:
-                coeffs = self._tile_coeffs(arr, rect, cod, qcd, bit_depth,
-                                           signed, use_mct, shifts)
+            for tidx, rect in enumerate(rects):
+                coeffs = self._tile_coeffs(
+                    arr, rect, cod, qcd, bit_depth, signed, use_mct,
+                    shifts,
+                    precomputed_tiles[tidx] if precomputed_tiles else None)
                 comp_res, comp_states = self._tile_block_states(
                     coeffs, rect, cod, qcd, bit_depth, shifts)
                 ctxs.append((comp_res, comp_states, components))
@@ -387,10 +354,11 @@ class J2KEncoder:
                 bodies.append(self._assemble_tile_packets(
                     comp_res, comp_states, cod, nc))
         else:
-            for rect in rects:
-                bodies.append(self._encode_tile(arr, rect, cod, qcd,
-                                                bit_depth, signed, use_mct,
-                                                shifts))
+            for tidx, rect in enumerate(rects):
+                bodies.append(self._encode_tile(
+                    arr, rect, cod, qcd, bit_depth, signed, use_mct,
+                    shifts,
+                    precomputed_tiles[tidx] if precomputed_tiles else None))
         if p.htj2k:
             # TLM tile-part index for fast HT tile access (encoder.go
             # writeTLM :1219-1244): Ptlm = SOT(12) + SOD(2) + body
@@ -400,6 +368,60 @@ class J2KEncoder:
             out += j2k.write_tile_part(tile_index, body)
         out += (j2k.EOC).to_bytes(2, "big")
         return bytes(out)
+
+    def _build_qcd(self, levels: int, bit_depth: int, use_mct: bool,
+                   components: int) -> j2k.QcdInfo:
+        """QCD for the current params (factored so the sharded
+        multi-chip path builds the identical marker - the quant
+        steps applied after the sharded DWT must match it)."""
+        p = self.params
+        if p.htj2k:
+            # OpenJPH param_qcd quantization for HT code-blocks
+            # (reference encoder.go:1591, quantization.go:243-297)
+            kind, guard, vals = jq.openjph_qcd_values(
+                levels, bit_depth, p.lossless,
+                uses_rct=(use_mct and components == 3 and p.lossless))
+            if kind == "exponents":
+                qcd = j2k.QcdInfo(style=0, guard_bits=guard,
+                                  exponents=list(vals))
+            else:
+                qcd = j2k.QcdInfo(style=2, guard_bits=guard,
+                                  steps=list(vals))
+        elif p.lossless:
+            qcd = j2k.QcdInfo(style=0, guard_bits=p.guard_bits)
+            for r in range(levels + 1):
+                for band in ([0] if r == 0 else [1, 2, 3]):
+                    qcd.exponents.append(bit_depth + band_gain(band))
+        else:
+            # scalar expounded (style 2): (ε, μ) per subband
+            # (reference writeQCD encoder.go:1719-1733, quantization.go);
+            # custom_quant_steps overrides the quality curve when sized
+            # 3*levels+1, with quant_step_scale multiplying every step
+            # (reference lossy/codec.go:485 customQuantSteps)
+            qcd = j2k.QcdInfo(style=2, guard_bits=p.guard_bits)
+            steps = None
+            if (p.custom_quant_steps
+                    and len(p.custom_quant_steps) == 3 * levels + 1):
+                steps = [float(s) for s in p.custom_quant_steps]
+            quality = p.quality
+            scale = p.quant_step_scale
+            if scale and scale > 0 and scale != 1.0:
+                if steps is not None:
+                    steps = [s * scale for s in steps]
+                else:
+                    # scaling the base step by S == lowering quality by
+                    # 12.5*log2(S) (reference lossy/codec.go:414-424;
+                    # Go math.Round = half away from zero, not banker's)
+                    adj = 12.5 * math.log2(scale)
+                    adj = math.floor(adj + 0.5) if adj >= 0 \
+                        else math.ceil(adj - 0.5)
+                    quality = max(1, min(100, quality - int(adj)))
+            if steps is None:
+                steps = jq.step_sizes_97(levels, quality)
+            for step, (r, band) in zip(steps, jq.band_sequence(levels)):
+                rb = bit_depth + band_gain(band)
+                qcd.steps.append(jq.encode_step(step, rb))
+        return qcd
 
     def _encode_tile(self, arr: np.ndarray, rect, cod: j2k.CodInfo,
                      qcd: j2k.QcdInfo, bit_depth: int, signed: bool,

@@ -62,57 +62,138 @@ def pad_batch_to_devices(batch: np.ndarray, n: int) -> Tuple[np.ndarray, int]:
 def encode_frames_sharded(frames, bit_depth: int = 16,
                           signed: bool = False, levels: int = 5,
                           mesh: Optional[Mesh] = None, params=None):
-    """Multi-chip J2K-lossless multi-frame encode.
+    """Multi-chip J2K multi-frame encode over the FULL parameter surface.
 
-    The device stage (DC shift + multilevel 5/3) runs ONCE over the whole
-    batch, sharded across the mesh's frame axis — XLA partitions the jit
-    per-device, each chip transforming its frame shard in parallel; the
-    host then entropy-codes each frame. Codestreams are byte-identical to
-    the scalar encoder's.
+    The device stage — DC shift (+RCT/ICT MCT) + multilevel 5/3 or 9/7
+    per tile — runs ONCE over the whole batch, sharded across the mesh's
+    frame axis; XLA partitions the jit per-device and each chip
+    transforms its frame shard in parallel. The host then runs the FULL
+    scalar encoder (headers, T1, PCRD, all progressions/layers) per
+    frame with the precomputed per-tile coefficients
+    (J2KEncoder.encode(precomputed_tiles=...)) — so multi-tile, RGB/MCT,
+    multi-layer, lossy 9/7 and every marker-surface feature shards.
 
-    frames: [F, H, W] grayscale. Pads F up to the mesh size and drops the
-    padding on output.
+    Codestreams are byte-identical to the scalar encoder running its jit
+    transform lane (frame-axis sharding adds no cross-frame math; for
+    lossless the native host lane is bit-identical too, for lossy 9/7
+    compare against a native-disabled scalar encode — the float DWT host
+    fast path is a different lossy rounding profile, see CLAUDE.md).
+
+    frames: [F, H, W] grayscale or [F, H, W, C]. Pads F up to the mesh
+    size and drops the padding on output.
+
+    ROI, MCT bindings/custom matrices and HTJ2K configs keep their
+    scalar per-tile transforms (shapes there are data-dependent); this
+    path raises for them so callers fall back explicitly.
     """
-    from ..codecs.jpeg2000 import J2KEncodeParams, J2KEncoder
+    from ..codecs import j2k_quant as jq
+    from ..codecs.j2k_geometry import packed_band_layout
+    from ..codecs.jpeg2000 import (J2KEncodeParams, J2KEncoder,
+                                   _band_index)
     from ..codestream import j2k as j2kcs
-    from ..pipeline import _pipeline_device_stage
+    from ..errors import UnsupportedFormatError
+    from ..ops.dwt53 import fwd53_multilevel
+    from ..ops.dwt97 import fwd97_multilevel
+    from ..ops.mct import dc_level_shift, ict_forward, rct_forward
 
     frames = np.asarray(frames)
-    f, h, w = frames.shape
+    if frames.ndim == 3:
+        frames = frames[..., None]
+    f, h, w, ncomp = frames.shape
     mesh = mesh or make_mesh()
     nshard = mesh.shape[FRAME_AXIS] * mesh.shape[TILE_AXIS]
     padded, orig = pad_batch_to_devices(frames, nshard)
 
     p = params or J2KEncodeParams(num_levels=levels)
-    p.num_levels = p.clamped_levels(w, h)
-    sharding = NamedSharding(mesh, P((FRAME_AXIS, TILE_AXIS)))
-    x = jax.device_put(jnp.asarray(padded), sharding)
-    coeffs = np.asarray(jax.jit(
-        _pipeline_device_stage, static_argnums=(1, 2, 3),
-        out_shardings=sharding)(x, bit_depth, signed, p.num_levels))
+    if (p.roi_regions or p.mct_bindings or p.mct_matrix is not None
+            or p.htj2k):
+        raise UnsupportedFormatError(
+            "sharded encode: ROI / MCT-binding / custom-matrix / HTJ2K "
+            "configs use the scalar per-tile transform path")
+    nlv = p.clamped_levels(w, h)
+    use_mct = p.mct if p.mct is not None else (ncomp == 3)
+    lossless = p.lossless
+    tw = p.tile_width or w
+    th = p.tile_height or h
+    siz = j2kcs.SizInfo(xsiz=w, ysiz=h, xtsiz=tw, ytsiz=th,
+                        components=[(bit_depth, signed, 1, 1)] * ncomp)
+    ntx, nty = siz.num_tiles
+    rects = [siz.tile_rect(ti, tj)
+             for tj in range(nty) for ti in range(ntx)]
+
+    tile_batches = sharded_tile_coeffs(
+        padded, rects, nlv, bit_depth, signed, use_mct, ncomp, lossless,
+        mesh)
 
     enc = J2KEncoder(p)
-    siz = j2kcs.SizInfo(xsiz=w, ysiz=h, xtsiz=w, ytsiz=h,
-                        components=[(bit_depth, signed, 1, 1)])
-    cod = j2kcs.CodInfo(progression=p.progression, num_layers=1, mct=0,
-                        num_levels=p.num_levels, cb_width=p.cb_width,
-                        cb_height=p.cb_height, transform=1)
-    qcd = j2kcs.QcdInfo(style=0, guard_bits=p.guard_bits)
-    from ..codecs import j2k_quant as jq
-    from ..codecs.j2k_geometry import band_gain
-    for (_, band) in jq.band_sequence(p.num_levels):
-        qcd.exponents.append(bit_depth + band_gain(band))
-    header = bytearray(b"\xff\x4f")
-    header += j2kcs.write_siz(siz)
-    header += j2kcs.write_cod(cod)
-    header += j2kcs.write_qcd(qcd)
-    if p.comment:
-        header += j2kcs.write_com(p.comment)
-
     out = []
     for k in range(orig):
-        body = enc._encode_tile_entropy(coeffs[k : k + 1], (0, 0, w, h),
-                                        cod, qcd, bit_depth)
-        out.append(bytes(header) + j2kcs.write_tile_part(0, body)
-                   + j2kcs.EOC.to_bytes(2, "big"))
+        tiles_k = []
+        for tidx, (tx0, ty0, tx1, ty1) in enumerate(rects):
+            tc = tile_batches[tidx][k]
+            if not lossless:
+                # same numpy deadzone quant as the scalar device path
+                fcoeffs = tc
+                tc = np.zeros_like(fcoeffs, dtype=np.int32)
+                qcd = enc._build_qcd(nlv, bit_depth, use_mct, ncomp)
+                band_steps = enc._band_deltas(qcd, nlv, bit_depth)
+                for bg in packed_band_layout(tx0, ty0, tx1, ty1, nlv):
+                    delta = band_steps[_band_index(bg.resolution,
+                                                   bg.band)]
+                    sl = (slice(None),
+                          slice(bg.row_off, bg.row_off + bg.height),
+                          slice(bg.col_off, bg.col_off + bg.width))
+                    tc[sl] = jq.deadzone_quantize(fcoeffs[sl], delta)
+            tiles_k.append(tc)
+        out.append(enc.encode(frames[k], w, h, ncomp, bit_depth,
+                              signed, precomputed_tiles=tiles_k))
     return out
+
+
+def sharded_tile_coeffs(padded, rects, nlv, bit_depth, signed, use_mct,
+                        ncomp, lossless, mesh):
+    """The sharded device stage: per-tile DC shift (+MCT) + DWT over a
+    padded frame batch, frame-axis sharded.  Returns one [F, C, th, tw]
+    array per tile (int32 for 5/3, float32 pre-quant for 9/7).
+
+    Integer (lossless) results are bitwise identical to every scalar
+    lane.  Float 9/7 results match the scalar jit lane except for
+    occasional one-ulp differences between differently-compiled XLA
+    programs (batched/partitioned vs per-frame) — which can flip a
+    quantization tie; byte-level determinism claims for lossy therefore
+    hold for a FIXED transform program, not across program shapes (same
+    policy as the native-vs-jit float 9/7 lanes, CLAUDE.md)."""
+    from ..ops.dwt53 import fwd53_multilevel
+    from ..ops.dwt97 import fwd97_multilevel
+    from ..ops.mct import dc_level_shift, ict_forward, rct_forward
+
+    def stage(x):
+        # x: [F, H, W, C] int32 — same op sequence per tile as the
+        # scalar _tile_coeffs_device (all elementwise, so results are
+        # bitwise identical under frame-axis sharding)
+        outs = []
+        for (tx0, ty0, tx1, ty1) in rects:
+            tile = jnp.moveaxis(x[:, ty0:ty1, tx0:tx1, :], -1, 1)
+            comps = dc_level_shift(tile, bit_depth, signed)  # [F,C,h,w]
+            if lossless:
+                if use_mct and ncomp == 3:
+                    y, u, v = rct_forward(comps[:, 0], comps[:, 1],
+                                          comps[:, 2])
+                    comps = jnp.stack([y, u, v], axis=1)
+                outs.append(fwd53_multilevel(comps.astype(jnp.int32),
+                                             nlv, x0=tx0, y0=ty0))
+            else:
+                if use_mct and ncomp == 3:
+                    y, cb, cr = ict_forward(comps[:, 0], comps[:, 1],
+                                            comps[:, 2])
+                    comps = jnp.stack([y, cb, cr], axis=1)
+                else:
+                    comps = comps.astype(jnp.float32)
+                outs.append(fwd97_multilevel(comps, nlv, x0=tx0, y0=ty0))
+        return tuple(outs)
+
+    sharding = NamedSharding(mesh, P((FRAME_AXIS, TILE_AXIS)))
+    x = jax.device_put(jnp.asarray(np.asarray(padded).astype(np.int32)),
+                       sharding)
+    return [np.asarray(t) for t in
+            jax.jit(stage, out_shardings=sharding)(x)]
