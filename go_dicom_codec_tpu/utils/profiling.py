@@ -54,6 +54,18 @@ def enable_global_timer() -> StageTimer:
     return GLOBAL_TIMER
 
 
+def log_event(name: str, payload: dict) -> None:
+    """Record a one-off decision/observation: accumulates under the
+    global stage timer (zero duration, count 1) when enabled, and keeps
+    the last payload per name for inspection (EVENTS)."""
+    EVENTS[name] = dict(payload)
+    if GLOBAL_TIMER is not None:
+        GLOBAL_TIMER.counts[name] += 1
+
+
+EVENTS: Dict[str, dict] = {}
+
+
 @contextlib.contextmanager
 def maybe_stage(name: str) -> Iterator[None]:
     if GLOBAL_TIMER is None:
