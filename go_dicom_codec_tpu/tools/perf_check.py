@@ -69,6 +69,61 @@ def measure(size: int = 256, frames: int = 2, repeats: int = 3):
             "codecs": rows}
 
 
+def _measure_checkout(path: str, size: int) -> dict:
+    """Run the measurement in a subprocess rooted at `path` (its package
+    on PYTHONPATH), returning the parsed JSON."""
+    import subprocess
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = path
+    env.setdefault("JAX_PLATFORMS", "cpu")
+    r = subprocess.run(
+        [sys.executable, "-m", "go_dicom_codec_tpu.tools.perf_check",
+         "--emit-json", "--size", str(size)],
+        capture_output=True, text=True, env=env, cwd=path, timeout=900)
+    if r.returncode != 0:
+        raise RuntimeError(f"measure at {path} failed:\n{r.stderr[-2000:]}")
+    return json.loads(r.stdout.strip().splitlines()[-1])
+
+
+def ab_gate(base_path: str, size: int) -> int:
+    """Same-run A/B: head (cwd package) vs base checkout, alternating
+    subprocess measurements on the same machine; a codec whose head
+    time exceeds base * TOLERANCE on min-of-2 fails."""
+    head_path = os.path.abspath(os.path.join(os.path.dirname(REF_PATH),
+                                             ".."))
+    runs = {"head": [], "base": []}
+    for _ in range(2):
+        runs["head"].append(_measure_checkout(head_path, size))
+        runs["base"].append(_measure_checkout(base_path, size))
+
+    def best(side, uid, key):
+        vals = [r["codecs"][uid][key] for r in runs[side]
+                if uid in r["codecs"]]
+        return min(vals) if vals else None
+
+    failures = []
+    head_uids = runs["head"][0]["codecs"]
+    for uid, row in head_uids.items():
+        for key in ("encode_ms", "decode_ms"):
+            hv = best("head", uid, key)
+            bv = best("base", uid, key)
+            if hv is None or bv is None:
+                continue   # codec absent on one side (new codec etc.)
+            if hv > bv * TOLERANCE:
+                failures.append(f"{row['name']}: {key} {hv} > "
+                                f"{bv} * {TOLERANCE}")
+            print(f"PERF|ab|{row['name'][:40]}|{key}|head={hv}ms|"
+                  f"base={bv}ms")
+    if failures:
+        for msg in failures:
+            print(f"PERF|fail|{msg}")
+        return 1
+    print(f"PERF|pass|A/B same-run: {len(head_uids)} codecs within "
+          f"{int((TOLERANCE - 1) * 100)}% of base")
+    return 0
+
+
 def main(argv=None) -> int:
     if os.environ.get("JAX_PLATFORMS"):
         import jax
@@ -78,9 +133,23 @@ def main(argv=None) -> int:
     ap.add_argument("--update", action="store_true",
                     help="re-pin benchmarks/ci_reference.json")
     ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--emit-json", action="store_true",
+                    help="print the measurement as one JSON line and exit")
+    ap.add_argument("--ab", metavar="BASE_PATH", default=None,
+                    help="same-run A/B gate: measure this checkout AND "
+                         "the base checkout at BASE_PATH in alternating "
+                         "subprocesses on the same machine, then compare "
+                         "per-codec ratios (no cross-runner calibration "
+                         "involved — ADVICE r3 #3)")
     args = ap.parse_args(argv)
 
+    if args.ab:
+        return ab_gate(args.ab, args.size)
+
     cur = measure(size=args.size)
+    if args.emit_json:
+        print(json.dumps(cur))
+        return 0
     for uid, row in cur["codecs"].items():
         print(f"PERF|{row['name'][:40]}|enc={row['encode_ms']}ms "
               f"(norm {row['encode_norm']})|dec={row['decode_ms']}ms "
