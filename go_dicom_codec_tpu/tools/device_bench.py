@@ -65,9 +65,9 @@ def main(argv=None) -> int:
     px = b * h * w
 
     from ..ops.blockstats import codeblock_max_abs, max_bitplane
-    from ..ops.dct8x8 import encode_plane_to_zigzag
-    from ..ops.dwt53 import fwd53_multilevel
-    from ..ops.dwt97 import fwd97_multilevel
+    from ..ops.dct8x8 import decode_zigzag_to_plane, encode_plane_to_zigzag
+    from ..ops.dwt53 import fwd53_multilevel, inv53_multilevel
+    from ..ops.dwt97 import fwd97_multilevel, inv97_multilevel
     from ..ops.mct import ict_forward, rct_forward
     from ..codecs import jpeg_common as jc
     from ..codecs import j2k_quant as jq
@@ -106,6 +106,21 @@ def main(argv=None) -> int:
         y, cb, cr = ict_forward(x, x + 1.0, x + 2.0)
         return y, jnp.sum(cr[:, :1, :1])
 
+    def idwt53(x):
+        r = inv53_multilevel(x, 5)
+        return r, jnp.sum(r[:, :1, :1]).astype(jnp.float32)
+
+    def idwt97_dequant(x):
+        c = x * np.float32(steps[0] * 4096)   # dequant multiply
+        r = inv97_multilevel(c, 5)
+        return r, jnp.sum(r[:, :1, :1])
+
+    def idct_grid(x):
+        zz = x.reshape(b, h // 8, w // 8, 64).astype(jnp.int32)
+        p = jax.vmap(lambda z: decode_zigzag_to_plane(
+            z, qtable, level_shift=2048, max_val=4095))(zz)
+        return x + 1, jnp.sum(p).astype(jnp.float32)
+
     def copy(x):
         y = x + 1
         return y, jnp.sum(y[:, :1, :1]).astype(jnp.float32)
@@ -118,8 +133,11 @@ def main(argv=None) -> int:
 
     kernels = [
         ("dwt53_stats", dwt53_stats, xi),
+        ("idwt53", idwt53, xi),
         ("dwt97_deadzone_quant", dwt97_quant, xf),
+        ("idwt97_dequant", idwt97_dequant, xf),
         ("dct8x8_quant_zigzag", dct_grid, xi),
+        ("idct8x8_dequant", idct_grid, xi),
         ("rct_forward", rct, xi),
         ("ict_forward", ict, xf),
         ("dct8x8_quant_pallas", dct_pallas, xi),
