@@ -150,15 +150,15 @@ def test_floor_log2_values():
 # terminated segment plus one for the trailing open segment)
 
 def test_segments_style0_single_segment():
-    assert _segments(0, 5, 0, 7) == [7]
+    assert tuple(_segments(0, 5, 0, 7)) == (7,)
 
 
 def test_segments_termall_every_pass():
-    assert _segments(STYLE_TERMALL, 5, 0, 7) == [1] * 7
+    assert tuple(_segments(STYLE_TERMALL, 5, 0, 7)) == (1,) * 7
 
 
 def test_segments_termall_mid_start():
-    assert _segments(STYLE_TERMALL, 5, 3, 4) == [1] * 4
+    assert tuple(_segments(STYLE_TERMALL, 5, 3, 4)) == (1,) * 4
 
 
 def test_segments_lazy_pattern():
