@@ -625,18 +625,28 @@ int t1_encode_impl(const ST* src, int w, int h, int style, int orient,
           uint32_t f = Fr[x];
           if (!(f & SIGMA_MID4)) continue;  // no significant sample here
           const MT* c = t.col(st, x);
-          if (!raw && hh == 4 &&
+          if (hh == 4 &&
               (f & (SIGMA_MID4 | PI4 | MU4)) == (SIGMA_MID4 | MU4)) {
             // steady state: all 4 significant + refined before + not
-            // visited this plane — four ctx-16 magnitude bits with the
-            // context byte cached in a register across the run
-            uint8_t s16 = mq.ctx[16];
-            for (int j = 0; j < 4; j++) {
-              uint64_t av = (uint64_t)(c[j] & MAGMASK);
-              mq.encode_s((int)((av >> bitplane) & 1), s16);
-              if (NM) nm += nmsedec_ref(av, bitplane);
+            // visited this plane — four magnitude bits with no per-
+            // sample flag checks (ctx-16 cached in a register for MQ;
+            // raw bits go straight to the bypass writer — in lazy mode
+            // raw MRP dominates dense low planes)
+            if (raw) {
+              for (int j = 0; j < 4; j++) {
+                uint64_t av = (uint64_t)(c[j] & MAGMASK);
+                mq.bypass_encode((int)((av >> bitplane) & 1));
+                if (NM) nm += nmsedec_ref(av, bitplane);
+              }
+            } else {
+              uint8_t s16 = mq.ctx[16];
+              for (int j = 0; j < 4; j++) {
+                uint64_t av = (uint64_t)(c[j] & MAGMASK);
+                mq.encode_s((int)((av >> bitplane) & 1), s16);
+                if (NM) nm += nmsedec_ref(av, bitplane);
+              }
+              mq.ctx[16] = s16;
             }
-            mq.ctx[16] = s16;
             continue;
           }
           for (int j = 0; j < hh; j++) {
@@ -1372,10 +1382,16 @@ int t1_decode_impl(const uint8_t* stream, int stream_len, int w, int h,
           uint32_t f = Fr[x];
           if (!(f & SIGMA_MID4)) continue;
           MT* c = t.col(st, x);
-          if (!raw && hh == 4 &&
+          if (hh == 4 &&
               (f & (SIGMA_MID4 | PI4 | MU4)) == (SIGMA_MID4 | MU4)) {
-            for (int j = 0; j < 4; j++)
-              c[j] = recon_ref(c[j], bitplane, mq.decode(16));
+            // steady state mirror of the encoder fast path (raw MRP
+            // dominates lazy dense low planes)
+            if (raw)
+              for (int j = 0; j < 4; j++)
+                c[j] = recon_ref(c[j], bitplane, rd.decode());
+            else
+              for (int j = 0; j < 4; j++)
+                c[j] = recon_ref(c[j], bitplane, mq.decode(16));
             continue;
           }
           for (int j = 0; j < hh; j++) {
