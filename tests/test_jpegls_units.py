@@ -1,0 +1,281 @@
+"""JPEG-LS primitive unit tests (reference jpegls/lossless/{golomb,map,
+unmap_direct,run_interrupt,test_wrap}_test.go, nearlossless/edge_cases_test.go,
+runmode/runmode.go J-table semantics, context.go counter discipline).
+
+Stream-level roundtrips live in test_jpegls.py / test_jpegls_stress.py;
+this file pins the T.87 scalar machinery in isolation.
+"""
+
+import numpy as np
+import pytest
+
+from go_dicom_codec_tpu.codecs.jpegls import (J, Traits, _apply_sign, _Ctx,
+                                              _map_error, _RunCtx, _Scan,
+                                              _unmap_error)
+from go_dicom_codec_tpu.entropy.golomb import GolombReader, GolombWriter
+
+
+# ---- error mapping (map_test.go / unmap_direct_test.go) ----------------------
+
+@pytest.mark.parametrize("e", [0, 1, -1, 2, -2, 100, -100, 2**20, -(2**20)])
+def test_map_unmap_roundtrip(e):
+    assert _unmap_error(_map_error(e)) == e
+
+
+def test_map_error_interleaves_signs():
+    """0,-1,1,-2,2… maps to 0,1,2,3,4… (T.87 A.5.2 folding)."""
+    assert [_map_error(e) for e in [0, -1, 1, -2, 2, -3]] == [0, 1, 2, 3, 4, 5]
+
+
+def test_map_error_nonnegative():
+    for e in range(-300, 300):
+        assert _map_error(e) >= 0
+
+
+def test_apply_sign():
+    assert _apply_sign(5, 0) == 5
+    assert _apply_sign(5, -1) == -5
+    assert _apply_sign(-7, -1) == 7
+
+
+# ---- traits: quantize / modulo / reconstruct (traits.go tests) ---------------
+
+def test_quantize_identity_when_lossless():
+    t = Traits(maxval=255, near=0)
+    for e in (-255, -1, 0, 1, 255):
+        assert t.quantize(e) == e
+
+
+@pytest.mark.parametrize("near", [1, 2, 3, 7])
+def test_quantize_dequantize_error_bound(near):
+    t = Traits(maxval=255, near=near)
+    for e in range(-255, 256):
+        q = t.quantize(e)
+        assert abs(t.dequantize(q) - e) <= near
+
+
+def test_quantize_symmetric(rng):
+    t = Traits(maxval=255, near=3)
+    for e in range(0, 256):
+        assert t.quantize(-e) == -t.quantize(e)
+
+
+def test_modulo_range_wraps_into_window():
+    t = Traits(maxval=255, near=0)  # range = 256
+    assert t.modulo_range(128) == -128
+    assert t.modulo_range(127) == 127
+    assert t.modulo_range(-129) == 127
+    assert t.modulo_range(-128) == -128
+
+
+def test_reconstruct_wraps_like_encoder(rng):
+    """reconstruct(pred, computed_error) recovers x modulo the NEAR bound
+    (test_wrap_test.go semantics, including the wrap branches)."""
+    for near in (0, 2):
+        t = Traits(maxval=255, near=near)
+        for x in (0, 1, 254, 255, 128):
+            for pred in (0, 5, 250, 255):
+                err = t.compute_error(x - pred)
+                rec = t.reconstruct(pred, err)
+                assert 0 <= rec <= 255
+                if near == 0:
+                    assert rec == x
+                else:
+                    assert abs(rec - x) <= near
+
+
+def test_correct_prediction_clamps():
+    t = Traits(maxval=4095, near=0)
+    assert t.correct_prediction(-5) == 0
+    assert t.correct_prediction(5000) == 4095
+    assert t.correct_prediction(77) == 77
+
+
+def test_default_thresholds_8bit_iso_values():
+    """ISO 14495-1 A.1 defaults for 8-bit lossless: T1=3 T2=7 T3=21."""
+    t = Traits(maxval=255, near=0)
+    assert (t.t1, t.t2, t.t3) == (3, 7, 21)
+    assert t.reset == 64
+
+
+def test_default_thresholds_scale_with_near():
+    t0 = Traits(maxval=255, near=0)
+    t3 = Traits(maxval=255, near=3)
+    assert t3.t1 > t0.t1 and t3.t2 > t0.t2 and t3.t3 > t0.t3
+
+
+def test_default_thresholds_low_precision():
+    """maxval < 128 uses the divisor branch (A.1 second formula)."""
+    t = Traits(maxval=31, near=0)
+    assert t.t1 >= 2 and t.t1 <= t.t2 <= t.t3 <= 31
+
+
+def test_limit_and_qbpp():
+    t8 = Traits(maxval=255, near=0)
+    assert t8.qbpp == 8 and t8.limit == 2 * (8 + 8)
+    t12 = Traits(maxval=4095, near=0)
+    assert t12.qbpp == 12 and t12.limit == 2 * (12 + 12)
+
+
+def test_near_reduces_range():
+    t = Traits(maxval=255, near=3)
+    assert t.range == (255 + 6) // 7 + 1
+
+
+# ---- gradient quantizer (context.go:152-183) --------------------------------
+
+def test_gradient_quantizer_nine_regions():
+    t = Traits(maxval=255, near=0)  # t1=3 t2=7 t3=21
+    cases = [(-50, -4), (-21, -4), (-20, -3), (-7, -3), (-6, -2), (-3, -2),
+             (-2, -1), (-1, -1), (0, 0), (1, 1), (2, 1), (3, 2), (6, 2),
+             (7, 3), (20, 3), (21, 4), (100, 4)]
+    for d, q in cases:
+        assert t.quantize_gradient(d) == q, d
+
+
+def test_gradient_quantizer_near_deadzone():
+    t = Traits(maxval=255, near=2)
+    for d in (-2, -1, 0, 1, 2):
+        assert t.quantize_gradient(d) == 0
+
+
+def test_context_id_range():
+    t = Traits(maxval=255, near=0)
+    scan = _Scan(t)
+    assert scan.context_id(0, 0, 0, 0) == 0
+    # extreme gradients reach ±364: all three quantized gradients at ±4
+    assert scan.context_id(0, 42, 21, 63) == 364
+    assert scan.context_id(63, 21, 42, 0) == -364
+
+
+# ---- MED predictor (predictor.go:12) ----------------------------------------
+
+def test_med_predictor_cases():
+    p = _Scan.predict
+    assert p(10, 20, 5) == 20    # c <= min → max(a,b)
+    assert p(10, 20, 30) == 10   # c >= max → min(a,b)
+    assert p(10, 20, 15) == 15   # else a+b-c
+    assert p(7, 7, 7) == 7
+
+
+def test_med_predictor_symmetric_in_a_b():
+    for a, b, c in [(3, 9, 1), (9, 3, 1), (3, 9, 11), (5, 8, 6)]:
+        assert _Scan.predict(a, b, c) == _Scan.predict(b, a, c)
+
+
+# ---- context counters (context.go:30-113) -----------------------------------
+
+def test_ctx_initial_state():
+    c = _Ctx(256)
+    assert c.a == max(2, (256 + 32) // 64) and c.b == 0 and c.n == 1
+
+
+def test_ctx_golomb_k_grows_with_a():
+    c = _Ctx(256)
+    c.a, c.n = 1000, 1
+    k_big = c.golomb_k()
+    c.a = 2
+    assert c.golomb_k() < k_big
+
+
+def test_ctx_reset_halves_counters():
+    c = _Ctx(256)
+    c.a, c.b, c.n = 100, -40, 64
+    c.update(0, 0, 64)
+    # A,B,N halved before N increments (context.go:63-66)
+    assert c.n == 33 and c.a == 50
+
+
+def test_ctx_bias_drifts_c():
+    """Persistent negative errors decrement the bias-correction C."""
+    c = _Ctx(256)
+    c0 = c.c
+    for _ in range(10):
+        c.update(-3, 0, 64)
+    assert c.c < c0
+    c2 = _Ctx(256)
+    for _ in range(10):
+        c2.update(3, 0, 64)
+    assert c2.c > c0
+
+
+def test_runctx_k_and_map_consistency():
+    """error_from_mapped inverts compute_map for both run contexts."""
+    for rtype in (0, 1):
+        rc = _RunCtx(rtype, 256)
+        for err in (-3, -1, 1, 2):
+            if rtype == 1 and err == 0:
+                continue
+            k = rc.golomb_k()
+            map_bit = rc.compute_map(err, k)
+            emapped = 2 * abs(err) - rc.rtype - (1 if map_bit else 0)
+            got = rc.error_from_mapped(emapped + rc.rtype, k)
+            assert got == err, (rtype, err)
+
+
+# ---- run mode / J table (runmode.go) ----------------------------------------
+
+def test_j_table_is_t87():
+    assert len(J) == 32
+    assert J[:4] == (0, 0, 0, 0) if isinstance(J, tuple) else list(J[:4]) == [0, 0, 0, 0]
+    assert J[31] == 15
+
+
+def test_run_index_bounds():
+    scan = _Scan(Traits(maxval=255, near=0))
+    for _ in range(40):
+        scan.inc_run()
+    assert scan.run_index == 31
+    for _ in range(40):
+        scan.dec_run()
+    assert scan.run_index == 0
+
+
+@pytest.mark.parametrize("run,total", [(0, 10), (5, 10), (10, 10), (63, 64),
+                                       (64, 64), (200, 256)])
+def test_run_length_roundtrip(run, total):
+    t = Traits(maxval=255, near=0)
+    enc = _Scan(t)
+    gw = GolombWriter()
+    enc.encode_run_length(gw, run, end_of_line=(run == total))
+    data = gw.finish() + b"\xff" * 4
+    dec = _Scan(t)
+    gr = GolombReader(data)
+    assert dec.decode_run_length(gr, total) == run
+    assert dec.run_index == enc.run_index  # both sides adapt identically
+
+
+def test_run_interruption_roundtrip():
+    t = Traits(maxval=255, near=0)
+    enc, dec = _Scan(t), _Scan(t)
+    gw = GolombWriter()
+    errs = [1, -2, 3, -1, 5, -4]
+    for e in errs:
+        enc.encode_run_interruption(gw, enc.rctx[0], e)
+    gr = GolombReader(gw.finish() + b"\xff" * 8)
+    got = [dec.decode_run_interruption(gr, dec.rctx[0]) for _ in errs]
+    assert got == errs
+
+
+# ---- regular-mode encode/decode state symmetry ------------------------------
+
+def test_regular_mode_scalar_roundtrip(rng):
+    """encode_regular/decode_regular agree sample-by-sample with shared
+    neighbor state (the 365-context adaptive feedback loop)."""
+    t = Traits(maxval=255, near=0)
+    enc, dec = _Scan(t), _Scan(t)
+    gw = GolombWriter()
+    xs = rng.integers(0, 256, size=64).tolist()
+    ra = rb = rc = rd = 0
+    outs = []
+    for x in xs:
+        qs = enc.context_id(ra, rb, rc, rd)
+        outs.append(enc.encode_regular(gw, int(x), qs, ra, rb, rc))
+        ra = outs[-1]
+    gr = GolombReader(gw.finish() + b"\xff" * 8)
+    ra = rb = rc = rd = 0
+    for i, x in enumerate(xs):
+        qs = dec.context_id(ra, rb, rc, rd)
+        got = dec.decode_regular(gr, qs, ra, rb, rc)
+        assert got == outs[i] == x
+        ra = got
