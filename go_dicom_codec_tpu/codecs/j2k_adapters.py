@@ -137,7 +137,8 @@ def _params_from(parameters: Optional[Parameters],
     # rates, ROI config and precincts pass through as-is
     for key in ("mct_matrix", "mct_inverse", "mct_offsets", "mct_bindings",
                 "layer_rates", "roi_regions", "roi_shift", "roi_style",
-                "precincts", "layer_budget_strategy",
+                "precincts", "precinct_width", "precinct_height",
+                "layer_budget_strategy",
                 "block_encoder_factory"):
         v = parameters.get_parameter(key)
         if v is not None:
@@ -186,7 +187,8 @@ class J2KLosslessCodec(Codec):
                 and params.mct_matrix is None
                 and params.mct_bindings is None
                 and params.num_layers == 1 and params.cb_style == 0
-                and not params.htj2k and params.precincts is None
+                and not params.htj2k
+                and params.resolved_precincts(params.num_levels) is None
                 and params.target_ratio == 0
                 and not params.append_lossless_layer):
             from ..pipeline import encode_frames_pipelined

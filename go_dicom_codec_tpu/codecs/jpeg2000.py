@@ -81,6 +81,13 @@ class J2KEncodeParams:
     # EQUAL_RATE (linear), EQUAL_QUALITY (pow 0.9), ADAPTIVE (pow 1.05)
     layer_budget_strategy: str = "EXPONENTIAL"
     precincts: Optional[List[Tuple[int, int]]] = None
+    # pixel-size precinct convention (reference PrecinctWidth/Height
+    # encoder.go:36-37): ONE power-of-2 size, auto-scaled down one
+    # exponent per lower resolution level (OpenJPEG convention,
+    # reference getPrecinctSizeExponents encoder.go:1516-1569).
+    # Explicit per-resolution `precincts` exponents win when both set.
+    precinct_width: int = 0    # 0 = default (2^15, no Scod flag)
+    precinct_height: int = 0
     comment: bytes = b"go-dicom-codec-tpu"
     guard_bits: int = 2
 
@@ -90,6 +97,24 @@ class J2KEncodeParams:
         while lv > 0 and (min(w, h) >> lv) < 1:
             lv -= 1
         return lv
+
+    def resolved_precincts(self, levels: int) -> Optional[List[Tuple[int, int]]]:
+        """Per-resolution (PPx, PPy) exponents, or None for maximal.
+
+        Expands the pixel-size convention per the reference's
+        getPrecinctSizeExponents (encoder.go:1516-1569): base exponent
+        floor(log2(size)) (a zero dimension defaults to 2^15), reduced
+        by (levels - res) per lower resolution, clamped to [0, 15].
+        """
+        if self.precincts:
+            return list(self.precincts)
+        if self.precinct_width <= 0 and self.precinct_height <= 0:
+            return None
+        base_x = (self.precinct_width or (1 << 15)).bit_length() - 1
+        base_y = (self.precinct_height or (1 << 15)).bit_length() - 1
+        return [(min(15, max(0, base_x - (levels - r))),
+                 min(15, max(0, base_y - (levels - r))))
+                for r in range(levels + 1)]
 
 
 # Layer-budget strategy → fraction-curve exponent (reference
@@ -226,7 +251,7 @@ class J2KEncoder:
             mct=1 if (use_mct and components == 3) else 0,
             num_levels=levels, cb_width=p.cb_width, cb_height=p.cb_height,
             cb_style=cb_style, transform=1 if p.lossless else 0,
-            precinct_exps=list(p.precincts) if p.precincts else None)
+            precinct_exps=p.resolved_precincts(levels))
         qcd = self._build_qcd(levels, bit_depth, use_mct,
                               components)
 

@@ -43,6 +43,8 @@ SENTINELS = {
     "block_encoder_factory": object(),
     "layer_budget_strategy": "EQUAL_RATE",
     "precincts": [(7, 7)],
+    "precinct_width": 128,
+    "precinct_height": 64,
     "guard_bits": 3,
     "custom_quant_steps": [0.25],
     "quant_step_scale": 2.0,
