@@ -1,7 +1,9 @@
 """Frame/tile batching, device meshes, and multi-chip scale-out."""
 
-from .mesh import (FRAME_AXIS, TILE_AXIS, frame_sharding, frame_tile_sharding,
-                   make_mesh, pad_batch_to_devices, shard_frames)
+from .mesh import (FRAME_AXIS, TILE_AXIS, decode_frames_sharded,
+                   encode_frames_sharded, frame_sharding,
+                   frame_tile_sharding, make_mesh, pad_batch_to_devices,
+                   shard_frames)
 
 __all__ = [
     "FRAME_AXIS",
@@ -11,4 +13,6 @@ __all__ = [
     "frame_tile_sharding",
     "shard_frames",
     "pad_batch_to_devices",
+    "encode_frames_sharded",
+    "decode_frames_sharded",
 ]

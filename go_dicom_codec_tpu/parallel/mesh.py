@@ -150,6 +150,63 @@ def encode_frames_sharded(frames, bit_depth: int = 16,
     return out
 
 
+def decode_frames_sharded(streams, mesh: Optional[Mesh] = None):
+    """Multi-chip J2K multi-frame DECODE (the scale-out mirror of
+    encode_frames_sharded; the reference decodes frames in a sequential
+    loop, decoder.go:91-124).
+
+    The host entropy-decodes each stream (T2 + T1) to packed subband
+    coefficients (codecs.jpeg2000.decode_to_packed), then ONE
+    frame-axis-sharded jit runs the inverse transform — inverse 5/3 +
+    inverse RCT + DC unshift — for the whole batch, each chip inverting
+    its frame shard in parallel. All ops are elementwise/per-frame, so
+    pixels are bit-identical to J2KDecoder.decode per frame.
+
+    Requires homogeneous single-tile reversible streams of equal
+    geometry (the shape the sharded/pipelined encoders emit); raises
+    UnsupportedFormatError otherwise. Returns [H, W, C] int32 arrays.
+    """
+    from ..codecs.jpeg2000 import decode_to_packed
+    from ..errors import UnsupportedFormatError
+    from ..ops.dwt53 import inv53_multilevel
+    from ..ops.mct import inv_dc_level_shift, rct_inverse
+
+    if not streams:
+        return []
+    packs, meta = [], None
+    for s in streams:
+        packed, siz, cod = decode_to_packed(s)
+        if cod.transform != 1:
+            raise UnsupportedFormatError(
+                "sharded decode is for reversible (5/3) streams")
+        m = (packed.shape, cod.num_levels, siz.xosiz, siz.yosiz,
+             siz.components[0][:2], cod.mct)
+        if meta is None:
+            meta = m
+        elif m != meta:
+            raise UnsupportedFormatError(
+                "sharded decode needs equal-geometry streams")
+        packs.append(packed)
+    _, levels, x0, y0, (bits, signed), mct = meta
+    mesh = mesh or make_mesh()
+    nshard = mesh.shape[FRAME_AXIS] * mesh.shape[TILE_AXIS]
+    padded, orig = pad_batch_to_devices(np.stack(packs), nshard)
+
+    def stage(x):
+        rec = inv53_multilevel(x.astype(jnp.int32), levels, x0=x0, y0=y0)
+        if mct and rec.shape[1] >= 3:
+            r_, g_, b_ = rct_inverse(rec[:, 0], rec[:, 1], rec[:, 2])
+            rec = jnp.concatenate(
+                [jnp.stack([r_, g_, b_], axis=1), rec[:, 3:]], axis=1)
+        return inv_dc_level_shift(rec, bits, signed)
+
+    sharding = NamedSharding(mesh, P((FRAME_AXIS, TILE_AXIS)))
+    x = jax.device_put(jnp.asarray(padded), sharding)
+    out = np.asarray(jax.jit(stage, out_shardings=sharding)(x))
+    return [np.moveaxis(out[k], 0, -1).astype(np.int32)
+            for k in range(orig)]
+
+
 def sharded_tile_coeffs(padded, rects, nlv, bit_depth, signed, use_mct,
                         ncomp, lossless, mesh):
     """The sharded device stage: per-tile DC shift (+MCT) + DWT over a

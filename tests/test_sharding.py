@@ -224,3 +224,50 @@ def test_encode_frames_sharded_rejects_roi(rng):
         roi_regions=[ROIRegion(shape="rect", rect=(4, 4, 16, 16))])
     with pytest.raises(UnsupportedFormatError):
         encode_frames_sharded(frames, bit_depth=12, params=p)
+
+
+@pytest.mark.parametrize("name,shape,bits,kw", [
+    ("gray", (5, 64, 64), 12, {}),
+    ("rgb_rct", (3, 48, 56), 8, {}),
+    ("gray_deep", (2, 96, 80), 16, {"num_levels": 4}),
+])
+def test_decode_frames_sharded_bit_identical(name, shape, bits, kw, rng):
+    """Round-4: the mesh-sharded DECODE (host entropy per frame + one
+    frame-axis-sharded inverse-transform launch) is bit-identical to
+    the scalar decoder across the 8 virtual devices."""
+    from go_dicom_codec_tpu.codecs.jpeg2000 import (J2KDecoder,
+                                                    J2KEncodeParams,
+                                                    J2KEncoder)
+    from go_dicom_codec_tpu.parallel.mesh import (decode_frames_sharded,
+                                                  make_mesh)
+
+    frames = rng.integers(0, 1 << bits, shape).astype(np.int32)
+    ncomp = shape[3] if len(shape) == 4 else 1
+    nf, hh, ww = shape[0], shape[1], shape[2]
+    enc = J2KEncoder(J2KEncodeParams(num_levels=kw.get("num_levels", 3)))
+    streams = [enc.encode(frames[i], ww, hh, ncomp, bits)
+               for i in range(nf)]
+
+    mesh = make_mesh()
+    sharded = decode_frames_sharded(streams, mesh=mesh)
+    dec = J2KDecoder()
+    for i, df in enumerate(sharded):
+        scalar, _, _ = dec.decode(streams[i])
+        np.testing.assert_array_equal(df, scalar)
+        want = frames[i] if ncomp > 1 else frames[i][..., None]
+        np.testing.assert_array_equal(df.astype(np.int64),
+                                      want.astype(np.int64))
+
+
+def test_decode_frames_sharded_rejects_lossy(rng):
+    """Irreversible streams raise (float inverse uses the scalar path)."""
+    from go_dicom_codec_tpu.codecs.jpeg2000 import (J2KEncodeParams,
+                                                    J2KEncoder)
+    from go_dicom_codec_tpu.errors import UnsupportedFormatError
+    from go_dicom_codec_tpu.parallel.mesh import decode_frames_sharded
+
+    frames = rng.integers(0, 256, (2, 32, 32)).astype(np.int32)
+    enc = J2KEncoder(J2KEncodeParams(num_levels=2, lossless=False))
+    streams = [enc.encode(frames[i], 32, 32, 1, 8) for i in range(2)]
+    with pytest.raises(UnsupportedFormatError):
+        decode_frames_sharded(streams)
