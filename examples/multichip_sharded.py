@@ -1,4 +1,4 @@
-"""Multi-chip sharded J2K encode over a jax.sharding.Mesh.
+"""Multi-chip sharded J2K encode AND decode over a jax.sharding.Mesh.
 
 Beyond the reference's example set (it has no distributed layer —
 SURVEY.md §2.10): the device transform stage runs frame-sharded across
@@ -25,7 +25,9 @@ import numpy as np
 
 from go_dicom_codec_tpu.codecs.jpeg2000 import (J2KEncodeParams, J2KEncoder,
                                                 decode_to_pixels)
-from go_dicom_codec_tpu.parallel.mesh import encode_frames_sharded, make_mesh
+from go_dicom_codec_tpu.parallel.mesh import (decode_frames_sharded,
+                                              encode_frames_sharded,
+                                              make_mesh)
 
 
 def main():
@@ -70,6 +72,15 @@ def main():
     err = np.abs(got.astype(int) - frames[0].astype(int)).max()
     print(f"lossy 9/7 two-layer: decoded maxerr={err} "
           f"({len(streams[0])} bytes vs {frames[0].nbytes} raw)")
+
+    # 4. the decode direction: host entropy per frame, then ONE
+    # frame-axis-sharded inverse-transform launch for the whole batch
+    streams = encode_frames_sharded(frames, bit_depth=12, mesh=mesh)
+    decoded = decode_frames_sharded(streams, mesh=mesh)
+    assert all(np.array_equal(d[..., 0], f)
+               for d, f in zip(decoded, frames))
+    print(f"sharded decode: {len(decoded)} frames inverted in one "
+          f"sharded launch, bit-identical to the scalar decoder")
 
 
 if __name__ == "__main__":
