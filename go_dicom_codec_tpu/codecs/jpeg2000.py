@@ -185,8 +185,12 @@ class J2KEncoder:
         stage while keeping the FULL header/entropy/PCRD path.
         """
         p = self.params
-        if components not in (1, 3):
-            raise UnsupportedFormatError("components must be 1 or 3")
+        if components < 1:
+            raise UnsupportedFormatError("components must be >= 1")
+        # any N encodes (reference EncodeComponents takes [][]int32 of
+        # arbitrary length; its mc codec suite uses 2-component frames)
+        # — RCT/ICT auto-MCT stays 3-component-only, custom
+        # matrices/bindings carry other N
 
         dt = (np.dtype("<i2") if signed else np.dtype("<u2")) \
             if bit_depth > 8 else (np.int8 if signed else np.uint8)
