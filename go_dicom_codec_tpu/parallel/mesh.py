@@ -82,9 +82,11 @@ def encode_frames_sharded(frames, bit_depth: int = 16,
     frames: [F, H, W] grayscale or [F, H, W, C]. Pads F up to the mesh
     size and drops the padding on output.
 
-    ROI, MCT bindings/custom matrices and HTJ2K configs keep their
-    scalar per-tile transforms (shapes there are data-dependent); this
-    path raises for them so callers fall back explicitly.
+    ROI and MCT bindings/custom matrices keep their scalar per-tile
+    transforms (shapes there are data-dependent); this path raises for
+    them so callers fall back explicitly. HTJ2K shards like classic
+    J2K — the device transform is the same DWT; only the host block
+    coder differs (HT cleanup instead of MQ).
     """
     from ..codecs import j2k_quant as jq
     from ..codecs.j2k_geometry import packed_band_layout
@@ -105,11 +107,10 @@ def encode_frames_sharded(frames, bit_depth: int = 16,
     padded, orig = pad_batch_to_devices(frames, nshard)
 
     p = params or J2KEncodeParams(num_levels=levels)
-    if (p.roi_regions or p.mct_bindings or p.mct_matrix is not None
-            or p.htj2k):
+    if p.roi_regions or p.mct_bindings or p.mct_matrix is not None:
         raise UnsupportedFormatError(
-            "sharded encode: ROI / MCT-binding / custom-matrix / HTJ2K "
-            "configs use the scalar per-tile transform path")
+            "sharded encode: ROI / MCT-binding / custom-matrix configs "
+            "use the scalar per-tile transform path")
     nlv = p.clamped_levels(w, h)
     use_mct = p.mct if p.mct is not None else (ncomp == 3)
     lossless = p.lossless

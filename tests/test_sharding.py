@@ -120,6 +120,7 @@ def test_encode_frames_sharded_byte_identical(rng):
      (2, 64, 64, 3), 8),
     ("precincts",
      dict(precincts=[(6, 6)] * 4, progression=2), (2, 96, 80), 12),
+    ("htj2k", dict(htj2k=True), (2, 64, 64), 12),
 ])
 def test_encode_frames_sharded_full_surface(name, kw, shape, bits, rng):
     """VERDICT r3 #3: the mesh-sharded encode covers the full parameter
@@ -230,6 +231,7 @@ def test_encode_frames_sharded_rejects_roi(rng):
     ("gray", (5, 64, 64), 12, {}),
     ("rgb_rct", (3, 48, 56), 8, {}),
     ("gray_deep", (2, 96, 80), 16, {"num_levels": 4}),
+    ("htj2k", (3, 64, 64), 12, {"htj2k": True}),
 ])
 def test_decode_frames_sharded_bit_identical(name, shape, bits, kw, rng):
     """Round-4: the mesh-sharded DECODE (host entropy per frame + one
@@ -244,7 +246,7 @@ def test_decode_frames_sharded_bit_identical(name, shape, bits, kw, rng):
     frames = rng.integers(0, 1 << bits, shape).astype(np.int32)
     ncomp = shape[3] if len(shape) == 4 else 1
     nf, hh, ww = shape[0], shape[1], shape[2]
-    enc = J2KEncoder(J2KEncodeParams(num_levels=kw.get("num_levels", 3)))
+    enc = J2KEncoder(J2KEncodeParams(**{"num_levels": 3, **kw}))
     streams = [enc.encode(frames[i], ww, hh, ncomp, bits)
                for i in range(nf)]
 
