@@ -1390,11 +1390,13 @@ def decode_to_pixels(data: bytes):
             depth, signed)
 
 
-def decode_to_packed(data: bytes):
+def decode_to_packed(data: bytes, return_qcd: bool = False):
     """Host stage only for a single-tile codestream: parse + T1 +
     subband assembly, stopping before the inverse DWT. Returns
     (packed [C, th, tw] int32, siz, cod) — the input the batched
-    device IDWT in pipeline.decode_frames_pipelined consumes.
+    device IDWT in pipeline.decode_frames_pipelined consumes — or
+    (packed, siz, cod, qcd) with return_qcd (the irreversible sharded
+    decode needs the steps for host dequantization).
 
     Raises UnsupportedFormatError for multi-tile or non-uniform
     component grids (those decode through J2KDecoder.decode).
@@ -1433,4 +1435,6 @@ def decode_to_packed(data: bytes):
         tile.data, rect, cods, qcds, ncomp, depth0, signed0,
         cs.rgn_shifts, None, poc=cs.poc_for(tile), gs_masks=None,
         comp_rects=comp_rects, _return_packed=True)
+    if return_qcd:
+        return packed, siz, cs.cod_for(0, tile), qcds[0]
     return packed, siz, cs.cod_for(0, tile)

@@ -157,48 +157,76 @@ def decode_frames_sharded(streams, mesh: Optional[Mesh] = None):
     loop, decoder.go:91-124).
 
     The host entropy-decodes each stream (T2 + T1) to packed subband
-    coefficients (codecs.jpeg2000.decode_to_packed), then ONE
-    frame-axis-sharded jit runs the inverse transform — inverse 5/3 +
-    inverse RCT + DC unshift — for the whole batch, each chip inverting
-    its frame shard in parallel. All ops are elementwise/per-frame, so
-    pixels are bit-identical to J2KDecoder.decode per frame.
+    coefficients (codecs.jpeg2000.decode_to_packed; irreversible
+    streams also dequantize per band on the host), then ONE
+    frame-axis-sharded jit runs the inverse transform — inverse 5/3 or
+    9/7 + inverse RCT/ICT + DC unshift — for the whole batch, each
+    chip inverting its frame shard in parallel. Reversible pixels are
+    bit-identical to J2KDecoder.decode per frame (all-integer math);
+    irreversible pixels match within ±1 (XLA may emit one-ulp-different
+    float programs for the batched shape — same policy as the sharded
+    encode, see sharded_tile_coeffs).
 
-    Requires homogeneous single-tile reversible streams of equal
-    geometry (the shape the sharded/pipelined encoders emit); raises
+    Requires homogeneous single-tile streams of equal geometry (the
+    shape the sharded/pipelined encoders emit); raises
     UnsupportedFormatError otherwise. Returns [H, W, C] int32 arrays.
     """
-    from ..codecs.jpeg2000 import decode_to_packed
+    from ..codecs import j2k_quant as jq
+    from ..codecs.j2k_geometry import packed_band_layout
+    from ..codecs.jpeg2000 import (J2KEncoder, _band_index,
+                                   decode_to_packed)
     from ..errors import UnsupportedFormatError
     from ..ops.dwt53 import inv53_multilevel
-    from ..ops.mct import inv_dc_level_shift, rct_inverse
+    from ..ops.dwt97 import inv97_multilevel
+    from ..ops.mct import ict_inverse, inv_dc_level_shift, rct_inverse
 
     if not streams:
         return []
-    packs, meta = [], None
+    packs, meta, qcd0 = [], None, None
     for s in streams:
-        packed, siz, cod = decode_to_packed(s)
-        if cod.transform != 1:
-            raise UnsupportedFormatError(
-                "sharded decode is for reversible (5/3) streams")
+        packed, siz, cod, qcd = decode_to_packed(s, return_qcd=True)
         m = (packed.shape, cod.num_levels, siz.xosiz, siz.yosiz,
-             siz.components[0][:2], cod.mct)
+             siz.components[0][:2], cod.mct, cod.transform, qcd)
         if meta is None:
-            meta = m
+            meta, qcd0 = m, qcd
         elif m != meta:
             raise UnsupportedFormatError(
                 "sharded decode needs equal-geometry streams")
         packs.append(packed)
-    _, levels, x0, y0, (bits, signed), mct = meta
+    _, levels, x0, y0, (bits, signed), mct, transform, _ = meta
+    batch = np.stack(packs)
+    if transform != 1:
+        # irreversible: per-band host dequantization with the QCD steps
+        # (same numpy path as the scalar decoder's float stage)
+        _, ncomp_, th_, tw_ = batch.shape
+        deltas = J2KEncoder._band_deltas(qcd0, levels, bits)
+        fbatch = np.zeros(batch.shape, dtype=np.float32)
+        for bg in packed_band_layout(x0, y0, x0 + tw_, y0 + th_, levels):
+            delta = deltas[_band_index(bg.resolution, bg.band)]
+            sl = (slice(None), slice(None),
+                  slice(bg.row_off, bg.row_off + bg.height),
+                  slice(bg.col_off, bg.col_off + bg.width))
+            fbatch[sl] = jq.dequantize(batch[sl], delta)
+        batch = fbatch
     mesh = mesh or make_mesh()
     nshard = mesh.shape[FRAME_AXIS] * mesh.shape[TILE_AXIS]
-    padded, orig = pad_batch_to_devices(np.stack(packs), nshard)
+    padded, orig = pad_batch_to_devices(batch, nshard)
 
     def stage(x):
-        rec = inv53_multilevel(x.astype(jnp.int32), levels, x0=x0, y0=y0)
-        if mct and rec.shape[1] >= 3:
-            r_, g_, b_ = rct_inverse(rec[:, 0], rec[:, 1], rec[:, 2])
-            rec = jnp.concatenate(
-                [jnp.stack([r_, g_, b_], axis=1), rec[:, 3:]], axis=1)
+        if transform == 1:
+            rec = inv53_multilevel(x.astype(jnp.int32), levels,
+                                   x0=x0, y0=y0)
+            if mct and rec.shape[1] >= 3:
+                r_, g_, b_ = rct_inverse(rec[:, 0], rec[:, 1], rec[:, 2])
+                rec = jnp.concatenate(
+                    [jnp.stack([r_, g_, b_], axis=1), rec[:, 3:]], axis=1)
+        else:
+            rec = inv97_multilevel(x, levels, x0=x0, y0=y0)
+            if mct and rec.shape[1] >= 3:
+                r_, g_, b_ = ict_inverse(rec[:, 0], rec[:, 1], rec[:, 2])
+                rec = jnp.concatenate(
+                    [jnp.stack([r_, g_, b_], axis=1), rec[:, 3:]], axis=1)
+            rec = jnp.round(rec).astype(jnp.int32)
         return inv_dc_level_shift(rec, bits, signed)
 
     sharding = NamedSharding(mesh, P((FRAME_AXIS, TILE_AXIS)))
