@@ -110,6 +110,18 @@ def test_j2k_multitile_foreign(rng):
     np.testing.assert_array_equal(pil.astype(img.dtype), img)
 
 
+@pytest.mark.parametrize("pw,order", [(64, 0), (32, 2), (128, 4)])
+def test_j2k_precinct_pixel_size_foreign(rng, pw, order):
+    """OpenJPEG decodes the pixel-size precinct convention's streams
+    (auto-scaled per-resolution PPx/PPy in COD) exactly."""
+    img = _smooth(rng, 128, 128, 1, 12)
+    stream, _ = _encode(UID_J2K_LL, img, 12, 1,
+                        {"precinct_width": pw, "precinct_height": pw,
+                         "progression": order})
+    pil = _pil_decode(stream, img.shape, 12)
+    np.testing.assert_array_equal(pil.astype(img.dtype), img)
+
+
 def test_j2k_multilayer_foreign(rng):
     img = _smooth(rng, 64, 64, 1, 12)
     stream, _ = _encode(UID_J2K_LL, img, 12, 1, {"num_layers": 3})
