@@ -316,7 +316,26 @@ class J2KLossyCodec(Codec):
 
     def decode(self, old_pixel_data: PixelData, new_pixel_data: PixelData,
                parameters: Optional[Parameters] = None) -> None:
-        for i in range(old_pixel_data.frame_count()):
+        nframes = old_pixel_data.frame_count()
+        if nframes > 1:
+            # batched host-entropy+dequant / device-9/7-inverse overlap
+            # (within one rounding tie of the scalar decoder — float
+            # program shapes; see pipeline.decode_frames_pipelined)
+            try:
+                from ..pipeline import decode_frames_pipelined
+                from .jpeg2000 import pack_decoded_pixels
+
+                streams = [old_pixel_data.get_frame(i)
+                           for i in range(nframes)]
+                frames, (depth, signed) = decode_frames_pipelined(
+                    streams, return_info=True)
+                for arr in frames:
+                    new_pixel_data.add_frame(pack_decoded_pixels(
+                        arr, depth, signed))
+                return
+            except (UnsupportedFormatError, ValueError, CorruptStreamError):
+                pass  # heterogeneous/multi-tile: scalar path below
+        for i in range(nframes):
             pix, *_ = decode_to_pixels(old_pixel_data.get_frame(i))
             new_pixel_data.add_frame(pix)
 

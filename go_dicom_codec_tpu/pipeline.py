@@ -409,24 +409,48 @@ def _j2k_decode_device_stage(packed, levels, x0, y0, bits, signed, mct,
     return px
 
 
+def _j2k_decode_device_stage_97(fbatch, levels, x0, y0, bits, signed, mct,
+                                narrow=False):
+    """Batched irreversible inverse device stage: [B, C, th, tw]
+    dequantized float32 coefficients → reconstructed samples (float 9/7
+    inverse + inverse ICT + round + DC unshift)."""
+    from .ops.dwt97 import inv97_multilevel
+    from .ops.mct import ict_inverse, inv_dc_level_shift
+
+    rec = inv97_multilevel(fbatch, levels, x0=x0, y0=y0)
+    if mct and rec.shape[1] >= 3:
+        y, cb, cr = rec[:, 0], rec[:, 1], rec[:, 2]
+        r_, g_, b_ = ict_inverse(y, cb, cr)
+        rec = jnp.concatenate(
+            [jnp.stack([r_, g_, b_], axis=1), rec[:, 3:]], axis=1)
+    px = inv_dc_level_shift(jnp.round(rec).astype(jnp.int32), bits, signed)
+    if narrow:
+        return px.astype(jnp.int16 if signed else jnp.uint16)
+    return px
+
+
 def decode_frames_pipelined(streams, chunk: int = 8,
                             return_info: bool = False,
                             device: str = "auto"):
-    """Double-buffered J2K-lossless multi-frame DECODE.
+    """Double-buffered J2K multi-frame DECODE.
 
     The host entropy-decodes (T1 + T2) chunk k+1 while the device runs
-    the batched inverse 5/3 + inverse RCT + DC unshift for chunk k —
-    the decode-side mirror of encode_frames_pipelined (same
+    the batched inverse DWT + inverse color transform + DC unshift for
+    chunk k — the decode-side mirror of encode_frames_pipelined (same
     backend-aware `device` selection). Requires homogeneous single-tile
-    reversible streams of equal geometry (the shape the encode
-    pipelines emit); pixel output is bit-identical to J2KDecoder.decode
-    per frame.
+    streams of equal geometry (the shape the encode pipelines emit).
+    Reversible output is bit-identical to J2KDecoder.decode per frame;
+    irreversible streams (host per-band dequant + float 9/7 inverse)
+    match within ±1 rounding ties (float program shapes — same policy
+    as parallel.mesh.decode_frames_sharded).
 
     Returns a list of [H, W, C] int32 arrays.
     """
     import numpy as np
 
-    from .codecs.jpeg2000 import decode_to_packed
+    from .codecs.jpeg2000 import J2KEncoder, _band_index, decode_to_packed
+    from .codecs import j2k_quant as jq
+    from .codecs.j2k_geometry import packed_band_layout
 
     if not streams:
         return ([], None) if return_info else []
@@ -443,16 +467,31 @@ def decode_frames_pipelined(streams, chunk: int = 8,
     def host_stage(group):
         packs = []
         for s in group:
-            packed, siz, cod = decode_to_packed(s)
-            if cod.transform != 1:
-                raise ValueError("decode pipeline is for reversible streams")
+            packed, siz, cod, qcd = decode_to_packed(s, return_qcd=True)
             m = (packed.shape, cod.num_levels, siz.xosiz, siz.yosiz,
-                 siz.components[0][:2], cod.mct)
+                 siz.components[0][:2], cod.mct, cod.transform, qcd)
             if global_meta[0] is None:
                 global_meta[0] = m
             elif m != global_meta[0]:
                 raise ValueError("decode pipeline needs equal-geometry "
                                  "streams")
+            if cod.transform != 1:
+                # irreversible: per-band dequant on the host (QCD steps)
+                _, th_, tw_ = packed.shape
+                bits_ = siz.components[0][0]
+                deltas = J2KEncoder._band_deltas(qcd, cod.num_levels,
+                                                 bits_)
+                fp = np.zeros(packed.shape, dtype=np.float32)
+                for bg in packed_band_layout(siz.xosiz, siz.yosiz,
+                                             siz.xosiz + tw_,
+                                             siz.yosiz + th_,
+                                             cod.num_levels):
+                    delta = deltas[_band_index(bg.resolution, bg.band)]
+                    sl = (slice(None),
+                          slice(bg.row_off, bg.row_off + bg.height),
+                          slice(bg.col_off, bg.col_off + bg.width))
+                    fp[sl] = jq.dequantize(packed[sl], delta)
+                packed = fp
             packs.append(packed)
         return np.stack(packs)
 
@@ -460,23 +499,36 @@ def decode_frames_pipelined(streams, chunk: int = 8,
     out = []
     prev = None  # device array pending readback
     for group in groups:
-        batch = host_stage(group)  # host T1 for THIS chunk
-        shape, levels, x0, y0, (bits, signed), mct = global_meta[0]
+        batch = host_stage(group)  # host T1 (+dequant) for THIS chunk
+        (shape, levels, x0, y0, (bits, signed), mct, transform,
+         _qcd) = global_meta[0]
         if use_host:
-            from .native import dwt53_inv_native
+            from .native import dwt53_inv_native, dwt97_inv_native
+            from .ops.mct import ict_inverse_np
             from .ops.mct import rct_inverse as _rcti
 
             recs = []
             for k in range(batch.shape[0]):
-                rec = np.stack([
-                    dwt53_inv_native(batch[k, c], levels, x0, y0)
-                    for c in range(batch.shape[1])])
-                if mct and rec.shape[0] >= 3:
-                    r_, g_, b_ = _rcti(rec[0], rec[1], rec[2])
-                    rec = np.stack([np.asarray(r_), np.asarray(g_),
-                                    np.asarray(b_)]
-                                   + [rec[i]
-                                      for i in range(3, rec.shape[0])])
+                if transform == 1:
+                    rec = np.stack([
+                        dwt53_inv_native(batch[k, c], levels, x0, y0)
+                        for c in range(batch.shape[1])])
+                    if mct and rec.shape[0] >= 3:
+                        r_, g_, b_ = _rcti(rec[0], rec[1], rec[2])
+                        rec = np.stack([np.asarray(r_), np.asarray(g_),
+                                        np.asarray(b_)]
+                                       + [rec[i]
+                                          for i in range(3, rec.shape[0])])
+                else:
+                    rec = np.stack([
+                        dwt97_inv_native(batch[k, c], levels, x0, y0)
+                        for c in range(batch.shape[1])])
+                    if mct and rec.shape[0] >= 3:
+                        r_, g_, b_ = ict_inverse_np(rec[0], rec[1], rec[2])
+                        rec = np.stack([r_, g_, b_]
+                                       + [rec[i]
+                                          for i in range(3, rec.shape[0])])
+                    rec = np.round(rec).astype(np.int32)
                 if not signed:
                     rec = rec + (1 << (bits - 1))
                 recs.append(rec)
@@ -486,9 +538,14 @@ def decode_frames_pipelined(streams, chunk: int = 8,
         if batch.dtype == np.int32 and np.abs(batch).max() <= 32767:
             batch = batch.astype(np.int16)
         narrow = bits <= 16
-        pending = _j2k_decode_device_stage(
-            jnp.asarray(batch), levels, x0, y0, bits, signed, bool(mct),
-            narrow)
+        if transform == 1:
+            pending = _j2k_decode_device_stage(
+                jnp.asarray(batch), levels, x0, y0, bits, signed,
+                bool(mct), narrow)
+        else:
+            pending = _j2k_decode_device_stage_97(
+                jnp.asarray(batch), levels, x0, y0, bits, signed,
+                bool(mct), narrow)
         _start_host_copy(pending)
         if prev is not None:
             out.extend(np.asarray(prev))  # sync previous chunk's device work
@@ -498,6 +555,6 @@ def decode_frames_pipelined(streams, chunk: int = 8,
     frames = [np.moveaxis(np.asarray(f).astype(np.int32), 0, -1)
               for f in out]
     if return_info:
-        _, _, _, _, (bits, signed), _ = global_meta[0]
+        (bits, signed) = global_meta[0][4]
         return frames, (bits, signed)
     return frames

@@ -97,3 +97,38 @@ def test_pipeline_empty_batch():
 
 def test_pipeline_decode_empty():
     assert decode_frames_pipelined([]) == []
+
+
+@pytest.mark.parametrize("ncomp,lane", [(1, "device"), (1, "host"),
+                                        (3, "device"), (3, "host")])
+def test_pipeline_decode_lossy_matches_scalar(ncomp, lane, rng):
+    """Round-4: the decode pipeline also carries irreversible streams
+    (host per-band dequant + 9/7 inverse on either lane), within one
+    rounding tie of the scalar decoder on every lane."""
+    from go_dicom_codec_tpu.codecs.jpeg2000 import (J2KDecoder,
+                                                    J2KEncodeParams,
+                                                    J2KEncoder)
+
+    shape = (4, 48, 64) if ncomp == 1 else (4, 48, 64, 3)
+    frames = (np.cumsum(rng.integers(-9, 10, shape), axis=2)
+              % 256).astype(np.int32)
+    enc = J2KEncoder(J2KEncodeParams(num_levels=3, lossless=False,
+                                     quality=90))
+    streams = [enc.encode(f, 64, 48, ncomp, 8) for f in frames]
+    scalar = [J2KDecoder().decode(s)[0] for s in streams]
+    got = decode_frames_pipelined(streams, device=lane)
+    for g, s in zip(got, scalar):
+        assert np.abs(g.astype(np.int64) - s.astype(np.int64)).max() <= 1
+
+
+def test_pipeline_decode_rejects_mixed_transforms(rng):
+    from go_dicom_codec_tpu.codecs.jpeg2000 import (J2KEncodeParams,
+                                                    J2KEncoder)
+
+    img = rng.integers(0, 256, (32, 32)).astype(np.int32)
+    s_ll = J2KEncoder(J2KEncodeParams(num_levels=2)).encode(
+        img, 32, 32, 1, 8)
+    s_ir = J2KEncoder(J2KEncodeParams(num_levels=2, lossless=False)
+                      ).encode(img, 32, 32, 1, 8)
+    with pytest.raises(ValueError):
+        decode_frames_pipelined([s_ll, s_ir])
