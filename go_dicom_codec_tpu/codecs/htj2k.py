@@ -85,7 +85,29 @@ class HTJ2KLosslessCodec(Codec):
 
     def decode(self, old_pixel_data: PixelData, new_pixel_data: PixelData,
                parameters: Optional[Parameters] = None) -> None:
-        for i in range(old_pixel_data.frame_count()):
+        nframes = old_pixel_data.frame_count()
+        if nframes > 1:
+            # batched host-entropy / device-inverse overlap — HT block
+            # decode happens in decode_to_packed's host stage, so the
+            # same pipeline carries HT streams (reversible output is
+            # bit-identical to the scalar path; 9/7 within one tie)
+            try:
+                from ..errors import CorruptStreamError
+                from ..pipeline import decode_frames_pipelined
+                from .jpeg2000 import pack_decoded_pixels
+
+                streams = [old_pixel_data.get_frame(i)
+                           for i in range(nframes)]
+                frames, (depth, signed) = decode_frames_pipelined(
+                    streams, return_info=True)
+                for arr in frames:
+                    new_pixel_data.add_frame(pack_decoded_pixels(
+                        arr, depth, signed))
+                return
+            except (UnsupportedFormatError, ValueError,
+                    CorruptStreamError):
+                pass  # heterogeneous/multi-tile: scalar path below
+        for i in range(nframes):
             pix, *_ = decode_to_pixels(old_pixel_data.get_frame(i))
             new_pixel_data.add_frame(pix)
 

@@ -227,7 +227,14 @@ def decode_frames_sharded(streams, mesh: Optional[Mesh] = None):
                 rec = jnp.concatenate(
                     [jnp.stack([r_, g_, b_], axis=1), rec[:, 3:]], axis=1)
             rec = jnp.round(rec).astype(jnp.int32)
-        return inv_dc_level_shift(rec, bits, signed)
+        px = inv_dc_level_shift(rec, bits, signed)
+        if transform != 1:
+            # lossy reconstructions can overshoot; clip to the declared
+            # range like the final pixel pack (pipeline policy)
+            lo, hi = ((-(1 << (bits - 1)), (1 << (bits - 1)) - 1)
+                      if signed else (0, (1 << bits) - 1))
+            px = jnp.clip(px, lo, hi)
+        return px
 
     sharding = NamedSharding(mesh, P((FRAME_AXIS, TILE_AXIS)))
     x = jax.device_put(jnp.asarray(padded), sharding)

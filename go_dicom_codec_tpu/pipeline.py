@@ -425,6 +425,12 @@ def _j2k_decode_device_stage_97(fbatch, levels, x0, y0, bits, signed, mct,
             [jnp.stack([r_, g_, b_], axis=1), rec[:, 3:]], axis=1)
     px = inv_dc_level_shift(jnp.round(rec).astype(jnp.int32), bits, signed)
     if narrow:
+        # lossy reconstructions can overshoot the declared range by a
+        # few codes; clip BEFORE the 16-bit readback cast (the final
+        # pack clips identically — an unclipped -1 would wrap to 65535)
+        lo, hi = ((-(1 << (bits - 1)), (1 << (bits - 1)) - 1) if signed
+                  else (0, (1 << bits) - 1))
+        px = jnp.clip(px, lo, hi)
         return px.astype(jnp.int16 if signed else jnp.uint16)
     return px
 
@@ -441,8 +447,10 @@ def decode_frames_pipelined(streams, chunk: int = 8,
     streams of equal geometry (the shape the encode pipelines emit).
     Reversible output is bit-identical to J2KDecoder.decode per frame;
     irreversible streams (host per-band dequant + float 9/7 inverse)
-    match within ±1 rounding ties (float program shapes — same policy
-    as parallel.mesh.decode_frames_sharded).
+    come back clipped to the declared dynamic range (what the final
+    pixel pack does anyway) and match the scalar decoder within ±1
+    rounding ties (float program shapes — same policy as
+    parallel.mesh.decode_frames_sharded).
 
     Returns a list of [H, W, C] int32 arrays.
     """
@@ -531,6 +539,12 @@ def decode_frames_pipelined(streams, chunk: int = 8,
                     rec = np.round(rec).astype(np.int32)
                 if not signed:
                     rec = rec + (1 << (bits - 1))
+                if transform != 1:
+                    # match the device lane: lossy output is clipped to
+                    # the declared range (what the final pack does)
+                    lo, hi = ((-(1 << (bits - 1)), (1 << (bits - 1)) - 1)
+                              if signed else (0, (1 << bits) - 1))
+                    rec = np.clip(rec, lo, hi)
                 recs.append(rec)
             out.extend(recs)
             continue

@@ -132,3 +132,46 @@ def test_pipeline_decode_rejects_mixed_transforms(rng):
                       ).encode(img, 32, 32, 1, 8)
     with pytest.raises(ValueError):
         decode_frames_pipelined([s_ll, s_ir])
+
+
+@pytest.mark.parametrize("lane", ["device", "host"])
+def test_pipeline_decode_lossy_range_edges_no_wrap(lane, rng):
+    """Regression: lossy reconstructions that overshoot the declared
+    range (values at 0 / 4095) must clip, not wrap, through the 16-bit
+    device readback (an unclipped -1 wrapped to 65535)."""
+    from go_dicom_codec_tpu.codecs.jpeg2000 import (J2KEncodeParams,
+                                                    J2KEncoder)
+
+    img = np.zeros((3, 64, 64), dtype=np.int32)
+    img[:, ::2, ::2] = 4095        # harsh checkerboard → ringing
+    enc = J2KEncoder(J2KEncodeParams(num_levels=3, lossless=False,
+                                     quality=70))
+    streams = [enc.encode(f, 64, 64, 1, 12) for f in img]
+    got = decode_frames_pipelined(streams, device=lane)
+    for g in got:
+        assert g.min() >= 0 and g.max() <= 4095
+
+
+def test_htj2k_adapter_batched_decode_matches_scalar(rng):
+    """Multi-frame HT decode through the registry uses the batched
+    pipeline; bytes equal the per-frame scalar path (lossless)."""
+    import go_dicom_codec_tpu as dc
+
+    info = dc.FrameInfo(width=48, height=48, bits_allocated=16,
+                        bits_stored=12)
+    frames = (np.cumsum(rng.integers(-9, 10, (3, 48, 48)), axis=2)
+              % 4096).astype("<u2")
+    codec = dc.get_global_registry().get_codec(dc.uids.HTJ2K_LOSSLESS)
+    src = dc.MemoryPixelData(info=info)
+    for f in frames:
+        src.add_frame(f.tobytes())
+    enc = dc.MemoryPixelData(info=info, encapsulated=True)
+    codec.encode(src, enc)
+    dec = dc.MemoryPixelData(info=info)
+    codec.decode(enc, dec)
+    for i in range(3):
+        one = dc.MemoryPixelData(info=info, encapsulated=True)
+        one.add_frame(enc.get_frame(i))
+        d1 = dc.MemoryPixelData(info=info)
+        codec.decode(one, d1)
+        assert dec.get_frame(i) == d1.get_frame(0)
