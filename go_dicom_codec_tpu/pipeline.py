@@ -405,6 +405,12 @@ def _j2k_decode_device_stage(packed, levels, x0, y0, bits, signed, mct,
             [jnp.stack([r_, g_, b_], axis=1), rec[:, 3:]], axis=1)
     px = inv_dc_level_shift(rec, bits, signed)
     if narrow:  # pixels fit 16 bits: halve the tunnel readback
+        # identity for conformant streams (reversible reconstruction is
+        # exact); clips hostile coefficients that would otherwise wrap
+        # through the 16-bit cast
+        lo, hi = ((-(1 << (bits - 1)), (1 << (bits - 1)) - 1) if signed
+                  else (0, (1 << bits) - 1))
+        px = jnp.clip(px, lo, hi)
         return px.astype(jnp.int16 if signed else jnp.uint16)
     return px
 
