@@ -186,7 +186,7 @@ class J2KLosslessCodec(Codec):
                 and params.roi_regions is None
                 and params.mct_matrix is None
                 and params.mct_bindings is None
-                and params.num_layers == 1 and params.cb_style == 0
+                and params.num_layers == 1
                 and not params.htj2k
                 and params.resolved_precincts(params.num_levels) is None
                 and params.target_ratio == 0

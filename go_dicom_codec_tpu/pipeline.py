@@ -288,7 +288,8 @@ def encode_frames_pipelined(frames, bit_depth: int = 16,
     cod = j2kcs.CodInfo(progression=p.progression, num_layers=1,
                         mct=1 if rgb else 0,
                         num_levels=p.num_levels, cb_width=p.cb_width,
-                        cb_height=p.cb_height, transform=1)
+                        cb_height=p.cb_height, cb_style=p.cb_style,
+                        transform=1)
     qcd = j2kcs.QcdInfo(style=0, guard_bits=p.guard_bits)
     from .codecs.j2k_geometry import band_gain
     from .codecs import j2k_quant as jq

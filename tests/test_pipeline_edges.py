@@ -175,3 +175,43 @@ def test_htj2k_adapter_batched_decode_matches_scalar(rng):
         d1 = dc.MemoryPixelData(info=info)
         codec.decode(one, d1)
         assert dec.get_frame(i) == d1.get_frame(0)
+
+
+@pytest.mark.parametrize("style", [0x00, 0x01, 0x05, 0x08])
+def test_pipeline_encode_honors_cb_style(style, rng):
+    """Regression: the pipelined encoder's hand-built COD dropped
+    cb_style, so the adapters' DEFAULT (lazy 0x01) multi-frame encodes
+    never matched — and were gated off — the batched path. All styles
+    are byte-identical to the scalar encoder now."""
+    from go_dicom_codec_tpu.codecs.jpeg2000 import (J2KEncodeParams,
+                                                    J2KEncoder)
+
+    frames = (np.cumsum(rng.integers(-9, 10, (3, 64, 64)), axis=2)
+              % 4096).astype(np.int32)
+    p = J2KEncodeParams(num_levels=3, cb_style=style)
+    piped = encode_frames_pipelined(frames, bit_depth=12, params=p)
+    enc = J2KEncoder(J2KEncodeParams(num_levels=3, cb_style=style))
+    assert piped == [enc.encode(f, 64, 64, 1, 12) for f in frames]
+
+
+def test_adapter_default_multiframe_uses_batched_path(rng):
+    """The registry .90 adapter's default params (lazy code-blocks) now
+    take the batched encode path, byte-identical to per-frame encodes."""
+    import go_dicom_codec_tpu as dc
+
+    info = dc.FrameInfo(width=48, height=48, bits_allocated=16,
+                        bits_stored=12)
+    frames = (np.cumsum(rng.integers(-9, 10, (3, 48, 48)), axis=2)
+              % 4096).astype("<u2")
+    codec = dc.get_global_registry().get_codec(dc.uids.JPEG_2000_LOSSLESS)
+    src = dc.MemoryPixelData(info=info)
+    for f in frames:
+        src.add_frame(f.tobytes())
+    enc = dc.MemoryPixelData(info=info, encapsulated=True)
+    codec.encode(src, enc)
+    for i in range(3):
+        one = dc.MemoryPixelData(info=info)
+        one.add_frame(frames[i].tobytes())
+        e1 = dc.MemoryPixelData(info=info, encapsulated=True)
+        codec.encode(one, e1)
+        assert enc.get_frame(i) == e1.get_frame(0)
