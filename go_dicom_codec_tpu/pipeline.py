@@ -352,10 +352,9 @@ def encode_frames_pipelined_jpeg(frames, quality: int = 90,
     The device runs DCT+quant+zigzag for chunk k+1 (one batched jit
     dispatch) while the host Huffman-codes chunk k — the same
     host↔device overlap as the J2K pipeline. Grayscale frames [F, H, W];
-    returns a list of JPEG byte streams. Streams match the per-frame
-    encoder run with GDCT_DISABLE_NATIVE (both use the float32 device
-    DCT); the native host DCT may differ ±1 at quantizer rounding ties
-    (see CLAUDE.md invariants) — all equally valid lossy encodes.
+    returns a list of JPEG byte streams, byte-identical to the
+    per-frame encoder on EVERY lane (r4 determinism invariant: the
+    integer islow DCT is the one transform everywhere — see CLAUDE.md).
     """
     import numpy as np
 
