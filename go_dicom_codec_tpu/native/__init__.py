@@ -705,10 +705,10 @@ def p14_pack_scan32_native(diffs: np.ndarray, codes: np.ndarray,
 
 def jpg_fdct_quant_native(plane: np.ndarray, qtable: np.ndarray,
                           level_shift: int):
-    """Host DCT+quant+zigzag over the whole plane (float32, the same
-    precision as the device einsum; mirror in role of
-    ops/dct8x8.encode_plane_to_zigzag — may still differ ±1 at rounding
-    ties because the summation order differs). plane: [h, w] int;
+    """Host DCT+quant+zigzag over the whole plane (integer islow
+    butterflies — byte-identical mirror of
+    ops/dct8x8.encode_plane_to_zigzag, the r4 determinism invariant;
+    parity pinned in tests/test_native.py). plane: [h, w] int;
     qtable: [8, 8] raster. Returns [nby, nbx, 64] int32, or None."""
     lib = get_lib()
     if lib is None:

@@ -1,14 +1,18 @@
-"""Batched 8×8 DCT/IDCT + quantization on device (MXU path).
+"""Batched 8×8 DCT/IDCT + quantization on device.
 
 Role of reference jpeg/standard/{dct.go,dct_ijg.go,dct12.go,idct*.go} and
-the per-block quantize loops (jpeg/baseline/encoder.go:440-468): instead of
-a scalar per-block integer DCT, the whole MCU grid is transformed as one
-[N, 8, 8] einsum against the orthonormal DCT-II matrix — two matmuls per
-block on the MXU — with quantization (round-half-away-from-zero, matching
-the reference divisor semantics at encoder.go:458-465) fused in.
+the per-block quantize loops (jpeg/baseline/encoder.go:440-468), whole
+MCU grid per launch.
 
-float32 is exact here: 12-bit samples × 8×8 DCT sums stay well inside the
-24-bit mantissa, and the final value is an integer quotient rounding.
+Since r4 the CODEC path (encode_plane_to_zigzag /
+decode_zigzag_to_plane) runs the integer IJG islow butterflies
+(ops/dct_int.py) so lossy JPEG streams are byte-identical on every lane
+— jit, numpy, native (the determinism invariant, CLAUDE.md). The
+float32 orthonormal einsum pair below (dct8x8/idct8x8 — two MXU matmuls
+per block; exact for 12-bit inputs, sums stay inside the 24-bit
+mantissa) remains for measurement and as the Pallas comparison baseline
+(tools/device_bench, ops/pallas_dct.py) but is no longer on any codec
+path.
 """
 
 from __future__ import annotations
