@@ -107,12 +107,15 @@ def encode_frames_sharded(frames, bit_depth: int = 16,
     padded, orig = pad_batch_to_devices(frames, nshard)
 
     p = params or J2KEncodeParams(num_levels=levels)
-    if p.roi_regions or p.mct_bindings or p.mct_matrix is not None:
+    if p.roi_regions:
         raise UnsupportedFormatError(
-            "sharded encode: ROI / MCT-binding / custom-matrix configs "
-            "use the scalar per-tile transform path")
+            "sharded encode: ROI configs use the scalar per-tile "
+            "transform path (region masks are data-dependent)")
     nlv = p.clamped_levels(w, h)
     use_mct = p.mct if p.mct is not None else (ncomp == 3)
+    if p.mct_matrix is not None or p.mct_bindings:
+        use_mct = False    # bindings/custom matrix replace RCT/ICT
+        #                    (same override as J2KEncoder.encode)
     lossless = p.lossless
     tw = p.tile_width or w
     th = p.tile_height or h
@@ -124,7 +127,8 @@ def encode_frames_sharded(frames, bit_depth: int = 16,
 
     tile_batches = sharded_tile_coeffs(
         padded, rects, nlv, bit_depth, signed, use_mct, ncomp, lossless,
-        mesh)
+        mesh, mct_bindings=p.mct_bindings, mct_matrix=p.mct_matrix,
+        mct_offsets=p.mct_offsets)
 
     enc = J2KEncoder(p)
     out = []
@@ -244,21 +248,36 @@ def decode_frames_sharded(streams, mesh: Optional[Mesh] = None):
 
 
 def sharded_tile_coeffs(padded, rects, nlv, bit_depth, signed, use_mct,
-                        ncomp, lossless, mesh):
+                        ncomp, lossless, mesh, mct_bindings=None,
+                        mct_matrix=None, mct_offsets=None):
     """The sharded device stage: per-tile DC shift (+MCT) + DWT over a
     padded frame batch, frame-axis sharded.  Returns one [F, C, th, tw]
     array per tile (int32 for 5/3, float32 pre-quant for 9/7).
 
-    Integer (lossless) results are bitwise identical to every scalar
-    lane.  Float 9/7 results match the scalar jit lane except for
-    occasional one-ulp differences between differently-compiled XLA
-    programs (batched/partitioned vs per-frame) — which can flip a
-    quantization tie; byte-level determinism claims for lossy therefore
-    hold for a FIXED transform program, not across program shapes (same
-    policy as the native-vs-jit float 9/7 lanes, CLAUDE.md)."""
+    Integer (lossless, no float MCT) results are bitwise identical to
+    every scalar lane.  Float stages — the 9/7, and Part-2 custom
+    matrices/bindings (applied before the DWT like the scalar
+    _tile_coeffs_device, with the same lossless re-rounding) — match
+    the scalar jit lane except for occasional one-ulp differences
+    between differently-compiled XLA programs (batched/partitioned vs
+    per-frame), which can flip a rounding or quantization tie;
+    byte-level determinism claims therefore hold for a FIXED transform
+    program, not across program shapes (same policy as the
+    native-vs-jit float 9/7 lanes, CLAUDE.md)."""
     from ..ops.dwt53 import fwd53_multilevel
     from ..ops.dwt97 import fwd97_multilevel
     from ..ops.mct import dc_level_shift, ict_forward, rct_forward
+
+    def _apply_matrix(comps, matrix, offsets):
+        # batched mirror of ops.mct.mct_matrix_forward ([F, C, h, w]):
+        # offsets SUBTRACT before the matrix, float32 accumulation
+        x = comps.astype(jnp.float32)
+        if offsets is not None:
+            x = x - jnp.asarray(np.asarray(offsets, dtype=np.float32)
+                                )[None, :, None, None]
+        m = jnp.asarray(np.asarray(matrix, dtype=np.float32))
+        return jnp.einsum("ij,fjhw->fihw", m, x,
+                          preferred_element_type=jnp.float32)
 
     def stage(x):
         # x: [F, H, W, C] int32 — same op sequence per tile as the
@@ -268,15 +287,30 @@ def sharded_tile_coeffs(padded, rects, nlv, bit_depth, signed, use_mct,
         for (tx0, ty0, tx1, ty1) in rects:
             tile = jnp.moveaxis(x[:, ty0:ty1, tx0:tx1, :], -1, 1)
             comps = dc_level_shift(tile, bit_depth, signed)  # [F,C,h,w]
+            if mct_bindings:
+                for b in mct_bindings:
+                    ids = list(b.component_ids) or list(range(ncomp))
+                    idx = jnp.asarray(ids)
+                    offs = (np.asarray(b.offsets, dtype=np.float32)
+                            if b.offsets else None)
+                    sub = _apply_matrix(comps[:, idx].astype(jnp.float32),
+                                        b.matrix, offs)
+                    comps = comps.astype(jnp.float32).at[:, idx].set(sub)
+                if lossless:
+                    comps = jnp.round(comps).astype(jnp.int32)
+            elif mct_matrix is not None:
+                comps = _apply_matrix(comps, mct_matrix, mct_offsets)
+                if lossless:
+                    comps = jnp.round(comps).astype(jnp.int32)
             if lossless:
-                if use_mct and ncomp == 3:
+                if use_mct and ncomp == 3 and mct_matrix is None:
                     y, u, v = rct_forward(comps[:, 0], comps[:, 1],
                                           comps[:, 2])
                     comps = jnp.stack([y, u, v], axis=1)
                 outs.append(fwd53_multilevel(comps.astype(jnp.int32),
                                              nlv, x0=tx0, y0=ty0))
             else:
-                if use_mct and ncomp == 3:
+                if use_mct and ncomp == 3 and mct_matrix is None:
                     y, cb, cr = ict_forward(comps[:, 0], comps[:, 1],
                                             comps[:, 2])
                     comps = jnp.stack([y, cb, cr], axis=1)

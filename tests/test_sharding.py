@@ -285,3 +285,40 @@ def test_decode_frames_sharded_lossy_within_tie_tolerance(rng):
         err = np.abs(df[..., 0].astype(np.int64)
                      - frames[i].astype(np.int64))
         assert err.max() <= 12 and err.mean() < 2.5
+
+
+@pytest.mark.parametrize("case", ["matrix", "bindings", "two_bindings",
+                                  "lossy_matrix"])
+def test_encode_frames_sharded_custom_mct(case, rng):
+    """Part-2 custom matrices and MCT bindings shard too (the batched
+    stage mirrors _tile_coeffs_device's binding order and the encode's
+    use_mct override — bindings/matrix replace RCT/ICT), byte-identical
+    to the scalar encoder on this backend."""
+    from go_dicom_codec_tpu.codecs.jpeg2000 import (J2KEncodeParams,
+                                                    J2KEncoder)
+    from go_dicom_codec_tpu.codecs.mct_builder import MCTBinding
+    from go_dicom_codec_tpu.parallel.mesh import (encode_frames_sharded,
+                                                  make_mesh)
+
+    m = [[0.5, 0.25, 0.25], [0.25, 0.5, 0.25], [0.25, 0.25, 0.5]]
+    minv = np.linalg.inv(np.asarray(m)).tolist()
+    b1 = MCTBinding(component_ids=[0, 1, 2], matrix=np.eye(3).tolist(),
+                    inverse=np.eye(3).tolist(), offsets=[5.0, 0.0, -5.0])
+    b2 = MCTBinding(component_ids=[0, 1],
+                    matrix=[[0.7, 0.3], [0.3, 0.7]],
+                    inverse=np.linalg.inv([[0.7, 0.3],
+                                           [0.3, 0.7]]).tolist(),
+                    offsets=None)
+    kw = {
+        "matrix": dict(mct_matrix=m, mct_inverse=minv),
+        "bindings": dict(mct_bindings=[b1]),
+        "two_bindings": dict(mct_bindings=[b1, b2]),
+        "lossy_matrix": dict(mct_matrix=m, mct_inverse=minv,
+                             lossless=False, quality=90),
+    }[case]
+    rgb = rng.integers(0, 256, (3, 48, 48, 3)).astype(np.int32)
+    sharded = encode_frames_sharded(
+        rgb, bit_depth=8, mesh=make_mesh(),
+        params=J2KEncodeParams(num_levels=3, **kw))
+    enc = J2KEncoder(J2KEncodeParams(num_levels=3, **kw))
+    assert sharded == [enc.encode(rgb[i], 48, 48, 3, 8) for i in range(3)]
