@@ -1401,11 +1401,30 @@ def decode_to_packed(data: bytes, return_qcd: bool = False):
     Raises UnsupportedFormatError for multi-tile or non-uniform
     component grids (those decode through J2KDecoder.decode).
     """
+    tiles, siz, cod, qcd = decode_to_packed_tiles(data)
+    if len(tiles) != 1:
+        raise UnsupportedFormatError("packed decode is single-tile only")
+    packed = tiles[0][1]
+    if return_qcd:
+        return packed, siz, cod, qcd
+    return packed, siz, cod
+
+
+def decode_to_packed_tiles(data: bytes):
+    """Host stage for every tile of a codestream: parse + T1 + subband
+    assembly, stopping before the inverse DWT. Returns
+    ([(rect, packed [C, th, tw] int32), ...] in raster tile order,
+    siz, cod, qcd) — the per-tile input the multi-tile sharded decode
+    batches across frames (parallel.mesh.decode_frames_sharded).
+
+    Raises UnsupportedFormatError for the stream classes whose inverse
+    is not a uniform per-tile device program (custom MCT,
+    General-Scaling ROI, per-component/tile COD overrides, subsampled
+    components) — those decode through J2KDecoder.decode.
+    """
     cs = j2k.parse_codestream(data)
     siz = cs.siz
     ncomp = len(siz.components)
-    if len(cs.tiles) != 1:
-        raise UnsupportedFormatError("packed decode is single-tile only")
     if cs.mct_segments or cs.mcc_segments or cs.mco_segments:
         # Part-2 custom MCT inversion happens in the scalar device stage
         raise UnsupportedFormatError("packed decode: custom MCT streams "
@@ -1414,27 +1433,34 @@ def decode_to_packed(data: bytes, return_qcd: bool = False):
         # General-Scaling ROI needs COM-geometry masks (scalar path)
         raise UnsupportedFormatError("packed decode: General-Scaling ROI "
                                      "uses the scalar path")
-    tidx, tile = next(iter(cs.tiles.items()))
-    ntx, _ = siz.num_tiles
-    rect = siz.tile_rect(tidx % ntx, tidx // ntx)
-    cods = [cs.cod_for(c, tile) for c in range(ncomp)]
-    qcds = [cs.qcd_for(c, tile) for c in range(ncomp)]
-    if any(cc != cods[0] for cc in cods[1:]):
-        # COC-heterogeneous components take per-component inverse paths
-        raise UnsupportedFormatError("packed decode: per-component COD "
-                                     "overrides use the scalar path")
-    tx0, ty0, tx1, ty1 = rect
-    comp_rects = [(tx0, ty0, tx1, ty1)] * ncomp
     for c in range(ncomp):
         _, _, xr, yr = siz.components[c]
         if max(xr, 1) != 1 or max(yr, 1) != 1:
             raise UnsupportedFormatError(
                 "packed decode requires unsubsampled components")
     depth0, signed0, _, _ = siz.components[0]
-    packed = J2KDecoder()._decode_tile(
-        tile.data, rect, cods, qcds, ncomp, depth0, signed0,
-        cs.rgn_shifts, None, poc=cs.poc_for(tile), gs_masks=None,
-        comp_rects=comp_rects, _return_packed=True)
-    if return_qcd:
-        return packed, siz, cs.cod_for(0, tile), qcds[0]
-    return packed, siz, cs.cod_for(0, tile)
+    ntx, _ = siz.num_tiles
+    dec = J2KDecoder()
+    out = []
+    cod0 = qcd0 = None
+    for tidx, tile in sorted(cs.tiles.items()):
+        rect = siz.tile_rect(tidx % ntx, tidx // ntx)
+        cods = [cs.cod_for(c, tile) for c in range(ncomp)]
+        qcds = [cs.qcd_for(c, tile) for c in range(ncomp)]
+        if any(cc != cods[0] for cc in cods[1:]):
+            raise UnsupportedFormatError("packed decode: per-component "
+                                         "COD overrides use the scalar "
+                                         "path")
+        if cod0 is None:
+            cod0, qcd0 = cods[0], qcds[0]
+        elif cods[0] != cod0:
+            raise UnsupportedFormatError("packed decode: per-tile COD "
+                                         "overrides use the scalar path")
+        tx0, ty0, tx1, ty1 = rect
+        packed = dec._decode_tile(
+            tile.data, rect, cods, qcds, ncomp, depth0, signed0,
+            cs.rgn_shifts, None, poc=cs.poc_for(tile), gs_masks=None,
+            comp_rects=[(tx0, ty0, tx1, ty1)] * ncomp,
+            _return_packed=True)
+        out.append((rect, packed))
+    return out, siz, cod0, qcd0

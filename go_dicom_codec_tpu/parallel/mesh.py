@@ -160,25 +160,27 @@ def decode_frames_sharded(streams, mesh: Optional[Mesh] = None):
     encode_frames_sharded; the reference decodes frames in a sequential
     loop, decoder.go:91-124).
 
-    The host entropy-decodes each stream (T2 + T1) to packed subband
-    coefficients (codecs.jpeg2000.decode_to_packed; irreversible
-    streams also dequantize per band on the host), then ONE
-    frame-axis-sharded jit runs the inverse transform — inverse 5/3 or
-    9/7 + inverse RCT/ICT + DC unshift — for the whole batch, each
-    chip inverting its frame shard in parallel. Reversible pixels are
-    bit-identical to J2KDecoder.decode per frame (all-integer math);
-    irreversible pixels match within ±1 (XLA may emit one-ulp-different
-    float programs for the batched shape — same policy as the sharded
-    encode, see sharded_tile_coeffs).
+    The host entropy-decodes each stream (T2 + T1) to per-tile packed
+    subband coefficients (codecs.jpeg2000.decode_to_packed_tiles;
+    irreversible streams also dequantize per band on the host), then
+    one frame-axis-sharded jit PER TILE runs the inverse transform —
+    inverse 5/3 or 9/7 + inverse RCT/ICT + DC unshift — over the whole
+    frame batch (the decode mirror of the per-tile encode batches),
+    each chip inverting its frame shard in parallel. Reversible pixels
+    are bit-identical to J2KDecoder.decode per frame (all-integer
+    math); irreversible pixels come back clipped to the declared range
+    and match within ±1 (XLA may emit one-ulp-different float programs
+    for the batched shape — same policy as the sharded encode, see
+    sharded_tile_coeffs).
 
-    Requires homogeneous single-tile streams of equal geometry (the
-    shape the sharded/pipelined encoders emit); raises
+    Requires streams of equal geometry (same SIZ/COD/QCD and tile
+    grid — the shape the sharded/pipelined encoders emit); raises
     UnsupportedFormatError otherwise. Returns [H, W, C] int32 arrays.
     """
     from ..codecs import j2k_quant as jq
     from ..codecs.j2k_geometry import packed_band_layout
     from ..codecs.jpeg2000 import (J2KEncoder, _band_index,
-                                   decode_to_packed)
+                                   decode_to_packed_tiles)
     from ..errors import UnsupportedFormatError
     from ..ops.dwt53 import inv53_multilevel
     from ..ops.dwt97 import inv97_multilevel
@@ -186,46 +188,41 @@ def decode_frames_sharded(streams, mesh: Optional[Mesh] = None):
 
     if not streams:
         return []
-    packs, meta, qcd0 = [], None, None
+    packs, meta, qcd0, siz0 = [], None, None, None
     for s in streams:
-        packed, siz, cod, qcd = decode_to_packed(s, return_qcd=True)
-        m = (packed.shape, cod.num_levels, siz.xosiz, siz.yosiz,
+        tiles, siz, cod, qcd = decode_to_packed_tiles(s)
+        m = ([(r, p.shape) for (r, p) in tiles], cod.num_levels,
+             (siz.xsiz, siz.ysiz, siz.xosiz, siz.yosiz),
              siz.components[0][:2], cod.mct, cod.transform, qcd)
         if meta is None:
-            meta, qcd0 = m, qcd
+            meta, qcd0, siz0 = m, qcd, siz
         elif m != meta:
             raise UnsupportedFormatError(
                 "sharded decode needs equal-geometry streams")
-        packs.append(packed)
-    _, levels, x0, y0, (bits, signed), mct, transform, _ = meta
-    batch = np.stack(packs)
-    if transform != 1:
-        # irreversible: per-band host dequantization with the QCD steps
-        # (same numpy path as the scalar decoder's float stage)
-        _, ncomp_, th_, tw_ = batch.shape
-        deltas = J2KEncoder._band_deltas(qcd0, levels, bits)
-        fbatch = np.zeros(batch.shape, dtype=np.float32)
-        for bg in packed_band_layout(x0, y0, x0 + tw_, y0 + th_, levels):
-            delta = deltas[_band_index(bg.resolution, bg.band)]
-            sl = (slice(None), slice(None),
-                  slice(bg.row_off, bg.row_off + bg.height),
-                  slice(bg.col_off, bg.col_off + bg.width))
-            fbatch[sl] = jq.dequantize(batch[sl], delta)
-        batch = fbatch
+        packs.append(tiles)
+    (tile_shapes, levels, (xs, ys, xos, yos), (bits, signed), mct,
+     transform, _) = meta
+    nframes = len(packs)
     mesh = mesh or make_mesh()
     nshard = mesh.shape[FRAME_AXIS] * mesh.shape[TILE_AXIS]
-    padded, orig = pad_batch_to_devices(batch, nshard)
+    sharding = NamedSharding(mesh, P((FRAME_AXIS, TILE_AXIS)))
 
-    def stage(x):
+    deltas = (J2KEncoder._band_deltas(qcd0, levels, bits)
+              if transform != 1 else None)
+    height, width = ys - yos, xs - xos
+    ncomp = tile_shapes[0][1][0]
+    out = np.zeros((nframes, height, width, ncomp), dtype=np.int32)
+
+    def stage(x, tx0, ty0):
         if transform == 1:
             rec = inv53_multilevel(x.astype(jnp.int32), levels,
-                                   x0=x0, y0=y0)
+                                   x0=tx0, y0=ty0)
             if mct and rec.shape[1] >= 3:
                 r_, g_, b_ = rct_inverse(rec[:, 0], rec[:, 1], rec[:, 2])
                 rec = jnp.concatenate(
                     [jnp.stack([r_, g_, b_], axis=1), rec[:, 3:]], axis=1)
         else:
-            rec = inv97_multilevel(x, levels, x0=x0, y0=y0)
+            rec = inv97_multilevel(x, levels, x0=tx0, y0=ty0)
             if mct and rec.shape[1] >= 3:
                 r_, g_, b_ = ict_inverse(rec[:, 0], rec[:, 1], rec[:, 2])
                 rec = jnp.concatenate(
@@ -240,11 +237,27 @@ def decode_frames_sharded(streams, mesh: Optional[Mesh] = None):
             px = jnp.clip(px, lo, hi)
         return px
 
-    sharding = NamedSharding(mesh, P((FRAME_AXIS, TILE_AXIS)))
-    x = jax.device_put(jnp.asarray(padded), sharding)
-    out = np.asarray(jax.jit(stage, out_shardings=sharding)(x))
-    return [np.moveaxis(out[k], 0, -1).astype(np.int32)
-            for k in range(orig)]
+    jstage = jax.jit(stage, static_argnums=(1, 2),
+                     out_shardings=sharding)
+    for t, ((tx0, ty0, tx1, ty1), _shape) in enumerate(tile_shapes):
+        batch = np.stack([packs[f][t][1] for f in range(nframes)])
+        if transform != 1:
+            # per-band host dequantization with the QCD steps (same
+            # numpy path as the scalar decoder's float stage)
+            fbatch = np.zeros(batch.shape, dtype=np.float32)
+            for bg in packed_band_layout(tx0, ty0, tx1, ty1, levels):
+                delta = deltas[_band_index(bg.resolution, bg.band)]
+                sl = (slice(None), slice(None),
+                      slice(bg.row_off, bg.row_off + bg.height),
+                      slice(bg.col_off, bg.col_off + bg.width))
+                fbatch[sl] = jq.dequantize(batch[sl], delta)
+            batch = fbatch
+        padded, orig = pad_batch_to_devices(batch, nshard)
+        x = jax.device_put(jnp.asarray(padded), sharding)
+        rec = np.asarray(jstage(x, tx0, ty0))[:orig]
+        out[:, ty0 - yos:ty1 - yos, tx0 - xos:tx1 - xos, :] = \
+            np.moveaxis(rec, 1, -1)
+    return [out[k] for k in range(nframes)]
 
 
 def sharded_tile_coeffs(padded, rects, nlv, bit_depth, signed, use_mct,

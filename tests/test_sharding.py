@@ -322,3 +322,37 @@ def test_encode_frames_sharded_custom_mct(case, rng):
         params=J2KEncodeParams(num_levels=3, **kw))
     enc = J2KEncoder(J2KEncodeParams(num_levels=3, **kw))
     assert sharded == [enc.encode(rgb[i], 48, 48, 3, 8) for i in range(3)]
+
+
+@pytest.mark.parametrize("case", ["gray_lossless", "rgb_lossy"])
+def test_decode_frames_sharded_multitile(case, rng):
+    """Multi-tile streams shard on decode too: one frame-batched
+    inverse launch per tile (the decode mirror of the per-tile encode
+    batches)."""
+    from go_dicom_codec_tpu.codecs.jpeg2000 import (J2KDecoder,
+                                                    J2KEncodeParams,
+                                                    J2KEncoder)
+    from go_dicom_codec_tpu.parallel.mesh import (decode_frames_sharded,
+                                                  make_mesh)
+
+    mesh = make_mesh()
+    if case == "gray_lossless":
+        frames = (np.cumsum(rng.integers(-9, 10, (3, 96, 80)), axis=2)
+                  % 4096).astype(np.int32)
+        enc = J2KEncoder(J2KEncodeParams(num_levels=3, tile_width=48,
+                                         tile_height=40))
+        streams = [enc.encode(f, 80, 96, 1, 12) for f in frames]
+        dec = decode_frames_sharded(streams, mesh=mesh)
+        for d, f in zip(dec, frames):
+            np.testing.assert_array_equal(d[..., 0], f)
+    else:
+        rgb = rng.integers(0, 256, (3, 96, 96, 3)).astype(np.int32)
+        enc = J2KEncoder(J2KEncodeParams(num_levels=3, tile_width=48,
+                                         tile_height=48, lossless=False,
+                                         quality=90))
+        streams = [enc.encode(f, 96, 96, 3, 8) for f in rgb]
+        dec = decode_frames_sharded(streams, mesh=mesh)
+        scalar = [J2KDecoder().decode(s)[0] for s in streams]
+        for d, s in zip(dec, scalar):
+            assert np.abs(d.astype(np.int64)
+                          - s.astype(np.int64)).max() <= 1
