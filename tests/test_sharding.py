@@ -11,7 +11,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from go_dicom_codec_tpu.ops.dwt53 import fwd53_multilevel, inv53_multilevel
 from go_dicom_codec_tpu.parallel import (FRAME_AXIS, TILE_AXIS, make_mesh,
@@ -59,7 +59,7 @@ def test_shard_map_tile_pipeline_with_collective(rng):
 
     fn = shard_map(step, mesh=mesh, in_specs=P(FRAME_AXIS, TILE_AXIS),
                    out_specs=(P(FRAME_AXIS, TILE_AXIS), P()),
-                   check_rep=False)
+                   check_vma=False)
     x = jax.device_put(jnp.asarray(frames),
                        NamedSharding(mesh, P(FRAME_AXIS, TILE_AXIS)))
     coeffs, total = jax.jit(fn)(x)
