@@ -487,8 +487,13 @@ class J2KEncoder:
         ncomp = arr.shape[2] if arr is not None else \
             precomputed_coeffs.shape[0]
         if precomputed_coeffs is not None:
-            # device stage ran elsewhere (pipelined batch path)
-            return np.asarray(precomputed_coeffs)
+            # device stage ran elsewhere (pipelined/sharded batch path);
+            # the host ROI pre-shift still applies on top
+            coeffs = np.asarray(precomputed_coeffs)
+            if roi_shifts:
+                coeffs = self._roi_shift_coeffs(coeffs, arr, rect, cod,
+                                                roi_shifts)
+            return coeffs
         tile = arr[ty0:ty1, tx0:tx1, :]
 
         # single-tile host fast path: integer DC shift + RCT + native 5/3
@@ -545,30 +550,37 @@ class J2KEncoder:
                 tile, rect, cod, qcd, bit_depth, signed, use_mct, ncomp)
 
         if roi_shifts:
-            # ROI: scale region coefficients up by 2^Srgn per band, per
-            # component (MaxShift and General Scaling share this encode
-            # path; they differ only in how the decoder unshifts)
-            from .j2k_geometry import packed_band_layout
-            from .j2k_roi import band_roi_mask, combined_mask
-            coeffs = coeffs.astype(np.int64)
-            for c, shift in roi_shifts.items():
-                full_mask = combined_mask(self.params.roi_regions,
-                                          arr.shape[1], arr.shape[0],
-                                          component=c)
-                tile_mask = full_mask[ty0:ty1, tx0:tx1]
-                for bg in packed_band_layout(tx0, ty0, tx1, ty1,
-                                             cod.num_levels):
-                    if bg.width <= 0 or bg.height <= 0:
-                        continue
-                    bm = band_roi_mask(tile_mask, tx0, ty0, cod.num_levels,
-                                       bg.resolution, bg.band,
-                                       (bg.x0, bg.y0, bg.x1, bg.y1))
-                    region = coeffs[
-                        c,
-                        bg.row_off : bg.row_off + bg.height,
-                        bg.col_off : bg.col_off + bg.width]
-                    region[bm] <<= shift
+            coeffs = self._roi_shift_coeffs(coeffs, arr, rect, cod,
+                                            roi_shifts)
 
+        return coeffs
+
+    def _roi_shift_coeffs(self, coeffs, arr, rect, cod: j2k.CodInfo,
+                          roi_shifts: Dict[int, int]) -> np.ndarray:
+        """ROI: scale region coefficients up by 2^Srgn per band, per
+        component (MaxShift and General Scaling share this encode path;
+        they differ only in how the decoder unshifts)."""
+        from .j2k_geometry import packed_band_layout
+        from .j2k_roi import band_roi_mask, combined_mask
+        tx0, ty0, tx1, ty1 = rect
+        coeffs = coeffs.astype(np.int64)
+        for c, shift in roi_shifts.items():
+            full_mask = combined_mask(self.params.roi_regions,
+                                      arr.shape[1], arr.shape[0],
+                                      component=c)
+            tile_mask = full_mask[ty0:ty1, tx0:tx1]
+            for bg in packed_band_layout(tx0, ty0, tx1, ty1,
+                                         cod.num_levels):
+                if bg.width <= 0 or bg.height <= 0:
+                    continue
+                bm = band_roi_mask(tile_mask, tx0, ty0, cod.num_levels,
+                                   bg.resolution, bg.band,
+                                   (bg.x0, bg.y0, bg.x1, bg.y1))
+                region = coeffs[
+                    c,
+                    bg.row_off : bg.row_off + bg.height,
+                    bg.col_off : bg.col_off + bg.width]
+                region[bm] <<= shift
         return coeffs
 
     def _tile_coeffs_device(self, tile: np.ndarray, rect, cod: j2k.CodInfo,

@@ -71,7 +71,8 @@ def encode_frames_sharded(frames, bit_depth: int = 16,
     scalar encoder (headers, T1, PCRD, all progressions/layers) per
     frame with the precomputed per-tile coefficients
     (J2KEncoder.encode(precomputed_tiles=...)) — so multi-tile, RGB/MCT,
-    multi-layer, lossy 9/7 and every marker-surface feature shards.
+    multi-layer, lossy 9/7, HTJ2K, Part-2 custom matrices/bindings,
+    ROI, and every marker-surface feature shards.
 
     Codestreams are byte-identical to the scalar encoder running its jit
     transform lane (frame-axis sharding adds no cross-frame math; for
@@ -82,18 +83,18 @@ def encode_frames_sharded(frames, bit_depth: int = 16,
     frames: [F, H, W] grayscale or [F, H, W, C]. Pads F up to the mesh
     size and drops the padding on output.
 
-    ROI and MCT bindings/custom matrices keep their scalar per-tile
-    transforms (shapes there are data-dependent); this path raises for
-    them so callers fall back explicitly. HTJ2K shards like classic
-    J2K — the device transform is the same DWT; only the host block
-    coder differs (HT cleanup instead of MQ).
+    Custom matrices/bindings apply in the batched device stage (same
+    order as the scalar transform; they replace RCT/ICT). The ROI mask
+    pre-shift applies on the host, post-transform, inside
+    encode(precomputed_tiles=...). HTJ2K shards like classic J2K — the
+    device transform is the same DWT; only the host block coder
+    differs (HT cleanup instead of MQ).
     """
     from ..codecs import j2k_quant as jq
     from ..codecs.j2k_geometry import packed_band_layout
     from ..codecs.jpeg2000 import (J2KEncodeParams, J2KEncoder,
                                    _band_index)
     from ..codestream import j2k as j2kcs
-    from ..errors import UnsupportedFormatError
     from ..ops.dwt53 import fwd53_multilevel
     from ..ops.dwt97 import fwd97_multilevel
     from ..ops.mct import dc_level_shift, ict_forward, rct_forward
@@ -107,10 +108,9 @@ def encode_frames_sharded(frames, bit_depth: int = 16,
     padded, orig = pad_batch_to_devices(frames, nshard)
 
     p = params or J2KEncodeParams(num_levels=levels)
-    if p.roi_regions:
-        raise UnsupportedFormatError(
-            "sharded encode: ROI configs use the scalar per-tile "
-            "transform path (region masks are data-dependent)")
+    # ROI needs no exclusion: the mask pre-shift applies on the HOST,
+    # post-transform, inside encode(precomputed_tiles=...) —
+    # J2KEncoder._roi_shift_coeffs runs on precomputed tiles too.
     nlv = p.clamped_levels(w, h)
     use_mct = p.mct if p.mct is not None else (ncomp == 3)
     if p.mct_matrix is not None or p.mct_bindings:

@@ -212,19 +212,26 @@ def test_encode_frames_sharded_full_surface(name, kw, shape, bits, rng):
             assert err.max() <= 16, err.max()
 
 
-def test_encode_frames_sharded_rejects_roi(rng):
-    """ROI configs raise (scalar per-tile transforms there)."""
+@pytest.mark.parametrize("style", ["maxshift", "general"])
+def test_encode_frames_sharded_roi(style, rng):
+    """ROI shards too: the mask pre-shift applies on the host inside
+    encode(precomputed_tiles=...) — byte-identical to scalar."""
     from go_dicom_codec_tpu.codecs.j2k_roi import ROIRegion
-    from go_dicom_codec_tpu.codecs.jpeg2000 import J2KEncodeParams
-    from go_dicom_codec_tpu.errors import UnsupportedFormatError
-    from go_dicom_codec_tpu.parallel.mesh import encode_frames_sharded
+    from go_dicom_codec_tpu.codecs.jpeg2000 import (J2KEncodeParams,
+                                                    J2KEncoder)
+    from go_dicom_codec_tpu.parallel.mesh import (encode_frames_sharded,
+                                                  make_mesh)
 
-    frames = rng.integers(0, 4096, (2, 32, 32)).astype(np.int32)
-    p = J2KEncodeParams(
-        num_levels=2,
-        roi_regions=[ROIRegion(shape="rect", rect=(4, 4, 16, 16))])
-    with pytest.raises(UnsupportedFormatError):
-        encode_frames_sharded(frames, bit_depth=12, params=p)
+    frames = (np.cumsum(rng.integers(-9, 10, (3, 64, 64)), axis=2)
+              % 4096).astype(np.int32)
+    kw = dict(num_levels=3, cb_style=0,
+              roi_regions=[ROIRegion(shape="rect", rect=(8, 8, 24, 24))],
+              roi_style=style)
+    sharded = encode_frames_sharded(frames, bit_depth=12,
+                                    mesh=make_mesh(),
+                                    params=J2KEncodeParams(**kw))
+    enc = J2KEncoder(J2KEncodeParams(**kw))
+    assert sharded == [enc.encode(f, 64, 64, 1, 12) for f in frames]
 
 
 @pytest.mark.parametrize("name,shape,bits,kw", [
