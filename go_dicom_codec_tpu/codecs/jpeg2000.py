@@ -901,6 +901,63 @@ class J2KEncoder:
         return out
 
 
+def _extract_mct_inverse(cs, ncomp: int):
+    """Part 2 custom MCT: decode inverse matrices + offsets from the
+    markers (reference decoder.go:206-353 extractMCTFromMarkers /
+    extractBindings). With MCC/MCO present, each collection binds a
+    component subset to its MCT records; inverses apply in REVERSE MCO
+    order. Without MCC, fall back to the first full-size decorrelation
+    matrix. Returns [(ids, inv[N,N], offsets[N] | None), ...]."""
+    mct_bindings_inv = []
+    if not cs.mct_segments:
+        return mct_bindings_inv
+    mct_by_idx = {}
+    for seg in cs.mct_segments:
+        idx, atype, etype, vals = j2k.parse_mct_segment(seg)
+        mct_by_idx[(atype, idx)] = vals
+    if cs.mcc_segments:
+        mccs = {}
+        for seg in cs.mcc_segments:
+            index, ids, rev, didx, oidx = j2k.parse_mcc_segment(seg)
+            mccs[index] = (ids, didx, oidx)
+        order = None
+        if cs.mco_segments:
+            order = j2k.parse_mco_segment(cs.mco_segments[0])
+        if not order:
+            order = sorted(mccs)
+        for mcc_i in reversed(order):
+            if mcc_i not in mccs:
+                continue
+            ids, didx, oidx = mccs[mcc_i]
+            vals = mct_by_idx.get((j2k.MCT_ARRAY_DECORRELATE, didx))
+            if not vals or len(vals) != len(ids) ** 2:
+                continue
+            inv = np.asarray(vals, dtype=np.float32
+                             ).reshape(len(ids), len(ids))
+            ovals = mct_by_idx.get((j2k.MCT_ARRAY_OFFSET, oidx)) \
+                if oidx else None
+            offs = (np.asarray(ovals, dtype=np.float32)
+                    if ovals and len(ovals) == len(ids) else None)
+            mct_bindings_inv.append((list(ids), inv, offs))
+    if not mct_bindings_inv:
+        custom_inv = None
+        custom_offs = None
+        for (atype, idx), vals in sorted(mct_by_idx.items(),
+                                         key=lambda kv: kv[0][1]):
+            if atype == j2k.MCT_ARRAY_DECORRELATE \
+                    and custom_inv is None \
+                    and len(vals) == ncomp * ncomp:
+                custom_inv = np.asarray(vals, dtype=np.float32
+                                        ).reshape(ncomp, ncomp)
+            elif atype == j2k.MCT_ARRAY_OFFSET \
+                    and custom_offs is None and len(vals) == ncomp:
+                custom_offs = np.asarray(vals, dtype=np.float32)
+        if custom_inv is not None:
+            mct_bindings_inv.append((list(range(ncomp)), custom_inv,
+                                     custom_offs))
+    return mct_bindings_inv
+
+
 def _apply_mct_bindings_inverse(rec, bindings):
     """Apply per-binding inverse matrices (+offsets) to component
     subsets, in the (already reversed) MCO order."""
@@ -946,58 +1003,7 @@ class J2KDecoder:
         height = siz.ysiz - siz.yosiz
         out = np.zeros((height, width, ncomp), dtype=np.int32)
 
-        # Part 2 custom MCT: decode inverse matrices + offsets from the
-        # markers (reference decoder.go:206-353 extractMCTFromMarkers /
-        # extractBindings). With MCC/MCO present, each collection binds a
-        # component subset to its MCT records; inverses apply in REVERSE
-        # MCO order. Without MCC, fall back to the first full-size
-        # decorrelation matrix.
-        mct_bindings_inv = []  # [(ids, inv[N,N], offsets[N] | None)]
-        if cs.mct_segments:
-            mct_by_idx = {}
-            for seg in cs.mct_segments:
-                idx, atype, etype, vals = j2k.parse_mct_segment(seg)
-                mct_by_idx[(atype, idx)] = vals
-            if cs.mcc_segments:
-                mccs = {}
-                for seg in cs.mcc_segments:
-                    index, ids, rev, didx, oidx = j2k.parse_mcc_segment(seg)
-                    mccs[index] = (ids, didx, oidx)
-                order = None
-                if cs.mco_segments:
-                    order = j2k.parse_mco_segment(cs.mco_segments[0])
-                if not order:
-                    order = sorted(mccs)
-                for mcc_i in reversed(order):
-                    if mcc_i not in mccs:
-                        continue
-                    ids, didx, oidx = mccs[mcc_i]
-                    vals = mct_by_idx.get((j2k.MCT_ARRAY_DECORRELATE, didx))
-                    if not vals or len(vals) != len(ids) ** 2:
-                        continue
-                    inv = np.asarray(vals, dtype=np.float32
-                                     ).reshape(len(ids), len(ids))
-                    ovals = mct_by_idx.get((j2k.MCT_ARRAY_OFFSET, oidx)) \
-                        if oidx else None
-                    offs = (np.asarray(ovals, dtype=np.float32)
-                            if ovals and len(ovals) == len(ids) else None)
-                    mct_bindings_inv.append((list(ids), inv, offs))
-            if not mct_bindings_inv:
-                custom_inv = None
-                custom_offs = None
-                for (atype, idx), vals in sorted(mct_by_idx.items(),
-                                                 key=lambda kv: kv[0][1]):
-                    if atype == j2k.MCT_ARRAY_DECORRELATE \
-                            and custom_inv is None \
-                            and len(vals) == ncomp * ncomp:
-                        custom_inv = np.asarray(vals, dtype=np.float32
-                                                ).reshape(ncomp, ncomp)
-                    elif atype == j2k.MCT_ARRAY_OFFSET \
-                            and custom_offs is None and len(vals) == ncomp:
-                        custom_offs = np.asarray(vals, dtype=np.float32)
-                if custom_inv is not None:
-                    mct_bindings_inv.append((list(range(ncomp)), custom_inv,
-                                             custom_offs))
+        mct_bindings_inv = _extract_mct_inverse(cs, ncomp)
 
         # private JP2ROI COM: region geometry for General-Scaling unshift
         # (reference extractROIFromCOM decoder.go:167-204)
@@ -1413,9 +1419,13 @@ def decode_to_packed(data: bytes, return_qcd: bool = False):
     Raises UnsupportedFormatError for multi-tile or non-uniform
     component grids (those decode through J2KDecoder.decode).
     """
-    tiles, siz, cod, qcd = decode_to_packed_tiles(data)
+    tiles, siz, cod, qcd, mct_inv = decode_to_packed_tiles(data)
     if len(tiles) != 1:
         raise UnsupportedFormatError("packed decode is single-tile only")
+    if mct_inv:
+        # Part-2 custom MCT inversion happens in the scalar device stage
+        raise UnsupportedFormatError("packed decode: custom MCT streams "
+                                     "use the scalar path")
     packed = tiles[0][1]
     if return_qcd:
         return packed, siz, cod, qcd
@@ -1426,21 +1436,19 @@ def decode_to_packed_tiles(data: bytes):
     """Host stage for every tile of a codestream: parse + T1 + subband
     assembly, stopping before the inverse DWT. Returns
     ([(rect, packed [C, th, tw] int32), ...] in raster tile order,
-    siz, cod, qcd) — the per-tile input the multi-tile sharded decode
-    batches across frames (parallel.mesh.decode_frames_sharded).
+    siz, cod, qcd, mct_bindings_inv) — the per-tile input the
+    multi-tile sharded decode batches across frames
+    (parallel.mesh.decode_frames_sharded); mct_bindings_inv carries
+    any Part-2 custom inverse matrices for the batched device stage.
 
     Raises UnsupportedFormatError for the stream classes whose inverse
-    is not a uniform per-tile device program (custom MCT,
-    General-Scaling ROI, per-component/tile COD overrides, subsampled
-    components) — those decode through J2KDecoder.decode.
+    is not a uniform per-tile device program (General-Scaling ROI,
+    per-component/tile COD overrides, subsampled components) — those
+    decode through J2KDecoder.decode.
     """
     cs = j2k.parse_codestream(data)
     siz = cs.siz
     ncomp = len(siz.components)
-    if cs.mct_segments or cs.mcc_segments or cs.mco_segments:
-        # Part-2 custom MCT inversion happens in the scalar device stage
-        raise UnsupportedFormatError("packed decode: custom MCT streams "
-                                     "use the scalar path")
     if any(st == 1 for st in cs.rgn_styles.values()):
         # General-Scaling ROI needs COM-geometry masks (scalar path)
         raise UnsupportedFormatError("packed decode: General-Scaling ROI "
@@ -1475,4 +1483,4 @@ def decode_to_packed_tiles(data: bytes):
             comp_rects=[(tx0, ty0, tx1, ty1)] * ncomp,
             _return_packed=True)
         out.append((rect, packed))
-    return out, siz, cod0, qcd0
+    return out, siz, cod0, qcd0, _extract_mct_inverse(cs, ncomp)

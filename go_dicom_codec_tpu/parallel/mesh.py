@@ -173,9 +173,13 @@ def decode_frames_sharded(streams, mesh: Optional[Mesh] = None):
     for the batched shape — same policy as the sharded encode, see
     sharded_tile_coeffs).
 
-    Requires streams of equal geometry (same SIZ/COD/QCD and tile
-    grid — the shape the sharded/pipelined encoders emit); raises
-    UnsupportedFormatError otherwise. Returns [H, W, C] int32 arrays.
+    Part-2 custom MCT streams shard too — the batched stage applies
+    the marker-carried inverse matrices (reverse MCO order) like the
+    scalar decoder. Requires streams of equal geometry (same
+    SIZ/COD/QCD/MCT and tile grid — the shape the sharded/pipelined
+    encoders emit); raises UnsupportedFormatError otherwise (remaining
+    scalar-only classes: General-Scaling ROI, subsampled components,
+    per-component/tile COD overrides). Returns [H, W, C] int32 arrays.
     """
     from ..codecs import j2k_quant as jq
     from ..codecs.j2k_geometry import packed_band_layout
@@ -188,20 +192,23 @@ def decode_frames_sharded(streams, mesh: Optional[Mesh] = None):
 
     if not streams:
         return []
-    packs, meta, qcd0, siz0 = [], None, None, None
+    packs, meta, qcd0, mct_inv = [], None, None, None
     for s in streams:
-        tiles, siz, cod, qcd = decode_to_packed_tiles(s)
+        tiles, siz, cod, qcd, minv = decode_to_packed_tiles(s)
+        mkey = tuple((tuple(ids), inv.tobytes(),
+                      offs.tobytes() if offs is not None else None)
+                     for (ids, inv, offs) in minv)
         m = ([(r, p.shape) for (r, p) in tiles], cod.num_levels,
              (siz.xsiz, siz.ysiz, siz.xosiz, siz.yosiz),
-             siz.components[0][:2], cod.mct, cod.transform, qcd)
+             siz.components[0][:2], cod.mct, cod.transform, qcd, mkey)
         if meta is None:
-            meta, qcd0, siz0 = m, qcd, siz
+            meta, qcd0, mct_inv = m, qcd, minv
         elif m != meta:
             raise UnsupportedFormatError(
                 "sharded decode needs equal-geometry streams")
         packs.append(tiles)
     (tile_shapes, levels, (xs, ys, xos, yos), (bits, signed), mct,
-     transform, _) = meta
+     transform, _, _) = meta
     nframes = len(packs)
     mesh = mesh or make_mesh()
     nshard = mesh.shape[FRAME_AXIS] * mesh.shape[TILE_AXIS]
@@ -213,17 +220,37 @@ def decode_frames_sharded(streams, mesh: Optional[Mesh] = None):
     ncomp = tile_shapes[0][1][0]
     out = np.zeros((nframes, height, width, ncomp), dtype=np.int32)
 
+    def _apply_inv_bindings(rec):
+        # batched mirror of _apply_mct_bindings_inverse ([F, C, h, w]):
+        # inverse matrix, then +offsets, in the (already reversed)
+        # MCO order
+        recf = rec.astype(jnp.float32)
+        for (ids, inv, offs) in mct_inv:
+            idx = jnp.asarray(list(ids))
+            sub = jnp.einsum("ij,fjhw->fihw", jnp.asarray(inv),
+                             recf[:, idx],
+                             preferred_element_type=jnp.float32)
+            if offs is not None:
+                sub = sub + jnp.asarray(offs)[None, :, None, None]
+            recf = recf.at[:, idx].set(sub)
+        return recf
+
     def stage(x, tx0, ty0):
         if transform == 1:
             rec = inv53_multilevel(x.astype(jnp.int32), levels,
                                    x0=tx0, y0=ty0)
-            if mct and rec.shape[1] >= 3:
+            if mct_inv:
+                rec = jnp.round(_apply_inv_bindings(rec)
+                                ).astype(jnp.int32)
+            elif mct and rec.shape[1] >= 3:
                 r_, g_, b_ = rct_inverse(rec[:, 0], rec[:, 1], rec[:, 2])
                 rec = jnp.concatenate(
                     [jnp.stack([r_, g_, b_], axis=1), rec[:, 3:]], axis=1)
         else:
             rec = inv97_multilevel(x, levels, x0=tx0, y0=ty0)
-            if mct and rec.shape[1] >= 3:
+            if mct_inv:
+                rec = _apply_inv_bindings(rec)
+            elif mct and rec.shape[1] >= 3:
                 r_, g_, b_ = ict_inverse(rec[:, 0], rec[:, 1], rec[:, 2])
                 rec = jnp.concatenate(
                     [jnp.stack([r_, g_, b_], axis=1), rec[:, 3:]], axis=1)

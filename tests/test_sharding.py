@@ -363,3 +363,36 @@ def test_decode_frames_sharded_multitile(case, rng):
         for d, s in zip(dec, scalar):
             assert np.abs(d.astype(np.int64)
                           - s.astype(np.int64)).max() <= 1
+
+
+@pytest.mark.parametrize("case", ["matrix_lossless", "bindings_lossless",
+                                  "matrix_lossy"])
+def test_decode_frames_sharded_custom_mct(case, rng):
+    """Part-2 custom MCT streams shard on decode: the batched stage
+    applies the marker-carried inverse matrices (reverse MCO order)
+    like the scalar decoder, within one rounding tie."""
+    from go_dicom_codec_tpu.codecs.jpeg2000 import (J2KDecoder,
+                                                    J2KEncodeParams,
+                                                    J2KEncoder)
+    from go_dicom_codec_tpu.codecs.mct_builder import MCTBinding
+    from go_dicom_codec_tpu.parallel.mesh import (decode_frames_sharded,
+                                                  make_mesh)
+
+    m = [[0.5, 0.25, 0.25], [0.25, 0.5, 0.25], [0.25, 0.25, 0.5]]
+    minv = np.linalg.inv(np.asarray(m)).tolist()
+    b = MCTBinding(component_ids=[0, 1, 2], matrix=np.eye(3).tolist(),
+                   inverse=np.eye(3).tolist(), offsets=[5.0, 0.0, -5.0])
+    kw = {
+        "matrix_lossless": dict(mct_matrix=m, mct_inverse=minv),
+        "bindings_lossless": dict(mct_bindings=[b]),
+        "matrix_lossy": dict(mct_matrix=m, mct_inverse=minv,
+                             lossless=False, quality=90),
+    }[case]
+    rgb = rng.integers(0, 256, (3, 48, 48, 3)).astype(np.int32)
+    enc = J2KEncoder(J2KEncodeParams(num_levels=3, **kw))
+    streams = [enc.encode(rgb[i], 48, 48, 3, 8) for i in range(3)]
+    dec = decode_frames_sharded(streams, mesh=make_mesh())
+    for d, s in zip(dec, streams):
+        scalar, _, _ = J2KDecoder().decode(s)
+        assert np.abs(d.astype(np.int64)
+                      - scalar.astype(np.int64)).max() <= 1
