@@ -294,3 +294,35 @@ def test_truncated_sof3_component_table_rejected(rng):
     data[i + 9] = 99  # claim 99 components
     with pytest.raises(CorruptStreamError):
         jl.decode(bytes(data))
+
+
+@pytest.mark.parametrize("uid", ["1.2.840.10008.1.2.4.90",
+                                 "1.2.840.10008.1.2.4.91",
+                                 "1.2.840.10008.1.2.4.201"])
+def test_batched_multiframe_decode_corrupt_frame_typed_error(uid, rng):
+    """A corrupt frame inside a multi-frame batch must surface a typed
+    CodecError through the batched decode path (pipeline falls back to
+    scalar, which raises cleanly), never an untyped crash."""
+    import go_dicom_codec_tpu as dc
+    from go_dicom_codec_tpu.errors import CodecError
+
+    info = dc.FrameInfo(width=48, height=48, bits_allocated=16,
+                        bits_stored=12)
+    frames = (np.cumsum(rng.integers(-9, 10, (3, 48, 48)), axis=2)
+              % 4096).astype("<u2")
+    codec = dc.get_global_registry().get_codec(uid)
+    src = dc.MemoryPixelData(info=info)
+    for f in frames:
+        src.add_frame(f.tobytes())
+    enc = dc.MemoryPixelData(info=info, encapsulated=True)
+    codec.encode(src, enc)
+    bad = bytearray(enc.get_frame(1))
+    for i in range(50, min(300, len(bad))):
+        bad[i] ^= 0xA5
+    mixed = dc.MemoryPixelData(info=info, encapsulated=True)
+    mixed.add_frame(enc.get_frame(0))
+    mixed.add_frame(bytes(bad))
+    mixed.add_frame(enc.get_frame(2))
+    out = dc.MemoryPixelData(info=info)
+    with pytest.raises(CodecError):
+        codec.decode(mixed, out)
