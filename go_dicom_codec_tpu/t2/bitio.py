@@ -24,8 +24,15 @@ class BioWriter:
             self.out |= 1 << self.ct
 
     def write_bits(self, value: int, n: int) -> None:
-        for i in range(n - 1, -1, -1):
-            self.write_bit((value >> i) & 1)
+        # bulk fill: pack up to `ct` bits per iteration (byte-identical
+        # to the bit-at-a-time loop; stuffing happens in _byte_out)
+        while n > 0:
+            if self.ct == 0:
+                self._byte_out()
+            take = self.ct if self.ct < n else n
+            n -= take
+            self.ct -= take
+            self.out |= ((value >> n) & ((1 << take) - 1)) << self.ct
 
     def _byte_out(self) -> None:
         self.out = (self.out << 8) & 0xFFFF
@@ -53,9 +60,16 @@ class BioReader:
         return (self.buf >> self.ct) & 1
 
     def read_bits(self, n: int) -> int:
+        # bulk extract: take up to `ct` bits per iteration (identical
+        # to the bit-at-a-time loop; de-stuffing happens in _byte_in)
         v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        while n > 0:
+            if self.ct == 0:
+                self._byte_in()
+            take = self.ct if self.ct < n else n
+            self.ct -= take
+            v = (v << take) | ((self.buf >> self.ct) & ((1 << take) - 1))
+            n -= take
         return v
 
     def align_to_byte(self) -> None:

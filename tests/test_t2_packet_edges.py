@@ -123,6 +123,10 @@ def test_num_passes_code_lengths(n, bits):
             self.nbits += 1
             super().write_bit(bit)
 
+        def write_bits(self, value, n):
+            self.nbits += n
+            super().write_bits(value, n)
+
     bw = CountingWriter()
     _encode_num_passes(bw, n)
     assert bw.nbits == bits
