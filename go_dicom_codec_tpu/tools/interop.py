@@ -174,6 +174,40 @@ def run_format(args):
                 return (label, False,
                         f"foreign(PIL) maxerr={ferr} exceeds tol={tol}")
             detail += f" foreign(PIL) maxerr={ferr}"
+        if uid in ("1.2.840.10008.1.2.4.90", "1.2.840.10008.1.2.4.92",
+                   "1.2.840.10008.1.2.4.201", "1.2.840.10008.1.2.4.202"):
+            # multi-frame lane: the batched encode/decode pipelines must
+            # produce the same streams as per-frame encodes and decode
+            # every frame exactly (lossless J2K/HT adapters batch)
+            wrng = np.random.default_rng(seed + 1)
+            frames = [img]
+            for _ in range(2):
+                f2 = np.clip(img.astype(np.int64)
+                             + wrng.integers(-3, 4, img.shape),
+                             0, (1 << bits) - 1).astype(img.dtype)
+                frames.append(f2)
+            mf = dc.MemoryPixelData(info=info)
+            for f in frames:
+                mf.add_frame(f.tobytes())
+            menc = dc.MemoryPixelData(info=info, encapsulated=True)
+            codec.encode(mf, menc)
+            for i, f in enumerate(frames):
+                one = dc.MemoryPixelData(info=info)
+                one.add_frame(f.tobytes())
+                oenc = dc.MemoryPixelData(info=info, encapsulated=True)
+                codec.encode(one, oenc)
+                if menc.get_frame(i) != oenc.get_frame(0):
+                    return (label, False,
+                            f"multiframe stream {i} != per-frame encode")
+            mdec = dc.MemoryPixelData(info=info)
+            codec.decode(menc, mdec)
+            for i, f in enumerate(frames):
+                g = np.frombuffer(mdec.get_frame(i), dtype=img.dtype)
+                if np.abs(g.astype(np.int64)
+                          - f.reshape(-1).astype(np.int64)).max() > tol:
+                    return (label, False,
+                            f"multiframe decode {i} exceeds tol={tol}")
+            detail += " mf=3frames-ok"
         return (label, True, detail)
     except Exception as e:  # noqa: BLE001
         return (label, False, f"{type(e).__name__}: {e}")
