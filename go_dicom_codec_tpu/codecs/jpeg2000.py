@@ -103,15 +103,17 @@ class J2KEncodeParams:
 
         Expands the pixel-size convention per the reference's
         getPrecinctSizeExponents (encoder.go:1516-1569): base exponent
-        floor(log2(size)) (a zero dimension defaults to 2^15), reduced
-        by (levels - res) per lower resolution, clamped to [0, 15].
+        floor(log2(size)) (a non-positive dimension defaults to 2^15),
+        reduced by (levels - res) per lower resolution, clamped [0, 15].
         """
         if self.precincts:
             return list(self.precincts)
         if self.precinct_width <= 0 and self.precinct_height <= 0:
             return None
-        base_x = (self.precinct_width or (1 << 15)).bit_length() - 1
-        base_y = (self.precinct_height or (1 << 15)).bit_length() - 1
+        pw = self.precinct_width if self.precinct_width > 0 else (1 << 15)
+        ph = self.precinct_height if self.precinct_height > 0 else (1 << 15)
+        base_x = pw.bit_length() - 1
+        base_y = ph.bit_length() - 1
         return [(min(15, max(0, base_x - (levels - r))),
                  min(15, max(0, base_y - (levels - r))))
                 for r in range(levels + 1)]
@@ -901,6 +903,24 @@ class J2KEncoder:
         return out
 
 
+def dequantize_packed(packed: np.ndarray, rect, levels: int,
+                      deltas) -> np.ndarray:
+    """Per-band dequantization of packed coefficients ([..., th, tw])
+    into float32 with per-band absolute deltas (QCD band order) — the
+    ONE host dequant stage shared by the scalar decoder and the
+    batched/sharded decode paths (any drift here would break their
+    ±1-tie parity)."""
+    from .j2k_geometry import packed_band_layout
+    tx0, ty0, tx1, ty1 = rect
+    out = np.zeros(packed.shape, dtype=np.float32)
+    for bg in packed_band_layout(tx0, ty0, tx1, ty1, levels):
+        delta = deltas[_band_index(bg.resolution, bg.band)]
+        rs = slice(bg.row_off, bg.row_off + bg.height)
+        cs_ = slice(bg.col_off, bg.col_off + bg.width)
+        out[..., rs, cs_] = jq.dequantize(packed[..., rs, cs_], delta)
+    return out
+
+
 def _extract_mct_inverse(cs, ncomp: int):
     """Part 2 custom MCT: decode inverse matrices + offsets from the
     markers (reference decoder.go:206-353 extractMCTFromMarkers /
@@ -1293,17 +1313,12 @@ class J2KDecoder:
                                     + [rec[i] for i in range(3, ncomp)])
         elif homogeneous:
             # irreversible: per-band dequantization → float 9/7 inverse
-            from .j2k_geometry import packed_band_layout
-            fpacked = np.zeros(packed.shape, dtype=np.float32)
-            for c in range(ncomp):
-                deltas = J2KEncoder._band_deltas(qcds[c], cod.num_levels,
-                                                 depth)
-                for bg in packed_band_layout(tx0, ty0, tx1, ty1,
-                                             cod.num_levels):
-                    delta = deltas[_band_index(bg.resolution, bg.band)]
-                    sl = (slice(bg.row_off, bg.row_off + bg.height),
-                          slice(bg.col_off, bg.col_off + bg.width))
-                    fpacked[c][sl] = jq.dequantize(packed[c][sl], delta)
+            fpacked = np.stack([
+                dequantize_packed(
+                    packed[c], (tx0, ty0, tx1, ty1), cod.num_levels,
+                    J2KEncoder._band_deltas(qcds[c], cod.num_levels,
+                                            depth))
+                for c in range(ncomp)])
             from .. import native as _nat
             if _nat.get_lib() is not None and not mct_bindings_inv:
                 # host fast path: native float32 9/7 inverse + numpy
@@ -1358,15 +1373,10 @@ class J2KDecoder:
                         jnp.asarray(pk[None]), cod_c.num_levels,
                         x0=ctx0, y0=cty0)[0]
                 else:
-                    deltas = J2KEncoder._band_deltas(
-                        qcds[c], cod_c.num_levels, depth)
-                    fp = np.zeros((cth, ctw), dtype=np.float32)
-                    for bg in packed_band_layout(ctx0, cty0, ctx1, cty1,
-                                                 cod_c.num_levels):
-                        delta = deltas[_band_index(bg.resolution, bg.band)]
-                        sl = (slice(bg.row_off, bg.row_off + bg.height),
-                              slice(bg.col_off, bg.col_off + bg.width))
-                        fp[sl] = jq.dequantize(pk[sl], delta)
+                    fp = dequantize_packed(
+                        pk, (ctx0, cty0, ctx1, cty1), cod_c.num_levels,
+                        J2KEncoder._band_deltas(qcds[c], cod_c.num_levels,
+                                                depth))
                     rc = jnp.round(inv97_multilevel(
                         jnp.asarray(fp[None]), cod_c.num_levels,
                         x0=ctx0, y0=cty0)[0]).astype(jnp.int32)
@@ -1419,13 +1429,16 @@ def decode_to_packed(data: bytes, return_qcd: bool = False):
     Raises UnsupportedFormatError for multi-tile or non-uniform
     component grids (those decode through J2KDecoder.decode).
     """
-    tiles, siz, cod, qcd, mct_inv = decode_to_packed_tiles(data)
-    if len(tiles) != 1:
+    # cheap header-level rejection BEFORE any T1 work (the adapter
+    # fallback would otherwise entropy-decode everything twice)
+    cs = j2k.parse_codestream(data)
+    if len(cs.tiles) != 1:
         raise UnsupportedFormatError("packed decode is single-tile only")
-    if mct_inv:
+    if cs.mct_segments or cs.mcc_segments or cs.mco_segments:
         # Part-2 custom MCT inversion happens in the scalar device stage
         raise UnsupportedFormatError("packed decode: custom MCT streams "
                                      "use the scalar path")
+    tiles, siz, cod, qcd, _ = decode_to_packed_tiles(data)
     packed = tiles[0][1]
     if return_qcd:
         return packed, siz, cod, qcd
@@ -1471,10 +1484,21 @@ def decode_to_packed_tiles(data: bytes):
             raise UnsupportedFormatError("packed decode: per-component "
                                          "COD overrides use the scalar "
                                          "path")
+        if cods[0].transform != 1 and any(qc != qcds[0]
+                                          for qc in qcds[1:]):
+            # the batched irreversible dequant uses ONE QCD; reversible
+            # decode never reads it after entropy, so QCC only matters
+            # here (the scalar path dequantizes per component)
+            raise UnsupportedFormatError("packed decode: per-component "
+                                         "QCC overrides use the scalar "
+                                         "path")
         if cod0 is None:
             cod0, qcd0 = cods[0], qcds[0]
         elif cods[0] != cod0:
             raise UnsupportedFormatError("packed decode: per-tile COD "
+                                         "overrides use the scalar path")
+        elif cods[0].transform != 1 and qcds[0] != qcd0:
+            raise UnsupportedFormatError("packed decode: per-tile QCD "
                                          "overrides use the scalar path")
         tx0, ty0, tx1, ty1 = rect
         packed = dec._decode_tile(

@@ -131,6 +131,9 @@ def encode_frames_sharded(frames, bit_depth: int = 16,
         mct_offsets=p.mct_offsets)
 
     enc = J2KEncoder(p)
+    if not lossless:   # loop-invariant quantization model
+        qcd = enc._build_qcd(nlv, bit_depth, use_mct, ncomp)
+        band_steps = enc._band_deltas(qcd, nlv, bit_depth)
     out = []
     for k in range(orig):
         tiles_k = []
@@ -140,8 +143,6 @@ def encode_frames_sharded(frames, bit_depth: int = 16,
                 # same numpy deadzone quant as the scalar device path
                 fcoeffs = tc
                 tc = np.zeros_like(fcoeffs, dtype=np.int32)
-                qcd = enc._build_qcd(nlv, bit_depth, use_mct, ncomp)
-                band_steps = enc._band_deltas(qcd, nlv, bit_depth)
                 for bg in packed_band_layout(tx0, ty0, tx1, ty1, nlv):
                     delta = band_steps[_band_index(bg.resolution,
                                                    bg.band)]
@@ -181,10 +182,8 @@ def decode_frames_sharded(streams, mesh: Optional[Mesh] = None):
     scalar-only classes: General-Scaling ROI, subsampled components,
     per-component/tile COD overrides). Returns [H, W, C] int32 arrays.
     """
-    from ..codecs import j2k_quant as jq
-    from ..codecs.j2k_geometry import packed_band_layout
-    from ..codecs.jpeg2000 import (J2KEncoder, _band_index,
-                                   decode_to_packed_tiles)
+    from ..codecs.jpeg2000 import (J2KEncoder, decode_to_packed_tiles,
+                                   dequantize_packed)
     from ..errors import UnsupportedFormatError
     from ..ops.dwt53 import inv53_multilevel
     from ..ops.dwt97 import inv97_multilevel
@@ -269,16 +268,10 @@ def decode_frames_sharded(streams, mesh: Optional[Mesh] = None):
     for t, ((tx0, ty0, tx1, ty1), _shape) in enumerate(tile_shapes):
         batch = np.stack([packs[f][t][1] for f in range(nframes)])
         if transform != 1:
-            # per-band host dequantization with the QCD steps (same
-            # numpy path as the scalar decoder's float stage)
-            fbatch = np.zeros(batch.shape, dtype=np.float32)
-            for bg in packed_band_layout(tx0, ty0, tx1, ty1, levels):
-                delta = deltas[_band_index(bg.resolution, bg.band)]
-                sl = (slice(None), slice(None),
-                      slice(bg.row_off, bg.row_off + bg.height),
-                      slice(bg.col_off, bg.col_off + bg.width))
-                fbatch[sl] = jq.dequantize(batch[sl], delta)
-            batch = fbatch
+            # per-band host dequantization with the QCD steps (shared
+            # helper with the scalar decoder)
+            batch = dequantize_packed(batch, (tx0, ty0, tx1, ty1),
+                                      levels, deltas)
         padded, orig = pad_batch_to_devices(batch, nshard)
         x = jax.device_put(jnp.asarray(padded), sharding)
         rec = np.asarray(jstage(x, tx0, ty0))[:orig]

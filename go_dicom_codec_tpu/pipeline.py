@@ -415,6 +415,8 @@ def _j2k_decode_device_stage(packed, levels, x0, y0, bits, signed, mct,
     return px
 
 
+@partial(jax.jit, static_argnames=("levels", "x0", "y0", "bits", "signed",
+                                   "mct", "narrow"))
 def _j2k_decode_device_stage_97(fbatch, levels, x0, y0, bits, signed, mct,
                                 narrow=False):
     """Batched irreversible inverse device stage: [B, C, th, tw]
@@ -462,9 +464,8 @@ def decode_frames_pipelined(streams, chunk: int = 8,
     """
     import numpy as np
 
-    from .codecs.jpeg2000 import J2KEncoder, _band_index, decode_to_packed
-    from .codecs import j2k_quant as jq
-    from .codecs.j2k_geometry import packed_band_layout
+    from .codecs.jpeg2000 import (J2KEncoder, decode_to_packed,
+                                  dequantize_packed)
 
     if not streams:
         return ([], None) if return_info else []
@@ -490,22 +491,14 @@ def decode_frames_pipelined(streams, chunk: int = 8,
                 raise ValueError("decode pipeline needs equal-geometry "
                                  "streams")
             if cod.transform != 1:
-                # irreversible: per-band dequant on the host (QCD steps)
+                # irreversible: per-band dequant on the host (QCD steps,
+                # shared helper with the scalar decoder)
                 _, th_, tw_ = packed.shape
-                bits_ = siz.components[0][0]
                 deltas = J2KEncoder._band_deltas(qcd, cod.num_levels,
-                                                 bits_)
-                fp = np.zeros(packed.shape, dtype=np.float32)
-                for bg in packed_band_layout(siz.xosiz, siz.yosiz,
-                                             siz.xosiz + tw_,
-                                             siz.yosiz + th_,
-                                             cod.num_levels):
-                    delta = deltas[_band_index(bg.resolution, bg.band)]
-                    sl = (slice(None),
-                          slice(bg.row_off, bg.row_off + bg.height),
-                          slice(bg.col_off, bg.col_off + bg.width))
-                    fp[sl] = jq.dequantize(packed[sl], delta)
-                packed = fp
+                                                 siz.components[0][0])
+                packed = dequantize_packed(
+                    packed, (siz.xosiz, siz.yosiz, siz.xosiz + tw_,
+                             siz.yosiz + th_), cod.num_levels, deltas)
             packs.append(packed)
         return np.stack(packs)
 

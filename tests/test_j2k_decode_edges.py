@@ -256,3 +256,29 @@ def test_com_text_roundtrip(rng):
     # encoder COM (if any) plus an extra injected one must all survive
     cs = j2k.parse_codestream(data)
     assert cs.siz.xsiz == 32
+
+
+def test_packed_decode_rejects_qcc_irreversible(rng):
+    """Review-found: the batched irreversible dequant uses ONE QCD, so
+    per-component QCC streams must fall back to the scalar decoder
+    (which dequantizes per component) instead of silently using
+    component 0's steps."""
+    from go_dicom_codec_tpu.codecs.jpeg2000 import (J2KDecoder,
+                                                    decode_to_packed)
+    from go_dicom_codec_tpu.errors import UnsupportedFormatError
+
+    rgb = rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+    s = J2KEncoder(J2KEncodeParams(num_levels=2, lossless=False,
+                                   quality=90)
+                   ).encode(rgb.tobytes(), 32, 32, 3, 8)
+    cs = j2k.parse_codestream(s)
+    q2 = j2k.QcdInfo(style=cs.qcd.style, guard_bits=cs.qcd.guard_bits,
+                     exponents=list(cs.qcd.exponents),
+                     steps=[(e, max(0, m - 100))
+                            for (e, m) in cs.qcd.steps])
+    i = s.find(b"\xff\x90")
+    s2 = s[:i] + j2k.write_qcc(1, q2, 3) + s[i:]
+    arr, _, _ = J2KDecoder().decode(s2)     # scalar path handles QCC
+    assert arr.shape == (32, 32, 3)
+    with pytest.raises(UnsupportedFormatError):
+        decode_to_packed(s2)
