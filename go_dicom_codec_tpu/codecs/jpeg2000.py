@@ -658,14 +658,60 @@ class J2KEncoder:
         return self._assemble_tile_packets(comp_res, comp_states, cod,
                                            ncomp)
 
+    def _apply_t1_result(self, st, mb: int, dw: float, stream: bytes,
+                         numbps: int, rates, terms, bitplanes,
+                         nmsedecs) -> None:
+        """Fill a BlockState from one code-block's T1 output (shared by
+        the batched-native, per-block-native, Python, and factory
+        paths)."""
+        if numbps > 0:
+            st.numbps = numbps
+            st.zero_bitplanes = mb - numbps
+            if st.zero_bitplanes < 0:
+                raise UnsupportedFormatError(
+                    f"block numbps {numbps} exceeds Mb {mb}")
+            st.data = stream
+            st.pass_rates = list(rates)
+            st.pass_terms = list(terms)
+            st.pass_bitplanes = list(bitplanes)
+            st.pass_nmsedecs = list(nmsedecs)
+            st.dist_weight = dw
+            # single flush: last rate = stream length
+            if st.pass_rates:
+                st.pass_rates[-1] = len(stream)
+            # OpenJPEG lookahead correction: a non-terminated
+            # truncation point needs ~3 extra bytes so the MQ
+            # decoder's byte-ahead reads stay in-segment. Widening up
+            # front keeps PCRD's measured packet bytes identical to
+            # the final emission. The widened rate must NOT cross the
+            # next pass's rate: termination boundaries define the
+            # decoder's segment splits (crossing one scrambles
+            # LAZY/TERMALL segment reassembly) — cap backward so each
+            # cap sees the next pass's final rate.
+            for _k in range(len(st.pass_rates) - 2, -1, -1):
+                if not st.pass_terms[_k]:
+                    st.pass_rates[_k] = min(st.pass_rates[_k] + 3,
+                                            st.pass_rates[_k + 1])
+
     def _tile_block_states(self, coeffs: np.ndarray, rect,
                            cod: j2k.CodInfo, qcd: j2k.QcdInfo,
                            bit_depth: int,
                            roi_shifts: Optional[Dict[int, int]] = None):
-        """Geometry + T1 for one tile → (comp_res, comp_states)."""
+        """Geometry + T1 for one tile → (comp_res, comp_states).
+
+        The default (no custom factory, non-HT) path defers every
+        code-block and encodes the whole tile in ONE batched native
+        call (native.t1_encode_blocks_native) — per-block ctypes
+        round-trips measured ~10% of dense-frame encode."""
         roi_shifts = roi_shifts or {}
         tx0, ty0, tx1, ty1 = rect
         ncomp = coeffs.shape[0]
+        # PCRD reads the distortion estimates only for layered/rated
+        # streams — skip NMSEDEC accumulation otherwise
+        eff = getattr(self, "_eff_rates", None)
+        need_nmse = bool(cod.num_layers > 1
+                         or (eff and any(r > 0 for r in eff)))
+        pending = []   # (BlockState, block array, orient, mb, dw)
         comp_res: List[List[ResolutionGeom]] = []
         comp_states: List[Dict[Tuple[int, int], List[PrecinctState]]] = []
         for c in range(ncomp):
@@ -723,76 +769,59 @@ class J2KEncoder:
                             if factory is not None:
                                 be = factory(g.width, g.height)
                                 stream, numbps, passes = be.encode(blk_data)
-                                rates = [pi.rate for pi in passes]
-                                terms = [pi.terminated for pi in passes]
-                                bitplanes = [pi.bitplane for pi in passes]
-                                nmsedecs = [pi.nmsedec for pi in passes]
-                                native = True  # skip fallback below
+                                self._apply_t1_result(
+                                    st, mb, dw, stream, numbps,
+                                    [pi.rate for pi in passes],
+                                    [pi.terminated for pi in passes],
+                                    [pi.bitplane for pi in passes],
+                                    [pi.nmsedec for pi in passes])
                             else:
-                                from ..native import t1_encode_native
-                                # single-layer unrated: PCRD never reads
-                                # the distortion estimates — skip them
-                                eff = getattr(self, "_eff_rates", None)
-                                need_nmse = bool(
-                                    cod.num_layers > 1
-                                    or (eff and any(r > 0 for r in eff)))
-                                native = t1_encode_native(
-                                    np.ascontiguousarray(blk_data),
-                                    cod.cb_style, bg.orient,
-                                    need_nmse=need_nmse)
-                                if native is not None:
-                                    (stream, numbps, rates, terms,
-                                     bitplanes, nmsedecs) = native
-                            if native is None:
-                                enc = T1Encoder(g.width, g.height,
-                                                style=cod.cb_style,
-                                                orientation=bg.orient)
-                                stream, numbps, passes = enc.encode(blk_data)
-                                rates = [pi.rate for pi in passes]
-                                terms = [pi.terminated for pi in passes]
-                                bitplanes = [pi.bitplane for pi in passes]
-                                nmsedecs = [pi.nmsedec for pi in passes]
-                            if numbps > 0:
-                                st.numbps = numbps
-                                st.zero_bitplanes = mb - numbps
-                                if st.zero_bitplanes < 0:
-                                    raise UnsupportedFormatError(
-                                        f"block numbps {numbps} exceeds "
-                                        f"Mb {mb}")
-                                st.data = stream
-                                st.pass_rates = list(rates)
-                                st.pass_terms = list(terms)
-                                st.pass_bitplanes = list(bitplanes)
-                                st.pass_nmsedecs = list(nmsedecs)
-                                st.dist_weight = dw
-                                # single flush: last rate = stream length
-                                if st.pass_rates:
-                                    st.pass_rates[-1] = len(stream)
-                                # OpenJPEG lookahead correction: a
-                                # non-terminated truncation point needs
-                                # ~3 extra bytes so the MQ decoder's
-                                # byte-ahead reads stay in-segment.
-                                # Widening up front keeps PCRD's
-                                # measured packet bytes identical to
-                                # the final emission. The widened rate
-                                # must NOT cross the next pass's rate:
-                                # termination boundaries define the
-                                # decoder's segment splits (crossing
-                                # one scrambles LAZY/TERMALL segment
-                                # reassembly) — cap backward so each
-                                # cap sees the next pass's final rate.
-                                for _k in range(len(st.pass_rates) - 2,
-                                                -1, -1):
-                                    if not st.pass_terms[_k]:
-                                        st.pass_rates[_k] = min(
-                                            st.pass_rates[_k] + 3,
-                                            st.pass_rates[_k + 1])
+                                pending.append((st, blk_data, bg.orient,
+                                                mb, dw))
                             blocks.append(st)
                         plist.append(PrecinctState(
                             ncbw=pb.ncbw, ncbh=pb.ncbh, blocks=blocks,
                             mb=mb))
                     states[(res.r, prec.index)] = plist
             comp_states.append(states)
+
+        if pending:
+            from ..native import t1_encode_blocks_native, t1_encode_native
+            # int64 blocks (deep-ROI magnitude discipline) can exceed
+            # the batched entry's int32 source — per-block native call
+            narrow = [p for p in pending if p[1].dtype != np.int64]
+            wide = [p for p in pending if p[1].dtype == np.int64]
+            fallback = []
+            if narrow:
+                results = t1_encode_blocks_native(
+                    [p[1] for p in narrow], [p[2] for p in narrow],
+                    cod.cb_style, need_nmse=need_nmse)
+                if results is not None:
+                    for (st, _, _, mb, dw), r in zip(narrow, results):
+                        self._apply_t1_result(st, mb, dw, *r)
+                else:
+                    fallback += narrow
+            for p in wide:
+                r = t1_encode_native(np.ascontiguousarray(p[1]),
+                                     cod.cb_style, p[2],
+                                     need_nmse=need_nmse)
+                if r is not None:
+                    self._apply_t1_result(p[0], p[3], p[4], *r)
+                else:
+                    fallback.append(p)
+            if fallback:
+                # native unavailable: per-block Python reference coder
+                for (st, blk_data, orient, mb, dw) in fallback:
+                    enc = T1Encoder(blk_data.shape[1], blk_data.shape[0],
+                                    style=cod.cb_style,
+                                    orientation=orient)
+                    stream, numbps, passes = enc.encode(blk_data)
+                    self._apply_t1_result(
+                        st, mb, dw, stream, numbps,
+                        [pi.rate for pi in passes],
+                        [pi.terminated for pi in passes],
+                        [pi.bitplane for pi in passes],
+                        [pi.nmsedec for pi in passes])
         return comp_res, comp_states
 
     @staticmethod

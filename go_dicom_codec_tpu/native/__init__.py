@@ -76,6 +76,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int, u8p, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
             i32p, u8p, i32p, i32p, ctypes.c_int, ctypes.c_int]
+        lib.t1_encode_blocks.restype = ctypes.c_int
+        lib.t1_encode_blocks.argtypes = [
+            i32p, i64p, i32p, i32p, i32p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, u8p, ctypes.c_long, i64p, i32p, i32p,
+            i32p, u8p, i32p, i32p, ctypes.c_int]
         lib.t1_decode.restype = ctypes.c_int
         lib.t1_decode.argtypes = [
             u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -534,6 +539,58 @@ def t1_encode_native(data: np.ndarray, style: int, orient: int,
     return (out[:n].tobytes(), numbps.value, rates[:k].tolist(),
             terms[:k].astype(bool).tolist(), bps[:k].tolist(),
             nmse[:k].tolist())
+
+
+def t1_encode_blocks_native(blocks, orients, style: int,
+                            need_nmse: bool = True):
+    """Batched native T1 encode: one C call for a whole tile's
+    code-blocks (vs one ctypes round-trip per block). blocks: sequence
+    of int [h, w] arrays; orients: per-block subband orientation.
+    Returns a list of per-block (bytes, numbps, rates, terms,
+    bitplanes, nmsedecs) tuples — identical to t1_encode_native on
+    each block — or None when the native path is unavailable."""
+    lib = get_lib()
+    if lib is None or not blocks:
+        return None
+    nb = len(blocks)
+    offsets = np.zeros(nb + 1, dtype=np.int64)
+    ws = np.empty(nb, dtype=np.int32)
+    hs = np.empty(nb, dtype=np.int32)
+    total = 0
+    for i, b in enumerate(blocks):
+        hs[i], ws[i] = b.shape
+        total += b.size
+        offsets[i + 1] = total
+    src = np.empty(total, dtype=np.int32)
+    for i, b in enumerate(blocks):
+        np.copyto(src[offsets[i]:offsets[i + 1]].reshape(b.shape), b,
+                  casting="unsafe")
+    ors = np.ascontiguousarray(orients, dtype=np.int32)
+    max_passes = 3 * 40
+    cap = max(total * 6 + 1024 * nb, 4096)
+    out = np.empty(cap, dtype=np.uint8)
+    out_offsets = np.zeros(nb + 1, dtype=np.int64)
+    numbps = np.zeros(nb, dtype=np.int32)
+    npasses = np.zeros(nb, dtype=np.int32)
+    rates = np.zeros((nb, max_passes), dtype=np.int32)
+    terms = np.zeros((nb, max_passes), dtype=np.uint8)
+    bps = np.zeros((nb, max_passes), dtype=np.int32)
+    nmse = np.zeros((nb, max_passes), dtype=np.int32)
+    n = lib.t1_encode_blocks(src, offsets, ws, hs, ors, nb, style,
+                             1 if need_nmse else 0, out, cap, out_offsets,
+                             numbps, npasses, rates.reshape(-1),
+                             terms.reshape(-1), bps.reshape(-1),
+                             nmse.reshape(-1), max_passes)
+    if n < 0:
+        return None
+    results = []
+    for i in range(nb):
+        k = int(npasses[i])
+        results.append((out[out_offsets[i]:out_offsets[i + 1]].tobytes(),
+                        int(numbps[i]), rates[i, :k].tolist(),
+                        terms[i, :k].astype(bool).tolist(),
+                        bps[i, :k].tolist(), nmse[i, :k].tolist()))
+    return results
 
 
 def jls_encode_scan_native(img: np.ndarray, maxval: int, near: int,

@@ -852,6 +852,39 @@ int t1_encode32(const int32_t* src, int w, int h, int style, int orient,
                        need_nmse);
 }
 
+// Batched code-block encode: every block of a tile in ONE call (cuts
+// the per-block ctypes/alloc overhead of 70+ calls per 512^2 frame to
+// one). Blocks are concatenated row-major in `src` at sample offsets
+// `offsets` (nb+1 entries); per-block stream bytes land concatenated
+// in `out` with byte offsets in `out_offsets` (nb+1). Pass arrays are
+// strided by max_passes per block. Same per-block semantics as
+// t1_encode32 (style/need_nmse shared, orient per block, roishift 0 —
+// the ROI pre-shift happens upstream on the coefficients).
+int t1_encode_blocks(const int32_t* src, const int64_t* offsets,
+                     const int32_t* ws, const int32_t* hs,
+                     const int32_t* orients, int nb, int style,
+                     int need_nmse, uint8_t* out, long out_cap,
+                     int64_t* out_offsets, int* numbps_out,
+                     int* npasses_out, int* pass_rates,
+                     uint8_t* pass_terms, int* pass_bitplanes,
+                     int* pass_nmsedec, int max_passes) {
+  long o = 0;
+  out_offsets[0] = 0;
+  for (int i = 0; i < nb; i++) {
+    int n = t1_encode_any(
+        src + offsets[i], ws[i], hs[i], style, orients[i], 0, out + o,
+        (int)std::min<long>(out_cap - o, 1 << 30), numbps_out + i,
+        npasses_out + i, pass_rates + (size_t)i * max_passes,
+        pass_terms + (size_t)i * max_passes,
+        pass_bitplanes + (size_t)i * max_passes,
+        pass_nmsedec + (size_t)i * max_passes, max_passes, need_nmse);
+    if (n < 0) return -1;
+    o += n;
+    out_offsets[i + 1] = o;
+  }
+  return (int)(o > INT32_MAX ? -1 : o);
+}
+
 // MSB-first bit writer with a 64-bit accumulator; optional JPEG
 // FF->FF00 stuffing on emitted bytes.
 struct BitW {
