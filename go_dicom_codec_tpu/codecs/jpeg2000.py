@@ -693,6 +693,27 @@ class J2KEncoder:
                     st.pass_rates[_k] = min(st.pass_rates[_k] + 3,
                                             st.pass_rates[_k + 1])
 
+    def _apply_ht_result(self, st, mb: int, blob, blk_data, width: int,
+                         height: int) -> None:
+        """Fill a BlockState from one HT cleanup encode result; b"" =
+        all-zero block (stays empty), None = native failure → Python
+        reference coder."""
+        if blob == b"":
+            return  # all-zero block
+        if blob is None:
+            from ..entropy.htcleanup import HTCleanupEncoder
+            blob = HTCleanupEncoder(width, height, mb).encode(blk_data)
+        if blob is not None:
+            st.numbps = 1
+            st.zero_bitplanes = mb - 1
+            st.data = blob
+            st.pass_rates = [len(blob)]
+            st.pass_terms = [True]
+            # single all-or-nothing cleanup pass: give PCRD a
+            # top-bitplane slope so layered streams ship HT blocks in
+            # the earliest fitting layer
+            st.pass_bitplanes = [mb]
+
     def _tile_block_states(self, coeffs: np.ndarray, rect,
                            cod: j2k.CodInfo, qcd: j2k.QcdInfo,
                            bit_depth: int,
@@ -712,6 +733,7 @@ class J2KEncoder:
         need_nmse = bool(cod.num_layers > 1
                          or (eff and any(r > 0 for r in eff)))
         pending = []   # (BlockState, block array, orient, mb, dw)
+        pending_ht = []  # (BlockState, block array, mb, width, height)
         comp_res: List[List[ResolutionGeom]] = []
         comp_states: List[Dict[Tuple[int, int], List[PrecinctState]]] = []
         for c in range(ncomp):
@@ -740,29 +762,20 @@ class J2KEncoder:
                             st = BlockState(cbx=g.cbx, cby=g.cby)
                             if cod.cb_style & 0x40:
                                 # HT block: cleanup pass only, Kmax = Mb,
-                                # zbp = Mb-1 (encoder.go:3374-3383)
+                                # zbp = Mb-1 (encoder.go:3374-3383);
+                                # int32 blocks defer into the batched
+                                # native call after the walk
+                                if blk_data.dtype != np.int64:
+                                    pending_ht.append((st, blk_data, mb,
+                                                       g.width, g.height))
+                                    blocks.append(st)
+                                    continue
                                 from ..native import ht_cleanup_encode_native
                                 blob = ht_cleanup_encode_native(
                                     np.ascontiguousarray(blk_data), mb)
-                                if blob == b"":
-                                    blob = None  # all-zero block
-                                elif blob is None:
-                                    from ..entropy.htcleanup import \
-                                        HTCleanupEncoder
-                                    blob = HTCleanupEncoder(
-                                        g.width, g.height,
-                                        mb).encode(blk_data)
-                                if blob is not None:
-                                    st.numbps = 1
-                                    st.zero_bitplanes = mb - 1
-                                    st.data = blob
-                                    st.pass_rates = [len(blob)]
-                                    st.pass_terms = [True]
-                                    # single all-or-nothing cleanup pass:
-                                    # give PCRD a top-bitplane slope so
-                                    # layered streams ship HT blocks in
-                                    # the earliest fitting layer
-                                    st.pass_bitplanes = [mb]
+                                self._apply_ht_result(st, mb, blob,
+                                                      blk_data, g.width,
+                                                      g.height)
                                 blocks.append(st)
                                 continue
                             factory = self.params.block_encoder_factory
@@ -784,6 +797,17 @@ class J2KEncoder:
                             mb=mb))
                     states[(res.r, prec.index)] = plist
             comp_states.append(states)
+
+        if pending_ht:
+            from ..native import (ht_cleanup_encode_blocks_native,
+                                  ht_cleanup_encode_native)
+            results = ht_cleanup_encode_blocks_native(
+                [p[1] for p in pending_ht], [p[2] for p in pending_ht])
+            for i, (st, blk_data, mb, w_, h_) in enumerate(pending_ht):
+                blob = results[i] if results is not None else \
+                    ht_cleanup_encode_native(
+                        np.ascontiguousarray(blk_data), mb)
+                self._apply_ht_result(st, mb, blob, blk_data, w_, h_)
 
         if pending:
             from ..native import t1_encode_blocks_native, t1_encode_native
@@ -1192,6 +1216,76 @@ class J2KDecoder:
         packed_list = [
             np.zeros((cr[3] - cr[1], cr[2] - cr[0]), dtype=np.int64)
             for cr in comp_rects]
+        def _paste(c, bg, g, blk):
+            packed_list[c][
+                bg.row_off + (g.y0 - bg.y0):
+                bg.row_off + (g.y1 - bg.y0),
+                bg.col_off + (g.x0 - bg.x0):
+                bg.col_off + (g.x1 - bg.x0)] = blk
+
+        def _scalar_block(c, cod, is_ht, bg, ps, g, st):
+            """One code-block through the scalar path (factory / HT /
+            T1, native-or-Python) — exact per-block error semantics."""
+            if self.block_decoder_factory is not None:
+                dec = self.block_decoder_factory(
+                    g.width, g.height, cod.cb_style, bg.orient)
+                return np.asarray(dec.decode(
+                    bytes(st.seg_data), st.num_passes, st.numbps,
+                    seg_lengths=st.seg_ends, mb=ps.mb))
+            if is_ht:
+                from ..native import ht_cleanup_decode_native
+                blk = ht_cleanup_decode_native(
+                    bytes(st.seg_data), g.width, g.height, ps.mb,
+                    ps.mb - st.numbps)
+                if isinstance(blk, tuple):
+                    raise CorruptStreamError(
+                        f"HT cleanup stream error {blk[1]}")
+                if blk is None:
+                    from ..entropy.htcleanup import HTCleanupDecoder
+                    blk = HTCleanupDecoder(
+                        g.width, g.height, ps.mb,
+                        ps.mb - st.numbps).decode(bytes(st.seg_data))
+                return blk
+            import numpy as _np
+
+            from ..native import t1_decode_native
+            # int32 output skips a narrowing copy, but
+            # MaxShift-ROI-scaled magnitudes (numbps up to Mb+Srgn)
+            # can exceed 31 bits — those blocks must come back int64
+            # (the ROI unshift below restores range)
+            odt = _np.int32 if st.numbps <= 30 else _np.int64
+            blk = t1_decode_native(
+                bytes(st.seg_data), g.width, g.height, cod.cb_style,
+                bg.orient, st.num_passes, st.numbps,
+                seg_ends=st.seg_ends, ojp_recon=True, out_dtype=odt)
+            if blk is None:
+                dec = T1Decoder(g.width, g.height, style=cod.cb_style,
+                                orientation=bg.orient,
+                                openjpeg_reconstruction=True)
+                blk = dec.decode(bytes(st.seg_data), st.num_passes,
+                                 st.numbps, seg_lengths=st.seg_ends)
+            return blk
+
+        def _scalar_and_paste(c, cod, is_ht, bg, ps, g, st):
+            try:
+                blk = _scalar_block(c, cod, is_ht, bg, ps, g, st)
+            except Exception:
+                if not self.resilient:
+                    raise
+                blk = np.zeros((g.height, g.width), dtype=np.int64)
+            _paste(c, bg, g, blk)
+
+        # Walk once; defer native-eligible blocks into BATCHED calls
+        # (one ctypes round-trip per style group per tile instead of
+        # one per code-block — measured ~10% of dense-frame decode).
+        # Factory blocks, deep-ROI (numbps>30) blocks, and any block
+        # whose batched decode reports an error take the scalar path.
+        from ..native import (get_lib, ht_cleanup_decode_blocks_native,
+                              t1_decode_blocks_native)
+        batch_ok = (get_lib() is not None
+                    and self.block_decoder_factory is None)
+        ht_items, ht_ctx = [], []
+        t1_groups = {}  # cb_style -> (items, ctxs)
         for c in range(ncomp):
             cod = cods[c]
             is_ht = bool(cod.cb_style & 0x40)
@@ -1203,73 +1297,41 @@ class J2KDecoder:
                         for g, st in zip(pb.blocks, ps.blocks):
                             if st.num_passes == 0 or st.numbps <= 0:
                                 continue
-                            try:
-                                if self.block_decoder_factory is not None:
-                                    dec = self.block_decoder_factory(
-                                        g.width, g.height, cod.cb_style,
-                                        bg.orient)
-                                    blk = np.asarray(dec.decode(
-                                        bytes(st.seg_data), st.num_passes,
-                                        st.numbps,
-                                        seg_lengths=st.seg_ends,
-                                        mb=ps.mb))
-                                elif is_ht:
-                                    from ..native import \
-                                        ht_cleanup_decode_native
-                                    blk = ht_cleanup_decode_native(
-                                        bytes(st.seg_data), g.width,
-                                        g.height, ps.mb,
-                                        ps.mb - st.numbps)
-                                    if isinstance(blk, tuple):
-                                        raise CorruptStreamError(
-                                            f"HT cleanup stream error "
-                                            f"{blk[1]}")
-                                    if blk is None:
-                                        from ..entropy.htcleanup import \
-                                            HTCleanupDecoder
-                                        blk = HTCleanupDecoder(
-                                            g.width, g.height, ps.mb,
-                                            ps.mb - st.numbps).decode(
-                                                bytes(st.seg_data))
-                                else:
-                                    import numpy as _np
-
-                                    from ..native import t1_decode_native
-                                    # int32 output skips a narrowing
-                                    # copy, but MaxShift-ROI-scaled
-                                    # magnitudes (numbps up to Mb+Srgn)
-                                    # can exceed 31 bits — those blocks
-                                    # must come back int64 (the ROI
-                                    # unshift below restores range)
-                                    odt = (_np.int32 if st.numbps <= 30
-                                           else _np.int64)
-                                    blk = t1_decode_native(
-                                        bytes(st.seg_data), g.width,
-                                        g.height, cod.cb_style, bg.orient,
-                                        st.num_passes, st.numbps,
-                                        seg_ends=st.seg_ends,
-                                        ojp_recon=True,
-                                        out_dtype=odt)
-                                    if blk is None:
-                                        dec = T1Decoder(
-                                            g.width, g.height,
-                                            style=cod.cb_style,
-                                            orientation=bg.orient,
-                                            openjpeg_reconstruction=True)
-                                        blk = dec.decode(
-                                            bytes(st.seg_data),
-                                            st.num_passes, st.numbps,
-                                            seg_lengths=st.seg_ends)
-                            except Exception:
-                                if not self.resilient:
-                                    raise
-                                blk = np.zeros((g.height, g.width),
-                                               dtype=np.int64)
-                            packed_list[c][
-                                bg.row_off + (g.y0 - bg.y0):
-                                bg.row_off + (g.y1 - bg.y0),
-                                bg.col_off + (g.x0 - bg.x0):
-                                bg.col_off + (g.x1 - bg.x0)] = blk
+                            ctx = (c, cod, is_ht, bg, ps, g, st)
+                            if not batch_ok:
+                                _scalar_and_paste(*ctx)
+                            elif is_ht:
+                                ht_items.append(
+                                    (bytes(st.seg_data), g.width,
+                                     g.height, ps.mb, ps.mb - st.numbps))
+                                ht_ctx.append(ctx)
+                            elif st.numbps <= 30:
+                                items, ctxs = t1_groups.setdefault(
+                                    cod.cb_style, ([], []))
+                                items.append(
+                                    (bytes(st.seg_data), g.width,
+                                     g.height, bg.orient, st.num_passes,
+                                     st.numbps, st.seg_ends))
+                                ctxs.append(ctx)
+                            else:
+                                _scalar_and_paste(*ctx)
+        if ht_items:
+            results = ht_cleanup_decode_blocks_native(ht_items)
+            for i, ctx in enumerate(ht_ctx):
+                blk = results[i] if results is not None else None
+                if isinstance(blk, np.ndarray):
+                    _paste(ctx[0], ctx[3], ctx[5], blk)
+                else:
+                    _scalar_and_paste(*ctx)
+        for style, (items, ctxs) in t1_groups.items():
+            results = t1_decode_blocks_native(items, style,
+                                              ojp_recon=True)
+            for i, ctx in enumerate(ctxs):
+                blk = results[i] if results is not None else None
+                if isinstance(blk, np.ndarray):
+                    _paste(ctx[0], ctx[3], ctx[5], blk)
+                else:
+                    _scalar_and_paste(*ctx)
 
         # ROI unshift: MaxShift is mask-free (magnitude ≥ 2^Srgn ⇒ ROI);
         # General Scaling (Srgn=1) unshifts only coefficients under the

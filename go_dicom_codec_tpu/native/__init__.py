@@ -81,6 +81,18 @@ def get_lib() -> Optional[ctypes.CDLL]:
             i32p, i64p, i32p, i32p, i32p, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, u8p, ctypes.c_long, i64p, i32p, i32p,
             i32p, u8p, i32p, i32p, ctypes.c_int]
+        lib.t1_decode_blocks.restype = ctypes.c_int
+        lib.t1_decode_blocks.argtypes = [
+            u8p, i64p, i32p, i32p, i32p, i32p, i32p, i32p, i64p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p, i64p, i32p]
+        lib.ht_cleanup_encode_blocks.restype = ctypes.c_long
+        lib.ht_cleanup_encode_blocks.argtypes = [
+            i32p, i64p, i32p, i32p, i32p, ctypes.c_int, i32p, i32p,
+            u8p, ctypes.c_long, i64p, i32p]
+        lib.ht_cleanup_decode_blocks.restype = ctypes.c_int
+        lib.ht_cleanup_decode_blocks.argtypes = [
+            u8p, i64p, i32p, i32p, i32p, i32p, ctypes.c_int, i32p, i32p,
+            i32p, i64p, i32p]
         lib.t1_decode.restype = ctypes.c_int
         lib.t1_decode.argtypes = [
             u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -668,6 +680,122 @@ def t1_decode_native(stream: bytes, w: int, h: int, style: int, orient: int,
     if r != 0:
         return None
     return out.reshape(h, w)
+
+
+def t1_decode_blocks_native(items, style: int, ojp_recon: bool = True):
+    """Batched native T1 decode: one C call for a whole tile's
+    code-blocks. items: sequence of (stream bytes, w, h, orient,
+    num_passes, numbps, seg_ends) with numbps <= 30 (int32 outputs).
+    Returns a list of int32 [h, w] arrays with None at failed blocks
+    (caller re-runs those through the scalar path for exact error
+    semantics), or None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None or not items:
+        return None
+    nb = len(items)
+    stream_offsets = np.zeros(nb + 1, dtype=np.int64)
+    seg_offsets = np.zeros(nb + 1, dtype=np.int64)
+    out_offsets = np.zeros(nb + 1, dtype=np.int64)
+    ws = np.empty(nb, dtype=np.int32)
+    hs = np.empty(nb, dtype=np.int32)
+    ors = np.empty(nb, dtype=np.int32)
+    nps = np.empty(nb, dtype=np.int32)
+    nbps = np.empty(nb, dtype=np.int32)
+    for i, (s, w, h, orient, np_, bp, segs) in enumerate(items):
+        stream_offsets[i + 1] = stream_offsets[i] + len(s)
+        seg_offsets[i + 1] = seg_offsets[i] + len(segs or ())
+        out_offsets[i + 1] = out_offsets[i] + w * h
+        ws[i], hs[i], ors[i], nps[i], nbps[i] = w, h, orient, np_, bp
+    streams = np.frombuffer(
+        b"".join(s for (s, *_r) in items), dtype=np.uint8)
+    if streams.size == 0:
+        streams = np.zeros(1, dtype=np.uint8)
+    all_segs = np.zeros(max(int(seg_offsets[-1]), 1), dtype=np.int32)
+    for i, it in enumerate(items):
+        segs = it[6]
+        if segs:
+            all_segs[seg_offsets[i]:seg_offsets[i + 1]] = segs
+    out = np.zeros(int(out_offsets[-1]), dtype=np.int32)
+    status = np.zeros(nb, dtype=np.int32)
+    lib.t1_decode_blocks(streams, stream_offsets, ws, hs, ors, nps, nbps,
+                         all_segs, seg_offsets, nb, style,
+                         1 if ojp_recon else 0, out, out_offsets, status)
+    return [out[out_offsets[i]:out_offsets[i + 1]].reshape(
+                items[i][2], items[i][1]) if status[i] == 0 else None
+            for i in range(nb)]
+
+
+def ht_cleanup_encode_blocks_native(blocks, kmaxs):
+    """Batched native HT cleanup encode: one C call for a tile's HT
+    code-blocks (int32 source, no per-block widening copy). Returns a
+    list of per-block bytes (b\"\" for all-zero, None on a per-block
+    error), or None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None or not blocks:
+        return None
+    nb = len(blocks)
+    offsets = np.zeros(nb + 1, dtype=np.int64)
+    ws = np.empty(nb, dtype=np.int32)
+    hs = np.empty(nb, dtype=np.int32)
+    total = 0
+    for i, b in enumerate(blocks):
+        hs[i], ws[i] = b.shape
+        total += b.size
+        offsets[i + 1] = total
+    src = np.empty(total, dtype=np.int32)
+    for i, b in enumerate(blocks):
+        np.copyto(src[offsets[i]:offsets[i + 1]].reshape(b.shape), b,
+                  casting="unsafe")
+    km = np.ascontiguousarray(kmaxs, dtype=np.int32)
+    e0, e1, _, _ = _ht_luts()
+    cap = total * 8 + 4096 * nb
+    out = np.empty(cap, dtype=np.uint8)
+    out_offsets = np.zeros(nb + 1, dtype=np.int64)
+    status = np.zeros(nb, dtype=np.int32)
+    lib.ht_cleanup_encode_blocks(src, offsets, ws, hs, km, nb, e0, e1,
+                                 out, cap, out_offsets, status)
+    res = []
+    for i in range(nb):
+        if status[i] < 0:
+            res.append(None)
+        elif status[i] == 0:
+            res.append(b"")
+        else:
+            res.append(out[out_offsets[i]:out_offsets[i + 1]].tobytes())
+    return res
+
+
+def ht_cleanup_decode_blocks_native(items):
+    """Batched native HT cleanup decode. items: sequence of
+    (codeblock bytes, w, h, kmax, missing). Returns a list of int32
+    [h, w] arrays with (\"corrupt\", code) at failed blocks, or None
+    when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None or not items:
+        return None
+    nb = len(items)
+    offs = np.zeros(nb + 1, dtype=np.int64)
+    out_offsets = np.zeros(nb + 1, dtype=np.int64)
+    ws = np.empty(nb, dtype=np.int32)
+    hs = np.empty(nb, dtype=np.int32)
+    kms = np.empty(nb, dtype=np.int32)
+    mis = np.empty(nb, dtype=np.int32)
+    for i, (s, w, h, km, mi) in enumerate(items):
+        offs[i + 1] = offs[i] + len(s)
+        out_offsets[i + 1] = out_offsets[i] + w * h
+        ws[i], hs[i], kms[i], mis[i] = w, h, km, mi
+    data = np.frombuffer(b"".join(s for (s, *_r) in items),
+                         dtype=np.uint8)
+    if data.size == 0:
+        data = np.zeros(1, dtype=np.uint8)
+    _, _, d0, d1 = _ht_luts()
+    out = np.zeros(int(out_offsets[-1]), dtype=np.int32)
+    status = np.zeros(nb, dtype=np.int32)
+    lib.ht_cleanup_decode_blocks(data, offs, ws, hs, kms, mis, nb, d0, d1,
+                                 out, out_offsets, status)
+    return [out[out_offsets[i]:out_offsets[i + 1]].reshape(
+                items[i][2], items[i][1]) if status[i] == 0
+            else ("corrupt", int(status[i])) for i in range(nb)]
 
 
 def dwt53_fwd_native(arr: np.ndarray, levels: int, x0: int = 0,

@@ -1583,6 +1583,33 @@ int t1_decode32(const uint8_t* stream, int stream_len, int w, int h,
                        out_data);
 }
 
+// Batched decode: every (non-ROI, numbps<=30) code-block of a tile in
+// one call. Streams concatenated at byte offsets `stream_offsets`
+// (nb+1); per-block segment-end lists concatenated in `all_seg_ends`
+// at `seg_offsets` (nb+1); int32 outputs concatenated at sample
+// offsets `out_offsets` (nb+1, caller-computed as w*h prefix sums).
+// Per-block status lands in `status` (0 ok, else the t1_decode32
+// code); a failed block leaves its output zeroed and the caller
+// re-runs it through the scalar path for exact error semantics.
+int t1_decode_blocks(const uint8_t* streams, const int64_t* stream_offsets,
+                     const int32_t* ws, const int32_t* hs,
+                     const int32_t* orients, const int32_t* num_passes_a,
+                     const int32_t* numbps_a, const int32_t* all_seg_ends,
+                     const int64_t* seg_offsets, int nb, int style,
+                     int ojp_recon, int32_t* out,
+                     const int64_t* out_offsets, int32_t* status) {
+  for (int i = 0; i < nb; i++) {
+    int n_segs = (int)(seg_offsets[i + 1] - seg_offsets[i]);
+    status[i] = t1_decode_any(
+        streams + stream_offsets[i],
+        (int)(stream_offsets[i + 1] - stream_offsets[i]), ws[i], hs[i],
+        style, orients[i], num_passes_a[i], numbps_a[i], 0,
+        all_seg_ends + seg_offsets[i], n_segs, ojp_recon,
+        out + out_offsets[i]);
+  }
+  return 0;
+}
+
 }  // extern "C"
 
 // ============================================================================
@@ -2762,13 +2789,14 @@ struct MagSgnReader {
 
 }  // namespace htj2k
 
-extern "C" {
-
-// Encode one HT cleanup codeblock. data: int64 [h*w]. Returns byte
-// count, 0 for an all-zero block, -1 on error/overflow.
-long ht_cleanup_encode(const int64_t* data, int w, int h, int kmax,
-                       const int32_t* enc_lut0, const int32_t* enc_lut1,
-                       uint8_t* out, long out_cap) {
+// Encode one HT cleanup codeblock (templated over the source sample
+// type so the batched int32 entry skips the Python-side widening
+// copy). Returns byte count, 0 for an all-zero block, -1 on error.
+template <typename ST>
+static long ht_cleanup_encode_impl(const ST* data, int w, int h, int kmax,
+                                   const int32_t* enc_lut0,
+                                   const int32_t* enc_lut1, uint8_t* out,
+                                   long out_cap) {
   using namespace htj2k;
   if (kmax <= 0 || kmax >= 31) return -1;
   int shift = 31 - kmax;
@@ -2829,6 +2857,42 @@ long ht_cleanup_encode(const int64_t* data, int w, int h, int kmax,
   out[o++] = vlc.buf[0];
   out[o - 1] = (uint8_t)((scup >> 4) & 0xFF);
   out[o - 2] = (uint8_t)((out[o - 2] & 0xF0) | (scup & 0x0F));
+  return o;
+}
+
+extern "C" {
+
+// Encode one HT cleanup codeblock. data: int64 [h*w]. Returns byte
+// count, 0 for an all-zero block, -1 on error/overflow.
+long ht_cleanup_encode(const int64_t* data, int w, int h, int kmax,
+                       const int32_t* enc_lut0, const int32_t* enc_lut1,
+                       uint8_t* out, long out_cap) {
+  return ht_cleanup_encode_impl(data, w, h, kmax, enc_lut0, enc_lut1, out,
+                                out_cap);
+}
+
+// Batched HT cleanup encode: every HT code-block of a tile in one
+// call, int32 source (no widening copy). Blocks concatenated at
+// sample offsets `offsets` (nb+1); streams land concatenated in `out`
+// with byte offsets in `out_offsets` (nb+1). status[i] = per-block
+// byte count, 0 for all-zero, -1 on error (caller falls back).
+long ht_cleanup_encode_blocks(const int32_t* src, const int64_t* offsets,
+                              const int32_t* ws, const int32_t* hs,
+                              const int32_t* kmaxs, int nb,
+                              const int32_t* enc_lut0,
+                              const int32_t* enc_lut1, uint8_t* out,
+                              long out_cap, int64_t* out_offsets,
+                              int32_t* status) {
+  long o = 0;
+  out_offsets[0] = 0;
+  for (int i = 0; i < nb; i++) {
+    long n = ht_cleanup_encode_impl(src + offsets[i], ws[i], hs[i],
+                                    kmaxs[i], enc_lut0, enc_lut1, out + o,
+                                    out_cap - o);
+    status[i] = (int32_t)n;
+    if (n > 0) o += n;
+    out_offsets[i + 1] = o;
+  }
   return o;
 }
 
@@ -3015,6 +3079,35 @@ int ht_cleanup_decode(const uint8_t* cbk, long n, int w, int h, int kmax,
     uint32_t v = out32[i];
     int64_t mag = (int64_t)((v & 0x7FFFFFFFu) >> shift);
     out_data[i] = (v & 0x80000000u) ? -mag : mag;
+  }
+  return 0;
+}
+
+// Batched HT cleanup decode: int32 outputs concatenated at sample
+// offsets `out_offsets` (nb+1, w*h prefix sums); streams concatenated
+// at byte offsets `offs`. status[i] = the per-block ht_cleanup_decode
+// code (0 ok); failed blocks stay zeroed and the caller re-runs them
+// through the scalar path for exact error semantics.
+int ht_cleanup_decode_blocks(const uint8_t* data, const int64_t* offs,
+                             const int32_t* ws, const int32_t* hs,
+                             const int32_t* kmaxs,
+                             const int32_t* missings, int nb,
+                             const int32_t* dec_lut0,
+                             const int32_t* dec_lut1, int32_t* out,
+                             const int64_t* out_offsets, int32_t* status) {
+  std::vector<int64_t> scratch;
+  for (int i = 0; i < nb; i++) {
+    size_t npx = (size_t)ws[i] * hs[i];
+    if (scratch.size() < npx) scratch.resize(npx);
+    status[i] = ht_cleanup_decode(data + offs[i],
+                                  (long)(offs[i + 1] - offs[i]), ws[i],
+                                  hs[i], kmaxs[i], missings[i], dec_lut0,
+                                  dec_lut1, scratch.data());
+    int32_t* dst = out + out_offsets[i];
+    if (status[i] == 0)
+      for (size_t k = 0; k < npx; k++) dst[k] = (int32_t)scratch[k];
+    else
+      memset(dst, 0, npx * sizeof(int32_t));
   }
   return 0;
 }

@@ -435,3 +435,94 @@ def test_lossy_jpeg_decode_deterministic_across_lanes(rng, monkeypatch):
     b12 = jpeg_extended.decode(s12)[0]
     assert a8 == b8
     assert a12 == b12
+
+
+# ---- batched native entries (one C call per tile) --------------------------
+
+def test_t1_encode_blocks_matches_scalar(rng):
+    """t1_encode_blocks = per-block t1_encode on mixed sizes/orients."""
+    from go_dicom_codec_tpu.native import t1_encode_blocks_native
+
+    if get_lib() is None:
+        pytest.skip("native unavailable")
+    shapes = [(64, 64), (64, 64), (33, 17), (4, 64), (1, 1), (5, 3)]
+    orients = [0, 1, 2, 3, 0, 2]
+    blocks = [
+        (rng.standard_normal(s) * (300 if i % 2 else 7)).astype(np.int32)
+        for i, s in enumerate(shapes)]
+    blocks[4][:] = 0  # all-zero block
+    for style in (0x00, 0x01, 0x04 | 0x20):
+        for need_nmse in (False, True):
+            batched = t1_encode_blocks_native(blocks, orients, style,
+                                              need_nmse=need_nmse)
+            assert batched is not None
+            for b, orient, got in zip(blocks, orients, batched):
+                want = t1_encode_native(b, style, orient,
+                                        need_nmse=need_nmse)
+                assert got == want
+
+
+def test_t1_decode_blocks_matches_scalar(rng):
+    """Batched decode reproduces the scalar decoder and flags corrupt
+    blocks without touching the good ones."""
+    from go_dicom_codec_tpu.native import t1_decode_blocks_native
+
+    if get_lib() is None:
+        pytest.skip("native unavailable")
+    style = STYLE_LAZY
+    shapes = [(64, 64), (31, 8), (64, 64)]
+    blocks = [(rng.standard_normal(s) * 200).astype(np.int32)
+              for s in shapes]
+    items = []
+    for i, (b, s) in enumerate(zip(blocks, shapes)):
+        stream, numbps, rates, terms, bps, _ = t1_encode_native(
+            b, style, i % 4)
+        seg_ends = [r for r, t in zip(rates, terms) if t]
+        items.append((stream, s[1], s[0], i % 4, len(rates), numbps,
+                      seg_ends))
+    results = t1_decode_blocks_native(items, style, ojp_recon=True)
+    assert results is not None
+    for it, got in zip(items, results):
+        want = t1_decode_native(it[0], it[1], it[2], style, it[3], it[4],
+                                it[5], seg_ends=it[6], ojp_recon=True,
+                                out_dtype=np.int32)
+        np.testing.assert_array_equal(got, want)
+    # a corrupt middle block reports a status without poisoning others
+    bad = list(items)
+    bad[1] = (b"\xff\xff\xff", bad[1][1], bad[1][2], bad[1][3],
+              200, 45, [])
+    res2 = t1_decode_blocks_native(bad, style, ojp_recon=True)
+    assert isinstance(res2[0], np.ndarray) and isinstance(
+        res2[2], np.ndarray)
+    np.testing.assert_array_equal(res2[0], results[0])
+    np.testing.assert_array_equal(res2[2], results[2])
+
+
+def test_ht_cleanup_blocks_match_scalar(rng):
+    """Batched HT cleanup encode/decode = scalar entries per block."""
+    from go_dicom_codec_tpu.native import (ht_cleanup_decode_blocks_native,
+                                           ht_cleanup_decode_native,
+                                           ht_cleanup_encode_blocks_native,
+                                           ht_cleanup_encode_native)
+
+    if get_lib() is None:
+        pytest.skip("native unavailable")
+    shapes = [(64, 64), (17, 33), (8, 8), (64, 64)]
+    kmaxs = [10, 12, 8, 14]
+    blocks = [(rng.standard_normal(s) * 100).astype(np.int32)
+              for s in shapes]
+    blocks[2][:] = 0  # all-zero
+    enc_batched = ht_cleanup_encode_blocks_native(blocks, kmaxs)
+    assert enc_batched is not None
+    for b, km, got in zip(blocks, kmaxs, enc_batched):
+        want = ht_cleanup_encode_native(
+            np.ascontiguousarray(b, dtype=np.int64), km)
+        assert got == want
+    items = [(blob, b.shape[1], b.shape[0], km, km - 1)
+             for blob, b, km in zip(enc_batched, blocks, kmaxs)
+             if blob]
+    dec_batched = ht_cleanup_decode_blocks_native(items)
+    assert dec_batched is not None
+    for it, got in zip(items, dec_batched):
+        want = ht_cleanup_decode_native(it[0], it[1], it[2], it[3], it[4])
+        np.testing.assert_array_equal(got, want)
