@@ -1213,8 +1213,13 @@ class J2KDecoder:
             if cr[2] < cr[0] or cr[3] < cr[1]:
                 raise CorruptStreamError(
                     f"corrupt component rect {cr} (subsampling/tile grid)")
+        # int32 carries every non-ROI stream (and the later
+        # np.stack(...).astype(np.int32) becomes a plain copy); ROI
+        # shifts can push magnitudes past 31 bits, so those tiles keep
+        # the int64 headroom until the unshift below restores range
+        _pdt = np.int64 if any((rgn_shifts or {}).values()) else np.int32
         packed_list = [
-            np.zeros((cr[3] - cr[1], cr[2] - cr[0]), dtype=np.int64)
+            np.zeros((cr[3] - cr[1], cr[2] - cr[0]), dtype=_pdt)
             for cr in comp_rects]
         def _paste(c, bg, g, blk):
             packed_list[c][
@@ -1362,7 +1367,8 @@ class J2KDecoder:
                     packed_list[c], shift).astype(np.int64)
         packed = None
         if uniform:
-            packed = np.stack(packed_list).astype(np.int32)
+            packed = np.stack(packed_list).astype(np.int32,
+                                              copy=False)
 
         if _return_packed:
             # pipeline.decode_frames_pipelined: host stage done — hand
@@ -1454,7 +1460,7 @@ class J2KDecoder:
                     # to nothing — contribute a zero plane
                     recs.append(np.zeros((th, tw), dtype=np.int32))
                     continue
-                pk = packed_list[c].astype(np.int32)
+                pk = packed_list[c].astype(np.int32, copy=False)
                 if cod_c.transform == 1:
                     from .. import native as _nat
                     nat_rc = (_nat.dwt53_inv_native(pk, cod_c.num_levels,
