@@ -934,10 +934,19 @@ class J2KEncoder:
     def _assemble_tile_packets(self, comp_res, comp_states,
                                cod: j2k.CodInfo, ncomp: int) -> bytes:
         precinct_info = self._precinct_info_fn(comp_res, cod)
+        order = list(progression_order(
+            cod.progression, cod.num_layers, cod.num_levels + 1,
+            ncomp, precinct_info))
+        # native mirror assembles the whole tile (headers, tag trees,
+        # Lblock, bodies) in one call; Python is the byte-identical
+        # behavioral reference and the native-disabled path
+        from ..native import t2_assemble_packets_native
+        body_n = t2_assemble_packets_native(comp_states, order,
+                                            cod.cb_style)
+        if body_n is not None:
+            return body_n
         body = bytearray()
-        for (l, r, c, pidx) in progression_order(
-                cod.progression, cod.num_layers, cod.num_levels + 1,
-                ncomp, precinct_info):
+        for (l, r, c, pidx) in order:
             header, pbody = encode_packet(comp_states[c][(r, pidx)], l,
                                           cod.cb_style, cod.num_layers)
             body += header
@@ -1186,23 +1195,36 @@ class J2KDecoder:
             order = progression_order(cod0.progression, cod0.num_layers,
                                       max_res, ncomp, precinct_info)
 
-        pos = 0
-        for (l, r, c, pidx) in order:
-            if pos >= len(body):
-                if self.resilient:
-                    break
-                if l > 0:
-                    break  # truncated layered stream: decode what we have
-                raise CorruptStreamError("tile body exhausted mid-packets")
-            try:
-                pos = decode_packet(body, pos, comp_states[c][(r, pidx)],
-                                    l, cods[c].cb_style,
-                                    use_sop=cod0.use_sop,
-                                    use_eph=cod0.use_eph)
-            except CorruptStreamError:
-                if self.resilient:
-                    break
-                raise
+        order = list(order)
+        # native whole-tile packet parse (strict mode; any stream error
+        # or resilient decode falls back to the Python reference, which
+        # raises/recovers with exact semantics on untouched states)
+        native_pos = None
+        if not self.resilient:
+            from ..native import t2_parse_packets_native
+            native_pos = t2_parse_packets_native(
+                bytes(body), comp_states, order,
+                [cc.cb_style for cc in cods], cod0.use_sop, cod0.use_eph)
+        if native_pos is None:
+            pos = 0
+            for (l, r, c, pidx) in order:
+                if pos >= len(body):
+                    if self.resilient:
+                        break
+                    if l > 0:
+                        break  # truncated layered stream
+                    raise CorruptStreamError(
+                        "tile body exhausted mid-packets")
+                try:
+                    pos = decode_packet(body, pos,
+                                        comp_states[c][(r, pidx)],
+                                        l, cods[c].cb_style,
+                                        use_sop=cod0.use_sop,
+                                        use_eph=cod0.use_eph)
+                except CorruptStreamError:
+                    if self.resilient:
+                        break
+                    raise
 
         # T1 decode + assemble packed coefficient arrays per component
         # (int64: MaxShift-scaled ROI magnitudes can exceed 31 bits)

@@ -31,13 +31,19 @@ def _build() -> bool:
         if os.path.exists(_SO) and os.path.getmtime(_SO) >= src_mtime:
             return True
         # built on first use on the host machine, so -march=native is
-        # safe; fall back to the portable baseline if it fails
+        # safe; fall back to the portable baseline if it fails.
+        # Compile to a private temp path and os.replace into place:
+        # two processes racing `g++ -o libebcot.so` interleave writes
+        # and produce a loadable-but-corrupt library (observed as a 2x
+        # T1 slowdown when a test run and a benchmark rebuilt at once).
+        tmp = f"{_SO}.tmp.{os.getpid()}"
         for extra in (["-march=native"], []):
             r = subprocess.run(
                 ["g++", "-O3", "-fwrapv", *extra, "-shared", "-fPIC",
-                 "-std=c++17", "-o", _SO, _SRC],
+                 "-std=c++17", "-o", tmp, _SRC],
                 capture_output=True, timeout=240)
-            if r.returncode == 0 and os.path.exists(_SO):
+            if r.returncode == 0 and os.path.exists(tmp):
+                os.replace(tmp, _SO)
                 return True
         return False
     except Exception:  # noqa: BLE001
@@ -93,6 +99,18 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.ht_cleanup_decode_blocks.argtypes = [
             u8p, i64p, i32p, i32p, i32p, i32p, ctypes.c_int, i32p, i32p,
             i32p, i64p, i32p]
+        lib.t2_assemble_packets.restype = ctypes.c_long
+        lib.t2_assemble_packets.argtypes = [
+            i32p, i32p, i32p, i32p, i64p, i32p, u8p, i64p, i32p, i64p,
+            u8p, ctypes.c_int, i32p, i32p, i32p, i32p, ctypes.c_int,
+            i32p, i64p, i32p, ctypes.c_int, ctypes.c_int, u8p,
+            ctypes.c_long]
+        lib.t2_parse_packets.restype = ctypes.c_long
+        lib.t2_parse_packets.argtypes = [
+            u8p, ctypes.c_long, i32p, i32p, ctypes.c_int, i32p, i32p,
+            i32p, i32p, i32p, ctypes.c_int, i32p, i32p, i64p, i32p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p, i32p, i32p,
+            u8p, u8p, i64p, i32p, i32p, ctypes.c_int]
         lib.t1_decode.restype = ctypes.c_int
         lib.t1_decode.argtypes = [
             u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -796,6 +814,171 @@ def ht_cleanup_decode_blocks_native(items):
     return [out[out_offsets[i]:out_offsets[i + 1]].reshape(
                 items[i][2], items[i][1]) if status[i] == 0
             else ("corrupt", int(status[i])) for i in range(nb)]
+
+
+def t2_assemble_packets_native(comp_states, order, style: int):
+    """Assemble every packet of a tile natively (headers, tag trees,
+    Lblock state, body copies — mirror of t2/packets.encode_packet over
+    the full progression). comp_states: per-component dict
+    (r, pidx) -> [PrecinctState]; order: [(layer, r, c, pidx)].
+    Returns the tile body bytes, or None when unavailable (caller runs
+    the Python reference assembly).
+
+    NOTE: does NOT mutate the BlockState objects (num_passes/included/
+    lblock stay untouched) — callers discard the states after assembly.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    band_idx = {}
+    bands = []
+    blocks = []
+    blk_start = []
+    blk_count = []
+    pkt_layer = np.empty(len(order), dtype=np.int32)
+    pkt_band_offsets = np.zeros(len(order) + 1, dtype=np.int64)
+    pkt_bands_l = []
+    for p, (layer, r, c, pidx) in enumerate(order):
+        plist = comp_states[c][(r, pidx)]
+        pkt_layer[p] = layer
+        for ps in plist:
+            b = band_idx.get(id(ps))
+            if b is None:
+                b = len(bands)
+                band_idx[id(ps)] = b
+                bands.append(ps)
+                blk_start.append(len(blocks))
+                blk_count.append(len(ps.blocks))
+                blocks.extend(ps.blocks)
+            pkt_bands_l.append(b)
+        pkt_band_offsets[p + 1] = len(pkt_bands_l)
+    nblocks = len(blocks)
+    nbands = len(bands)
+    cbx = np.empty(nblocks, dtype=np.int32)
+    cby = np.empty(nblocks, dtype=np.int32)
+    zbp = np.empty(nblocks, dtype=np.int32)
+    numbps = np.empty(nblocks, dtype=np.int32)
+    rate_offsets = np.zeros(nblocks + 1, dtype=np.int64)
+    lp_offsets = np.zeros(nblocks + 1, dtype=np.int64)
+    data_offsets = np.zeros(nblocks + 1, dtype=np.int64)
+    rates_l = []
+    lp_l = []
+    datas = []
+    num_layers = 1
+    for i, blk in enumerate(blocks):
+        cbx[i] = blk.cbx
+        cby[i] = blk.cby
+        zbp[i] = blk.zero_bitplanes
+        numbps[i] = blk.numbps
+        rates_l.extend(blk.pass_rates)
+        rate_offsets[i + 1] = len(rates_l)
+        if blk.layer_passes:
+            lp_l.extend(blk.layer_passes)
+            num_layers = max(num_layers, len(blk.layer_passes))
+        lp_offsets[i + 1] = len(lp_l)
+        datas.append(bytes(blk.data) if blk.data else b"")
+        data_offsets[i + 1] = data_offsets[i] + len(datas[-1])
+    rates = np.asarray(rates_l or [0], dtype=np.int32)
+    lp = np.asarray(lp_l or [0], dtype=np.int32)
+    data = np.frombuffer(b"".join(datas) or b"\0", dtype=np.uint8)
+    terms = np.zeros(1, dtype=np.uint8)  # unused by the C mirror
+    cap = int(data_offsets[-1]) + 64 * nblocks * max(num_layers, 1) \
+        + 16 * len(order) + 4096
+    out = np.empty(cap, dtype=np.uint8)
+    n = lib.t2_assemble_packets(
+        cbx, cby, zbp, numbps, rate_offsets, rates, terms, lp_offsets,
+        lp, data_offsets, data, nblocks,
+        np.asarray([max(ps.ncbw, 1) for ps in bands] or [1],
+                   dtype=np.int32),
+        np.asarray([max(ps.ncbh, 1) for ps in bands] or [1],
+                   dtype=np.int32),
+        np.asarray(blk_start or [0], dtype=np.int32),
+        np.asarray(blk_count or [0], dtype=np.int32), nbands,
+        pkt_layer, pkt_band_offsets,
+        np.asarray(pkt_bands_l or [0], dtype=np.int32), len(order),
+        style, out, cap)
+    if n < 0:
+        return None
+    return out[:n].tobytes()
+
+
+def t2_parse_packets_native(body: bytes, comp_states, order,
+                            styles, use_sop: bool, use_eph: bool):
+    """Parse every packet of a tile body natively (STRICT mode only —
+    resilient/corrupt paths stay on the Python reference). order:
+    [(layer, r, c, pidx)]; styles: per-component cb_style. Mutates the
+    BlockStates (numbps/zero_bitplanes/included/num_passes/seg_data/
+    seg_ends) exactly like running t2/packets.decode_packet over the
+    order, and returns the final body position — or None (unavailable
+    or any stream error; the states are untouched then)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    band_idx = {}
+    bands = []
+    blocks = []
+    blk_start = []
+    blk_count = []
+    pkt_layer = np.empty(len(order), dtype=np.int32)
+    pkt_style = np.empty(len(order), dtype=np.int32)
+    pkt_band_offsets = np.zeros(len(order) + 1, dtype=np.int64)
+    pkt_bands_l = []
+    for p, (layer, r, c, pidx) in enumerate(order):
+        plist = comp_states[c][(r, pidx)]
+        pkt_layer[p] = layer
+        pkt_style[p] = styles[c]
+        for ps in plist:
+            b = band_idx.get(id(ps))
+            if b is None:
+                b = len(bands)
+                band_idx[id(ps)] = b
+                bands.append(ps)
+                blk_start.append(len(blocks))
+                blk_count.append(len(ps.blocks))
+                blocks.extend(ps.blocks)
+            pkt_bands_l.append(b)
+        pkt_band_offsets[p + 1] = len(pkt_bands_l)
+    nblocks = len(blocks)
+    nbands = len(bands)
+    cbx = np.asarray([blk.cbx for blk in blocks] or [0], dtype=np.int32)
+    cby = np.asarray([blk.cby for blk in blocks] or [0], dtype=np.int32)
+    bl = np.frombuffer(body or b"\0", dtype=np.uint8)
+    max_segs = 3 * 40 + 2
+    o_numbps = np.zeros(max(nblocks, 1), dtype=np.int32)
+    o_zbp = np.zeros(max(nblocks, 1), dtype=np.int32)
+    o_npasses = np.zeros(max(nblocks, 1), dtype=np.int32)
+    o_included = np.zeros(max(nblocks, 1), dtype=np.uint8)
+    o_segdata = np.empty(max(len(body), 1), dtype=np.uint8)
+    o_data_offsets = np.zeros(nblocks + 1, dtype=np.int64)
+    o_seg_ends = np.zeros(max(nblocks, 1) * max_segs, dtype=np.int32)
+    o_seg_counts = np.zeros(max(nblocks, 1), dtype=np.int32)
+    pos = lib.t2_parse_packets(
+        bl, len(body), cbx, cby, nblocks,
+        np.asarray([max(ps.ncbw, 1) for ps in bands] or [1],
+                   dtype=np.int32),
+        np.asarray([max(ps.ncbh, 1) for ps in bands] or [1],
+                   dtype=np.int32),
+        np.asarray([ps.mb for ps in bands] or [0], dtype=np.int32),
+        np.asarray(blk_start or [0], dtype=np.int32),
+        np.asarray(blk_count or [0], dtype=np.int32), nbands,
+        pkt_layer, pkt_style, pkt_band_offsets,
+        np.asarray(pkt_bands_l or [0], dtype=np.int32), len(order),
+        1 if use_sop else 0, 1 if use_eph else 0,
+        o_numbps, o_zbp, o_npasses, o_included, o_segdata,
+        o_data_offsets, o_seg_ends, o_seg_counts, max_segs)
+    if pos < 0:
+        return None
+    for i, blk in enumerate(blocks):
+        if o_included[i]:
+            blk.included = True
+            blk.numbps = int(o_numbps[i])
+            blk.zero_bitplanes = int(o_zbp[i])
+        blk.num_passes = int(o_npasses[i])
+        blk.seg_data = bytearray(
+            o_segdata[o_data_offsets[i]:o_data_offsets[i + 1]].tobytes())
+        k = int(o_seg_counts[i])
+        blk.seg_ends = o_seg_ends[i * max_segs:i * max_segs + k].tolist()
+    return int(pos)
 
 
 def dwt53_fwd_native(arr: np.ndarray, levels: int, x0: int = 0,

@@ -1613,6 +1613,634 @@ int t1_decode_blocks(const uint8_t* streams, const int64_t* stream_offsets,
 }  // extern "C"
 
 // ============================================================================
+// Tier-2 packet assembly fast path — exact mirror of t2/packets.py
+// encode_packet + t2/tagtree.py + t2/bitio.py (the Python modules are
+// the behavioral reference, pinned by tests/test_native.py; reference
+// semantics jpeg2000/t2/packet_header_tagtree.go:15-162, tagtree.go,
+// packet_header_bitio.go). One call assembles EVERY packet of a tile
+// in progression order — headers, tag trees, Lblock state, and body
+// byte copies all native.
+// ============================================================================
+
+namespace t2n {
+
+// B.10.1 bit writer: a 0xFF byte is followed by a 7-bit byte
+struct Bio {
+  std::vector<uint8_t>& buf;
+  uint32_t out = 0;
+  int ct = 8;
+  explicit Bio(std::vector<uint8_t>& b) : buf(b) {}
+  inline void byte_out() {
+    out = (out << 8) & 0xFFFF;
+    ct = (out == 0xFF00) ? 7 : 8;
+    buf.push_back((uint8_t)((out >> 8) & 0xFF));
+  }
+  inline void put_bit(int bit) {
+    if (ct == 0) byte_out();
+    ct--;
+    if (bit) out |= 1u << ct;
+  }
+  inline void put_bits(uint32_t value, int n) {
+    while (n > 0) {
+      if (ct == 0) byte_out();
+      int take = ct < n ? ct : n;
+      n -= take;
+      ct -= take;
+      out |= ((value >> n) & ((1u << take) - 1)) << ct;
+    }
+  }
+  inline void flush() {
+    byte_out();
+    if (ct == 7) byte_out();
+  }
+};
+
+// quad-tree of minima (t2/tagtree.py; values/low/known per level)
+struct Tag {
+  int width, height, levels;
+  std::vector<std::pair<int, int>> dims;       // (w, h) per level
+  std::vector<std::vector<int>> value, low;
+  std::vector<std::vector<uint8_t>> known;
+  void init(int w_, int h_) {
+    width = w_ > 0 ? w_ : 1;
+    height = h_ > 0 ? h_ : 1;
+    dims.clear();
+    int w = width, h = height;
+    for (;;) {
+      dims.push_back({w, h});
+      if (w == 1 && h == 1) break;
+      w = (w + 1) / 2;
+      h = (h + 1) / 2;
+    }
+    levels = (int)dims.size();
+    reset();
+  }
+  void reset() {
+    value.assign(levels, {});
+    low.assign(levels, {});
+    known.assign(levels, {});
+    for (int l = 0; l < levels; l++) {
+      value[l].assign((size_t)dims[l].first * dims[l].second, 999);
+      low[l].assign((size_t)dims[l].first * dims[l].second, 0);
+      known[l].assign((size_t)dims[l].first * dims[l].second, 0);
+    }
+  }
+  void set_value(int x, int y, int v) {
+    int px = x, py = y;
+    for (int l = 0; l < levels; l++) {
+      int idx = py * dims[l].first + px;
+      if (value[l][idx] > v) value[l][idx] = v;
+      else break;
+      px /= 2;
+      py /= 2;
+    }
+  }
+  void encode(Bio& bw, int x, int y, int threshold) {
+    // walk root -> leaf
+    int chain[32][2], n = 0;
+    int px = x, py = y;
+    for (int l = 0; l < levels; l++) {
+      chain[n][0] = l;
+      chain[n][1] = py * dims[l].first + px;
+      n++;
+      px /= 2;
+      py /= 2;
+    }
+    int lo = 0;
+    for (int i = n - 1; i >= 0; i--) {
+      int l = chain[i][0], idx = chain[i][1];
+      if (lo > low[l][idx]) low[l][idx] = lo;
+      else lo = low[l][idx];
+      while (lo < threshold) {
+        if (lo >= value[l][idx]) {
+          if (!known[l][idx]) {
+            bw.put_bit(1);
+            known[l][idx] = 1;
+          }
+          break;
+        }
+        bw.put_bit(0);
+        lo++;
+      }
+      low[l][idx] = lo;
+    }
+  }
+};
+
+// comma code for pass counts (B.10.6; t2/packets.py _encode_num_passes)
+inline int put_num_passes(Bio& bw, int n) {
+  if (n == 1) bw.put_bit(0);
+  else if (n == 2) bw.put_bits(2, 2);
+  else if (n <= 5) bw.put_bits(0x0C | (n - 3), 4);
+  else if (n <= 36) bw.put_bits(0x1E0 | (n - 6), 9);
+  else if (n <= 164) bw.put_bits(0xFF80 | (n - 37), 16);
+  else return -1;
+  return 0;
+}
+
+inline int floor_log2(int n) {
+  if (n <= 1) return 0;
+  return 31 - __builtin_clz((unsigned)n);
+}
+
+// pass counts per terminated segment for passes [start, start+new)
+// (t2/packets.py _segments; same termination walk as the T1 coder)
+inline int segments_of(int style, int numbps, int start_pass,
+                       int new_passes, int* segs) {
+  if (numbps <= 0) {
+    if (new_passes) {
+      segs[0] = new_passes;
+      return 1;
+    }
+    return 0;
+  }
+  int maxbp = numbps - 1;
+  int nsegs = 0, count = 0;
+  int pass_type = 2, bitplane = maxbp, idx = 0;
+  while (idx < start_pass + new_passes && bitplane >= 0) {
+    if (idx >= start_pass) {
+      count++;
+      bool last = idx == start_pass + new_passes - 1;
+      if (terminating(bitplane, maxbp, pass_type, style) || last) {
+        segs[nsegs++] = count;
+        count = 0;
+      }
+    }
+    idx++;
+    if (pass_type == 2) {
+      pass_type = 0;
+      bitplane--;
+    } else {
+      pass_type++;
+    }
+  }
+  if (count) segs[nsegs++] = count;
+  return nsegs;
+}
+
+// B.10.1 bit reader (t2/bitio.py BioReader): a 0xFF byte is followed
+// by a 7-bit byte. Throws no exceptions — end-of-data sets `bad`.
+struct BioR {
+  const uint8_t* data;
+  long len, pos = 0;
+  uint32_t buf = 0;
+  int ct = 0;
+  bool bad = false;
+  BioR(const uint8_t* d, long n) : data(d), len(n) {}
+  inline void byte_in() {
+    if (pos >= len) {
+      bad = true;
+      ct = 8;  // keep callers terminating
+      return;
+    }
+    buf = (buf << 8) & 0xFFFF;
+    ct = (buf == 0xFF00) ? 7 : 8;
+    buf |= data[pos++];
+  }
+  inline int get_bit() {
+    if (ct == 0) byte_in();
+    ct--;
+    return (int)((buf >> ct) & 1);
+  }
+  inline uint32_t get_bits(int n) {
+    uint32_t v = 0;
+    while (n > 0) {
+      if (ct == 0) byte_in();
+      int take = ct < n ? ct : n;
+      ct -= take;
+      v = (v << take) | ((buf >> ct) & ((1u << take) - 1));
+      n -= take;
+    }
+    return v;
+  }
+  inline void align() {
+    // opj_bio_inalign: consume the stuffed byte after a trailing 0xFF
+    if ((buf & 0xFF) == 0xFF) byte_in();
+    ct = 0;
+  }
+};
+
+struct TagDec {
+  int width, height, levels;
+  std::vector<std::pair<int, int>> dims;
+  std::vector<std::vector<int>> value, low;
+  void init(int w_, int h_) {
+    width = w_ > 0 ? w_ : 1;
+    height = h_ > 0 ? h_ : 1;
+    dims.clear();
+    int w = width, h = height;
+    for (;;) {
+      dims.push_back({w, h});
+      if (w == 1 && h == 1) break;
+      w = (w + 1) / 2;
+      h = (h + 1) / 2;
+    }
+    levels = (int)dims.size();
+    reset();
+  }
+  void reset() {
+    value.assign(levels, {});
+    low.assign(levels, {});
+    for (int l = 0; l < levels; l++) {
+      value[l].assign((size_t)dims[l].first * dims[l].second, 999);
+      low[l].assign((size_t)dims[l].first * dims[l].second, 0);
+    }
+  }
+  int decode(BioR& br, int x, int y, int threshold) {
+    int chain[32][2], n = 0;
+    int px = x, py = y;
+    for (int l = 0; l < levels; l++) {
+      chain[n][0] = l;
+      chain[n][1] = py * dims[l].first + px;
+      n++;
+      px /= 2;
+      py /= 2;
+    }
+    int lo = 0;
+    for (int i = n - 1; i >= 0; i--) {
+      int l = chain[i][0], idx = chain[i][1];
+      if (lo > low[l][idx]) low[l][idx] = lo;
+      else lo = low[l][idx];
+      while (lo < threshold && lo < value[l][idx]) {
+        if (br.get_bit()) value[l][idx] = lo;
+        else lo++;
+        if (br.bad) return -1;
+      }
+      low[l][idx] = lo;
+    }
+    return value[0][y * width + x];
+  }
+};
+
+inline int get_num_passes(BioR& br) {
+  if (br.get_bit() == 0) return 1;
+  if (br.get_bit() == 0) return 2;
+  uint32_t v = br.get_bits(2);
+  if (v < 3) return 3 + (int)v;
+  v = br.get_bits(5);
+  if (v < 31) return 6 + (int)v;
+  return 37 + (int)br.get_bits(7);
+}
+
+// whether global pass idx is terminating (t2/packets.py _terminates_at)
+inline bool terminates_at(int style, int numbps, int idx) {
+  if (numbps <= 0) return false;
+  int maxbp = numbps - 1;
+  int pass_type = 2, bitplane = maxbp, i = 0;
+  while (bitplane >= 0) {
+    if (i == idx) return terminating(bitplane, maxbp, pass_type, style);
+    i++;
+    if (pass_type == 2) {
+      pass_type = 0;
+      bitplane--;
+    } else {
+      pass_type++;
+    }
+  }
+  return false;
+}
+
+}  // namespace t2n
+
+extern "C" {
+
+// Assemble every packet of a tile. Block tables (global, one entry per
+// code-block of the tile, band-contiguous):
+//   cbx/cby/zbp/numbps  per block
+//   rates (int32) at rate_offsets[b]..rate_offsets[b+1] (cumulative
+//   per-pass byte rates), layer passes (int32, cumulative per layer)
+//   at lp_offsets (lp_offsets[b]==lp_offsets[b+1] -> unlayered: every
+//   pass ships in its first packet), stream bytes at data_offsets.
+// Band table: ncbw/ncbh/blk_start/blk_count per band.
+// Packets: for packet p, layer[p] and band ids at
+//   pkt_bands[pkt_band_offsets[p]..pkt_band_offsets[p+1]).
+// Returns total bytes written to out, or -1 on overflow/error.
+long t2_assemble_packets(
+    const int32_t* cbx, const int32_t* cby, const int32_t* zbp,
+    const int32_t* numbps, const int64_t* rate_offsets,
+    const int32_t* rates, const uint8_t* terms_unused,
+    const int64_t* lp_offsets, const int32_t* layer_passes,
+    const int64_t* data_offsets, const uint8_t* data, int nblocks,
+    const int32_t* ncbw, const int32_t* ncbh, const int32_t* blk_start,
+    const int32_t* blk_count, int nbands, const int32_t* pkt_layer,
+    const int64_t* pkt_band_offsets, const int32_t* pkt_bands,
+    int npackets, int style, uint8_t* out, long out_cap) {
+  (void)terms_unused;
+  using namespace t2n;
+  std::vector<Tag> incl(nbands), zbpt(nbands);
+  for (int b = 0; b < nbands; b++) {
+    incl[b].init(ncbw[b], ncbh[b]);
+    zbpt[b].init(ncbw[b], ncbh[b]);
+  }
+  std::vector<int> num_passes(nblocks, 0), lblock(nblocks, 3);
+  std::vector<uint8_t> included(nblocks, 0);
+  std::vector<uint8_t> hdr;
+  hdr.reserve(256);
+  long o = 0;
+  int segs[192];
+
+  for (int p = 0; p < npackets; p++) {
+    int layer = pkt_layer[p];
+    const int32_t* bids = pkt_bands + pkt_band_offsets[p];
+    int nb = (int)(pkt_band_offsets[p + 1] - pkt_band_offsets[p]);
+    hdr.clear();
+    Bio bw(hdr);
+
+    bool any_blocks = false;
+    for (int k = 0; k < nb; k++)
+      if (blk_count[bids[k]] > 0) any_blocks = true;
+    if (!any_blocks) {
+      bw.put_bit(0);
+      bw.flush();
+      if (o + (long)hdr.size() > out_cap) return -1;
+      memcpy(out + o, hdr.data(), hdr.size());
+      o += (long)hdr.size();
+      continue;
+    }
+
+    bool nonempty = false;
+    for (int k = 0; k < nb; k++) {
+      int b = bids[k];
+      for (int i = blk_start[b]; i < blk_start[b] + blk_count[b]; i++) {
+        int total =
+            (lp_offsets[i + 1] > lp_offsets[i])
+                ? layer_passes[lp_offsets[i] + layer]
+                : (int)(rate_offsets[i + 1] - rate_offsets[i]);
+        if (total - num_passes[i] > 0) nonempty = true;
+      }
+    }
+
+    if (layer == 0) {
+      for (int k = 0; k < nb; k++) {
+        int b = bids[k];
+        incl[b].reset();
+        zbpt[b].reset();
+        for (int i = blk_start[b]; i < blk_start[b] + blk_count[b]; i++)
+          zbpt[b].set_value(cbx[i], cby[i], zbp[i]);
+      }
+    }
+    // first-inclusion min-propagation BEFORE any encode touches a tree
+    for (int k = 0; k < nb; k++) {
+      int b = bids[k];
+      for (int i = blk_start[b]; i < blk_start[b] + blk_count[b]; i++) {
+        int total =
+            (lp_offsets[i + 1] > lp_offsets[i])
+                ? layer_passes[lp_offsets[i] + layer]
+                : (int)(rate_offsets[i + 1] - rate_offsets[i]);
+        if (!included[i] && total - num_passes[i] > 0)
+          incl[b].set_value(cbx[i], cby[i], layer);
+      }
+    }
+
+    if (!nonempty) {
+      bw.put_bit(0);
+      bw.flush();
+      if (o + (long)hdr.size() > out_cap) return -1;
+      memcpy(out + o, hdr.data(), hdr.size());
+      o += (long)hdr.size();
+      continue;
+    }
+    bw.put_bit(1);
+
+    long body_len = 0;
+    for (int k = 0; k < nb; k++) {
+      int b = bids[k];
+      for (int i = blk_start[b]; i < blk_start[b] + blk_count[b]; i++) {
+        int prev = num_passes[i];
+        int total =
+            (lp_offsets[i + 1] > lp_offsets[i])
+                ? layer_passes[lp_offsets[i] + layer]
+                : (int)(rate_offsets[i + 1] - rate_offsets[i]);
+        int new_passes = total - prev;
+        bool inc = new_passes > 0;
+        if (!included[i]) {
+          incl[b].encode(bw, cbx[i], cby[i], layer + 1);
+          if (!inc) continue;
+          zbpt[b].encode(bw, cbx[i], cby[i], 999);
+          included[i] = 1;
+        } else {
+          bw.put_bit(inc ? 1 : 0);
+          if (!inc) continue;
+        }
+        if (put_num_passes(bw, new_passes) < 0) return -1;
+
+        int nsegs = segments_of(style, numbps[i], prev, new_passes, segs);
+        const int32_t* r = rates + rate_offsets[i];
+        int increment = 0;
+        int pp = prev;
+        int seg_lens[192];
+        for (int s = 0; s < nsegs; s++) {
+          int end = pp + segs[s];
+          int start_b = pp > 0 ? r[pp - 1] : 0;
+          int end_b = r[end - 1];
+          seg_lens[s] = end_b - start_b;
+          int need = (floor_log2(seg_lens[s]) + 1) -
+                     (lblock[i] + floor_log2(segs[s]));
+          if (need > increment) increment = need;
+          pp = end;
+        }
+        for (int s = 0; s < increment; s++) bw.put_bit(1);
+        bw.put_bit(0);
+        lblock[i] += increment;
+        for (int s = 0; s < nsegs; s++)
+          bw.put_bits((uint32_t)seg_lens[s],
+                      lblock[i] + floor_log2(segs[s]));
+        int start_b = prev > 0 ? r[prev - 1] : 0;
+        int end_b = r[prev + new_passes - 1];
+        body_len += end_b - start_b;
+      }
+    }
+    bw.flush();
+    if (o + (long)hdr.size() + body_len > out_cap) return -1;
+    memcpy(out + o, hdr.data(), hdr.size());
+    o += (long)hdr.size();
+    // body: new pass bytes per contributing block, band order
+    for (int k = 0; k < nb; k++) {
+      int b = bids[k];
+      for (int i = blk_start[b]; i < blk_start[b] + blk_count[b]; i++) {
+        int prev = num_passes[i];
+        int total =
+            (lp_offsets[i + 1] > lp_offsets[i])
+                ? layer_passes[lp_offsets[i] + layer]
+                : (int)(rate_offsets[i + 1] - rate_offsets[i]);
+        int new_passes = total - prev;
+        if (new_passes <= 0) continue;
+        const int32_t* r = rates + rate_offsets[i];
+        int start_b = prev > 0 ? r[prev - 1] : 0;
+        int end_b = r[prev + new_passes - 1];
+        memcpy(out + o, data + data_offsets[i] + start_b,
+               (size_t)(end_b - start_b));
+        o += end_b - start_b;
+        num_passes[i] = prev + new_passes;
+      }
+    }
+  }
+  return o;
+}
+
+// Parse every packet of a tile body (headers + body slicing — mirror
+// of t2/packets.decode_packet over the full progression; STRICT mode
+// only, the resilient/corrupt paths stay Python). Tables as in
+// t2_assemble_packets, plus per-band mb and a per-packet style.
+// Outputs: per block numbps/zbp/num_passes/included, contiguous
+// seg_data bytes at o_data_offsets (o_segdata cap >= body_len), and
+// seg_ends (cumulative in-block offsets) strided by max_segs.
+// Returns the final body position, or a negative error code (any
+// error -> the caller reruns the Python reference path untouched).
+long t2_parse_packets(
+    const uint8_t* body, long body_len, const int32_t* cbx,
+    const int32_t* cby, int nblocks, const int32_t* ncbw,
+    const int32_t* ncbh, const int32_t* mb, const int32_t* blk_start,
+    const int32_t* blk_count, int nbands, const int32_t* pkt_layer,
+    const int32_t* pkt_style, const int64_t* pkt_band_offsets,
+    const int32_t* pkt_bands, int npackets, int use_sop, int use_eph,
+    int32_t* o_numbps, int32_t* o_zbp, int32_t* o_npasses,
+    uint8_t* o_included, uint8_t* o_segdata, int64_t* o_data_offsets,
+    int32_t* o_seg_ends, int32_t* o_seg_counts, int max_segs) {
+  using namespace t2n;
+  std::vector<TagDec> incl(nbands), zbpt(nbands);
+  for (int b = 0; b < nbands; b++) {
+    incl[b].init(ncbw[b], ncbh[b]);
+    zbpt[b].init(ncbw[b], ncbh[b]);
+  }
+  for (int i = 0; i < nblocks; i++) {
+    o_numbps[i] = 0;
+    o_zbp[i] = 0;
+    o_npasses[i] = 0;
+    o_included[i] = 0;
+    o_seg_counts[i] = 0;
+  }
+  // parse phase records body slices; the copy phase below lays each
+  // block's bytes out contiguously (a block's segments can arrive
+  // across several packets/layers)
+  struct Slice { int blk; long start, len; uint8_t is_end; };
+  std::vector<Slice> slices;
+  std::vector<long> blk_len(nblocks, 0);
+  std::vector<int> lblock(nblocks, 3);
+  int rd_blk[4096];
+  int rd_np[4096];
+  std::vector<std::vector<int>> rd_seglens;
+  long pos = 0;
+
+  for (int p = 0; p < npackets; p++) {
+    int layer = pkt_layer[p];
+    int style = pkt_style[p];
+    if (pos >= body_len) {
+      if (layer > 0) break;  // truncated layered stream
+      return -2;
+    }
+    if (use_sop && pos + 6 <= body_len && body[pos] == 0xFF &&
+        body[pos + 1] == 0x91)
+      pos += 6;
+    BioR br(body + pos, body_len - pos);
+    const int32_t* bids = pkt_bands + pkt_band_offsets[p];
+    int nb = (int)(pkt_band_offsets[p + 1] - pkt_band_offsets[p]);
+    if (layer == 0)
+      for (int k = 0; k < nb; k++) {
+        incl[bids[k]].reset();
+        zbpt[bids[k]].reset();
+      }
+    int nreads = 0;
+    rd_seglens.clear();
+    if (br.get_bit()) {
+      for (int k = 0; k < nb; k++) {
+        int b = bids[k];
+        for (int i = blk_start[b]; i < blk_start[b] + blk_count[b];
+             i++) {
+          if (!o_included[i]) {
+            int incl_val = incl[b].decode(br, cbx[i], cby[i], layer + 1);
+            if (incl_val < 0 || br.bad) return -3;
+            if (incl_val > layer) continue;
+            int thr = 1;
+            for (;;) {
+              int v = zbpt[b].decode(br, cbx[i], cby[i], thr);
+              if (v < 0 || br.bad) return -3;
+              if (v < thr) break;
+              thr++;
+              if (thr > 1200) return -3;
+            }
+            o_zbp[i] = zbpt[b].decode(br, cbx[i], cby[i], thr);
+            o_numbps[i] = mb[b] - o_zbp[i];
+            if (o_numbps[i] < 0) return -4;  // negative bitplane count
+            o_included[i] = 1;
+          } else {
+            if (!br.get_bit()) continue;
+          }
+          if (br.bad) return -3;
+          int new_passes = get_num_passes(br);
+          int segs[192];
+          int nsegs = segments_of(style, o_numbps[i], o_npasses[i],
+                                  new_passes, segs);
+          int increment = 0;
+          while (br.get_bit()) {
+            increment++;
+            if (increment > 64 || br.bad) return -3;
+          }
+          lblock[i] += increment;
+          if (nreads >= 4096 || nsegs > 190) return -5;
+          rd_blk[nreads] = i;
+          rd_np[nreads] = new_passes;
+          rd_seglens.push_back({});
+          auto& sl = rd_seglens.back();
+          for (int s = 0; s < nsegs; s++) {
+            int nbits = lblock[i] + floor_log2(segs[s]);
+            // >31-bit length field: Python's arbitrary-precision read
+            // would reject it as a body overrun — don't wrap here
+            if (nbits > 31) return -5;
+            sl.push_back((int)br.get_bits(nbits));
+          }
+          if (br.bad) return -3;
+          nreads++;
+        }
+      }
+    }
+    if (br.bad) return -3;
+    br.align();
+    pos += br.pos;
+    if (use_eph && pos + 2 <= body_len && body[pos] == 0xFF &&
+        body[pos + 1] == 0x92)
+      pos += 2;
+
+    for (int t = 0; t < nreads; t++) {
+      int i = rd_blk[t];
+      int segs[192];
+      int nsegs = segments_of(pkt_style[p], o_numbps[i], o_npasses[i],
+                              rd_np[t], segs);
+      int p_end = o_npasses[i];
+      for (int s = 0; s < nsegs; s++) {
+        long ln = rd_seglens[t][s];
+        if (pos + ln > body_len) return -6;  // body overrun
+        p_end += segs[s];
+        bool is_end = terminates_at(pkt_style[p], o_numbps[i], p_end - 1);
+        slices.push_back({i, pos, ln, (uint8_t)(is_end ? 1 : 0)});
+        blk_len[i] += ln;
+        if (is_end) {
+          if (o_seg_counts[i] >= max_segs) return -5;
+          o_seg_ends[(size_t)i * max_segs + o_seg_counts[i]++] =
+              (int32_t)blk_len[i];
+        }
+        pos += ln;
+      }
+      o_npasses[i] += rd_np[t];
+    }
+  }
+
+  // copy phase: contiguous per-block seg_data
+  o_data_offsets[0] = 0;
+  for (int i = 0; i < nblocks; i++)
+    o_data_offsets[i + 1] = o_data_offsets[i] + blk_len[i];
+  std::vector<long> fill(nblocks, 0);
+  for (const Slice& s : slices) {
+    memcpy(o_segdata + o_data_offsets[s.blk] + fill[s.blk],
+           body + s.start, (size_t)s.len);
+    fill[s.blk] += s.len;
+  }
+  return pos;
+}
+
+}  // extern "C"
+
+// ============================================================================
 // JPEG-LS scan coder fast path — exact mirror of codecs/jpegls.py
 // (CharLS-compatible LOCO-I; the Python module is the behavioral reference,
 // pinned by tests/test_native.py equivalence tests).

@@ -526,3 +526,92 @@ def test_ht_cleanup_blocks_match_scalar(rng):
     for it, got in zip(items, dec_batched):
         want = ht_cleanup_decode_native(it[0], it[1], it[2], it[3], it[4])
         np.testing.assert_array_equal(got, want)
+
+
+def test_t2_assembly_matches_python(rng, monkeypatch):
+    """Native whole-tile packet assembly is byte-identical to the
+    Python reference across layers/precincts/progressions/ROI/HT."""
+    from go_dicom_codec_tpu import native as nat
+    from go_dicom_codec_tpu.codecs.jpeg2000 import (J2KEncodeParams,
+                                                    J2KEncoder)
+    from go_dicom_codec_tpu.codecs.j2k_roi import ROIRegion
+
+    if get_lib() is None:
+        pytest.skip("native unavailable")
+    img = rng.integers(0, 4096, size=(96, 80), dtype=np.uint16).tobytes()
+    rgb = rng.integers(0, 256, size=(64, 48, 3), dtype=np.uint8).tobytes()
+    cases = [
+        (J2KEncodeParams(cb_style=0x01), img, (80, 96, 1, 12)),
+        (J2KEncodeParams(cb_style=0x00, num_layers=3,
+                         progression=2), img, (80, 96, 1, 12)),
+        (J2KEncodeParams(lossless=False, quality=40, num_layers=2,
+                         layer_rates=[20.0, 0.0]), img, (80, 96, 1, 12)),
+        (J2KEncodeParams(cb_style=0x01, precinct_width=128,
+                         precinct_height=128),
+         img, (80, 96, 1, 12)),
+        (J2KEncodeParams(htj2k=True, progression=2), img,
+         (80, 96, 1, 12)),
+        (J2KEncodeParams(cb_style=0x01, tile_width=48, tile_height=64),
+         img, (80, 96, 1, 12)),
+        (J2KEncodeParams(), rgb, (48, 64, 3, 8)),
+        (J2KEncodeParams(roi_regions=[ROIRegion(shape="rect",
+                                               rect=(8, 8, 40, 40))]),
+         img, (80, 96, 1, 12)),
+    ]
+    for params, pix, (w, h, ncomp, depth) in cases:
+        enc = J2KEncoder(params)
+        with_native = enc.encode(pix, w, h, ncomp, depth)
+        monkeypatch.setattr(nat, "t2_assemble_packets_native",
+                            lambda *a, **k: None)
+        without = enc.encode(pix, w, h, ncomp, depth)
+        monkeypatch.undo()
+        assert with_native == without, params
+
+
+def test_t2_parse_matches_python(rng, monkeypatch):
+    """Native whole-tile packet parse decodes to identical pixels as
+    the Python reference across layers/progressions/precincts/HT, and
+    truncated layered streams keep the clean-stop semantics."""
+    from go_dicom_codec_tpu import native as nat
+    from go_dicom_codec_tpu.codecs.jpeg2000 import (J2KDecoder,
+                                                    J2KEncodeParams,
+                                                    J2KEncoder)
+
+    if get_lib() is None:
+        pytest.skip("native unavailable")
+    img = rng.integers(0, 4096, size=(96, 80), dtype=np.uint16).tobytes()
+    cases = [
+        J2KEncodeParams(cb_style=0x01),
+        J2KEncodeParams(num_layers=3, progression=2),
+        J2KEncodeParams(htj2k=True, progression=2),
+        J2KEncodeParams(cb_style=0x01, tile_width=48, tile_height=64),
+        J2KEncodeParams(lossless=False, quality=50),
+        J2KEncodeParams(precinct_width=128, precinct_height=128),
+    ]
+    for params in cases:
+        cs = J2KEncoder(params).encode(img, 80, 96, 1, 12)
+        a = J2KDecoder().decode(cs)
+        monkeypatch.setattr(nat, "t2_parse_packets_native",
+                            lambda *ar, **k: None)
+        b = J2KDecoder().decode(cs)
+        monkeypatch.undo()
+        np.testing.assert_array_equal(a[0], b[0], err_msg=str(params))
+
+    # truncated layered stream: both lanes decode the shipped prefix
+    cs = J2KEncoder(J2KEncodeParams(num_layers=4)).encode(img, 80, 96,
+                                                          1, 12)
+    cut = cs[:int(len(cs) * 0.5)] + b"\xff\xd9"
+    try:
+        a = J2KDecoder().decode(cut)
+    except Exception:
+        a = None
+    monkeypatch.setattr(nat, "t2_parse_packets_native",
+                        lambda *ar, **k: None)
+    try:
+        b = J2KDecoder().decode(cut)
+    except Exception:
+        b = None
+    monkeypatch.undo()
+    assert (a is None) == (b is None)
+    if a is not None:
+        np.testing.assert_array_equal(a[0], b[0])
