@@ -898,10 +898,40 @@ class J2KEncoder:
             budgets = [int(total * (((i + 1) / cod.num_layers) ** e))
                        for i in range(cod.num_layers - 1)] + [0]
 
+        def measured_bytes_native(counts_by_layer):
+            # The native whole-tile assembler never mutates the Python
+            # states, so a trial needs no deepcopy: set the candidate
+            # layer_passes on the real blocks, assemble, restore.
+            from ..native import t2_assemble_packets_native
+            nl = len(counts_by_layer)
+            saved = [blk.layer_passes for blk in all_blocks]
+            for bi, blk in enumerate(all_blocks):
+                blk.layer_passes = [counts_by_layer[li][bi]
+                                    for li in range(nl)]
+            try:
+                total_b = 0
+                for (comp_res, comp_states, ncomp) in tiles:
+                    pinfo = self._precinct_info_fn(comp_res, cod)
+                    order = list(progression_order(
+                        cod.progression, nl, cod.num_levels + 1, ncomp,
+                        pinfo))
+                    body = t2_assemble_packets_native(
+                        comp_states, order, cod.cb_style)
+                    if body is None:
+                        return None
+                    total_b += len(body)
+                return total_b
+            finally:
+                for blk, lp in zip(all_blocks, saved):
+                    blk.layer_passes = lp
+
         def measured_bytes(counts_by_layer):
             # Trial-encode packets for layers 0..li on cloned state so
             # the byte target covers real emitted bytes — packet headers
             # included (OpenJPEG measured-packet bisection).
+            n = measured_bytes_native(counts_by_layer)
+            if n is not None:
+                return n
             import copy
             nl = len(counts_by_layer)
             total_b = 0

@@ -546,6 +546,12 @@ def test_t2_assembly_matches_python(rng, monkeypatch):
                          progression=2), img, (80, 96, 1, 12)),
         (J2KEncodeParams(lossless=False, quality=40, num_layers=2,
                          layer_rates=[20.0, 0.0]), img, (80, 96, 1, 12)),
+        # measured-bytes PCRD trial path (native save/restore vs the
+        # Python deepcopy trial): layered lossless + multi-tile global
+        (J2KEncodeParams(num_layers=4), img, (80, 96, 1, 12)),
+        (J2KEncodeParams(num_layers=3, layer_rates=[8.0, 3.0, 0.0],
+                         tile_width=48, tile_height=64),
+         img, (80, 96, 1, 12)),
         (J2KEncodeParams(cb_style=0x01, precinct_width=128,
                          precinct_height=128),
          img, (80, 96, 1, 12)),
