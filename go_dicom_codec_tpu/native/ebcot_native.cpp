@@ -342,6 +342,24 @@ struct MQEnc {
       bp++; c = 0;
     }
   }
+  // batched bypass: append the low n bits of `bits` (MSB-first),
+  // byte-identical to n bypass_encode() calls — the per-bit version
+  // is a mispredicted-branch hotspot in lazy dense low planes
+  inline void bypass_encode_n(uint32_t bits, int n) {
+    if (raw_ct == -1) raw_ct = 8;
+    while (n > 0) {
+      int take = raw_ct < n ? raw_ct : n;
+      raw_ct -= take;
+      n -= take;
+      c += ((bits >> n) & ((1u << take) - 1)) << raw_ct;
+      if (raw_ct == 0) {
+        ensure(bp);
+        buf[bp] = c & 0xFF;
+        raw_ct = (buf[bp] == 0xFF) ? 7 : 8;
+        bp++; c = 0;
+      }
+    }
+  }
   void bypass_flush(bool ert) {
     if (raw_ct == -1) return;  // no raw bits written
     int ct2 = raw_ct;
@@ -447,6 +465,25 @@ struct RawDec {
     ct--;
     return (c >> ct) & 1;
   }
+  // batched mirror of decode(): n bits MSB-first, identical stream
+  // position afterwards
+  inline uint32_t decode_n(int n) {
+    uint32_t v = 0;
+    while (n > 0) {
+      if (ct == 0) {
+        if (c == 0xFF) {
+          uint8_t nxt = data[bp];
+          if (nxt > 0x8F) { c = 0xFF; ct = 8; }
+          else { c = nxt; bp++; ct = 7; }
+        } else { c = data[bp]; bp++; ct = 8; }
+      }
+      int take = ct < n ? ct : n;
+      ct -= take;
+      n -= take;
+      v = (v << take) | ((c >> ct) & ((1u << take) - 1));
+    }
+    return v;
+  }
 };
 
 // ---- pass helpers -------------------------------------------------------------
@@ -510,6 +547,28 @@ struct T1CF {
       if (sign) d[0] |= 1u << 26;
     }
   }
+
+  // set_sig with the own column's word held in a caller register: the
+  // pass loops keep `f` live, and routing the own-word bits through
+  // memory (store, |=, reload) puts a store->load forward on the
+  // critical path of every significance event. Neighbor words still
+  // go through memory (they must: the scan reads them fresh).
+  inline void set_sig_f(int st, int x, int j, int sign, uint32_t& f) {
+    uint32_t* p = fw(st) + x;
+    f |= 1u << (3 * (j + 1) + 1);
+    p[-1] |= 1u << (3 * (j + 1) + 2);
+    p[1] |= 1u << (3 * (j + 1));
+    if (sign) f |= 1u << (27 + j);
+    if (j == 0) {
+      uint32_t* u = fw(st - 1) + x;
+      u[0] |= 1u << 16; u[-1] |= 1u << 17; u[1] |= 1u << 15;
+      if (sign) u[0] |= 1u << 31;
+    } else if (j == 3) {
+      uint32_t* d = fw(st + 1) + x;
+      d[0] |= 1u << 1; d[-1] |= 1u << 2; d[1] |= 1u << 0;
+      if (sign) d[0] |= 1u << 26;
+    }
+  }
 };
 
 // Encode one code-block (templated pass engine; see T1CF). VSC is a
@@ -560,6 +619,12 @@ int t1_encode_impl(const ST* src, int w, int h, int style, int orient,
   }
   int maxbp = numbps - 1;
   mq.ctx[CTX_UNI] = 46; mq.ctx[CTX_RL] = 3; mq.ctx[0] = 4;
+  // stripes whose 16 samples are all significant: SPP codes nothing
+  // (every column hits the steady-state skip) and CP's only effect is
+  // a redundant PI4 clear (the next plane's SPP start clears all of
+  // F), so both passes can skip the whole row scan. Monotone: set at
+  // the end of a CP scan, never cleared.
+  std::vector<uint8_t> stripe_done((size_t)nstripes, 0);
 
   int pass_type = 2, bitplane = maxbp, pass_idx = 0;
   bool prev_term = false;
@@ -583,6 +648,7 @@ int t1_encode_impl(const ST* src, int w, int h, int style, int orient,
     int64_t nm = 0;
     if (pass_type == 0) {  // SPP
       for (int st = 0; st < nstripes; st++) {
+        if (stripe_done[st]) continue;
         int hh = h - st * 4; if (hh > 4) hh = 4;
         uint32_t* Fr = t.fw(st);
         for (int x = 0; x < w; x++) {
@@ -608,9 +674,7 @@ int t1_encode_impl(const ST* src, int w, int h, int style, int orient,
                 int si = sc_index_cf(f, Fr[x - 1], Fr[x + 1], j, vsc);
                 mq.encode(sign ^ SPB_LUT[si], SC_LUT[si]);
               }
-              Fr[x] = f;
-              t.set_sig(st, x, j, sign);
-              f = Fr[x];
+              t.set_sig_f(st, x, j, sign, f);
               if (NM) nm += nmsedec_sig(av, bitplane);
             }
           }
@@ -633,11 +697,13 @@ int t1_encode_impl(const ST* src, int w, int h, int style, int orient,
             // raw bits go straight to the bypass writer — in lazy mode
             // raw MRP dominates dense low planes)
             if (raw) {
+              uint32_t nib = 0;
               for (int j = 0; j < 4; j++) {
                 uint64_t av = (uint64_t)(c[j] & MAGMASK);
-                mq.bypass_encode((int)((av >> bitplane) & 1));
+                nib = (nib << 1) | (uint32_t)((av >> bitplane) & 1);
                 if (NM) nm += nmsedec_ref(av, bitplane);
               }
+              mq.bypass_encode_n(nib, 4);
             } else {
               uint8_t s16 = mq.ctx[16];
               for (int j = 0; j < 4; j++) {
@@ -664,6 +730,7 @@ int t1_encode_impl(const ST* src, int w, int h, int style, int orient,
       }
     } else {  // CP
       for (int st = 0; st < nstripes; st++) {
+        if (stripe_done[st]) continue;
         int hh = h - st * 4; if (hh > 4) hh = 4;
         bool full = hh == 4;
         uint32_t* Fr = t.fw(st);
@@ -697,9 +764,7 @@ int t1_encode_impl(const ST* src, int w, int h, int style, int orient,
                 int sign = (int)(m >> MSBIT);
                 int si = sc_index_cf(f, Fr[x - 1], Fr[x + 1], j, vsc);
                 mq.encode(sign ^ SPB_LUT[si], SC_LUT[si]);
-                Fr[x] = f;
-                t.set_sig(st, x, j, sign);
-                f = Fr[x];
+                t.set_sig_f(st, x, j, sign, f);
                 if (NM) nm += nmsedec_sig(av, bitplane);
               }
             }
@@ -722,13 +787,17 @@ int t1_encode_impl(const ST* src, int w, int h, int style, int orient,
               int sign = (int)(m >> MSBIT);
               int si = sc_index_cf(f, Fr[x - 1], Fr[x + 1], j, vsc);
               mq.encode(sign ^ SPB_LUT[si], SC_LUT[si]);
-              Fr[x] = f;
-              t.set_sig(st, x, j, sign);
-              f = Fr[x];
+              t.set_sig_f(st, x, j, sign, f);
               if (NM) nm += nmsedec_sig(av, bitplane);
             }
           }
           Fr[x] = f & ~PI4;   // clear visited like the per-sample model
+        }
+        if (full) {
+          bool done = true;
+          for (int x = 0; x < w; x++)
+            if ((Fr[x] & SIGMA_MID4) != SIGMA_MID4) { done = false; break; }
+          stripe_done[st] = done ? 1 : 0;
         }
       }
       if (style & S_SEGSYM) {
@@ -1329,6 +1398,8 @@ int t1_decode_impl(const uint8_t* stream, int stream_len, int w, int h,
   const uint8_t* zc = ZC_LUT[orient];
   constexpr bool vsc = VSC;
   constexpr uint32_t vsig = VSC ? (SIG18 & ~SIG_ROW4) : SIG18;
+  // mirror of the encoder's completed-stripe skip (see t1_encode_impl)
+  std::vector<uint8_t> stripe_done((size_t)nstripes, 0);
 
   // magnitude|sign representation: new significance sets the plane bit
   // and the sign MSB; refinement adds the plane bit to the magnitude.
@@ -1377,6 +1448,7 @@ int t1_decode_impl(const uint8_t* stream, int stream_len, int w, int h,
 
     if (pass_type == 0) {  // SPP
       for (int st = 0; st < nstripes; st++) {
+        if (stripe_done[st]) continue;
         int hh = h - st * 4; if (hh > 4) hh = 4;
         uint32_t* Fr = t.fw(st);
         for (int x = 0; x < w; x++) {
@@ -1399,9 +1471,7 @@ int t1_decode_impl(const uint8_t* stream, int stream_len, int w, int h,
                 sign = mq.decode(SC_LUT[si]) ^ SPB_LUT[si];
               }
               c[j] = recon_sig(bitplane, sign);
-              Fr[x] = f;
-              t.set_sig(st, x, j, sign);
-              f = Fr[x];
+              t.set_sig_f(st, x, j, sign, f);
             }
           }
           Fr[x] = f;
@@ -1419,10 +1489,12 @@ int t1_decode_impl(const uint8_t* stream, int stream_len, int w, int h,
               (f & (SIGMA_MID4 | PI4 | MU4)) == (SIGMA_MID4 | MU4)) {
             // steady state mirror of the encoder fast path (raw MRP
             // dominates lazy dense low planes)
-            if (raw)
+            if (raw) {
+              uint32_t nib = rd.decode_n(4);
               for (int j = 0; j < 4; j++)
-                c[j] = recon_ref(c[j], bitplane, rd.decode());
-            else
+                c[j] = recon_ref(c[j], bitplane,
+                                 (int)((nib >> (3 - j)) & 1));
+            } else
               for (int j = 0; j < 4; j++)
                 c[j] = recon_ref(c[j], bitplane, mq.decode(16));
             continue;
@@ -1440,6 +1512,7 @@ int t1_decode_impl(const uint8_t* stream, int stream_len, int w, int h,
       }
     } else {  // CP
       for (int st = 0; st < nstripes; st++) {
+        if (stripe_done[st]) continue;
         int hh = h - st * 4; if (hh > 4) hh = 4;
         bool full = hh == 4;
         uint32_t* Fr = t.fw(st);
@@ -1458,9 +1531,7 @@ int t1_decode_impl(const uint8_t* stream, int stream_len, int w, int h,
                 int si = sc_index_cf(f, Fr[x - 1], Fr[x + 1], j, vsc);
                 int sign = mq.decode(SC_LUT[si]) ^ SPB_LUT[si];
                 c[j] = recon_sig(bitplane, sign);
-                Fr[x] = f;
-                t.set_sig(st, x, j, sign);
-                f = Fr[x];
+                t.set_sig_f(st, x, j, sign, f);
               }
             }
             Fr[x] = f;
@@ -1478,12 +1549,16 @@ int t1_decode_impl(const uint8_t* stream, int stream_len, int w, int h,
               int si = sc_index_cf(f, Fr[x - 1], Fr[x + 1], j, vsc);
               int sign = mq.decode(SC_LUT[si]) ^ SPB_LUT[si];
               c[j] = recon_sig(bitplane, sign);
-              Fr[x] = f;
-              t.set_sig(st, x, j, sign);
-              f = Fr[x];
+              t.set_sig_f(st, x, j, sign, f);
             }
           }
           Fr[x] = f & ~PI4;
+        }
+        if (full) {
+          bool done = true;
+          for (int x = 0; x < w; x++)
+            if ((Fr[x] & SIGMA_MID4) != SIGMA_MID4) { done = false; break; }
+          stripe_done[st] = done ? 1 : 0;
         }
       }
       if (style & S_SEGSYM)
