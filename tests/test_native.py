@@ -604,6 +604,54 @@ def test_t2_parse_matches_python(rng, monkeypatch):
         np.testing.assert_array_equal(a[0], b[0], err_msg=str(params))
 
     # truncated layered stream: both lanes decode the shipped prefix
+    _check_truncated(rng, monkeypatch)
+
+
+def test_t2_parse_corrupt_stream_parity(rng, monkeypatch):
+    """Corrupt streams must never make the native whole-tile parse
+    SILENTLY diverge from the Python reference. The native parser
+    returns an error (-> automatic Python fallback) for anything it
+    can't parse; the dangerous case is a mutation the native side
+    accepts but Python rejects, or one both accept differently. Every
+    trial must end in the same (error class | pixels) on both lanes."""
+    from go_dicom_codec_tpu import native as nat
+    from go_dicom_codec_tpu.codecs.jpeg2000 import (J2KDecoder,
+                                                    J2KEncodeParams,
+                                                    J2KEncoder)
+
+    if get_lib() is None:
+        pytest.skip("native unavailable")
+    img = rng.integers(0, 4096, size=(96, 80), dtype=np.uint16).tobytes()
+    for params in [J2KEncodeParams(cb_style=0x01),
+                   J2KEncodeParams(num_layers=3)]:
+        cs = J2KEncoder(params).encode(img, 80, 96, 1, 12)
+        for trial in range(40):
+            d2 = bytearray(cs)
+            for _ in range(int(rng.integers(1, 4))):
+                pos = int(rng.integers(0, len(cs)))
+                d2[pos] = int(rng.integers(0, 256))
+            outcomes = []
+            for lane in ("native", "python"):
+                if lane == "python":
+                    monkeypatch.setattr(nat, "t2_parse_packets_native",
+                                        lambda *a, **k: None)
+                try:
+                    out = J2KDecoder().decode(bytes(d2))
+                    outcomes.append(("ok", out[0].tobytes()))
+                except Exception as e:  # noqa: BLE001
+                    outcomes.append(("err", type(e).__name__))
+                finally:
+                    monkeypatch.undo()
+            assert outcomes[0] == outcomes[1], \
+                f"{params.num_layers} layers trial {trial}"
+
+
+def _check_truncated(rng, monkeypatch):
+    from go_dicom_codec_tpu import native as nat
+    from go_dicom_codec_tpu.codecs.jpeg2000 import (J2KDecoder,
+                                                    J2KEncodeParams,
+                                                    J2KEncoder)
+    img = rng.integers(0, 4096, size=(96, 80), dtype=np.uint16).tobytes()
     cs = J2KEncoder(J2KEncodeParams(num_layers=4)).encode(img, 80, 96,
                                                           1, 12)
     cut = cs[:int(len(cs) * 0.5)] + b"\xff\xd9"
