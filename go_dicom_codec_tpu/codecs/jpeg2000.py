@@ -898,11 +898,19 @@ class J2KEncoder:
             budgets = [int(total * (((i + 1) / cod.num_layers) ** e))
                        for i in range(cod.num_layers - 1)] + [0]
 
+        from ..native import T2AssembleContext
+        trial_ctxs = [T2AssembleContext(comp_states, cod.cb_style)
+                      for (_, comp_states, _) in tiles]
+        trial_orders: dict = {}  # (tile index, nl) -> packet order
+
         def measured_bytes_native(counts_by_layer):
             # The native whole-tile assembler never mutates the Python
             # states, so a trial needs no deepcopy: set the candidate
-            # layer_passes on the real blocks, assemble, restore.
-            from ..native import t2_assemble_packets_native
+            # layer_passes on the real blocks, size the stream
+            # (measure-only: headers coded exactly, bodies counted,
+            # nothing written), restore. Marshalling contexts and the
+            # per-layer-count packet orders are built once for the
+            # whole bisection.
             nl = len(counts_by_layer)
             saved = [blk.layer_passes for blk in all_blocks]
             for bi, blk in enumerate(all_blocks):
@@ -910,16 +918,20 @@ class J2KEncoder:
                                     for li in range(nl)]
             try:
                 total_b = 0
-                for (comp_res, comp_states, ncomp) in tiles:
-                    pinfo = self._precinct_info_fn(comp_res, cod)
-                    order = list(progression_order(
-                        cod.progression, nl, cod.num_levels + 1, ncomp,
-                        pinfo))
-                    body = t2_assemble_packets_native(
-                        comp_states, order, cod.cb_style)
-                    if body is None:
+                for ti, (comp_res, comp_states, ncomp) in \
+                        enumerate(tiles):
+                    order = trial_orders.get((ti, nl))
+                    if order is None:
+                        pinfo = self._precinct_info_fn(comp_res, cod)
+                        order = list(progression_order(
+                            cod.progression, nl, cod.num_levels + 1,
+                            ncomp, pinfo))
+                        trial_orders[(ti, nl)] = order
+                    n = trial_ctxs[ti].assemble(comp_states, order,
+                                                measure_only=True)
+                    if n is None:
                         return None
-                    total_b += len(body)
+                    total_b += n
                 return total_b
             finally:
                 for blk, lp in zip(all_blocks, saved):

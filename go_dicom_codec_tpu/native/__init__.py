@@ -104,7 +104,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
             i32p, i32p, i32p, i32p, i64p, i32p, u8p, i64p, i32p, i64p,
             u8p, ctypes.c_int, i32p, i32p, i32p, i32p, ctypes.c_int,
             i32p, i64p, i32p, ctypes.c_int, ctypes.c_int, u8p,
-            ctypes.c_long]
+            ctypes.c_long, ctypes.c_int]
         lib.t2_parse_packets.restype = ctypes.c_long
         lib.t2_parse_packets.argtypes = [
             u8p, ctypes.c_long, i32p, i32p, ctypes.c_int, i32p, i32p,
@@ -816,6 +816,127 @@ def ht_cleanup_decode_blocks_native(items):
             else ("corrupt", int(status[i])) for i in range(nb)]
 
 
+class T2AssembleContext:
+    """Reusable marshalling for the native whole-tile packet assembler.
+
+    The PCRD measured-bytes bisection assembles the same tile dozens of
+    times with only the per-block ``layer_passes`` (and the trial's
+    packet order) changing; the block geometry, pass rates, and stream
+    bytes are invariant. This context marshals the invariant tables
+    once; :meth:`assemble` rebuilds only the per-call arrays.
+    ``usable`` is False when the native library is unavailable.
+    """
+
+    def __init__(self, comp_states, style: int):
+        self.lib = get_lib()
+        self.style = style
+        self.usable = self.lib is not None
+        if not self.usable:
+            return
+        band_idx = {}
+        bands = []
+        blocks = []
+        blk_start = []
+        blk_count = []
+        for states in comp_states:
+            for plist in states.values():
+                for ps in plist:
+                    if id(ps) not in band_idx:
+                        band_idx[id(ps)] = len(bands)
+                        bands.append(ps)
+                        blk_start.append(len(blocks))
+                        blk_count.append(len(ps.blocks))
+                        blocks.extend(ps.blocks)
+        self.band_idx = band_idx
+        self.blocks = blocks
+        nblocks = len(blocks)
+        self.nblocks = nblocks
+        self.nbands = len(bands)
+        cbx = np.empty(nblocks, dtype=np.int32)
+        cby = np.empty(nblocks, dtype=np.int32)
+        zbp = np.empty(nblocks, dtype=np.int32)
+        numbps = np.empty(nblocks, dtype=np.int32)
+        rate_offsets = np.zeros(nblocks + 1, dtype=np.int64)
+        data_offsets = np.zeros(nblocks + 1, dtype=np.int64)
+        rates_l = []
+        datas = []
+        for i, blk in enumerate(blocks):
+            cbx[i] = blk.cbx
+            cby[i] = blk.cby
+            zbp[i] = blk.zero_bitplanes
+            numbps[i] = blk.numbps
+            rates_l.extend(blk.pass_rates)
+            rate_offsets[i + 1] = len(rates_l)
+            datas.append(bytes(blk.data) if blk.data else b"")
+            data_offsets[i + 1] = data_offsets[i] + len(datas[-1])
+        self.cbx, self.cby, self.zbp, self.numbps = cbx, cby, zbp, numbps
+        self.rate_offsets = rate_offsets
+        self.data_offsets = data_offsets
+        self.rates = np.asarray(rates_l or [0], dtype=np.int32)
+        self.data = np.frombuffer(b"".join(datas) or b"\0",
+                                  dtype=np.uint8)
+        self.terms = np.zeros(1, dtype=np.uint8)  # unused by the mirror
+        self.ncbw = np.asarray([max(ps.ncbw, 1) for ps in bands] or [1],
+                               dtype=np.int32)
+        self.ncbh = np.asarray([max(ps.ncbh, 1) for ps in bands] or [1],
+                               dtype=np.int32)
+        self.blk_start = np.asarray(blk_start or [0], dtype=np.int32)
+        self.blk_count = np.asarray(blk_count or [0], dtype=np.int32)
+
+    def assemble(self, comp_states, order, measure_only: bool = False):
+        """Assemble (or, with measure_only, exactly size) the tile body
+        for ``order``. Returns bytes (or the byte count), or None when
+        unavailable — the BlockStates are never mutated either way."""
+        if not self.usable:
+            return None
+        band_idx = self.band_idx
+        pkt_layer = np.empty(len(order), dtype=np.int32)
+        pkt_band_offsets = np.zeros(len(order) + 1, dtype=np.int64)
+        pkt_bands_l = []
+        for p, (layer, r, c, pidx) in enumerate(order):
+            pkt_layer[p] = layer
+            for ps in comp_states[c][(r, pidx)]:
+                b = band_idx.get(id(ps))
+                if b is None:
+                    return None  # unknown band: states changed shape
+                pkt_bands_l.append(b)
+            pkt_band_offsets[p + 1] = len(pkt_bands_l)
+        nblocks = self.nblocks
+        lp_offsets = np.zeros(nblocks + 1, dtype=np.int64)
+        lp_l = []
+        num_layers = 1
+        for i, blk in enumerate(self.blocks):
+            if blk.layer_passes:
+                lp_l.extend(blk.layer_passes)
+                num_layers = max(num_layers, len(blk.layer_passes))
+            lp_offsets[i + 1] = len(lp_l)
+        lp = np.asarray(lp_l or [0], dtype=np.int32)
+        hdr_cap = 64 * nblocks * max(num_layers, 1) \
+            + 16 * len(order) + 4096
+        if measure_only:
+            cap = hdr_cap  # headers are sized in scratch, nothing lands
+            out = _MEASURE_DUMMY
+        else:
+            cap = int(self.data_offsets[-1]) + hdr_cap
+            out = np.empty(cap, dtype=np.uint8)
+        n = self.lib.t2_assemble_packets(
+            self.cbx, self.cby, self.zbp, self.numbps,
+            self.rate_offsets, self.rates, self.terms, lp_offsets, lp,
+            self.data_offsets, self.data, nblocks, self.ncbw, self.ncbh,
+            self.blk_start, self.blk_count, self.nbands,
+            pkt_layer, pkt_band_offsets,
+            np.asarray(pkt_bands_l or [0], dtype=np.int32), len(order),
+            self.style, out, cap, 1 if measure_only else 0)
+        if n < 0:
+            return None
+        if measure_only:
+            return int(n)
+        return out[:n].tobytes()
+
+
+_MEASURE_DUMMY = np.zeros(1, dtype=np.uint8)
+
+
 def t2_assemble_packets_native(comp_states, order, style: int):
     """Assemble every packet of a tile natively (headers, tag trees,
     Lblock state, body copies — mirror of t2/packets.encode_packet over
@@ -827,79 +948,8 @@ def t2_assemble_packets_native(comp_states, order, style: int):
     NOTE: does NOT mutate the BlockState objects (num_passes/included/
     lblock stay untouched) — callers discard the states after assembly.
     """
-    lib = get_lib()
-    if lib is None:
-        return None
-    band_idx = {}
-    bands = []
-    blocks = []
-    blk_start = []
-    blk_count = []
-    pkt_layer = np.empty(len(order), dtype=np.int32)
-    pkt_band_offsets = np.zeros(len(order) + 1, dtype=np.int64)
-    pkt_bands_l = []
-    for p, (layer, r, c, pidx) in enumerate(order):
-        plist = comp_states[c][(r, pidx)]
-        pkt_layer[p] = layer
-        for ps in plist:
-            b = band_idx.get(id(ps))
-            if b is None:
-                b = len(bands)
-                band_idx[id(ps)] = b
-                bands.append(ps)
-                blk_start.append(len(blocks))
-                blk_count.append(len(ps.blocks))
-                blocks.extend(ps.blocks)
-            pkt_bands_l.append(b)
-        pkt_band_offsets[p + 1] = len(pkt_bands_l)
-    nblocks = len(blocks)
-    nbands = len(bands)
-    cbx = np.empty(nblocks, dtype=np.int32)
-    cby = np.empty(nblocks, dtype=np.int32)
-    zbp = np.empty(nblocks, dtype=np.int32)
-    numbps = np.empty(nblocks, dtype=np.int32)
-    rate_offsets = np.zeros(nblocks + 1, dtype=np.int64)
-    lp_offsets = np.zeros(nblocks + 1, dtype=np.int64)
-    data_offsets = np.zeros(nblocks + 1, dtype=np.int64)
-    rates_l = []
-    lp_l = []
-    datas = []
-    num_layers = 1
-    for i, blk in enumerate(blocks):
-        cbx[i] = blk.cbx
-        cby[i] = blk.cby
-        zbp[i] = blk.zero_bitplanes
-        numbps[i] = blk.numbps
-        rates_l.extend(blk.pass_rates)
-        rate_offsets[i + 1] = len(rates_l)
-        if blk.layer_passes:
-            lp_l.extend(blk.layer_passes)
-            num_layers = max(num_layers, len(blk.layer_passes))
-        lp_offsets[i + 1] = len(lp_l)
-        datas.append(bytes(blk.data) if blk.data else b"")
-        data_offsets[i + 1] = data_offsets[i] + len(datas[-1])
-    rates = np.asarray(rates_l or [0], dtype=np.int32)
-    lp = np.asarray(lp_l or [0], dtype=np.int32)
-    data = np.frombuffer(b"".join(datas) or b"\0", dtype=np.uint8)
-    terms = np.zeros(1, dtype=np.uint8)  # unused by the C mirror
-    cap = int(data_offsets[-1]) + 64 * nblocks * max(num_layers, 1) \
-        + 16 * len(order) + 4096
-    out = np.empty(cap, dtype=np.uint8)
-    n = lib.t2_assemble_packets(
-        cbx, cby, zbp, numbps, rate_offsets, rates, terms, lp_offsets,
-        lp, data_offsets, data, nblocks,
-        np.asarray([max(ps.ncbw, 1) for ps in bands] or [1],
-                   dtype=np.int32),
-        np.asarray([max(ps.ncbh, 1) for ps in bands] or [1],
-                   dtype=np.int32),
-        np.asarray(blk_start or [0], dtype=np.int32),
-        np.asarray(blk_count or [0], dtype=np.int32), nbands,
-        pkt_layer, pkt_band_offsets,
-        np.asarray(pkt_bands_l or [0], dtype=np.int32), len(order),
-        style, out, cap)
-    if n < 0:
-        return None
-    return out[:n].tobytes()
+    return T2AssembleContext(comp_states, style).assemble(comp_states,
+                                                          order)
 
 
 def t2_parse_packets_native(body: bytes, comp_states, order,

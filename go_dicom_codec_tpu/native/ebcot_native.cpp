@@ -1999,8 +1999,13 @@ long t2_assemble_packets(
     const int32_t* ncbw, const int32_t* ncbh, const int32_t* blk_start,
     const int32_t* blk_count, int nbands, const int32_t* pkt_layer,
     const int64_t* pkt_band_offsets, const int32_t* pkt_bands,
-    int npackets, int style, uint8_t* out, long out_cap) {
+    int npackets, int style, uint8_t* out, long out_cap,
+    int measure_only) {
+  // measure_only: count bytes exactly (headers fully coded, Lblock and
+  // tag-tree state advanced) but write nothing — the PCRD bisection
+  // only needs the total
   (void)terms_unused;
+  const bool wr = !measure_only;
   using namespace t2n;
   std::vector<Tag> incl(nbands), zbpt(nbands);
   for (int b = 0; b < nbands; b++) {
@@ -2027,8 +2032,10 @@ long t2_assemble_packets(
     if (!any_blocks) {
       bw.put_bit(0);
       bw.flush();
-      if (o + (long)hdr.size() > out_cap) return -1;
-      memcpy(out + o, hdr.data(), hdr.size());
+      if (wr) {
+        if (o + (long)hdr.size() > out_cap) return -1;
+        memcpy(out + o, hdr.data(), hdr.size());
+      }
       o += (long)hdr.size();
       continue;
     }
@@ -2070,8 +2077,10 @@ long t2_assemble_packets(
     if (!nonempty) {
       bw.put_bit(0);
       bw.flush();
-      if (o + (long)hdr.size() > out_cap) return -1;
-      memcpy(out + o, hdr.data(), hdr.size());
+      if (wr) {
+        if (o + (long)hdr.size() > out_cap) return -1;
+        memcpy(out + o, hdr.data(), hdr.size());
+      }
       o += (long)hdr.size();
       continue;
     }
@@ -2126,8 +2135,10 @@ long t2_assemble_packets(
       }
     }
     bw.flush();
-    if (o + (long)hdr.size() + body_len > out_cap) return -1;
-    memcpy(out + o, hdr.data(), hdr.size());
+    if (wr) {
+      if (o + (long)hdr.size() + body_len > out_cap) return -1;
+      memcpy(out + o, hdr.data(), hdr.size());
+    }
     o += (long)hdr.size();
     // body: new pass bytes per contributing block, band order
     for (int k = 0; k < nb; k++) {
@@ -2143,8 +2154,9 @@ long t2_assemble_packets(
         const int32_t* r = rates + rate_offsets[i];
         int start_b = prev > 0 ? r[prev - 1] : 0;
         int end_b = r[prev + new_passes - 1];
-        memcpy(out + o, data + data_offsets[i] + start_b,
-               (size_t)(end_b - start_b));
+        if (wr)
+          memcpy(out + o, data + data_offsets[i] + start_b,
+                 (size_t)(end_b - start_b));
         o += end_b - start_b;
         num_passes[i] = prev + new_passes;
       }
