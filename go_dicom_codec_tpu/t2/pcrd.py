@@ -18,10 +18,14 @@ from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple
 
 
-@dataclass
+@dataclass(slots=True)
 class PassPoint:
     rate: int          # cumulative bytes at end of this pass
     slope: float       # distortion decrease per byte (convex-hulled)
+
+
+# exact in binary float, so table lookup == 4.0 ** bp for every plane
+_POW4 = [4.0 ** i for i in range(64)]
 
 
 def pass_slopes(pass_rates: Sequence[int], pass_bitplanes: Sequence[int],
@@ -36,46 +40,55 @@ def pass_slopes(pass_rates: Sequence[int], pass_bitplanes: Sequence[int],
     n = len(pass_rates)
     if n == 0:
         return []
-    dists = []
-    prev_rate = 0
-    for i in range(n):
-        d_rate = max(pass_rates[i] - prev_rate, 0)
-        prev_rate = pass_rates[i]
-        if pass_nmsedecs is not None and i < len(pass_nmsedecs):
-            dists.append(float(pass_nmsedecs[i]) * weight
-                         * (4.0 ** pass_bitplanes[i]))
-        else:
-            dists.append((4.0 ** pass_bitplanes[i]) * max(d_rate, 0.01))
-    # convex hull: slopes must be decreasing; merge violating passes
-    pts: List[Tuple[int, float]] = []  # (rate, cumulative dist drop)
+    rates = list(pass_rates)
+    dvals = [0.0] * n  # cumulative distortion drop through pass i
     cum = 0.0
+    prev_rate = 0
+    nms_len = len(pass_nmsedecs) if pass_nmsedecs is not None else -1
     for i in range(n):
-        cum += dists[i]
-        pts.append((pass_rates[i], cum))
+        ri = rates[i]
+        d_rate = ri - prev_rate
+        if d_rate < 0:
+            d_rate = 0
+        prev_rate = ri
+        bp = pass_bitplanes[i]
+        p4 = _POW4[bp] if 0 <= bp < 64 else 4.0 ** bp
+        if i < nms_len:
+            cum += float(pass_nmsedecs[i]) * weight * p4
+        else:
+            cum += p4 * (d_rate if d_rate > 0.01 else 0.01)
+        dvals[i] = cum
+    # convex hull: slopes must be decreasing; merge violating passes
     hull: List[int] = []
     for i in range(n):
         hull.append(i)
         while len(hull) >= 2:
             i2, i1 = hull[-1], hull[-2]
-            r1, d1 = pts[i1]
-            r2, d2 = pts[i2]
-            r0, d0 = (0, 0.0) if len(hull) == 2 else pts[hull[-3]]
+            r1, d1 = rates[i1], dvals[i1]
+            r2, d2 = rates[i2], dvals[i2]
+            if len(hull) == 2:
+                r0, d0 = 0, 0.0
+            else:
+                i0 = hull[-3]
+                r0, d0 = rates[i0], dvals[i0]
             s_prev = (d1 - d0) / max(r1 - r0, 1)
             s_cur = (d2 - d1) / max(r2 - r1, 1)
             if s_cur > s_prev:
                 hull.pop(-2)  # previous point is below the hull
             else:
                 break
-    out = [PassPoint(rate=0, slope=0.0)] * n
+    on_hull = bytearray(n)
+    for i in hull:
+        on_hull[i] = 1
+    out: List[PassPoint] = [None] * n  # type: ignore[list-item]
     prev_r, prev_d = 0, 0.0
-    hull_set = set(hull)
     cur_slope = float("inf")
     for i in range(n):
-        if i in hull_set:
-            r, d = pts[i]
+        if on_hull[i]:
+            r, d = rates[i], dvals[i]
             cur_slope = (d - prev_d) / max(r - prev_r, 1)
             prev_r, prev_d = r, d
-        out[i] = PassPoint(rate=pass_rates[i], slope=cur_slope)
+        out[i] = PassPoint(rate=rates[i], slope=cur_slope)
     return out
 
 
