@@ -1616,17 +1616,30 @@ def decode_to_packed_tiles(data: bytes):
     any Part-2 custom inverse matrices for the batched device stage.
 
     Raises UnsupportedFormatError for the stream classes whose inverse
-    is not a uniform per-tile device program (General-Scaling ROI,
-    per-component/tile COD overrides, subsampled components) — those
-    decode through J2KDecoder.decode.
+    is not a uniform per-tile device program (per-component/tile COD
+    overrides, subsampled components) — those decode through
+    J2KDecoder.decode. ROI streams of both styles batch: MaxShift
+    unshifts by magnitude, General-Scaling by the JP2ROI COM geometry
+    masks, both on the packed host coefficients exactly like the
+    scalar decoder.
     """
     cs = j2k.parse_codestream(data)
     siz = cs.siz
     ncomp = len(siz.components)
+    # General-Scaling ROI: the COM-carried geometry unshift runs on the
+    # packed coefficients BEFORE the device stage (same site the scalar
+    # decoder uses, _decode_tile), so GS streams batch like any other —
+    # build the full-frame regions once here
+    gs_regions = None
     if any(st == 1 for st in cs.rgn_styles.values()):
-        # General-Scaling ROI needs COM-geometry masks (scalar path)
-        raise UnsupportedFormatError("packed decode: General-Scaling ROI "
-                                     "uses the scalar path")
+        from .j2k_roi import parse_roi_com
+        for com in cs.comments:
+            rr = parse_roi_com(com)
+            if rr:
+                gs_regions = rr
+                break
+        # no JP2ROI COM: fall through with no masks — the scalar
+        # decoder then unshifts by magnitude too (same else-branch)
     for c in range(ncomp):
         _, _, xr, yr = siz.components[c]
         if max(xr, 1) != 1 or max(yr, 1) != 1:
@@ -1662,9 +1675,19 @@ def decode_to_packed_tiles(data: bytes):
             raise UnsupportedFormatError("packed decode: per-tile QCD "
                                          "overrides use the scalar path")
         tx0, ty0, tx1, ty1 = rect
+        gs_masks = {}
+        if gs_regions is not None:
+            from .j2k_roi import combined_mask
+            fw, fh = siz.xsiz - siz.xosiz, siz.ysiz - siz.yosiz
+            for c, st in cs.rgn_styles.items():
+                if st == 1 and cs.rgn_shifts.get(c, 0) > 0:
+                    fm = combined_mask(gs_regions, fw, fh, component=c)
+                    gs_masks[c] = fm[ty0 - siz.yosiz:ty1 - siz.yosiz,
+                                     tx0 - siz.xosiz:tx1 - siz.xosiz]
         packed = dec._decode_tile(
             tile.data, rect, cods, qcds, ncomp, depth0, signed0,
-            cs.rgn_shifts, None, poc=cs.poc_for(tile), gs_masks=None,
+            cs.rgn_shifts, None, poc=cs.poc_for(tile),
+            gs_masks=gs_masks or None,
             comp_rects=[(tx0, ty0, tx1, ty1)] * ncomp,
             _return_packed=True)
         out.append((rect, packed))

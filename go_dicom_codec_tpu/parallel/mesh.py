@@ -179,8 +179,9 @@ def decode_frames_sharded(streams, mesh: Optional[Mesh] = None):
     scalar decoder. Requires streams of equal geometry (same
     SIZ/COD/QCD/MCT and tile grid — the shape the sharded/pipelined
     encoders emit); raises UnsupportedFormatError otherwise (remaining
-    scalar-only classes: General-Scaling ROI, subsampled components,
-    per-component/tile COD overrides). Returns [H, W, C] int32 arrays.
+    scalar-only classes: subsampled components, per-component/tile COD
+    overrides; ROI streams of both styles shard — the unshift runs on
+    the packed host coefficients). Returns [H, W, C] int32 arrays.
     """
     from ..codecs.jpeg2000 import (J2KEncoder, decode_to_packed_tiles,
                                    dequantize_packed)

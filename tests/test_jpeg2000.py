@@ -205,6 +205,22 @@ def test_decode_frames_pipelined_bit_identical(rng):
         arr, _, _ = J2KDecoder().decode(s)
         np.testing.assert_array_equal(got[k], arr)
 
+    # ROI streams (both styles) carry through the batched pipeline:
+    # the unshift happens on the packed host coefficients
+    from go_dicom_codec_tpu.codecs.j2k_roi import ROIRegion
+    from go_dicom_codec_tpu.codecs.jpeg2000 import (J2KEncodeParams,
+                                                    J2KEncoder)
+    for style in ("maxshift", "general"):
+        enc = J2KEncoder(J2KEncodeParams(
+            num_levels=3, cb_style=0, roi_style=style,
+            roi_regions=[ROIRegion(shape="rect", rect=(8, 8, 24, 24))]))
+        streams = [enc.encode(frames[i], 40, 48, 1, 12)
+                   for i in range(3)]
+        got = decode_frames_pipelined(streams, chunk=2)
+        for k, s in enumerate(streams):
+            arr, _, _ = J2KDecoder().decode(s)
+            np.testing.assert_array_equal(got[k], arr, err_msg=style)
+
 
 def test_adapter_multiframe_decode_batched(rng):
     """Multi-frame .90 decode takes the batched pipeline and matches the

@@ -234,6 +234,34 @@ def test_encode_frames_sharded_roi(style, rng):
     assert sharded == [enc.encode(f, 64, 64, 1, 12) for f in frames]
 
 
+def test_decode_frames_sharded_roi_both_styles(rng):
+    """ROI streams shard on decode too: MaxShift unshifts by
+    magnitude, General-Scaling by the JP2ROI COM geometry masks, both
+    on the packed host coefficients — bit-identical to scalar."""
+    from go_dicom_codec_tpu.codecs.j2k_roi import ROIRegion
+    from go_dicom_codec_tpu.codecs.jpeg2000 import (J2KDecoder,
+                                                    J2KEncodeParams,
+                                                    J2KEncoder)
+    from go_dicom_codec_tpu.parallel.mesh import (decode_frames_sharded,
+                                                  make_mesh)
+
+    frames = (np.cumsum(rng.integers(-9, 10, (3, 64, 64)), axis=2)
+              % 4096).astype(np.int32)
+    mesh = make_mesh()
+    for style in ("maxshift", "general"):
+        kw = dict(num_levels=3, cb_style=0,
+                  roi_regions=[ROIRegion(shape="rect",
+                                         rect=(8, 8, 24, 24))],
+                  roi_style=style)
+        enc = J2KEncoder(J2KEncodeParams(**kw))
+        streams = [enc.encode(f, 64, 64, 1, 12) for f in frames]
+        sharded = decode_frames_sharded(streams, mesh=mesh)
+        dec = J2KDecoder()
+        for i, df in enumerate(sharded):
+            scalar, _, _ = dec.decode(streams[i])
+            np.testing.assert_array_equal(df, scalar, err_msg=style)
+
+
 @pytest.mark.parametrize("name,shape,bits,kw", [
     ("gray", (5, 64, 64), 12, {}),
     ("rgb_rct", (3, 48, 56), 8, {}),
