@@ -211,7 +211,10 @@ def test_ht_cleanup_native_corrupt(rng):
 DWT_CASES = [
     (512, 512, 5, 0, 0), (64, 64, 3, 0, 0), (17, 33, 2, 1, 0),
     (1, 7, 1, 0, 1), (7, 1, 2, 1, 1), (5, 5, 3, 3, 5), (2, 2, 1, 0, 0),
-    (3, 2, 2, 1, 0), (16, 1, 2, 0, 0), (1, 1, 1, 1, 1), (31, 65, 5, 0, 1),
+    # (31, 65) runs 3 levels: deep-level parity is pinned by the
+    # (512, 512, 5) case (jnp side cache-shared with the codec tests);
+    # a unique ragged 5-level jnp reference costs a ~14 s XLA compile
+    (3, 2, 2, 1, 0), (16, 1, 2, 0, 0), (1, 1, 1, 1, 1), (31, 65, 3, 0, 1),
     (40, 40, 2, 1, 1),
 ]
 

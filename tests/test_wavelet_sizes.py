@@ -35,9 +35,14 @@ def test_wavelet_large_square_roundtrip(size, levels):
     (129, 127), (96, 33),
 ])
 def test_wavelet_odd_rect_roundtrip(shape, rng):
+    # levels=5 subsumes the shallow cases (the multilevel is a loop of
+    # single-level transforms over the shrinking LL, so it exercises the
+    # level-1/2 structures on intermediate parities); the full level
+    # ladder runs once on a representative odd shape below — each extra
+    # (shape, levels) pair is a fresh multi-second XLA compile.
     h, w = shape
     data = rng.integers(-2048, 2048, (h, w)).astype(np.int32)
-    for levels in (1, 2, 5):
+    for levels in ((1, 2, 5) if shape == (129, 127) else (5,)):
         c = fwd53_multilevel(jnp.asarray(data), levels)
         rec = np.asarray(inv53_multilevel(c, levels))
         np.testing.assert_array_equal(rec, data, err_msg=f"levels={levels}")
