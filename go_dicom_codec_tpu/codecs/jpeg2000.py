@@ -1183,7 +1183,8 @@ class J2KDecoder:
                      mct_bindings_inv=None,
                      poc=None, gs_masks=None,
                      comp_rects=None,
-                     _return_packed: bool = False) -> np.ndarray:
+                     _return_packed: bool = False,
+                     _return_packed_list: bool = False) -> np.ndarray:
         """cods/qcds: effective per-component CodInfo/QcdInfo (COD+COC,
         QCD+QCC resolution done by Codestream.cod_for/qcd_for).
         gs_masks: tile-local bool masks per General-Scaling component.
@@ -1429,6 +1430,13 @@ class J2KDecoder:
                 from .j2k_roi import unshift_maxshift
                 packed_list[c] = unshift_maxshift(
                     packed_list[c], shift).astype(np.int64)
+        if _return_packed_list:
+            # decode_to_component_tiles: per-component host stage done
+            # (post ROI unshift) — no uniform-grid requirement; each
+            # component's packed subbands go to their own batched
+            # inverse launch (parallel.mesh heterogeneous decode)
+            return [p.astype(np.int32, copy=False) for p in packed_list]
+
         packed = None
         if uniform:
             packed = np.stack(packed_list).astype(np.int32,
@@ -1692,3 +1700,71 @@ def decode_to_packed_tiles(data: bytes):
             _return_packed=True)
         out.append((rect, packed))
     return out, siz, cod0, qcd0, _extract_mct_inverse(cs, ncomp)
+
+
+def decode_to_component_tiles(data: bytes):
+    """Host stage for the HETEROGENEOUS stream classes the packed path
+    rejects — XRsiz/YRsiz-subsampled components, per-component COD/QCD
+    (COC/QCC), per-tile overrides: parse + T1 + per-component subband
+    assembly on each component's own ceil-divided grid (reference
+    tile_decoder.go:330-392), stopping before the inverse DWT.
+
+    Returns (tiles, siz) with tiles in raster tile order, one entry
+    (rect, comp_rects, packed_list, cods, qcds) per tile: packed_list
+    holds each component's packed subbands ([hc, wc] int32, ROI already
+    unshifted), cods/qcds the effective per-component CodInfo/QcdInfo.
+    The inverse of such a tile is per-component device programs with no
+    cross-component math (MCT is undefined across mixed grids — the
+    scalar decoder's heterogeneous branch reconstructs components
+    independently, and so does parallel.mesh on top of this).
+
+    Raises UnsupportedFormatError for Part-2 custom MCT streams (those
+    are uniform by construction — decode_to_packed_tiles carries them).
+    """
+    from ..errors import UnsupportedFormatError
+    cs = j2k.parse_codestream(data)
+    siz = cs.siz
+    ncomp = len(siz.components)
+    if cs.mct_segments or cs.mcc_segments or cs.mco_segments:
+        raise UnsupportedFormatError(
+            "component-tiles decode: custom MCT streams use the "
+            "packed/scalar paths")
+    gs_regions = None
+    if any(st == 1 for st in cs.rgn_styles.values()):
+        from .j2k_roi import parse_roi_com
+        for com in cs.comments:
+            rr = parse_roi_com(com)
+            if rr:
+                gs_regions = rr
+                break
+    depth0, signed0, _, _ = siz.components[0]
+    ntx, _ = siz.num_tiles
+    dec = J2KDecoder()
+    out = []
+    for tidx, tile in sorted(cs.tiles.items()):
+        rect = siz.tile_rect(tidx % ntx, tidx // ntx)
+        tx0, ty0, tx1, ty1 = rect
+        cods = [cs.cod_for(c, tile) for c in range(ncomp)]
+        qcds = [cs.qcd_for(c, tile) for c in range(ncomp)]
+        comp_rects = []
+        for c in range(ncomp):
+            _, _, xr, yr = siz.components[c]
+            xr, yr = max(xr, 1), max(yr, 1)
+            comp_rects.append((-(-tx0 // xr), -(-ty0 // yr),
+                               -(-tx1 // xr), -(-ty1 // yr)))
+        gs_masks = {}
+        if gs_regions is not None:
+            from .j2k_roi import combined_mask
+            fw, fh = siz.xsiz - siz.xosiz, siz.ysiz - siz.yosiz
+            for c, st in cs.rgn_styles.items():
+                if st == 1 and cs.rgn_shifts.get(c, 0) > 0:
+                    fm = combined_mask(gs_regions, fw, fh, component=c)
+                    gs_masks[c] = fm[ty0 - siz.yosiz:ty1 - siz.yosiz,
+                                     tx0 - siz.xosiz:tx1 - siz.xosiz]
+        packed_list = dec._decode_tile(
+            tile.data, rect, cods, qcds, ncomp, depth0, signed0,
+            cs.rgn_shifts, None, poc=cs.poc_for(tile),
+            gs_masks=gs_masks or None, comp_rects=comp_rects,
+            _return_packed_list=True)
+        out.append((rect, comp_rects, packed_list, cods, qcds))
+    return out, siz

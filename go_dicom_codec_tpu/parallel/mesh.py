@@ -176,12 +176,16 @@ def decode_frames_sharded(streams, mesh: Optional[Mesh] = None):
 
     Part-2 custom MCT streams shard too — the batched stage applies
     the marker-carried inverse matrices (reverse MCO order) like the
-    scalar decoder. Requires streams of equal geometry (same
-    SIZ/COD/QCD/MCT and tile grid — the shape the sharded/pipelined
-    encoders emit); raises UnsupportedFormatError otherwise (remaining
-    scalar-only classes: subsampled components, per-component/tile COD
-    overrides; ROI streams of both styles shard — the unshift runs on
-    the packed host coefficients). Returns [H, W, C] int32 arrays.
+    scalar decoder. Heterogeneous streams — XRsiz/YRsiz-subsampled
+    components, per-component COD/QCD (COC/QCC), per-tile overrides —
+    shard through the per-component path (_decode_frames_sharded_hetero:
+    one frame-batched inverse launch per tile-component on its own grid,
+    replication upsample on the host, no cross-component math — the
+    scalar decoder's heterogeneous branch semantics). Requires streams
+    of equal geometry (same SIZ/COD/QCD/COC/QCC/MCT and tile grid);
+    raises UnsupportedFormatError otherwise. ROI streams of both styles
+    shard — the unshift runs on the packed host coefficients. Returns
+    [H, W, C] int32 arrays.
     """
     from ..codecs.jpeg2000 import (J2KEncoder, decode_to_packed_tiles,
                                    dequantize_packed)
@@ -194,7 +198,12 @@ def decode_frames_sharded(streams, mesh: Optional[Mesh] = None):
         return []
     packs, meta, qcd0, mct_inv = [], None, None, None
     for s in streams:
-        tiles, siz, cod, qcd, minv = decode_to_packed_tiles(s)
+        try:
+            tiles, siz, cod, qcd, minv = decode_to_packed_tiles(s)
+        except UnsupportedFormatError:
+            if meta is not None:
+                raise  # mixed uniform/heterogeneous batch
+            return _decode_frames_sharded_hetero(streams, mesh)
         mkey = tuple((tuple(ids), inv.tobytes(),
                       offs.tobytes() if offs is not None else None)
                      for (ids, inv, offs) in minv)
@@ -278,6 +287,101 @@ def decode_frames_sharded(streams, mesh: Optional[Mesh] = None):
         rec = np.asarray(jstage(x, tx0, ty0))[:orig]
         out[:, ty0 - yos:ty1 - yos, tx0 - xos:tx1 - xos, :] = \
             np.moveaxis(rec, 1, -1)
+    return [out[k] for k in range(nframes)]
+
+
+def _decode_frames_sharded_hetero(streams, mesh: Optional[Mesh]):
+    """decode_frames_sharded for HETEROGENEOUS streams (subsampled
+    components, COC/QCC per-component overrides, per-tile COD/QCD):
+    the host entropy-decodes each component onto its own ceil-divided
+    grid (codecs.jpeg2000.decode_to_component_tiles), then one
+    frame-axis-sharded jit PER TILE-COMPONENT runs that component's
+    inverse transform (its own levels and 5/3-or-9/7 choice; QCC
+    streams dequantize per component on the host first). No
+    cross-component math — mirroring the scalar decoder's heterogeneous
+    branch, where MCT is undefined across mixed grids/transforms and
+    components reconstruct independently (jpeg2000._decode_tile) —
+    then subsampled components upsample to the tile grid by sample
+    replication on the host. Reversible components are bit-identical
+    to J2KDecoder.decode; irreversible ones clip to the declared range
+    (same policy as the uniform sharded path). T.800 B.3 empty
+    tile-components contribute a DC-unshifted zero plane, like the
+    scalar decoder."""
+    from ..codecs.jpeg2000 import (J2KEncoder, decode_to_component_tiles,
+                                   dequantize_packed)
+    from ..errors import UnsupportedFormatError
+    from ..ops.dwt53 import inv53_multilevel
+    from ..ops.dwt97 import inv97_multilevel
+    from ..ops.mct import inv_dc_level_shift
+
+    packs, meta, first = [], None, None
+    for s in streams:
+        tiles, siz = decode_to_component_tiles(s)
+        m = ((siz.xsiz, siz.ysiz, siz.xosiz, siz.yosiz),
+             siz.components,
+             tuple((rect, tuple(crs), tuple(cods), tuple(qcds))
+                   for (rect, crs, _pk, cods, qcds) in tiles))
+        if meta is None:
+            meta, first = m, tiles
+        elif m != meta:
+            raise UnsupportedFormatError(
+                "sharded decode needs equal-geometry streams")
+        packs.append(tiles)
+
+    (xs, ys, xos, yos), components, _ = meta
+    bits, signed = components[0][:2]
+    nframes = len(packs)
+    mesh = mesh or make_mesh()
+    nshard = mesh.shape[FRAME_AXIS] * mesh.shape[TILE_AXIS]
+    sharding = NamedSharding(mesh, P((FRAME_AXIS, TILE_AXIS)))
+    height, width = ys - yos, xs - xos
+    ncomp = len(components)
+    fill = 0 if signed else (1 << (bits - 1))
+    out = np.full((nframes, height, width, ncomp), fill, dtype=np.int32)
+
+    def stage(x, levels, transform, cx0, cy0):
+        if transform == 1:
+            rec = inv53_multilevel(x.astype(jnp.int32), levels,
+                                   x0=cx0, y0=cy0)
+        else:
+            rec = jnp.round(inv97_multilevel(x, levels, x0=cx0, y0=cy0)
+                            ).astype(jnp.int32)
+        px = inv_dc_level_shift(rec, bits, signed)
+        if transform != 1:
+            lo, hi = ((-(1 << (bits - 1)), (1 << (bits - 1)) - 1)
+                      if signed else (0, (1 << bits) - 1))
+            px = jnp.clip(px, lo, hi)
+        return px
+
+    jstage = jax.jit(stage, static_argnums=(1, 2, 3, 4),
+                     out_shardings=sharding)
+    for t, (rect, comp_rects, _pk, cods, qcds) in enumerate(first):
+        tx0, ty0, tx1, ty1 = rect
+        th, tw = ty1 - ty0, tx1 - tx0
+        for c in range(ncomp):
+            cx0, cy0, cx1, cy1 = comp_rects[c]
+            cth, ctw = cy1 - cy0, cx1 - cx0
+            if cth == 0 or ctw == 0:
+                continue    # out prefilled with the unshifted zero plane
+            cod_c, qcd_c = cods[c], qcds[c]
+            batch = np.stack([packs[f][t][2][c] for f in range(nframes)])
+            if cod_c.transform != 1:
+                batch = dequantize_packed(
+                    batch, comp_rects[c], cod_c.num_levels,
+                    J2KEncoder._band_deltas(qcd_c, cod_c.num_levels,
+                                            bits))
+            padded, orig = pad_batch_to_devices(batch, nshard)
+            x = jax.device_put(jnp.asarray(padded), sharding)
+            rec = np.asarray(jstage(x, cod_c.num_levels, cod_c.transform,
+                                    cx0, cy0))[:orig]
+            if (cth, ctw) != (th, tw):
+                # replication upsample (reference tile_decoder.go
+                # sample-replication interleave; scalar _decode_tile)
+                ry = -(-th // cth)
+                rx = -(-tw // ctw)
+                rec = np.repeat(np.repeat(rec, ry, axis=1), rx, axis=2)
+                rec = rec[:, :th, :tw]
+            out[:, ty0 - yos:ty1 - yos, tx0 - xos:tx1 - xos, c] = rec
     return [out[k] for k in range(nframes)]
 
 

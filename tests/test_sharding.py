@@ -424,3 +424,116 @@ def test_decode_frames_sharded_custom_mct(case, rng):
         scalar, _, _ = J2KDecoder().decode(s)
         assert np.abs(d.astype(np.int64)
                       - scalar.astype(np.int64)).max() <= 1
+
+
+# ---- heterogeneous streams (subsampled / COC / QCC / per-tile) -------------
+
+def _remux_two_component(frame_a, frame_b, sub, levels_b=None):
+    """One 2-component codestream from two gray frames: comp 1 either
+    2x2-subsampled (sub=True) or COC/QCC-overridden to its own levels
+    (the remux recipes of tests/test_j2k_markers.py, reused here to
+    drive the sharded decoder's heterogeneous path)."""
+    from test_j2k_markers import _encode_gray, _split_packets
+
+    from go_dicom_codec_tpu.codestream import j2k
+
+    cs_a = j2k.parse_codestream(_encode_gray(frame_a, levels=2))
+    cs_b = j2k.parse_codestream(_encode_gray(
+        frame_b, levels=2 if levels_b is None else levels_b))
+    pk_a = _split_packets(cs_a.tiles[0].data, cs_a.siz.tile_rect(0, 0),
+                          cs_a.cod, cs_a.qcd)
+    pk_b = _split_packets(cs_b.tiles[0].data, cs_b.siz.tile_rect(0, 0),
+                          cs_b.cod, cs_b.qcd)
+    tagged = [(r, 0, blob) for (r, blob) in pk_a] + \
+             [(r, 1, blob) for (r, blob) in pk_b]
+    tagged.sort(key=lambda t: (t[0], t[1]))
+    body = b"".join(blob for (_, _, blob) in tagged)
+
+    h, w = frame_a.shape
+    sb = 2 if sub else 1
+    siz = j2k.SizInfo(xsiz=w, ysiz=h, xtsiz=w, ytsiz=h,
+                      components=[cs_a.siz.components[0],
+                                  (16, False, sb, sb)])
+    out = bytearray(b"\xff\x4f")
+    out += j2k.write_siz(siz)
+    out += j2k.write_cod(cs_a.cod)
+    if levels_b is not None:
+        coc = j2k.CocInfo(comp=1, num_levels=cs_b.cod.num_levels,
+                          cb_width=cs_b.cod.cb_width,
+                          cb_height=cs_b.cod.cb_height,
+                          cb_style=cs_b.cod.cb_style,
+                          transform=cs_b.cod.transform)
+        out += j2k.write_coc(coc, 2)
+    out += j2k.write_qcd(cs_a.qcd)
+    out += j2k.write_qcc(1, cs_b.qcd, 2)
+    out += j2k.write_tile_part(0, body)
+    out += j2k.EOC.to_bytes(2, "big")
+    return bytes(out)
+
+
+@pytest.mark.parametrize("case", ["subsampled", "coc_levels"])
+def test_decode_frames_sharded_heterogeneous(case, rng):
+    """Subsampled-component and COC/QCC-override streams shard on
+    decode through the per-component path: one frame-batched inverse
+    launch per tile-component on its own grid, bit-identical to the
+    scalar decoder (which reconstructs such components independently
+    and replication-upsamples)."""
+    from go_dicom_codec_tpu.codecs.jpeg2000 import J2KDecoder
+    from go_dicom_codec_tpu.parallel.mesh import (decode_frames_sharded,
+                                                  make_mesh)
+
+    streams = []
+    for k in range(3):
+        a = rng.integers(0, 1 << 16, (64, 64), dtype=np.uint16)
+        if case == "subsampled":
+            b = rng.integers(0, 1 << 16, (32, 32), dtype=np.uint16)
+            streams.append(_remux_two_component(a, b, sub=True))
+        else:
+            b = rng.integers(0, 1 << 16, (64, 64), dtype=np.uint16)
+            streams.append(_remux_two_component(a, b, sub=False,
+                                                levels_b=1))
+    dec = decode_frames_sharded(streams, mesh=make_mesh())
+    for d, s in zip(dec, streams):
+        scalar, _, _ = J2KDecoder().decode(s)
+        np.testing.assert_array_equal(d, scalar)
+
+
+def test_decode_frames_sharded_per_tile_cod_override(rng):
+    """Per-tile COD overrides (a tile-part COD segment) shard through
+    the heterogeneous path too. The injected COD differs only in
+    progression order — for a single-component single-layer
+    one-precinct tile every progression emits the same packet
+    sequence, so the stream stays self-consistent while exercising
+    the per-tile override plumbing end to end."""
+    import dataclasses
+    import struct
+
+    from go_dicom_codec_tpu.codecs.jpeg2000 import (J2KDecoder,
+                                                    J2KEncodeParams,
+                                                    J2KEncoder)
+    from go_dicom_codec_tpu.codestream import j2k
+    from go_dicom_codec_tpu.parallel.mesh import (decode_frames_sharded,
+                                                  make_mesh)
+
+    frames = (np.cumsum(rng.integers(-9, 10, (3, 64, 48)), axis=2)
+              % 4096).astype(np.int32)
+    enc = J2KEncoder(J2KEncodeParams(num_levels=2, tile_width=24,
+                                     tile_height=64))
+    streams = []
+    for f in frames:
+        s = enc.encode(f, 48, 64, 1, 12)
+        cs = j2k.parse_codestream(s)
+        cod1 = dataclasses.replace(cs.cod, progression=1)  # RLCP
+        # rebuild: main header + tile 0 as-is + tile 1 with a local COD
+        sot1 = s.index(struct.pack(">HHH", j2k.SOT, 10, 1))
+        body1 = cs.tiles[1].data
+        cod_seg = j2k.write_cod(cod1)
+        psot = 12 + len(cod_seg) + 2 + len(body1)
+        tile1 = struct.pack(">HHHIBB", j2k.SOT, 10, 1, psot, 0, 1)
+        tile1 += cod_seg + struct.pack(">H", j2k.SOD) + body1
+        streams.append(s[:sot1] + tile1 + j2k.EOC.to_bytes(2, "big"))
+    dec = decode_frames_sharded(streams, mesh=make_mesh())
+    for d, s, f in zip(dec, streams, frames):
+        scalar, _, _ = J2KDecoder().decode(s)
+        np.testing.assert_array_equal(d, scalar)
+        np.testing.assert_array_equal(d[..., 0], f)
