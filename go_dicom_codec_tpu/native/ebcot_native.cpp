@@ -441,6 +441,25 @@ struct MQDec {
     renormd();
     return d;
   }
+
+  // decode with the context byte held in a caller register — the
+  // decode-side mirror of MQEnc::encode_s (MRP steady-state runs)
+  inline int decode_s(uint8_t& s) {
+    uint32_t mps = s >> 7;
+    uint32_t qe = QE[s & 0x7F];
+    a -= qe;
+    uint32_t cold = (c >> 16) < qe;
+    c -= cold ? 0 : (qe << 16);
+    uint32_t nr = (cold ^ 1) & (a >> 15);
+    uint32_t lt = a < qe;
+    uint32_t flip = cold ^ lt;
+    int d = (int)(mps ^ (nr ? 0 : flip));
+    uint8_t nst = flip ? MQPT.pnlps[s] : MQPT.pnmps[s];
+    s = nr ? s : nst;
+    a = cold ? qe : a;
+    renormd();
+    return d;
+  }
 };
 
 struct RawDec {
@@ -625,6 +644,13 @@ int t1_encode_impl(const ST* src, int w, int h, int style, int orient,
   // F), so both passes can skip the whole row scan. Monotone: set at
   // the end of a CP scan, never cleared.
   std::vector<uint8_t> stripe_done((size_t)nstripes, 0);
+  // stripes where EVERY column is in the MRP steady state (all 4
+  // significant + refined before + untouched this plane): the pass is
+  // then 4*w consecutive magnitude bits over contiguous dataS — coded
+  // in 32-bit gathers (raw) or one register-cached context run (MQ).
+  // Monotone once true: SPP skips such stripes before setting any pi,
+  // and significance/mu never decrease.
+  std::vector<uint8_t> stripe_refss((size_t)nstripes, 0);
 
   int pass_type = 2, bitplane = maxbp, pass_idx = 0;
   bool prev_term = false;
@@ -685,6 +711,54 @@ int t1_encode_impl(const ST* src, int w, int h, int style, int orient,
       for (int st = 0; st < nstripes; st++) {
         int hh = h - st * 4; if (hh > 4) hh = 4;
         uint32_t* Fr = t.fw(st);
+        if (hh == 4 && !stripe_refss[st]) {
+          bool all = true;
+          for (int x = 0; x < w; x++)
+            if ((Fr[x] & (SIGMA_MID4 | PI4 | MU4)) != (SIGMA_MID4 | MU4)) {
+              all = false; break;
+            }
+          stripe_refss[st] = all ? 1 : 0;
+        }
+        if (stripe_refss[st]) {
+          // whole-stripe steady state: 4*w consecutive magnitude bits
+          // over contiguous dataS; flags unchanged (mu set, pi stays 0)
+          const MT* cb = t.col(st, 0);
+          if (raw) {
+            int x = 0;
+            for (; x + 8 <= w; x += 8) {
+              const MT* c = cb + (size_t)4 * x;
+              uint32_t v = 0;
+              for (int k = 0; k < 32; k++) {
+                uint64_t av = (uint64_t)(c[k] & MAGMASK);
+                v = (v << 1) | (uint32_t)((av >> bitplane) & 1);
+                if (NM) nm += nmsedec_ref(av, bitplane);
+              }
+              mq.bypass_encode_n(v, 32);
+            }
+            for (; x < w; x++) {
+              const MT* c = cb + (size_t)4 * x;
+              uint32_t nib = 0;
+              for (int j = 0; j < 4; j++) {
+                uint64_t av = (uint64_t)(c[j] & MAGMASK);
+                nib = (nib << 1) | (uint32_t)((av >> bitplane) & 1);
+                if (NM) nm += nmsedec_ref(av, bitplane);
+              }
+              mq.bypass_encode_n(nib, 4);
+            }
+          } else {
+            uint8_t s16 = mq.ctx[16];
+            for (int x = 0; x < w; x++) {
+              const MT* c = cb + (size_t)4 * x;
+              for (int j = 0; j < 4; j++) {
+                uint64_t av = (uint64_t)(c[j] & MAGMASK);
+                mq.encode_s((int)((av >> bitplane) & 1), s16);
+                if (NM) nm += nmsedec_ref(av, bitplane);
+              }
+            }
+            mq.ctx[16] = s16;
+          }
+          continue;
+        }
         for (int x = 0; x < w; x++) {
           uint32_t f = Fr[x];
           if (!(f & SIGMA_MID4)) continue;  // no significant sample here
@@ -1400,6 +1474,8 @@ int t1_decode_impl(const uint8_t* stream, int stream_len, int w, int h,
   constexpr uint32_t vsig = VSC ? (SIG18 & ~SIG_ROW4) : SIG18;
   // mirror of the encoder's completed-stripe skip (see t1_encode_impl)
   std::vector<uint8_t> stripe_done((size_t)nstripes, 0);
+  // mirror of the encoder's whole-stripe MRP steady flag (stripe_refss)
+  std::vector<uint8_t> stripe_refss((size_t)nstripes, 0);
 
   // magnitude|sign representation: new significance sets the plane bit
   // and the sign MSB; refinement adds the plane bit to the magnitude.
@@ -1418,10 +1494,12 @@ int t1_decode_impl(const uint8_t* stream, int stream_len, int w, int h,
     return v | (sign ? MSB : (MT)0);
   };
   auto recon_ref = [&](MT cur, int bp_, int bit) -> MT {
-    if (!ojp_recon) return bit ? cur + ((MT)1 << bp_) : cur;
+    // branchless forms (identical arithmetic: ±poshalf ==
+    // -poshalf + bit*2*poshalf) — the steady-stripe bulk loops below
+    // feed this per bit and want it select-free
+    if (!ojp_recon) return cur + ((MT)bit << bp_);
     MT poshalf = (MT)1 << bp_;
-    MT mag = cur & MAGMASK;
-    mag = bit ? mag + poshalf : mag - poshalf;
+    MT mag = (cur & MAGMASK) - poshalf + ((MT)bit << (bp_ + 1));
     return mag | (cur & MSB);
   };
 
@@ -1481,6 +1559,45 @@ int t1_decode_impl(const uint8_t* stream, int stream_len, int w, int h,
       for (int st = 0; st < nstripes; st++) {
         int hh = h - st * 4; if (hh > 4) hh = 4;
         uint32_t* Fr = t.fw(st);
+        if (hh == 4 && !stripe_refss[st]) {
+          bool all = true;
+          for (int x = 0; x < w; x++)
+            if ((Fr[x] & (SIGMA_MID4 | PI4 | MU4)) != (SIGMA_MID4 | MU4)) {
+              all = false; break;
+            }
+          stripe_refss[st] = all ? 1 : 0;
+        }
+        if (stripe_refss[st]) {
+          // whole-stripe steady state (encoder mirror): 4*w consecutive
+          // refinement bits over contiguous dataS; flags unchanged
+          MT* cb = t.col(st, 0);
+          if (raw) {
+            int x = 0;
+            for (; x + 8 <= w; x += 8) {
+              uint32_t v = rd.decode_n(32);
+              MT* c = cb + (size_t)4 * x;
+              for (int k = 0; k < 32; k++)
+                c[k] = recon_ref(c[k], bitplane,
+                                 (int)((v >> (31 - k)) & 1));
+            }
+            for (; x < w; x++) {
+              uint32_t nib = rd.decode_n(4);
+              MT* c = cb + (size_t)4 * x;
+              for (int j = 0; j < 4; j++)
+                c[j] = recon_ref(c[j], bitplane,
+                                 (int)((nib >> (3 - j)) & 1));
+            }
+          } else {
+            uint8_t s16 = mq.ctx[16];
+            for (int x = 0; x < w; x++) {
+              MT* c = cb + (size_t)4 * x;
+              for (int j = 0; j < 4; j++)
+                c[j] = recon_ref(c[j], bitplane, mq.decode_s(s16));
+            }
+            mq.ctx[16] = s16;
+          }
+          continue;
+        }
         for (int x = 0; x < w; x++) {
           uint32_t f = Fr[x];
           if (!(f & SIGMA_MID4)) continue;
