@@ -3248,13 +3248,18 @@ namespace htj2k {
 
 static const int MEL_E[13] = {0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 4, 5};
 
+// The three segment writers append to caller-provided scratch (raw
+// pointer + count) — per-byte std::vector::push_back was the hot spot
+// of dense HT encodes, and the capacities are bounded by construction
+// (see the cap math at ht_scratch below).
 struct MELWriter {
-  std::vector<uint8_t> buf;
+  uint8_t* buf = nullptr;
+  long n = 0;
   int tmp = 0, rem = 8, run = 0, k = 0, threshold = 1;
   inline void emit(int v) {
     tmp = ((tmp << 1) | (v & 1)) & 0xFF;
     if (--rem == 0) {
-      buf.push_back((uint8_t)tmp);
+      buf[n++] = (uint8_t)tmp;
       rem = tmp == 0xFF ? 7 : 8;
       tmp = 0;
     }
@@ -3278,25 +3283,26 @@ struct MELWriter {
 };
 
 struct VLCWriter {
-  std::vector<uint8_t> buf;
+  uint8_t* buf = nullptr;
+  long n = 0;
   int used = 4, tmp = 0xF;
   bool last_gt_8f = true;
-  VLCWriter() { buf.push_back(0xFF); }
-  inline void encode(int cwd, int n) {
-    while (n > 0) {
+  inline void start() { buf[n++] = 0xFF; }
+  inline void encode(int cwd, int nb) {
+    while (nb > 0) {
       int avail = 8 - (last_gt_8f ? 1 : 0) - used;
-      int t = avail < n ? avail : n;
+      int t = avail < nb ? avail : nb;
       tmp |= (cwd & ((1 << t) - 1)) << used;
       used += t;
       avail -= t;
-      n -= t;
+      nb -= t;
       cwd >>= t;
       if (avail == 0) {
         if (last_gt_8f && tmp != 0x7F) {
           last_gt_8f = false;
           continue;
         }
-        buf.push_back((uint8_t)(tmp & 0xFF));
+        buf[n++] = (uint8_t)(tmp & 0xFF);
         last_gt_8f = tmp > 0x8F;
         tmp = 0;
         used = 0;
@@ -3306,19 +3312,20 @@ struct VLCWriter {
 };
 
 struct MagSgnWriter {
-  std::vector<uint8_t> buf;
+  uint8_t* buf = nullptr;
+  long n = 0;
   int maxbits = 8, used = 0;
   uint64_t tmp = 0;
-  inline void encode(uint64_t cwd, int n) {
-    while (n > 0) {
-      int t = maxbits - used < n ? maxbits - used : n;
+  inline void encode(uint64_t cwd, int nb) {
+    while (nb > 0) {
+      int t = maxbits - used < nb ? maxbits - used : nb;
       tmp |= (cwd & ((1ull << t) - 1)) << used;
       used += t;
       cwd >>= t;
-      n -= t;
+      nb -= t;
       if (used >= maxbits) {
         uint8_t b = (uint8_t)(tmp & 0xFF);
-        buf.push_back(b);
+        buf[n++] = b;
         maxbits = b == 0xFF ? 7 : 8;
         tmp = 0;
         used = 0;
@@ -3329,9 +3336,9 @@ struct MagSgnWriter {
     if (used) {
       int t = maxbits - used;
       tmp |= (uint64_t)(0xFF & ((1 << t) - 1)) << used;
-      if ((tmp & 0xFF) != 0xFF) buf.push_back((uint8_t)(tmp & 0xFF));
-    } else if (maxbits == 7 && !buf.empty()) {
-      buf.pop_back();
+      if ((tmp & 0xFF) != 0xFF) buf[n++] = (uint8_t)(tmp & 0xFF);
+    } else if (maxbits == 7 && n > 0) {
+      n--;
     }
   }
 };
@@ -3359,7 +3366,7 @@ struct HTEnc {
   MELWriter mel;
   VLCWriter vlc;
   MagSgnWriter ms;
-  std::vector<int> e_val, cx_val;
+  int *e_val = nullptr, *cx_val = nullptr;
 
   inline void sample(int x, int y, int idx, Quad& q) {
     if (x >= w || y >= h) return;
@@ -3375,7 +3382,29 @@ struct HTEnc {
     val -= 1;
     q.s[idx] = val + (t >> 31);
   }
+  inline void sample_t(uint32_t t, int idx, Quad& q) {
+    uint32_t val = ((t + t) & 0xFFFFFFFFu) >> p;
+    val &= ~1u;
+    if (val == 0) return;
+    q.rho |= 1 << idx;
+    val -= 1;
+    int e = val ? 32 - __builtin_clz(val) : 0;
+    q.eq[idx] = e;
+    if (e > q.eqmax) q.eqmax = e;
+    val -= 1;
+    q.s[idx] = val + (t >> 31);
+  }
   inline Quad quad(int x, int y) {
+    if (x + 1 < w && y + 1 < h) {
+      // interior: one base address, no per-sample bounds checks
+      const uint32_t* b = cb + (long)y * w + x;
+      Quad q;
+      sample_t(b[0], 0, q);
+      sample_t(b[w], 1, q);
+      sample_t(b[1], 2, q);
+      sample_t(b[w + 1], 3, q);
+      return q;
+    }
     Quad q;
     sample(x, y, 0, q);
     sample(x, y + 1, 1, q);
@@ -3396,38 +3425,46 @@ struct HTEnc {
     return lut[(cq << 8) | (rho << 4) | eps];
   }
   inline void magsgn(const Quad& q, int uq, int tup) {
+    // batch the four samples' bits into one writer call per <=64-bit
+    // chunk — the bit sequence is identical to per-sample encodes
+    uint64_t acc = 0;
+    int nb = 0;
     for (int i = 0; i < 4; i++) {
       if (!(q.rho & (1 << i))) continue;
       int m = uq - ((tup >> i) & 1);
       if (m < 0) m = 0;
-      ms.encode(q.s[i] & ((m >= 64) ? ~0ull : ((1ull << m) - 1)), m);
+      if (nb + m > 64) { ms.encode(acc, nb); acc = 0; nb = 0; }
+      acc |= (uint64_t)(q.s[i] & ((m >= 64) ? ~0ull : ((1ull << m) - 1)))
+             << nb;
+      nb += m;
     }
+    if (nb) ms.encode(acc, nb);
   }
+  // the four UVLC fields always total <=16 bits — pack them into one
+  // writer call (identical bit sequence: p0, p1, s0, s1 LSB-first)
   inline void uvlc_initial(int u0, int u1) {
     int p0, l0, s0, sl0, p1, l1, s1, sl1;
     if (u0 > 2 && u1 > 2) {
       uvlc_code(u0 - 2, &p0, &l0, &s0, &sl0);
       uvlc_code(u1 - 2, &p1, &l1, &s1, &sl1);
-      vlc.encode(p0, l0); vlc.encode(p1, l1);
-      vlc.encode(s0, sl0); vlc.encode(s1, sl1);
     } else if (u0 > 2 && u1 > 0) {
       uvlc_code(u0, &p0, &l0, &s0, &sl0);
-      vlc.encode(p0, l0);
-      vlc.encode(u1 - 1, 1);
-      vlc.encode(s0, sl0);
+      p1 = u1 - 1; l1 = 1; s1 = 0; sl1 = 0;
     } else {
       uvlc_code(u0, &p0, &l0, &s0, &sl0);
       uvlc_code(u1, &p1, &l1, &s1, &sl1);
-      vlc.encode(p0, l0); vlc.encode(p1, l1);
-      vlc.encode(s0, sl0); vlc.encode(s1, sl1);
     }
+    vlc.encode(p0 | (p1 << l0) | (s0 << (l0 + l1)) |
+                   (s1 << (l0 + l1 + sl0)),
+               l0 + l1 + sl0 + sl1);
   }
   inline void uvlc_noninitial(int u0, int u1) {
     int p0, l0, s0, sl0, p1, l1, s1, sl1;
     uvlc_code(u0, &p0, &l0, &s0, &sl0);
     uvlc_code(u1, &p1, &l1, &s1, &sl1);
-    vlc.encode(p0, l0); vlc.encode(p1, l1);
-    vlc.encode(s0, sl0); vlc.encode(s1, sl1);
+    vlc.encode(p0 | (p1 << l0) | (s0 << (l0 + l1)) |
+                   (s1 << (l0 + l1 + sl0)),
+               l0 + l1 + sl0 + sl1);
   }
 
   void rows(bool initial) {
@@ -3624,6 +3661,31 @@ struct MagSgnReader {
 // Encode one HT cleanup codeblock (templated over the source sample
 // type so the batched int32 entry skips the Python-side widening
 // copy). Returns byte count, 0 for an all-zero block, -1 on error.
+// Reused per-thread scratch for HT encodes: the magnitude|sign plane
+// plus the three segment buffers. Segment capacity math (per sample):
+// MagSgn bits <= 32 per coded sample (kmax < 31) -> <5 bytes incl.
+// 8/7 stuffing expansion; VLC <= 36 bits per quad-PAIR (two 7-bit
+// tuples + two 3+5-bit u_q codes + slack) -> <1 byte/sample; MEL <= 6
+// bits per quad -> <1 byte/sample. wh*6 + 64 bounds each comfortably.
+struct HTEncScratch {
+  std::vector<uint32_t> cb;
+  std::vector<int> e_val, cx_val;
+  std::vector<uint8_t> mel, vlc, ms;
+  void prepare(long wh, int npairs) {
+    if ((long)cb.size() < wh) cb.resize(wh);
+    if ((int)e_val.size() < npairs + 2) {
+      e_val.resize(npairs + 2);
+      cx_val.resize(npairs + 2);
+    }
+    long cap = wh * 6 + 64;
+    if ((long)ms.size() < cap) {
+      ms.resize(cap);
+      vlc.resize(cap);
+      mel.resize(cap);
+    }
+  }
+};
+
 template <typename ST>
 static long ht_cleanup_encode_impl(const ST* data, int w, int h, int kmax,
                                    const int32_t* enc_lut0,
@@ -3632,7 +3694,10 @@ static long ht_cleanup_encode_impl(const ST* data, int w, int h, int kmax,
   using namespace htj2k;
   if (kmax <= 0 || kmax >= 31) return -1;
   int shift = 31 - kmax;
-  std::vector<uint32_t> cb((size_t)w * h);
+  static thread_local HTEncScratch scratch;
+  int npairs = (w + 1) / 2 + 2;
+  scratch.prepare((long)w * h, npairs);
+  uint32_t* cb = scratch.cb.data();
   uint64_t maxmag = 0;
   for (long i = 0; i < (long)w * h; i++) {
     int64_t v = data[i];
@@ -3643,15 +3708,20 @@ static long ht_cleanup_encode_impl(const ST* data, int w, int h, int kmax,
   if (maxmag < (1ull << shift)) return 0;
 
   HTEnc enc;
-  enc.cb = cb.data();
+  enc.cb = cb;
   enc.w = w;
   enc.h = h;
   enc.p = 30 - (kmax - 1);
   enc.lut0 = enc_lut0;
   enc.lut1 = enc_lut1;
-  int npairs = (w + 1) / 2 + 2;
-  enc.e_val.assign(npairs + 2, 0);
-  enc.cx_val.assign(npairs + 2, 0);
+  enc.e_val = scratch.e_val.data();
+  enc.cx_val = scratch.cx_val.data();
+  memset(enc.e_val, 0, sizeof(int) * (npairs + 2));
+  memset(enc.cx_val, 0, sizeof(int) * (npairs + 2));
+  enc.mel.buf = scratch.mel.data();
+  enc.vlc.buf = scratch.vlc.data();
+  enc.ms.buf = scratch.ms.data();
+  enc.vlc.start();
   enc.rows(true);
   enc.rows(false);
 
@@ -3666,26 +3736,26 @@ static long ht_cleanup_encode_impl(const ST* data, int w, int h, int kmax,
     int fuse = mel_tmp | vlc.tmp;
     if (((((fuse ^ mel_tmp) & mel_mask) |
           ((fuse ^ vlc.tmp) & vlc_mask)) == 0) &&
-        fuse != 0xFF && vlc.buf.size() > 1) {
-      mel.buf.push_back((uint8_t)(fuse & 0xFF));
+        fuse != 0xFF && vlc.n > 1) {
+      mel.buf[mel.n++] = (uint8_t)(fuse & 0xFF);
     } else {
-      mel.buf.push_back((uint8_t)mel_tmp);
-      vlc.buf.push_back((uint8_t)(vlc.tmp & 0xFF));
+      mel.buf[mel.n++] = (uint8_t)mel_tmp;
+      vlc.buf[vlc.n++] = (uint8_t)(vlc.tmp & 0xFF);
     }
   }
   enc.ms.terminate();
 
-  long scup = (long)mel.buf.size() + (long)vlc.buf.size();
+  long scup = mel.n + vlc.n;
   if (scup == 0) return -1;
-  long total = (long)enc.ms.buf.size() + scup;
+  long total = enc.ms.n + scup;
   if (total > out_cap || total < 2) return -1;
   long o = 0;
-  memcpy(out + o, enc.ms.buf.data(), enc.ms.buf.size());
-  o += enc.ms.buf.size();
-  memcpy(out + o, mel.buf.data(), mel.buf.size());
-  o += mel.buf.size();
+  memcpy(out + o, enc.ms.buf, enc.ms.n);
+  o += enc.ms.n;
+  memcpy(out + o, mel.buf, mel.n);
+  o += mel.n;
   // VLC segment: bytes after index 0 reversed, then byte 0 (0xFF) last
-  for (long i = (long)vlc.buf.size() - 1; i >= 1; i--) out[o++] = vlc.buf[i];
+  for (long i = vlc.n - 1; i >= 1; i--) out[o++] = vlc.buf[i];
   out[o++] = vlc.buf[0];
   out[o - 1] = (uint8_t)((scup >> 4) & 0xFF);
   out[o - 2] = (uint8_t)((out[o - 2] & 0xF0) | (scup & 0x0F));
@@ -3728,13 +3798,26 @@ long ht_cleanup_encode_blocks(const int32_t* src, const int64_t* offsets,
   return o;
 }
 
-// Decode one HT cleanup codeblock into out (int64 [h*w]). Returns 0,
-// or a negative error code (-1 args, -2 stream, -3 U_q bound).
-int ht_cleanup_decode(const uint8_t* cbk, long n, int w, int h, int kmax,
-                      int missing, const int32_t* dec_lut0,
-                      const int32_t* dec_lut1, int64_t* out_data) {
+}  // pause extern "C" for the templated decode impl
+
+// Reused per-thread scratch for HT decodes (mirror of HTEncScratch:
+// the per-block vector allocations were measurable on dense tiles).
+struct HTDecScratch {
+  std::vector<uint8_t> rev;
+  std::vector<int> inf_all, u_all, rhos;
+  std::vector<uint32_t> out32, vn;
+};
+
+// Decode one HT cleanup codeblock into out (int64 [h*w] from the
+// scalar ABI, int32 from the batched one). Returns 0, or a negative
+// error code (-1 args, -2 stream, -3 U_q bound).
+template <typename OT>
+static int ht_cleanup_decode_impl(const uint8_t* cbk, long n, int w, int h,
+                                  int kmax, int missing,
+                                  const int32_t* dec_lut0,
+                                  const int32_t* dec_lut1, OT* out_data) {
   using namespace htj2k;
-  memset(out_data, 0, sizeof(int64_t) * (size_t)w * h);
+  memset(out_data, 0, sizeof(OT) * (size_t)w * h);
   if (n == 0) return 0;
   if (kmax <= 0 || missing < 0 || missing >= 30) return -1;
   if (n < 2) return -2;
@@ -3746,17 +3829,26 @@ int ht_cleanup_decode(const uint8_t* cbk, long n, int w, int h, int kmax,
 
   int p = 30 - missing;
   MELReader mel(cleanup, scup);
-  std::vector<uint8_t> rev(scup);
+  static thread_local HTDecScratch sc;
+  if ((long)sc.rev.size() < scup) sc.rev.resize(scup);
+  uint8_t* rev = sc.rev.data();
   for (long i = 0; i < scup; i++) rev[i] = cleanup[scup - 1 - i];
-  VLCReader vlc(rev.data(), scup);
+  VLCReader vlc(rev, scup);
   int run = mel.get_run();
 
   int nq = (w + 1) / 2;
   int nrows = (h + 1) / 2;
   // per quad per row: entry (info) and u
-  std::vector<int> inf_all((size_t)nrows * nq, 0);
-  std::vector<int> u_all((size_t)nrows * nq, 0);
-  std::vector<int> rhos_prev(nq, 0), rhos_cur(nq, 0);
+  if ((long)sc.inf_all.size() < (long)nrows * nq) {
+    sc.inf_all.resize((size_t)nrows * nq);
+    sc.u_all.resize((size_t)nrows * nq);
+  }
+  if ((int)sc.rhos.size() < 2 * nq) sc.rhos.resize(2 * nq);
+  int* inf_all = sc.inf_all.data();
+  int* u_all = sc.u_all.data();
+  int* rhos_prev = sc.rhos.data();
+  int* rhos_cur = rhos_prev + nq;
+  memset(rhos_prev, 0, sizeof(int) * 2 * (size_t)nq);
 
   for (int row = 0; row < nrows; row++) {
     bool initial = row == 0;
@@ -3849,18 +3941,22 @@ int ht_cleanup_decode(const uint8_t* cbk, long n, int w, int h, int kmax,
         u_all[(size_t)row * nq + qx + 1] = u1;
       }
     }
-    rhos_prev = rhos_cur;
-    std::fill(rhos_cur.begin(), rhos_cur.end(), 0);
+    std::swap(rhos_prev, rhos_cur);
+    memset(rhos_cur, 0, sizeof(int) * (size_t)nq);
   }
 
   // MagSgn stage
   int mmsbp2 = missing + 2;
   MagSgnReader ms(magsgn, ms_len);
-  std::vector<uint32_t> out32((size_t)h * w, 0);
-  std::vector<uint32_t> vn_prev(nq + 2, 0), vn_cur(nq + 2, 0);
+  if ((long)sc.out32.size() < (long)h * w) sc.out32.resize((size_t)h * w);
+  uint32_t* out32 = sc.out32.data();
+  if ((int)sc.vn.size() < 2 * (nq + 2)) sc.vn.resize(2 * (nq + 2));
+  uint32_t* vn_prev = sc.vn.data();
+  uint32_t* vn_cur = vn_prev + (nq + 2);
+  memset(vn_prev, 0, sizeof(uint32_t) * (size_t)(nq + 2));
   for (int row = 0; row < nrows; row++) {
     int y = row * 2;
-    std::fill(vn_cur.begin(), vn_cur.end(), 0);
+    memset(vn_cur, 0, sizeof(uint32_t) * (size_t)(nq + 2));
     uint32_t prev_vn = 0;
     for (int qi = 0; qi < nq; qi++) {
       int inf = inf_all[(size_t)row * nq + qi];
@@ -3910,9 +4006,18 @@ int ht_cleanup_decode(const uint8_t* cbk, long n, int w, int h, int kmax,
   for (long i = 0; i < (long)w * h; i++) {
     uint32_t v = out32[i];
     int64_t mag = (int64_t)((v & 0x7FFFFFFFu) >> shift);
-    out_data[i] = (v & 0x80000000u) ? -mag : mag;
+    out_data[i] = (OT)((v & 0x80000000u) ? -mag : mag);
   }
   return 0;
+}
+
+extern "C" {
+
+int ht_cleanup_decode(const uint8_t* cbk, long n, int w, int h, int kmax,
+                      int missing, const int32_t* dec_lut0,
+                      const int32_t* dec_lut1, int64_t* out_data) {
+  return ht_cleanup_decode_impl(cbk, n, w, h, kmax, missing, dec_lut0,
+                                dec_lut1, out_data);
 }
 
 // Batched HT cleanup decode: int32 outputs concatenated at sample
@@ -3927,19 +4032,14 @@ int ht_cleanup_decode_blocks(const uint8_t* data, const int64_t* offs,
                              const int32_t* dec_lut0,
                              const int32_t* dec_lut1, int32_t* out,
                              const int64_t* out_offsets, int32_t* status) {
-  std::vector<int64_t> scratch;
   for (int i = 0; i < nb; i++) {
-    size_t npx = (size_t)ws[i] * hs[i];
-    if (scratch.size() < npx) scratch.resize(npx);
-    status[i] = ht_cleanup_decode(data + offs[i],
-                                  (long)(offs[i + 1] - offs[i]), ws[i],
-                                  hs[i], kmaxs[i], missings[i], dec_lut0,
-                                  dec_lut1, scratch.data());
     int32_t* dst = out + out_offsets[i];
-    if (status[i] == 0)
-      for (size_t k = 0; k < npx; k++) dst[k] = (int32_t)scratch[k];
-    else
-      memset(dst, 0, npx * sizeof(int32_t));
+    status[i] = ht_cleanup_decode_impl(data + offs[i],
+                                       (long)(offs[i + 1] - offs[i]), ws[i],
+                                       hs[i], kmaxs[i], missings[i],
+                                       dec_lut0, dec_lut1, dst);
+    if (status[i] != 0)
+      memset(dst, 0, (size_t)ws[i] * hs[i] * sizeof(int32_t));
   }
   return 0;
 }
