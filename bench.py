@@ -28,6 +28,8 @@ same line as decode_* fields).
 """
 
 import json
+import os
+import signal
 import sys
 import time
 
@@ -141,5 +143,40 @@ def main() -> None:
     }))
 
 
+_WATCHDOG_S = int(os.environ.get("GDCT_BENCH_WATCHDOG_S", "480"))
+
+
+def _spawn_watchdog() -> int:
+    """Forked watchdog: kill this process if it is still alive after
+    _WATCHDOG_S seconds. The axon tunnel can wedge so hard that even
+    jnp.arange never returns (observed for multi-hour stretches in
+    round 4), and the hang sits inside a C call that never re-enters
+    the interpreter — SIGALRM handlers don't run, so only an external
+    process can end it. No JSON is printed on timeout — a fabricated
+    number would be worse than a failed run."""
+    ppid = os.getpid()
+    pid = os.fork()
+    if pid:
+        return pid
+    deadline = time.monotonic() + _WATCHDOG_S
+    while time.monotonic() < deadline:
+        time.sleep(2)
+        try:
+            os.kill(ppid, 0)
+        except OSError:
+            os._exit(0)  # parent finished
+    try:
+        os.write(2, (f"bench.py watchdog: no result within {_WATCHDOG_S}s"
+                     " — axon tunnel likely wedged; killing\n").encode())
+        os.kill(ppid, signal.SIGKILL)
+    except OSError:
+        pass
+    os._exit(1)
+
+
 if __name__ == "__main__":
-    main()
+    wd = _spawn_watchdog()
+    try:
+        main()
+    finally:
+        os.kill(wd, signal.SIGKILL)
