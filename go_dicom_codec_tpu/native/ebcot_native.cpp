@@ -151,6 +151,18 @@ inline uint32_t nb9(uint32_t f, int j, bool vsc) {
   return g;
 }
 
+// own-column sigma bits (3*j+4 for j=0..3) compacted to a nibble — the
+// pass loops iterate set bits with ctz instead of testing all four j's
+// (the per-j branches are ~50% mispredicts at the active planes)
+inline uint32_t sig_nibble(uint32_t f) {
+#if defined(__BMI2__) && defined(__AVX2__)
+  return _pext_u32(f, 0x2490u);
+#else
+  return ((f >> 4) & 1) | ((f >> 6) & 2) | ((f >> 8) & 4) |
+         ((f >> 10) & 8);
+#endif
+}
+
 // SC/SPB LUT index (same bit assignments the LUTs were generated for)
 // from the own word f and the left/right neighbor columns' words.
 inline int sc_index_cf(uint32_t f, uint32_t fl, uint32_t fr, int j,
@@ -683,8 +695,10 @@ int t1_encode_impl(const ST* src, int w, int h, int style, int orient,
           if (hh == 4 && (f & SIGMA_MID4) == SIGMA_MID4)
             continue;                   // steady state: all 4 significant
           const MT* c = t.col(st, x);
-          for (int j = 0; j < hh; j++) {
-            if (f & (1u << (3 * j + 4))) continue;   // already significant
+          uint32_t todo = ~sig_nibble(f) & ((1u << hh) - 1);
+          while (todo) {                 // not-yet-significant samples
+            int j = __builtin_ctz(todo);
+            todo &= todo - 1;
             uint32_t g = nb9(f, j, vsc);
             if (!(g & 0x1EFu)) continue;             // no sig neighbor
             MT m = c[j];
@@ -789,9 +803,10 @@ int t1_encode_impl(const ST* src, int w, int h, int style, int orient,
             }
             continue;
           }
-          for (int j = 0; j < hh; j++) {
-            if (!(f & (1u << (3 * j + 4))) || (f & (1u << (18 + j))))
-              continue;                     // not significant, or visited
+          uint32_t todo = sig_nibble(f) & ~(f >> 18) & ((1u << hh) - 1);
+          while (todo) {         // significant and not coded this plane
+            int j = __builtin_ctz(todo);
+            todo &= todo - 1;
             uint64_t av = (uint64_t)(c[j] & MAGMASK);
             int bit = (int)((av >> bitplane) & 1);
             if (raw) mq.bypass_encode(bit);
@@ -851,8 +866,10 @@ int t1_encode_impl(const ST* src, int w, int h, int style, int orient,
           }
           // per-sample cleanup
           const MT* c = t.col(st, x);
-          for (int j = 0; j < hh; j++) {
-            if (f & ((1u << (3 * j + 4)) | (1u << (18 + j)))) continue;
+          uint32_t todo = ~sig_nibble(f) & ~(f >> 18) & ((1u << hh) - 1);
+          while (todo) {
+            int j = __builtin_ctz(todo);
+            todo &= todo - 1;
             MT m = c[j];
             uint64_t av = (uint64_t)(m & MAGMASK);
             int sig = (int)((av >> bitplane) & 1);
@@ -1535,8 +1552,10 @@ int t1_decode_impl(const uint8_t* stream, int stream_len, int w, int h,
           if (hh == 4 && (f & SIGMA_MID4) == SIGMA_MID4)
             continue;                   // steady state: all 4 significant
           MT* c = t.col(st, x);
-          for (int j = 0; j < hh; j++) {
-            if (f & (1u << (3 * j + 4))) continue;
+          uint32_t todo = ~sig_nibble(f) & ((1u << hh) - 1);
+          while (todo) {
+            int j = __builtin_ctz(todo);
+            todo &= todo - 1;
             uint32_t g = nb9(f, j, vsc);
             if (!(g & 0x1EFu)) continue;
             int sig = raw ? rd.decode() : mq.decode(zc[g]);
@@ -1616,9 +1635,10 @@ int t1_decode_impl(const uint8_t* stream, int stream_len, int w, int h,
                 c[j] = recon_ref(c[j], bitplane, mq.decode(16));
             continue;
           }
-          for (int j = 0; j < hh; j++) {
-            if (!(f & (1u << (3 * j + 4))) || (f & (1u << (18 + j))))
-              continue;
+          uint32_t todo = sig_nibble(f) & ~(f >> 18) & ((1u << hh) - 1);
+          while (todo) {
+            int j = __builtin_ctz(todo);
+            todo &= todo - 1;
             int bit = raw ? rd.decode()
                           : mq.decode(mr_context_cf(f, j, vsc));
             c[j] = recon_ref(c[j], bitplane, bit);
@@ -1659,8 +1679,10 @@ int t1_decode_impl(const uint8_t* stream, int stream_len, int w, int h,
             continue;
           }
           MT* c = t.col(st, x);
-          for (int j = 0; j < hh; j++) {
-            if (f & ((1u << (3 * j + 4)) | (1u << (18 + j)))) continue;
+          uint32_t todo = ~sig_nibble(f) & ~(f >> 18) & ((1u << hh) - 1);
+          while (todo) {
+            int j = __builtin_ctz(todo);
+            todo &= todo - 1;
             int sig = mq.decode(zc[nb9(f, j, vsc)]);
             if (sig) {
               int si = sc_index_cf(f, Fr[x - 1], Fr[x + 1], j, vsc);
