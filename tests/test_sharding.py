@@ -537,3 +537,24 @@ def test_decode_frames_sharded_per_tile_cod_override(rng):
         scalar, _, _ = J2KDecoder().decode(s)
         np.testing.assert_array_equal(d, scalar)
         np.testing.assert_array_equal(d[..., 0], f)
+
+
+def test_decode_frames_sharded_mixed_batch_raises(rng):
+    """A batch mixing a uniform stream with a heterogeneous one is not
+    equal-geometry: the fallback dispatch must raise, not silently
+    decode through the wrong path."""
+    from go_dicom_codec_tpu.codecs.jpeg2000 import (J2KEncodeParams,
+                                                    J2KEncoder)
+    from go_dicom_codec_tpu.errors import UnsupportedFormatError
+    from go_dicom_codec_tpu.parallel.mesh import (decode_frames_sharded,
+                                                  make_mesh)
+
+    a = rng.integers(0, 1 << 16, (64, 64), dtype=np.uint16)
+    b = rng.integers(0, 1 << 16, (32, 32), dtype=np.uint16)
+    uniform = J2KEncoder(J2KEncodeParams(num_levels=2)).encode(
+        a.astype(np.int32), 64, 64, 1, 16)
+    hetero = _remux_two_component(a, b, sub=True)
+    with pytest.raises(UnsupportedFormatError):
+        decode_frames_sharded([uniform, hetero], mesh=make_mesh())
+    with pytest.raises(UnsupportedFormatError):
+        decode_frames_sharded([hetero, uniform], mesh=make_mesh())
