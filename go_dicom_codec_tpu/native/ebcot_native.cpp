@@ -2503,8 +2503,9 @@ struct Traits {
   }
   int dequantize(int e) const { return e * (2 * near_ + 1); }
   int modulo_range(int e) const {
-    if (e < 0) e += range_;
-    if (e >= (range_ + 1) / 2) e -= range_;
+    // branchless: both wrap conditions are ~coin flips on real content
+    e += range_ & -(int)(e < 0);
+    e -= range_ & -(int)(e >= (range_ + 1) / 2);
     return e;
   }
   int compute_error(int e) const { return modulo_range(quantize(e)); }
@@ -2543,10 +2544,20 @@ struct Traits {
   }
 };
 
-inline int map_error(int e) { return e < 0 ? -2 * e - 1 : 2 * e; }
-inline int unmap_error(int v) { return (v & 1) ? -((v + 1) >> 1) : v >> 1; }
+// zigzag forms — the sign branches are ~50% mispredicts per sample
+inline int map_error(int e) { return (e << 1) ^ (e >> 31); }
+inline int unmap_error(int v) { return (v >> 1) ^ -(v & 1); }
 inline int apply_sign(int i, int s) { return (s ^ i) - s; }
 inline int sgn(int n) { return n < 0 ? -1 : 1; }
+// MED == clamp(ra+rb-rc, min(ra,rb), max(ra,rb)) — branch-free
+// equivalent of the three-way comparison in T.87 A.4.2
+inline int med_predict(int ra, int rb, int rc) {
+  int mn = ra < rb ? ra : rb;
+  int mx = ra ^ rb ^ mn;
+  int p = ra + rb - rc;
+  p = p < mn ? mn : p;
+  return p > mx ? mx : p;
+}
 
 struct Ctx {
   int a, b, c, n;
@@ -2573,15 +2584,17 @@ struct Ctx {
     else if (b <= -lim) b = -lim + 1;
     if (n == reset) { a >>= 1; b >>= 1; n >>= 1; }
     n++;
-    if (b + n <= 0) {
-      b += n;
-      if (b <= -n) b = -n + 1;
-      if (c > -128) c--;
-    } else if (b > 0) {
-      b -= n;
-      if (b > 0) b = 0;
-      if (c < 127) c++;
-    }
+    // branchless bias adjustment (T.87 A.6.2): the b-direction branches
+    // flip often enough on real content to mispredict
+    int lo = b + n <= 0;
+    int hi = (b > 0) & ~lo;
+    int b1 = b + n;
+    b1 = b1 <= -n ? -n + 1 : b1;
+    int b2 = b - n;
+    b2 = b2 > 0 ? 0 : b2;
+    b = lo ? b1 : (hi ? b2 : b);
+    c -= lo & (c > -128);
+    c += hi & (c < 127);
   }
 };
 
@@ -2621,13 +2634,14 @@ struct RunCtx {
 };
 
 struct GWriter {
-  std::vector<uint8_t> buf;
+  uint8_t* buf = nullptr;  // caller-provided scratch (worst-case sized)
+  long n = 0;
   uint32_t bitbuf = 0;
   int free_ = 32;
   bool ff = false;
 
-  void write_bits(uint32_t bits, int n) {
-    free_ -= n;
+  void write_bits(uint32_t bits, int nb) {
+    free_ -= nb;
     if (free_ >= 0) bitbuf |= bits << free_;
     else {
       bitbuf |= bits >> -free_;
@@ -2642,7 +2656,7 @@ struct GWriter {
       uint8_t b;
       if (ff) { b = (bitbuf >> 25) & 0x7F; bitbuf <<= 7; free_ += 7; }
       else { b = (bitbuf >> 24) & 0xFF; bitbuf <<= 8; free_ += 8; }
-      buf.push_back(b);
+      buf[n++] = b;
       ff = b == 0xFF;
     }
   }
@@ -2678,6 +2692,7 @@ struct GReader {
   int len, pos = 0;
   uint64_t cache = 0;
   int valid = 0;
+  bool pff = false;  // last consumed byte was 0xFF (stuffed next byte)
 
   void fill() {
     while (valid < 56) {
@@ -2686,10 +2701,10 @@ struct GReader {
         break;
       }
       uint8_t b = data[pos];
-      bool prev_ff = pos > 0 && data[pos - 1] == 0xFF;
       pos++;
-      if (prev_ff) { cache = (cache << 7) | (b & 0x7F); valid += 7; }
+      if (pff) { cache = (cache << 7) | (b & 0x7F); valid += 7; }
       else { cache = (cache << 8) | b; valid += 8; }
+      pff = b == 0xFF;
     }
   }
   int read_bit() {
@@ -2764,12 +2779,8 @@ struct Scan {
     int sign = qs < 0 ? -1 : 0;
     Ctx& c = ctx[apply_sign(qs, sign)];
     int k = c.golomb_k();
-    int pred = t.correct_prediction(
-        [&] {
-          if (rc >= (ra > rb ? ra : rb)) return ra < rb ? ra : rb;
-          if (rc <= (ra < rb ? ra : rb)) return ra > rb ? ra : rb;
-          return ra + rb - rc;
-        }() + apply_sign(c.c, sign));
+    int pred = t.correct_prediction(med_predict(ra, rb, rc) +
+                                    apply_sign(c.c, sign));
     int err = t.compute_error(apply_sign(x - pred, sign));
     int mapped = map_error(c.error_correction(k, t.near_) ^ err);
     gw.encode_mapped(k, mapped, t.limit, t.qbpp);
@@ -2781,12 +2792,8 @@ struct Scan {
     int sign = qs < 0 ? -1 : 0;
     Ctx& c = ctx[apply_sign(qs, sign)];
     int k = c.golomb_k();
-    int pred = t.correct_prediction(
-        [&] {
-          if (rc >= (ra > rb ? ra : rb)) return ra < rb ? ra : rb;
-          if (rc <= (ra < rb ? ra : rb)) return ra > rb ? ra : rb;
-          return ra + rb - rc;
-        }() + apply_sign(c.c, sign));
+    int pred = t.correct_prediction(med_predict(ra, rb, rc) +
+                                    apply_sign(c.c, sign));
     int mapped = gr.decode_value(k, t.limit, t.qbpp);
     int err = c.error_correction(k, t.near_) ^ unmap_error(mapped);
     c.update(err, t.near_, t.reset);
@@ -3033,14 +3040,19 @@ int jls_encode_scan(int64_t* img, int w, int h, int comps, int maxval,
   s.t.build_qlut();
   s.init();
   jls::GWriter gw;
+  // worst case: limit <= 64 bits/sample plus 8/7 stuffing expansion
+  static thread_local std::vector<uint8_t> scratch;
+  size_t need = (size_t)w * h * comps * 10 + 1024;
+  if (scratch.size() < need) scratch.resize(need);
+  gw.buf = scratch.data();
   if (comps == 1)
     jls::code_component<true>(s, &gw, nullptr, img, w, h);
   else
     jls::code_interleaved<true>(s, &gw, nullptr, img, w, h, comps);
   gw.finish();
-  if ((int)gw.buf.size() > cap) return -1;
-  memcpy(out, gw.buf.data(), gw.buf.size());
-  return (int)gw.buf.size();
+  if ((int)gw.n > cap) return -1;
+  memcpy(out, gw.buf, gw.n);
+  return (int)gw.n;
 }
 
 // Decode a JPEG-LS scan. ilv: 0 = component-planar scans in sequence,
