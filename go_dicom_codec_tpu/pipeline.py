@@ -171,6 +171,23 @@ def prefer_batched_device() -> bool:
         return False
 
 
+def _host_dwt(native_fn, jnp_fn, arr, levels, x0=0, y0=0,
+              as_int32=True):
+    """Host-lane multilevel DWT: the native mirror when built, else the
+    jnp reference op (bit-exact for 5/3 — native mirrors it). Keeps the
+    forced device=\"host\" pipelines working under GDCT_DISABLE_NATIVE=1
+    (the native helpers return None there)."""
+    import numpy as np
+
+    r = native_fn(arr, levels, x0, y0)
+    if r is not None:
+        return r
+    out = np.asarray(jnp_fn(jnp.asarray(arr)[None], levels, x0=x0,
+                            y0=y0))[0]
+    return out.astype(np.int32) if as_int32 and out.dtype != np.float32 \
+        else out
+
+
 def encode_frames_pipelined(frames, bit_depth: int = 16,
                             signed: bool = False, levels: int = 5,
                             chunk: int = 8, params=None,
@@ -232,10 +249,13 @@ def encode_frames_pipelined(frames, bit_depth: int = 16,
                 x = np.stack([np.asarray(y), np.asarray(u),
                               np.asarray(v)], axis=1)
                 return np.stack([
-                    np.stack([dwt53_fwd_native(x[k, c], p.num_levels)
+                    np.stack([_host_dwt(dwt53_fwd_native,
+                                        fwd53_multilevel, x[k, c],
+                                        p.num_levels)
                               for c in range(3)])
                     for k in range(x.shape[0])])
-            return np.stack([dwt53_fwd_native(x[k], p.num_levels)
+            return np.stack([_host_dwt(dwt53_fwd_native, fwd53_multilevel,
+                                       x[k], p.num_levels)
                              for k in range(x.shape[0])])
 
     # RCT widens U/V by one bit beyond the subband gain, hence the
@@ -511,6 +531,8 @@ def decode_frames_pipelined(streams, chunk: int = 8,
          _qcd) = global_meta[0]
         if use_host:
             from .native import dwt53_inv_native, dwt97_inv_native
+            from .ops.dwt53 import inv53_multilevel
+            from .ops.dwt97 import inv97_multilevel
             from .ops.mct import ict_inverse_np
             from .ops.mct import rct_inverse as _rcti
 
@@ -518,7 +540,8 @@ def decode_frames_pipelined(streams, chunk: int = 8,
             for k in range(batch.shape[0]):
                 if transform == 1:
                     rec = np.stack([
-                        dwt53_inv_native(batch[k, c], levels, x0, y0)
+                        _host_dwt(dwt53_inv_native, inv53_multilevel,
+                                  batch[k, c], levels, x0, y0)
                         for c in range(batch.shape[1])])
                     if mct and rec.shape[0] >= 3:
                         r_, g_, b_ = _rcti(rec[0], rec[1], rec[2])
@@ -528,7 +551,9 @@ def decode_frames_pipelined(streams, chunk: int = 8,
                                           for i in range(3, rec.shape[0])])
                 else:
                     rec = np.stack([
-                        dwt97_inv_native(batch[k, c], levels, x0, y0)
+                        _host_dwt(dwt97_inv_native, inv97_multilevel,
+                                  batch[k, c].astype(np.float32), levels,
+                                  x0, y0, as_int32=False)
                         for c in range(batch.shape[1])])
                     if mct and rec.shape[0] >= 3:
                         r_, g_, b_ = ict_inverse_np(rec[0], rec[1], rec[2])
