@@ -251,6 +251,12 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    else:
+        # a wedged axon tunnel blocks forever at first device use —
+        # probe it in a subprocess and fall back to CPU loudly
+        from ..utils.backend_guard import ensure_live_backend
+
+        ensure_live_backend()
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--frames", type=int, default=4)

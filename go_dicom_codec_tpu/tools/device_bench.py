@@ -55,6 +55,14 @@ def _measure(jfn, x, px_per_iter, iters, repeats=3):
 
 
 def main(argv=None) -> int:
+    import os
+
+    if not os.environ.get("JAX_PLATFORMS"):
+        # a wedged axon tunnel blocks forever at first device use —
+        # probe it in a subprocess and fall back to CPU loudly
+        from ..utils.backend_guard import ensure_live_backend
+
+        ensure_live_backend()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--size", type=str, default="512x512")
