@@ -3675,7 +3675,10 @@ struct MagSgnReader {
   int nbits = 0;
   bool prev_ff = false;
   MagSgnReader(const uint8_t* d, long n) : data(d), len(n) {}
-  inline uint32_t fetch(int n) {
+  // n <= 56 (refill appends 7-8 bits while nbits < n, so nbits stays
+  // < 64); LSB-first — splitting low bits off one wide fetch consumes
+  // identically to several narrow ones
+  inline uint64_t fetch_wide(int n) {
     while (nbits < n) {
       int b = pos < len ? data[pos++] : 0xFF;
       int valid = prev_ff ? 7 : 8;
@@ -3683,11 +3686,12 @@ struct MagSgnReader {
       nbits += valid;
       prev_ff = b == 0xFF;
     }
-    uint32_t v = n ? (uint32_t)(bitpool & ((1ull << n) - 1)) : 0;
+    uint64_t v = n ? (bitpool & ((1ull << n) - 1)) : 0;
     bitpool >>= n;
     nbits -= n;
     return v;
   }
+  inline uint32_t fetch(int n) { return (uint32_t)fetch_wide(n); }
 };
 
 }  // namespace htj2k
@@ -3935,9 +3939,13 @@ static int ht_cleanup_decode_impl(const uint8_t* cbk, long n, int w, int h,
         if (run < 0) run = mel.get_run();
       }
       auto prefix = [&]() -> int {
-        if (vlc.read_bits(1)) return 1;
-        if (vlc.read_bits(1)) return 2;
-        return vlc.read_bits(1) ? 3 : 5;
+        // one 3-bit peek replaces up to three refill-checked single-bit
+        // reads; consumption is identical (stop at the first 1)
+        int w3 = vlc.peek(3);
+        if (w3 & 1) { vlc.advance(1); return 1; }
+        if (w3 & 2) { vlc.advance(2); return 2; }
+        vlc.advance(3);
+        return (w3 & 4) ? 3 : 5;
       };
       auto suffix = [&](int cls) -> int {
         if (cls == 1) return 1;
@@ -4009,10 +4017,35 @@ static int ht_cleanup_decode_impl(const uint8_t* cbk, long n, int w, int h,
       if (uq > mmsbp2) return -3;
       uint32_t vals[4] = {0, 0, 0, 0};
       uint32_t vns[4] = {0, 0, 0, 0};
+      // one batched fetch for the quad's MagSgn bits (LSB-first stream:
+      // splitting the low bits off a single fetch consumes identically
+      // to four per-sample fetches). The reader's refill supports up to
+      // 56 bits per call; deeper quads fall back to per-sample fetches.
+      int mns[4];
+      int total = 0;
       for (int bit = 0; bit < 4; bit++) {
-        if (!(inf & (1 << (4 + bit)))) continue;
-        int mn = uq - ((inf >> (12 + bit)) & 1);
-        uint32_t msval = ms.fetch(mn);
+        mns[bit] = (inf & (1 << (4 + bit)))
+                       ? uq - ((inf >> (12 + bit)) & 1)
+                       : -1;
+        if (mns[bit] > 0) total += mns[bit];
+      }
+      uint64_t pool = 0;
+      int have = 0;
+      if (total <= 56) { pool = ms.fetch_wide(total); have = total; }
+      for (int bit = 0; bit < 4; bit++) {
+        if (mns[bit] < 0) continue;
+        int mn = mns[bit];
+        uint32_t msval;
+        if (have >= mn) {
+          msval = mn ? (uint32_t)(pool & ((mn >= 32)
+                                              ? 0xFFFFFFFFu
+                                              : ((1u << mn) - 1)))
+                     : 0;
+          pool >>= mn;
+          have -= mn;
+        } else {
+          msval = ms.fetch(mn);
+        }
         uint32_t val = (msval & 1) << 31;
         uint32_t vn = mn ? (msval & ((1u << mn) - 1)) : 0;
         vn |= ((uint32_t)(inf >> (8 + bit)) & 1) << mn;
