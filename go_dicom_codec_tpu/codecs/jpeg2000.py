@@ -1096,6 +1096,41 @@ def _apply_mct_bindings_inverse(rec, bindings):
     return recf
 
 
+def _gs_roi_regions(cs):
+    """Private JP2ROI COM geometry for the General-Scaling unshift
+    (reference extractROIFromCOM decoder.go:167-204); None when the
+    stream has no Srgn=1 component or carries no JP2ROI COM (the
+    decoder then unshifts by magnitude, like the scalar else-branch)."""
+    if not any(st == 1 for st in cs.rgn_styles.values()):
+        return None
+    from .j2k_roi import parse_roi_com
+    for com in cs.comments:
+        rr = parse_roi_com(com)
+        if rr:
+            return rr
+    return None
+
+
+def _gs_masks_for_tile(cs, gs_regions, rect):
+    """Tile-local General-Scaling bool masks per styled component
+    (reference tile_decoder.go:723-742 geometry rule). One shared
+    helper for the scalar, packed-tile, and component-tile decode
+    paths — the mask semantics must stay identical across them."""
+    gs_masks = {}
+    if gs_regions is None:
+        return gs_masks
+    from .j2k_roi import combined_mask
+    siz = cs.siz
+    fw, fh = siz.xsiz - siz.xosiz, siz.ysiz - siz.yosiz
+    tx0, ty0, tx1, ty1 = rect
+    for c, st in cs.rgn_styles.items():
+        if st == 1 and cs.rgn_shifts.get(c, 0) > 0:
+            fm = combined_mask(gs_regions, fw, fh, component=c)
+            gs_masks[c] = fm[ty0 - siz.yosiz:ty1 - siz.yosiz,
+                             tx0 - siz.xosiz:tx1 - siz.xosiz]
+    return gs_masks
+
+
 class J2KDecoder:
     """Codestream decoder (reference decoder.go:91-124, tile_decoder.go).
 
@@ -1129,16 +1164,7 @@ class J2KDecoder:
 
         mct_bindings_inv = _extract_mct_inverse(cs, ncomp)
 
-        # private JP2ROI COM: region geometry for General-Scaling unshift
-        # (reference extractROIFromCOM decoder.go:167-204)
-        roi_regions = None
-        if any(st == 1 for st in cs.rgn_styles.values()):
-            from .j2k_roi import parse_roi_com
-            for com in cs.comments:
-                rr = parse_roi_com(com)
-                if rr:
-                    roi_regions = rr
-                    break
+        roi_regions = _gs_roi_regions(cs)
 
         ntx, nty = siz.num_tiles
         for tidx, tile in sorted(cs.tiles.items()):
@@ -1146,17 +1172,7 @@ class J2KDecoder:
             rect = siz.tile_rect(ti, tj)
             cods = [cs.cod_for(c, tile) for c in range(ncomp)]
             qcds = [cs.qcd_for(c, tile) for c in range(ncomp)]
-            # tile-local General-Scaling masks per styled component
-            gs_masks = {}
-            if roi_regions is not None:
-                from .j2k_roi import combined_mask
-                tx0, ty0, tx1, ty1 = rect
-                for c, st in cs.rgn_styles.items():
-                    if st == 1 and cs.rgn_shifts.get(c, 0) > 0:
-                        fm = combined_mask(roi_regions, width, height,
-                                           component=c)
-                        gs_masks[c] = fm[ty0 - siz.yosiz:ty1 - siz.yosiz,
-                                         tx0 - siz.xosiz:tx1 - siz.xosiz]
+            gs_masks = _gs_masks_for_tile(cs, roi_regions, rect)
             # per-component grids under XRsiz/YRsiz subsampling
             # (reference tile_decoder.go:330-392 ceilDiv component bounds)
             tx0, ty0, tx1, ty1 = rect
@@ -1636,18 +1652,8 @@ def decode_to_packed_tiles(data: bytes):
     ncomp = len(siz.components)
     # General-Scaling ROI: the COM-carried geometry unshift runs on the
     # packed coefficients BEFORE the device stage (same site the scalar
-    # decoder uses, _decode_tile), so GS streams batch like any other —
-    # build the full-frame regions once here
-    gs_regions = None
-    if any(st == 1 for st in cs.rgn_styles.values()):
-        from .j2k_roi import parse_roi_com
-        for com in cs.comments:
-            rr = parse_roi_com(com)
-            if rr:
-                gs_regions = rr
-                break
-        # no JP2ROI COM: fall through with no masks — the scalar
-        # decoder then unshifts by magnitude too (same else-branch)
+    # decoder uses, _decode_tile), so GS streams batch like any other
+    gs_regions = _gs_roi_regions(cs)
     for c in range(ncomp):
         _, _, xr, yr = siz.components[c]
         if max(xr, 1) != 1 or max(yr, 1) != 1:
@@ -1657,7 +1663,12 @@ def decode_to_packed_tiles(data: bytes):
     ntx, _ = siz.num_tiles
     dec = J2KDecoder()
     out = []
+    # validate EVERY tile's header-level constraints before any entropy
+    # work — these checks only need cod_for/qcd_for, and raising late
+    # would waste a full T1 decode of the earlier tiles on every stream
+    # the heterogeneous fallback then re-decodes
     cod0 = qcd0 = None
+    plan = []
     for tidx, tile in sorted(cs.tiles.items()):
         rect = siz.tile_rect(tidx % ntx, tidx // ntx)
         cods = [cs.cod_for(c, tile) for c in range(ncomp)]
@@ -1682,16 +1693,10 @@ def decode_to_packed_tiles(data: bytes):
         elif cods[0].transform != 1 and qcds[0] != qcd0:
             raise UnsupportedFormatError("packed decode: per-tile QCD "
                                          "overrides use the scalar path")
+        plan.append((tile, rect, cods, qcds))
+    for tile, rect, cods, qcds in plan:
         tx0, ty0, tx1, ty1 = rect
-        gs_masks = {}
-        if gs_regions is not None:
-            from .j2k_roi import combined_mask
-            fw, fh = siz.xsiz - siz.xosiz, siz.ysiz - siz.yosiz
-            for c, st in cs.rgn_styles.items():
-                if st == 1 and cs.rgn_shifts.get(c, 0) > 0:
-                    fm = combined_mask(gs_regions, fw, fh, component=c)
-                    gs_masks[c] = fm[ty0 - siz.yosiz:ty1 - siz.yosiz,
-                                     tx0 - siz.xosiz:tx1 - siz.xosiz]
+        gs_masks = _gs_masks_for_tile(cs, gs_regions, rect)
         packed = dec._decode_tile(
             tile.data, rect, cods, qcds, ncomp, depth0, signed0,
             cs.rgn_shifts, None, poc=cs.poc_for(tile),
@@ -1729,14 +1734,7 @@ def decode_to_component_tiles(data: bytes):
         raise UnsupportedFormatError(
             "component-tiles decode: custom MCT streams use the "
             "packed/scalar paths")
-    gs_regions = None
-    if any(st == 1 for st in cs.rgn_styles.values()):
-        from .j2k_roi import parse_roi_com
-        for com in cs.comments:
-            rr = parse_roi_com(com)
-            if rr:
-                gs_regions = rr
-                break
+    gs_regions = _gs_roi_regions(cs)
     depth0, signed0, _, _ = siz.components[0]
     ntx, _ = siz.num_tiles
     dec = J2KDecoder()
@@ -1752,15 +1750,7 @@ def decode_to_component_tiles(data: bytes):
             xr, yr = max(xr, 1), max(yr, 1)
             comp_rects.append((-(-tx0 // xr), -(-ty0 // yr),
                                -(-tx1 // xr), -(-ty1 // yr)))
-        gs_masks = {}
-        if gs_regions is not None:
-            from .j2k_roi import combined_mask
-            fw, fh = siz.xsiz - siz.xosiz, siz.ysiz - siz.yosiz
-            for c, st in cs.rgn_styles.items():
-                if st == 1 and cs.rgn_shifts.get(c, 0) > 0:
-                    fm = combined_mask(gs_regions, fw, fh, component=c)
-                    gs_masks[c] = fm[ty0 - siz.yosiz:ty1 - siz.yosiz,
-                                     tx0 - siz.xosiz:tx1 - siz.xosiz]
+        gs_masks = _gs_masks_for_tile(cs, gs_regions, rect)
         packed_list = dec._decode_tile(
             tile.data, rect, cods, qcds, ncomp, depth0, signed0,
             cs.rgn_shifts, None, poc=cs.poc_for(tile),

@@ -848,6 +848,10 @@ class T2AssembleContext:
                         blk_count.append(len(ps.blocks))
                         blocks.extend(ps.blocks)
         self.band_idx = band_idx
+        # pin the PrecinctState objects for the context's lifetime: the
+        # id()-keyed lookup in assemble() relies on these ids staying
+        # unique, and CPython recycles ids of collected objects
+        self.bands = bands
         self.blocks = blocks
         nblocks = len(blocks)
         self.nblocks = nblocks

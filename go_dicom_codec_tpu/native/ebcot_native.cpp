@@ -2422,6 +2422,10 @@ long t2_parse_packets(
     }
     if (br.bad) return -3;
     br.align();
+    // align() itself can read past the end (stuffed byte after a
+    // trailing 0xFF) — the Python reader raises there, so a strict
+    // native parse must fail identically, not accept the stream
+    if (br.bad) return -3;
     pos += br.pos;
     if (use_eph && pos + 2 <= body_len && body[pos] == 0xFF &&
         body[pos + 1] == 0x92)

@@ -302,8 +302,13 @@ def _decode_frames_sharded_hetero(streams, mesh: Optional[Mesh]):
     branch, where MCT is undefined across mixed grids/transforms and
     components reconstruct independently (jpeg2000._decode_tile) —
     then subsampled components upsample to the tile grid by sample
-    replication on the host. Reversible components are bit-identical
-    to J2KDecoder.decode; irreversible ones clip to the declared range
+    replication on the host. Tiles that ARE homogeneous in the scalar
+    sense (uniform component grids, one transform/levels across
+    components — e.g. per-tile-COD streams that differ only in
+    progression) take a whole-tile MCT launch instead, applying the
+    inverse RCT/ICT exactly like jpeg2000._decode_tile's homogeneous
+    branch. Reversible components are bit-identical to
+    J2KDecoder.decode; irreversible ones clip to the declared range
     (same policy as the uniform sharded path). T.800 B.3 empty
     tile-components contribute a DC-unshifted zero plane, like the
     scalar decoder."""
@@ -312,7 +317,7 @@ def _decode_frames_sharded_hetero(streams, mesh: Optional[Mesh]):
     from ..errors import UnsupportedFormatError
     from ..ops.dwt53 import inv53_multilevel
     from ..ops.dwt97 import inv97_multilevel
-    from ..ops.mct import inv_dc_level_shift
+    from ..ops.mct import ict_inverse, inv_dc_level_shift, rct_inverse
 
     packs, meta, first = [], None, None
     for s in streams:
@@ -353,11 +358,61 @@ def _decode_frames_sharded_hetero(streams, mesh: Optional[Mesh]):
             px = jnp.clip(px, lo, hi)
         return px
 
+    def stage_mct(x, levels, transform, cx0, cy0):
+        # whole-tile launch with inverse RCT/ICT — the batched mirror of
+        # the scalar decoder's homogeneous branch (jpeg2000._decode_tile
+        # applies MCT whenever the tile's component grids and
+        # transform/levels agree, even when the stream as a whole is
+        # heterogeneous, e.g. a per-tile COD override)
+        if transform == 1:
+            rec = inv53_multilevel(x.astype(jnp.int32), levels,
+                                   x0=cx0, y0=cy0)
+            r_, g_, b_ = rct_inverse(rec[:, 0], rec[:, 1], rec[:, 2])
+            rec = jnp.concatenate(
+                [jnp.stack([r_, g_, b_], axis=1), rec[:, 3:]], axis=1)
+        else:
+            rec = inv97_multilevel(x, levels, x0=cx0, y0=cy0)
+            r_, g_, b_ = ict_inverse(rec[:, 0], rec[:, 1], rec[:, 2])
+            rec = jnp.concatenate(
+                [jnp.stack([r_, g_, b_], axis=1), rec[:, 3:]], axis=1)
+            rec = jnp.round(rec).astype(jnp.int32)
+        px = inv_dc_level_shift(rec, bits, signed)
+        if transform != 1:
+            lo, hi = ((-(1 << (bits - 1)), (1 << (bits - 1)) - 1)
+                      if signed else (0, (1 << bits) - 1))
+            px = jnp.clip(px, lo, hi)
+        return px
+
     jstage = jax.jit(stage, static_argnums=(1, 2, 3, 4),
                      out_shardings=sharding)
+    jstage_mct = jax.jit(stage_mct, static_argnums=(1, 2, 3, 4),
+                         out_shardings=sharding)
     for t, (rect, comp_rects, _pk, cods, qcds) in enumerate(first):
         tx0, ty0, tx1, ty1 = rect
         th, tw = ty1 - ty0, tx1 - tx0
+        cod_t = cods[0]
+        homog = (all(tuple(cr) == tuple(rect) for cr in comp_rects)
+                 and all(cc.transform == cod_t.transform
+                         and cc.num_levels == cod_t.num_levels
+                         for cc in cods))
+        if homog and cod_t.mct == 1 and ncomp >= 3:
+            planes = []
+            for c in range(ncomp):
+                pb = np.stack([packs[f][t][2][c] for f in range(nframes)])
+                if cod_t.transform != 1:
+                    pb = dequantize_packed(
+                        pb, rect, cod_t.num_levels,
+                        J2KEncoder._band_deltas(qcds[c], cod_t.num_levels,
+                                                bits))
+                planes.append(pb)
+            batch = np.stack(planes, axis=1)    # [F, C, th, tw]
+            padded, orig = pad_batch_to_devices(batch, nshard)
+            x = jax.device_put(jnp.asarray(padded), sharding)
+            rec = np.asarray(jstage_mct(x, cod_t.num_levels,
+                                        cod_t.transform, tx0, ty0))[:orig]
+            out[:, ty0 - yos:ty1 - yos, tx0 - xos:tx1 - xos, :] = \
+                np.moveaxis(rec, 1, -1)
+            continue
         for c in range(ncomp):
             cx0, cy0, cx1, cy1 = comp_rects[c]
             cth, ctw = cy1 - cy0, cx1 - cx0

@@ -649,6 +649,59 @@ def test_t2_parse_corrupt_stream_parity(rng, monkeypatch):
                 f"{params.num_layers} layers trial {trial}"
 
 
+def test_t2_parse_truncation_sweep_parity(monkeypatch):
+    """Every truncation of a tile body must end in the same outcome on
+    the native and Python lanes. Truncations ending in 0xFF are swept
+    EXHAUSTIVELY: a packet header that completes exactly at end-of-data
+    with a trailing 0xFF makes the Python bit reader raise inside
+    align_to_byte (the stuffed byte is missing), and the native parse
+    used to drop that error and accept the stream (regression: br.bad
+    unchecked after br.align())."""
+    import struct
+
+    from go_dicom_codec_tpu import native as nat
+    from go_dicom_codec_tpu.codecs.jpeg2000 import (J2KDecoder,
+                                                    J2KEncodeParams,
+                                                    J2KEncoder)
+    from go_dicom_codec_tpu.codestream import j2k
+
+    if get_lib() is None:
+        pytest.skip("native unavailable")
+
+    def rebuild(s, body):
+        # well-formed wrapper around a truncated body: correct Psot, so
+        # the failure (if any) happens inside the packet parse
+        sot0 = s.index(struct.pack(">HHH", j2k.SOT, 10, 0))
+        t = struct.pack(">HHHIBB", j2k.SOT, 10, 0, 12 + 2 + len(body),
+                        0, 1)
+        return (s[:sot0] + t + struct.pack(">H", j2k.SOD) + body
+                + j2k.EOC.to_bytes(2, "big"))
+
+    def outcome(s):
+        try:
+            out = J2KDecoder().decode(s)
+            return ("ok", out[0].tobytes())
+        except Exception as e:  # noqa: BLE001
+            return ("err", type(e).__name__)
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 4096, size=(32, 32), dtype=np.uint16).tobytes()
+    for params in [J2KEncodeParams(cb_style=0x01, num_levels=2),
+                   J2KEncodeParams(num_layers=2, num_levels=2)]:
+        s = J2KEncoder(params).encode(img, 32, 32, 1, 12)
+        body = j2k.parse_codestream(s).tiles[0].data
+        for ln in range(1, len(body)):
+            if body[ln - 1] != 0xFF and ln % 7:
+                continue    # all 0xFF-trailing cuts + every 7th other
+            t = rebuild(s, body[:ln])
+            o_nat = outcome(t)
+            monkeypatch.setattr(nat, "t2_parse_packets_native",
+                                lambda *a, **k: None)
+            o_py = outcome(t)
+            monkeypatch.undo()
+            assert o_nat == o_py, f"{params.num_layers} layers cut {ln}"
+
+
 def _check_truncated(rng, monkeypatch):
     from go_dicom_codec_tpu import native as nat
     from go_dicom_codec_tpu.codecs.jpeg2000 import (J2KDecoder,

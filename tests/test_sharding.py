@@ -539,6 +539,86 @@ def test_decode_frames_sharded_per_tile_cod_override(rng):
         np.testing.assert_array_equal(d[..., 0], f)
 
 
+def test_decode_frames_sharded_per_tile_cod_rgb_mct(rng):
+    """Per-tile-COD RGB RCT streams route through the heterogeneous
+    sharded path, but each tile is homogeneous in the scalar sense
+    (uniform grids, one transform/levels) — so the scalar decoder
+    applies inverse RCT and the sharded mirror must too (whole-tile MCT
+    launch), bit-identical. Regression: the hetero path used to
+    reconstruct Y/Cb/Cr independently and emit them as R/G/B."""
+    import dataclasses
+    import struct
+
+    from go_dicom_codec_tpu.codecs.jpeg2000 import (J2KDecoder,
+                                                    J2KEncodeParams,
+                                                    J2KEncoder)
+    from go_dicom_codec_tpu.codestream import j2k
+    from go_dicom_codec_tpu.parallel.mesh import (decode_frames_sharded,
+                                                  make_mesh)
+
+    frames = (np.cumsum(rng.integers(-5, 6, (3, 64, 48, 3)), axis=2)
+              % 256).astype(np.uint8)
+    enc = J2KEncoder(J2KEncodeParams(num_levels=2, tile_width=24,
+                                     tile_height=64))
+    streams = []
+    for f in frames:
+        s = enc.encode(f.tobytes(), 48, 64, 3, 8)
+        cs = j2k.parse_codestream(s)
+        assert cs.cod.mct == 1
+        cod1 = dataclasses.replace(cs.cod, progression=1)  # RLCP
+        sot1 = s.index(struct.pack(">HHH", j2k.SOT, 10, 1))
+        body1 = cs.tiles[1].data
+        cod_seg = j2k.write_cod(cod1)
+        psot = 12 + len(cod_seg) + 2 + len(body1)
+        tile1 = struct.pack(">HHHIBB", j2k.SOT, 10, 1, psot, 0, 1)
+        tile1 += cod_seg + struct.pack(">H", j2k.SOD) + body1
+        streams.append(s[:sot1] + tile1 + j2k.EOC.to_bytes(2, "big"))
+    dec = decode_frames_sharded(streams, mesh=make_mesh())
+    for d, s, f in zip(dec, streams, frames):
+        scalar, _, _ = J2KDecoder().decode(s)
+        np.testing.assert_array_equal(d, scalar)
+        np.testing.assert_array_equal(d.astype(np.uint8), f)
+
+
+def test_decode_frames_sharded_qcc_override_rgb_ict(rng):
+    """A lossy RGB stream with a chroma QCC override is rejected by the
+    packed path (per-component dequant) and shards through the hetero
+    path — whose whole-tile MCT launch must apply inverse ICT like the
+    scalar decoder (±1: one-ulp float program differences)."""
+    import dataclasses
+    import struct
+
+    from go_dicom_codec_tpu.codecs.jpeg2000 import (J2KDecoder,
+                                                    J2KEncodeParams,
+                                                    J2KEncoder)
+    from go_dicom_codec_tpu.codestream import j2k
+    from go_dicom_codec_tpu.parallel.mesh import (decode_frames_sharded,
+                                                  make_mesh)
+
+    frames = (np.cumsum(rng.integers(-5, 6, (3, 64, 64, 3)), axis=2)
+              % 256).astype(np.uint8)
+    enc = J2KEncoder(J2KEncodeParams(num_levels=3, lossless=False,
+                                     quality=90))
+    streams = []
+    for f in frames:
+        s = enc.encode(f.tobytes(), 64, 64, 3, 8)
+        cs = j2k.parse_codestream(s)
+        assert cs.cod.mct == 1 and cs.cod.transform == 0
+        # inject a comp-2 QCC whose steps differ from the QCD (both
+        # lanes see the same stream, so parity must still hold)
+        qcd2 = dataclasses.replace(
+            cs.qcd, steps=[(e, max(m - 64, 0))
+                           for (e, m) in cs.qcd.steps])
+        qcc = j2k.write_qcc(2, qcd2, 3)
+        sot0 = s.index(struct.pack(">HHH", j2k.SOT, 10, 0))
+        streams.append(s[:sot0] + qcc + s[sot0:])
+    dec = decode_frames_sharded(streams, mesh=make_mesh())
+    for d, s in zip(dec, streams):
+        scalar, _, _ = J2KDecoder().decode(s)
+        diff = np.abs(d.astype(np.int64) - scalar.astype(np.int64))
+        assert diff.max() <= 1
+
+
 def test_decode_frames_sharded_mixed_batch_raises(rng):
     """A batch mixing a uniform stream with a heterogeneous one is not
     equal-geometry: the fallback dispatch must raise, not silently
