@@ -702,6 +702,68 @@ def test_t2_parse_truncation_sweep_parity(monkeypatch):
             assert o_nat == o_py, f"{params.num_layers} layers cut {ln}"
 
 
+@pytest.mark.parametrize("kind", ["jpegls", "jpegls_near", "baseline",
+                                  "p14", "sv1", "htj2k"])
+def test_truncation_sweep_lane_parity(kind, tmp_path):
+    """Truncation-sweep lane parity for every native scan/block decoder
+    (the T2 version of this sweep caught the br.align() regression):
+    decoding any sampled prefix of a codestream must end in the same
+    (pixels | error class) with the native mirrors and with
+    GDCT_DISABLE_NATIVE=1. Native errors auto-fall back to Python, so
+    the only way to diverge is a native decoder ACCEPTING a stream the
+    Python reference rejects, or producing different pixels."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from _trunc_sweep import sweep
+
+    if get_lib() is None:
+        pytest.skip("native unavailable")
+
+    rng = np.random.default_rng(3)
+    img8 = (np.cumsum(rng.integers(-5, 6, (32, 32)), axis=1)
+            % 256).astype(np.uint8)
+    img12 = rng.integers(0, 4096, (32, 32), dtype=np.uint16)
+    if kind in ("jpegls", "jpegls_near"):
+        from go_dicom_codec_tpu.codecs import jpegls
+        stream = jpegls.encode(img12.tobytes(), 32, 32, 1, 12,
+                               near=0 if kind == "jpegls" else 2)
+        kind = "jpegls"
+    elif kind == "baseline":
+        from go_dicom_codec_tpu.codecs import jpeg_baseline
+        stream = jpeg_baseline.encode(img8.tobytes(), 32, 32, 1, 90)
+    elif kind in ("p14", "sv1"):
+        from go_dicom_codec_tpu.codecs import jpeg_lossless
+        stream = jpeg_lossless.encode(img12.tobytes(), 32, 32, 1, 12,
+                                      predictor=1 if kind == "sv1" else 4)
+        kind = "p14"
+    else:
+        from go_dicom_codec_tpu.codecs.jpeg2000 import (J2KEncodeParams,
+                                                        J2KEncoder)
+        stream = J2KEncoder(J2KEncodeParams(htj2k=True, num_levels=2)
+                            ).encode(img12.tobytes(), 32, 32, 1, 12)
+
+    step = 9
+    native_lane = [tuple(r) for r in sweep(kind, stream, step)]
+
+    p = tmp_path / "stream.bin"
+    p.write_bytes(stream)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, GDCT_DISABLE_NATIVE="1", JAX_PLATFORMS="cpu",
+               PYTHONPATH=repo_root)
+    env.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+    r = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__),
+                                      "_trunc_sweep.py"),
+         kind, str(p), str(step)],
+        capture_output=True, text=True, timeout=540, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    python_lane = [tuple(r_) for r_ in json.loads(r.stdout)]
+    assert native_lane == python_lane
+
+
 def _check_truncated(rng, monkeypatch):
     from go_dicom_codec_tpu import native as nat
     from go_dicom_codec_tpu.codecs.jpeg2000 import (J2KDecoder,
