@@ -1140,9 +1140,44 @@ long packbits_encode(const uint8_t* seg, long n, uint8_t* out,
     lit_start = -1;
     return true;
   };
+  // byte lanes where v has a zero byte (classic haszero trick)
+  auto zlanes = [](uint64_t v) -> uint64_t {
+    return (v - 0x0101010101010101ULL) & ~v & 0x8080808080808080ULL;
+  };
   while (i < n) {
+    // wordwise literal skip: advance i to the first position where a
+    // run of >=3 equal bytes begins (the only place the byte-at-a-time
+    // algorithm below leaves literal mode) — same segmentation, ~6
+    // bytes per iteration instead of 1
+    while (i + 8 <= n) {
+      uint64_t x;
+      memcpy(&x, seg + i, 8);
+      // lane k: seg[i+k]==seg[i+k+1] (valid k<7) / ==seg[i+k+2] (k<6)
+      uint64_t run3 = zlanes(x ^ (x >> 8)) & zlanes(x ^ (x >> 16)) &
+                      0x0000808080808080ULL;
+      if (run3) {
+        long adv = __builtin_ctzll(run3) >> 3;
+        if (adv && lit_start < 0) lit_start = i;
+        i += adv;
+        break;
+      }
+      if (lit_start < 0) lit_start = i;
+      i += 6;  // a run of 3 could straddle the last two lanes
+    }
+    if (i >= n) break;
     long j = i + 1;
-    while (j < n && seg[j] == seg[i]) j++;
+    {
+      // wordwise run measurement
+      uint64_t pat = 0x0101010101010101ULL * seg[i];
+      while (j + 8 <= n) {
+        uint64_t x;
+        memcpy(&x, seg + j, 8);
+        if (x != pat) { j += __builtin_ctzll(x ^ pat) >> 3; goto run_done; }
+        j += 8;
+      }
+      while (j < n && seg[j] == seg[i]) j++;
+    }
+  run_done:;
     long run = j - i;
     if (run >= 3) {
       if (!flush_lit(i)) return -1;

@@ -32,16 +32,28 @@ def split_byte_planes_np(frame: bytes, info: FrameInfo) -> np.ndarray:
 
 
 def merge_byte_planes_np(planes: np.ndarray, info: FrameInfo) -> bytes:
-    """Inverse of split_byte_planes_np, honoring planar_configuration."""
+    """Inverse of split_byte_planes_np, honoring planar_configuration.
+
+    Written as per-plane strided column stores instead of one
+    transposed-array copy: numpy's elementwise copy of a [p, spp, ba]
+    transpose with tiny inner dims is ~5x slower than spp*ba
+    vectorized strided assignments (this is most of RLE decode's
+    wall-clock)."""
     ba = info.bytes_allocated
     spp = info.samples_per_pixel
     p = info.pixel_count
-    a = planes.reshape(spp, ba, p)[:, ::-1, :]   # back to LSB-first
+    a = planes.reshape(spp, ba, p)               # [sample][byte MSB-first]
     if info.planar_configuration == 0 or spp == 1:
-        a = a.transpose(2, 0, 1)             # [pixel][sample][byte]
+        out = np.empty((p, spp, ba), dtype=np.uint8)   # interleaved
+        for s in range(spp):
+            for b in range(ba):
+                out[:, s, ba - 1 - b] = a[s, b]        # LSB-first bytes
     else:
-        a = a.transpose(0, 2, 1)             # [sample][pixel][byte]
-    return np.ascontiguousarray(a).tobytes()
+        out = np.empty((spp, p, ba), dtype=np.uint8)   # planar
+        for s in range(spp):
+            for b in range(ba):
+                out[s, :, ba - 1 - b] = a[s, b]
+    return out.tobytes()
 
 
 def split_byte_planes(batch_u8: jnp.ndarray, bytes_allocated: int,
