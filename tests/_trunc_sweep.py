@@ -20,6 +20,9 @@ def decode_outcome(kind, data):
         elif kind == "baseline":
             from go_dicom_codec_tpu.codecs import jpeg_baseline
             payload = jpeg_baseline.decode(data)[0]
+        elif kind == "extended":
+            from go_dicom_codec_tpu.codecs import jpeg_extended
+            payload = jpeg_extended.decode(data)[0]
         elif kind == "p14":
             from go_dicom_codec_tpu.codecs import jpeg_lossless
             payload = jpeg_lossless.decode(data)[0]

@@ -703,6 +703,7 @@ def test_t2_parse_truncation_sweep_parity(monkeypatch):
 
 
 @pytest.mark.parametrize("kind", ["jpegls", "jpegls_near", "baseline",
+                                  "baseline_rgb", "extended12",
                                   "p14", "sv1", "htj2k"])
 def test_truncation_sweep_lane_parity(kind, tmp_path):
     """Truncation-sweep lane parity for every native scan/block decoder
@@ -734,6 +735,16 @@ def test_truncation_sweep_lane_parity(kind, tmp_path):
     elif kind == "baseline":
         from go_dicom_codec_tpu.codecs import jpeg_baseline
         stream = jpeg_baseline.encode(img8.tobytes(), 32, 32, 1, 90)
+    elif kind == "baseline_rgb":
+        from go_dicom_codec_tpu.codecs import jpeg_baseline
+        rgb = np.stack([img8, img8.T, 255 - img8], axis=-1)
+        stream = jpeg_baseline.encode(rgb.tobytes(), 32, 32, 3, 85)
+        kind = "baseline"
+    elif kind == "extended12":
+        from go_dicom_codec_tpu.codecs import jpeg_extended
+        stream = jpeg_extended.encode(img12.tobytes(), 32, 32, 1, 12,
+                                      quality=90)
+        kind = "extended"
     elif kind in ("p14", "sv1"):
         from go_dicom_codec_tpu.codecs import jpeg_lossless
         stream = jpeg_lossless.encode(img12.tobytes(), 32, 32, 1, 12,
