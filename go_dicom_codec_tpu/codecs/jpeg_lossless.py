@@ -37,14 +37,23 @@ def _pixels_to_planes(pixels: bytes, width: int, height: int,
                       components: int, precision: int) -> List[np.ndarray]:
     dt = np.uint8 if precision <= 8 else np.dtype("<u2")
     arr = np.frombuffer(pixels, dtype=dt, count=width * height * components)
-    arr = arr.reshape(height, width, components).astype(np.int64)
+    # int32 is what the fused native path consumes; the Python
+    # encode_diffs/select_best_predictor widen internally
+    arr = arr.reshape(height, width, components).astype(np.int32)
     return [arr[:, :, i] for i in range(components)]
 
 
 def _planes_to_pixels(planes: List[np.ndarray], precision: int) -> bytes:
     dt = np.uint8 if precision <= 8 else np.dtype("<u2")
-    arr = np.stack(planes, axis=-1)
-    return np.ascontiguousarray(arr.astype(dt)).tobytes()
+    if len(planes) == 1:
+        return planes[0].astype(dt, copy=False).tobytes()
+    # interleave via per-plane strided stores (cheaper than stacking in
+    # the wide dtype and converting the whole stack)
+    h, w = planes[0].shape
+    out = np.empty((h, w, len(planes)), dtype=dt)
+    for c, p in enumerate(planes):
+        out[:, :, c] = p
+    return out.tobytes()
 
 
 def encode(pixels: bytes, width: int, height: int, components: int,
@@ -194,7 +203,8 @@ def decode(data: bytes):
                                              tids, dc_tables)
     n = width * height
     if native is not None:
-        diffs = native.astype(np.int64)
+        diffs = native      # int32 — p14_reconstruct takes it as-is, and
+        # the Python reconstruct fallback widens internally
     else:
         br = BitReader(destuffed)
         diffs = np.zeros(n * nc, dtype=np.int64)
