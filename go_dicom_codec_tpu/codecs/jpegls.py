@@ -539,7 +539,9 @@ def encode(pixels: bytes, width: int, height: int, components: int,
 
     dt = np.uint8 if bit_depth <= 8 else np.dtype("<u2")
     arr = np.frombuffer(pixels, dtype=dt, count=width * height * components)
-    img = arr.reshape(height, width, components).astype(np.int64).copy()
+    # astype already yields a fresh mutable buffer (the scan coders
+    # write NEAR reconstructions into it) — no extra copy needed
+    img = arr.reshape(height, width, components).astype(np.int64)
 
     maxval = (1 << bit_depth) - 1
     traits = Traits(maxval=maxval, near=near)
