@@ -146,6 +146,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.packbits_decode.restype = ctypes.c_int
         lib.packbits_decode.argtypes = [
             u8p, ctypes.c_long, u8p, ctypes.c_long]
+        lib.jpg_destuff.restype = ctypes.c_long
+        lib.jpg_destuff.argtypes = [u8p, ctypes.c_long, u8p]
         lib.packbits_encode.restype = ctypes.c_long
         lib.packbits_encode.argtypes = [
             u8p, ctypes.c_long, u8p, ctypes.c_long]
@@ -639,6 +641,19 @@ def jls_encode_scan_native(img: np.ndarray, maxval: int, near: int,
     if n < 0:
         return None
     return out[:n].tobytes()
+
+
+def jpg_destuff_native(data: np.ndarray):
+    """Native mirror of utils/npbits.destuff_ff → uint8 array or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(data, dtype=np.uint8)
+    if src.size == 0:
+        return src
+    out = np.empty(src.size, dtype=np.uint8)
+    n = lib.jpg_destuff(src, src.size, out)
+    return out[:n]
 
 
 def jls_decode_scan_native(data: bytes, w: int, h: int, comps: int,

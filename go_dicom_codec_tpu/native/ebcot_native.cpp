@@ -1092,6 +1092,30 @@ int pack_bits_msb(const int64_t* values, const int64_t* lengths, long n,
   return (int)w.o;
 }
 
+// JPEG entropy de-stuffing (mirror of utils/npbits.destuff_ff): drop
+// the 0x00 after every 0xFF and both bytes of embedded RSTn markers.
+// out must have room for n bytes; returns the destuffed length.
+long jpg_destuff(const uint8_t* src, long n, uint8_t* out) {
+  long o = 0, i = 0;
+  while (i < n) {
+    const uint8_t* p =
+        (const uint8_t*)memchr(src + i, 0xFF, (size_t)(n - i));
+    long j = p ? (long)(p - src) : n;
+    memcpy(out + o, src + i, (size_t)(j - i));
+    o += j - i;
+    i = j;
+    if (i >= n) break;
+    if (i + 1 < n) {
+      uint8_t nx = src[i + 1];
+      if (nx == 0x00) { out[o++] = 0xFF; i += 2; continue; }
+      if (nx >= 0xD0 && nx <= 0xD7) { i += 2; continue; }
+    }
+    out[o++] = 0xFF;
+    i++;
+  }
+  return o;
+}
+
 // PackBits (DICOM RLE Annex G) segment decode. Returns 0, -1 on literal
 // overrun, -2 on missing replicate byte. Mirrors rlepack.packbits_decode.
 int packbits_decode(const uint8_t* src, long src_len, uint8_t* out,

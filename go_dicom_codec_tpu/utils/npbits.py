@@ -76,6 +76,10 @@ def destuff_ff(data: bytes) -> np.ndarray:
     a = np.frombuffer(data, dtype=np.uint8)
     if a.size == 0:
         return a
+    from ..native import jpg_destuff_native
+    nat = jpg_destuff_native(a)
+    if nat is not None:
+        return nat
     ff = a == 0xFF
     nxt = np.zeros_like(ff)
     nxt[1:] = ff[:-1]
