@@ -173,6 +173,10 @@ def packed_band_layout(tx0: int, ty0: int, tx1: int, ty1: int,
     return bands
 
 
+_GEOM_CACHE: dict = {}
+_GEOM_CACHE_MAX = 64
+
+
 def build_tile_geometry(tx0: int, ty0: int, tx1: int, ty1: int,
                         num_levels: int, cb_w: int, cb_h: int,
                         precinct_exps) -> List[ResolutionGeom]:
@@ -180,7 +184,18 @@ def build_tile_geometry(tx0: int, ty0: int, tx1: int, ty1: int,
     bands → code-blocks (reference encoder.go:3059-3286 equivalents).
 
     precinct_exps: callable r → (ppx, ppy).
+
+    Memoized: the result is pure geometry that no consumer mutates
+    (per-call coder state lives in BlockState/PrecinctState built FROM
+    it), and multi-frame encode/decode rebuilds the identical layout
+    for every frame.
     """
+    exps = tuple(precinct_exps(r) for r in range(num_levels + 1))
+    key = (tx0, ty0, tx1, ty1, num_levels, cb_w, cb_h, exps)
+    cached = _GEOM_CACHE.get(key)
+    if cached is not None:
+        return cached
+    precinct_exps = lambda r: exps[r]  # noqa: E731
     all_bands = packed_band_layout(tx0, ty0, tx1, ty1, num_levels)
     resolutions: List[ResolutionGeom] = []
     for r in range(num_levels + 1):
@@ -255,4 +270,7 @@ def build_tile_geometry(tx0: int, ty0: int, tx1: int, ty1: int,
                     prec.bands.append(pb)
                 res.precincts.append(prec)
         resolutions.append(res)
+    if len(_GEOM_CACHE) >= _GEOM_CACHE_MAX:
+        _GEOM_CACHE.clear()
+    _GEOM_CACHE[key] = resolutions
     return resolutions
