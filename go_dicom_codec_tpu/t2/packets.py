@@ -55,12 +55,25 @@ class PrecinctState:
     ncbh: int
     blocks: List[BlockState]
     mb: int = 0            # max bitplanes for the band: guard + exponent - 1
-    incl_tree: TagTree = None
-    zbp_tree: TagTree = None
 
-    def __post_init__(self):
-        self.incl_tree = TagTree(max(self.ncbw, 1), max(self.ncbh, 1))
-        self.zbp_tree = TagTree(max(self.ncbw, 1), max(self.ncbh, 1))
+    # tag trees build lazily: the native whole-tile T2 paths never
+    # touch the Python trees, and eager construction was a measurable
+    # share of per-frame state setup
+    @property
+    def incl_tree(self) -> TagTree:
+        t = self.__dict__.get("_incl")
+        if t is None:
+            t = TagTree(max(self.ncbw, 1), max(self.ncbh, 1))
+            self.__dict__["_incl"] = t
+        return t
+
+    @property
+    def zbp_tree(self) -> TagTree:
+        t = self.__dict__.get("_zbp")
+        if t is None:
+            t = TagTree(max(self.ncbw, 1), max(self.ncbh, 1))
+            self.__dict__["_zbp"] = t
+        return t
 
 
 def _floor_log2(n: int) -> int:
