@@ -119,20 +119,25 @@ def bench_j2k_pipeline(size: int, frames: int, repeats: int):
     assert np.array_equal(got.astype(np.int64), imgs[0].astype(np.int64))
     decode_frames_pipelined(streams)
 
-    def best_of(fn):
-        ts = []
-        for _ in range(repeats):
+    # interleaved medians — pipelined and scalar samples alternate so
+    # both see the same phase mix of this box's clock drift (best-of
+    # sampling produced phantom 5-7% wins/losses between adjacent runs)
+    samples = {"pipe": [], "scalar": [], "pipe_dec": [], "scalar_dec": []}
+    for _ in range(max(repeats, 5)):
+        for key, fn in (
+            ("pipe", lambda: encode_frames_pipelined(imgs, bit_depth=12,
+                                                     levels=5)),
+            ("scalar", scalar_encode),
+            ("pipe_dec", lambda: decode_frames_pipelined(streams)),
+            ("scalar_dec", lambda: [decode_to_pixels(s) for s in streams]),
+        ):
             t0 = time.perf_counter()
             fn()
-            ts.append(time.perf_counter() - t0)
-        return min(ts)
-
-    t_pipe = best_of(lambda: encode_frames_pipelined(imgs, bit_depth=12,
-                                                     levels=5))
-    t_scalar = best_of(scalar_encode)
-    t_pipe_dec = best_of(lambda: decode_frames_pipelined(streams))
-    t_scalar_dec = best_of(
-        lambda: [decode_to_pixels(s) for s in streams])
+            samples[key].append(time.perf_counter() - t0)
+    t_pipe = float(np.median(samples["pipe"]))
+    t_scalar = float(np.median(samples["scalar"]))
+    t_pipe_dec = float(np.median(samples["pipe_dec"]))
+    t_scalar_dec = float(np.median(samples["scalar_dec"]))
     return {
         "metric": "j2k_pipeline_vs_scalar",
         "frames": frames,
