@@ -40,7 +40,7 @@ def _build() -> bool:
         for extra in (["-march=native"], []):
             r = subprocess.run(
                 ["g++", "-O3", "-fwrapv", *extra, "-shared", "-fPIC",
-                 "-std=c++17", "-o", tmp, _SRC],
+                 "-pthread", "-std=c++17", "-o", tmp, _SRC],
                 capture_output=True, timeout=240)
             if r.returncode == 0 and os.path.exists(tmp):
                 os.replace(tmp, _SO)

@@ -10,10 +10,13 @@
 
 #include <algorithm>
 #include <array>
+#include <atomic>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <cmath>
 #include <memory>
+#include <thread>
 #include <vector>
 
 #if defined(__AVX2__)
@@ -983,6 +986,47 @@ static int t1_encode_any(const ST* src, int w, int h, int style, int orient,
       max_passes, need_nmse);
 }
 
+// ---- per-codeblock thread pool ---------------------------------------------
+// Code-blocks are coded independently (ISO 15444-1 Annex D: no state
+// crosses a block), so the batched *_blocks entry points fan blocks out
+// across threads and reassemble in block order — the output bytes are
+// identical to the serial loop for any thread count. Worker count:
+// GDCT_THREADS env (re-read per call so tests can flip it), else
+// std::thread::hardware_concurrency(). All coder scratch is call-local
+// or thread_local; the LUTs are immutable.
+static int batch_threads(int nb) {
+  const char* e = getenv("GDCT_THREADS");
+  long v = e ? strtol(e, nullptr, 10)
+             : (long)std::thread::hardware_concurrency();
+  if (v < 1) v = 1;
+  if (v > nb) v = nb;
+  if (v > 64) v = 64;
+  return (int)v;
+}
+
+// Run fn(i) for i in [0, nb): dynamic index striping via an atomic
+// counter (blocks vary wildly in cost — dense LL vs empty HH).
+template <typename F>
+static void parallel_blocks(int nb, int nthreads, F&& fn) {
+  if (nthreads <= 1) {
+    for (int i = 0; i < nb; i++) fn(i);
+    return;
+  }
+  std::atomic<int> next(0);
+  auto work = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1, std::memory_order_relaxed);
+      if (i >= nb) return;
+      fn(i);
+    }
+  };
+  std::vector<std::thread> ths;
+  ths.reserve((size_t)nthreads - 1);
+  for (int t = 0; t < nthreads - 1; t++) ths.emplace_back(work);
+  work();
+  for (auto& th : ths) th.join();
+}
+
 extern "C" {
 
 // Encode one code-block. Returns stream length, or -1 on error.
@@ -1028,6 +1072,49 @@ int t1_encode_blocks(const int32_t* src, const int64_t* offsets,
                      int* npasses_out, int* pass_rates,
                      uint8_t* pass_terms, int* pass_bitplanes,
                      int* pass_nmsedec, int max_passes) {
+  int nthreads = batch_threads(nb);
+  if (nthreads > 1) {
+    // parallel: per-block temp regions sized to the caller's bound
+    // (native/__init__.py: size*6 + 1024 per block), then a serial
+    // in-order concat — bytes identical to the serial loop below. A
+    // block that overflows its slice reports -1 and the whole call
+    // falls back to the caller's scalar path (same recovery as a
+    // serial overflow).
+    std::vector<int64_t> toff((size_t)nb + 1, 0);
+    for (int i = 0; i < nb; i++)
+      toff[i + 1] =
+          toff[i] + (int64_t)ws[i] * hs[i] * 6 + 1024;
+    std::vector<uint8_t> tmp((size_t)toff[nb]);
+    std::vector<int> lens((size_t)nb, 0);
+    std::atomic<bool> err(false);
+    parallel_blocks(nb, nthreads, [&](int i) {
+      if (err.load(std::memory_order_relaxed)) return;
+      int n = t1_encode_any(
+          src + offsets[i], ws[i], hs[i], style, orients[i], 0,
+          tmp.data() + toff[i],
+          (int)std::min<int64_t>(toff[i + 1] - toff[i], 1 << 30),
+          numbps_out + i, npasses_out + i,
+          pass_rates + (size_t)i * max_passes,
+          pass_terms + (size_t)i * max_passes,
+          pass_bitplanes + (size_t)i * max_passes,
+          pass_nmsedec + (size_t)i * max_passes, max_passes, need_nmse);
+      if (n < 0) {
+        err.store(true, std::memory_order_relaxed);
+        return;
+      }
+      lens[i] = n;
+    });
+    if (err.load()) return -1;
+    long o = 0;
+    out_offsets[0] = 0;
+    for (int i = 0; i < nb; i++) {
+      if (o + lens[i] > out_cap) return -1;
+      memcpy(out + o, tmp.data() + toff[i], (size_t)lens[i]);
+      o += lens[i];
+      out_offsets[i + 1] = o;
+    }
+    return (int)(o > INT32_MAX ? -1 : o);
+  }
   long o = 0;
   out_offsets[0] = 0;
   for (int i = 0; i < nb; i++) {
@@ -1871,7 +1958,8 @@ int t1_decode_blocks(const uint8_t* streams, const int64_t* stream_offsets,
                      const int64_t* seg_offsets, int nb, int style,
                      int ojp_recon, int32_t* out,
                      const int64_t* out_offsets, int32_t* status) {
-  for (int i = 0; i < nb; i++) {
+  // blocks decode into disjoint out/status slots — directly parallel
+  parallel_blocks(nb, batch_threads(nb), [&](int i) {
     int n_segs = (int)(seg_offsets[i + 1] - seg_offsets[i]);
     status[i] = t1_decode_any(
         streams + stream_offsets[i],
@@ -1879,7 +1967,7 @@ int t1_decode_blocks(const uint8_t* streams, const int64_t* stream_offsets,
         style, orients[i], num_passes_a[i], numbps_a[i], 0,
         all_seg_ends + seg_offsets[i], n_segs, ojp_recon,
         out + out_offsets[i]);
-  }
+  });
   return 0;
 }
 
@@ -3886,6 +3974,39 @@ long ht_cleanup_encode_blocks(const int32_t* src, const int64_t* offsets,
                               const int32_t* enc_lut1, uint8_t* out,
                               long out_cap, int64_t* out_offsets,
                               int32_t* status) {
+  int nthreads = batch_threads(nb);
+  if (nthreads > 1) {
+    // parallel: per-block temps sized to the caller's bound
+    // (native/__init__.py: size*8 + 4096 per block) + in-order concat;
+    // per-block -1 status (caller falls back on that block) exactly as
+    // the serial loop reports it.
+    std::vector<int64_t> toff((size_t)nb + 1, 0);
+    for (int i = 0; i < nb; i++)
+      toff[i + 1] = toff[i] + (int64_t)ws[i] * hs[i] * 8 + 4096;
+    std::vector<uint8_t> tmp((size_t)toff[nb]);
+    parallel_blocks(nb, nthreads, [&](int i) {
+      long n = ht_cleanup_encode_impl(src + offsets[i], ws[i], hs[i],
+                                      kmaxs[i], enc_lut0, enc_lut1,
+                                      tmp.data() + toff[i],
+                                      toff[i + 1] - toff[i]);
+      status[i] = (int32_t)n;
+    });
+    long o = 0;
+    out_offsets[0] = 0;
+    for (int i = 0; i < nb; i++) {
+      long n = status[i];
+      if (n > 0) {
+        if (o + n > out_cap) {  // caller's global bound — mark failed
+          status[i] = -1;
+        } else {
+          memcpy(out + o, tmp.data() + toff[i], (size_t)n);
+          o += n;
+        }
+      }
+      out_offsets[i + 1] = o;
+    }
+    return o;
+  }
   long o = 0;
   out_offsets[0] = 0;
   for (int i = 0; i < nb; i++) {
@@ -4162,7 +4283,8 @@ int ht_cleanup_decode_blocks(const uint8_t* data, const int64_t* offs,
                              const int32_t* dec_lut0,
                              const int32_t* dec_lut1, int32_t* out,
                              const int64_t* out_offsets, int32_t* status) {
-  for (int i = 0; i < nb; i++) {
+  // blocks decode into disjoint out/status slots — directly parallel
+  parallel_blocks(nb, batch_threads(nb), [&](int i) {
     int32_t* dst = out + out_offsets[i];
     status[i] = ht_cleanup_decode_impl(data + offs[i],
                                        (long)(offs[i + 1] - offs[i]), ws[i],
@@ -4170,7 +4292,7 @@ int ht_cleanup_decode_blocks(const uint8_t* data, const int64_t* offs,
                                        dec_lut0, dec_lut1, dst);
     if (status[i] != 0)
       memset(dst, 0, (size_t)ws[i] * hs[i] * sizeof(int32_t));
-  }
+  });
   return 0;
 }
 

@@ -798,3 +798,103 @@ def _check_truncated(rng, monkeypatch):
     assert (a is None) == (b is None)
     if a is not None:
         np.testing.assert_array_equal(a[0], b[0])
+
+
+# ---------------------------------------------------------------------------
+# Per-codeblock thread pool (parallel_blocks in ebcot_native.cpp): the
+# batched *_blocks entries fan independent code-blocks across
+# GDCT_THREADS workers — bytes/pixels must be identical to the serial
+# loop for ANY thread count (the reference's Go codecs are
+# single-threaded; this is a production multicore surface on top of
+# the same bitstreams, jpeg2000/t1/encoder.go:159 semantics).
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("threads", ["3", "8"])
+def test_batched_t1_thread_pool_byte_identity(rng, monkeypatch, threads):
+    if get_lib() is None:
+        pytest.skip("native unavailable")
+    from go_dicom_codec_tpu.native import (t1_decode_blocks_native,
+                                           t1_encode_blocks_native)
+
+    blocks = [rng.integers(-(1 << b), 1 << b, size=(h, w)).astype(np.int64)
+              for b, (h, w) in zip(
+                  (4, 9, 12, 2, 14, 7, 11, 1),
+                  [(64, 64), (64, 64), (32, 64), (17, 5), (64, 33),
+                   (1, 64), (13, 13), (64, 64)])]
+    blocks.append(np.zeros((64, 64), dtype=np.int64))   # all-zero block
+    orients = [i % 4 for i in range(len(blocks))]
+
+    monkeypatch.setenv("GDCT_THREADS", "1")
+    serial = t1_encode_blocks_native(blocks, orients, STYLE_LAZY)
+    monkeypatch.setenv("GDCT_THREADS", threads)
+    pooled = t1_encode_blocks_native(blocks, orients, STYLE_LAZY)
+    assert serial is not None and pooled is not None
+    assert pooled == serial
+
+    items = [(s, b.shape[1], b.shape[0], o, len(rates), numbps, None)
+             for (s, numbps, rates, _t, _b, _n), b, o in
+             zip(serial, blocks, orients)]
+    monkeypatch.setenv("GDCT_THREADS", "1")
+    dec_serial = t1_decode_blocks_native(items, STYLE_LAZY)
+    monkeypatch.setenv("GDCT_THREADS", threads)
+    dec_pooled = t1_decode_blocks_native(items, STYLE_LAZY)
+    assert dec_serial is not None and dec_pooled is not None
+    for a, b in zip(dec_serial, dec_pooled):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_batched_ht_thread_pool_byte_identity(rng, monkeypatch):
+    if get_lib() is None:
+        pytest.skip("native unavailable")
+    from go_dicom_codec_tpu.native import (
+        ht_cleanup_decode_blocks_native, ht_cleanup_encode_blocks_native)
+
+    blocks = [rng.integers(-(1 << b), 1 << b, size=(h, w)).astype(np.int64)
+              for b, (h, w) in zip(
+                  (5, 12, 9, 3, 13),
+                  [(64, 64), (64, 64), (30, 62), (5, 17), (64, 64)])]
+    blocks.append(np.zeros((64, 64), dtype=np.int64))
+    kmaxs = [max(1, int(np.abs(b).max()).bit_length()) for b in blocks]
+
+    monkeypatch.setenv("GDCT_THREADS", "1")
+    serial = ht_cleanup_encode_blocks_native(blocks, kmaxs)
+    monkeypatch.setenv("GDCT_THREADS", "5")
+    pooled = ht_cleanup_encode_blocks_native(blocks, kmaxs)
+    assert serial is not None and pooled is not None
+    assert pooled == serial
+
+    items = [(s, b.shape[1], b.shape[0], km, 0)
+             for s, b, km in zip(serial, blocks, kmaxs) if s]
+    monkeypatch.setenv("GDCT_THREADS", "1")
+    dec_serial = ht_cleanup_decode_blocks_native(items)
+    monkeypatch.setenv("GDCT_THREADS", "5")
+    dec_pooled = ht_cleanup_decode_blocks_native(items)
+    for a, b in zip(dec_serial, dec_pooled):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_codec_streams_thread_pool_byte_identity(rng, monkeypatch):
+    """Whole-codec J2K + HTJ2K streams and decoded pixels are identical
+    under the per-codeblock thread pool (multi-threaded encode of the
+    SAME bitstream the serial path makes)."""
+    if get_lib() is None:
+        pytest.skip("native unavailable")
+    import go_dicom_codec_tpu as dc
+
+    img = rng.integers(0, 4096, (150, 130), dtype=np.uint16)
+    info = dc.FrameInfo(width=130, height=150, bits_allocated=16,
+                        bits_stored=12)
+    reg = dc.get_global_registry()
+    for uid in (dc.uids.JPEG_2000_LOSSLESS, dc.uids.JPEG_2000_LOSSY,
+                dc.uids.HTJ2K_LOSSLESS):
+        got = {}
+        for th in ("1", "4"):
+            monkeypatch.setenv("GDCT_THREADS", th)
+            src = dc.MemoryPixelData(info=info)
+            src.add_frame(img.tobytes())
+            enc = dc.MemoryPixelData(info=info, encapsulated=True)
+            reg.get_codec(uid).encode(src, enc)
+            dec = dc.MemoryPixelData(info=info)
+            reg.get_codec(uid).decode(enc, dec)
+            got[th] = (enc.get_frame(0), dec.get_frame(0))
+        assert got["1"] == got["4"], uid
