@@ -241,6 +241,38 @@ def _fwd53_2d_dispatch(x: jnp.ndarray, even_row: bool,
     return fwd53_2d(x, even_row=even_row, even_col=even_col)
 
 
+def _inv53_1d_even(x: jnp.ndarray) -> jnp.ndarray:
+    """inv53_1d for even width at even parity, interleaving via a
+    [W/2, 2] stack+reshape instead of two stride-2 scatter updates.
+
+    Bit-exact with inv53_1d (same lifting arithmetic); the reshape
+    interleave is the decode-direction mirror of _fwd53_1d_even's
+    measured win (stride-2 .at[::2].set lowers to scatter-like stores
+    on TPU).
+    """
+    w = x.shape[-1]
+    sn = w // 2
+    l, h = x[..., :sn], x[..., sn:]
+    h_prev = jnp.concatenate([h[..., :1], h[..., :-1]], axis=-1)
+    s = l - ((h_prev + h + 2) >> 2)
+    s_next = jnp.concatenate([s[..., 1:], s[..., -1:]], axis=-1)
+    x_odd = h + ((s + s_next) >> 1)
+    return jnp.stack([s, x_odd], axis=-1).reshape(x.shape)
+
+
+def _inv53_2d_dispatch(x: jnp.ndarray, even_row: bool,
+                       even_col: bool) -> jnp.ndarray:
+    """One inverse 2D level, picking the reshape kernel for even/even
+    windows (horizontal first, then vertical — inv53_2d order)."""
+    h, w = x.shape[-2], x.shape[-1]
+    if h > 1 and w > 1 and even_row and even_col and h % 2 == 0 \
+            and w % 2 == 0:
+        x = _inv53_1d_even(x)
+        return jnp.swapaxes(_inv53_1d_even(jnp.swapaxes(x, -1, -2)),
+                            -1, -2)
+    return inv53_2d(x, even_row=even_row, even_col=even_col)
+
+
 def fwd53_multilevel(x: jnp.ndarray, levels: int,
                      x0: int = 0, y0: int = 0) -> jnp.ndarray:
     """Multilevel packed decomposition (dwt53.go:365-394), batched.
@@ -282,13 +314,34 @@ def fwd53_multilevel(x: jnp.ndarray, levels: int,
 
 def inv53_multilevel(x: jnp.ndarray, levels: int,
                      x0: int = 0, y0: int = 0) -> jnp.ndarray:
-    """Multilevel packed reconstruction (dwt53.go:404-434), batched."""
+    """Multilevel packed reconstruction (dwt53.go:404-434), batched.
+
+    Coarsest-first concat recursion: each level's window is rebuilt as
+    [reconstructed-LL | bands-from-x] instead of a full-array
+    .at[:h,:w].set per level (the decode mirror of fwd53_multilevel's
+    note — XLA materializes those dynamic-update-slices as whole-buffer
+    copies).
+    """
     height, width = x.shape[-2], x.shape[-1]
-    for (w, h, lx0, ly0) in reversed(_level_windows(width, height, levels, x0, y0)):
-        win = x[..., :h, :w]
-        win = inv53_2d(win, even_row=lx0 % 2 == 0, even_col=ly0 % 2 == 0)
-        x = x.at[..., :h, :w].set(win)
-    return x
+    wins = _level_windows(width, height, levels, x0, y0)
+    if not wins:
+        return x
+    cur = None  # reconstructed LL of the previous (coarser) level
+    lw = lh = 0
+    for (w, h, lx0, ly0) in reversed(wins):
+        if cur is None:
+            win = x[..., :h, :w]
+        else:
+            win = cur
+            if lw < w:
+                win = jnp.concatenate([win, x[..., :lh, lw:w]], axis=-1)
+            if lh < h:
+                win = jnp.concatenate([win, x[..., lh:h, :w]], axis=-2)
+        cur = _inv53_2d_dispatch(win, even_row=lx0 % 2 == 0,
+                                 even_col=ly0 % 2 == 0)
+        lw, lh = w, h
+    # the finest window always spans the whole array
+    return cur
 
 
 @partial(jax.jit, static_argnames=("levels", "x0", "y0"))
