@@ -21,6 +21,53 @@
 
 #if defined(__AVX2__)
 #include <immintrin.h>
+
+// Gather bit `bp_` from 32 consecutive uint32 magnitude|sign cells into
+// one MSB-first 32-bit word (the raw-MRP bulk encoder's bit pattern).
+// Shifting the target bit to lane position 31 pushes the sign MSB out,
+// so no magnitude mask is needed; one movemask covers 8 samples.
+static inline uint32_t gather_plane_bits32(const uint32_t* c, int bp_) {
+  const __m256i rev = _mm256_setr_epi32(7, 6, 5, 4, 3, 2, 1, 0);
+  const __m128i sh = _mm_cvtsi32_si128(31 - bp_);
+  uint32_t v = 0;
+  for (int q = 0; q < 4; q++) {
+    __m256i x = _mm256_loadu_si256((const __m256i*)(c + 8 * q));
+    x = _mm256_permutevar8x32_epi32(x, rev);
+    x = _mm256_sll_epi32(x, sh);
+    v = (v << 8) | (uint32_t)_mm256_movemask_ps(_mm256_castsi256_ps(x));
+  }
+  return v;
+}
+
+// Scatter a 32-bit MSB-first refinement word onto 32 consecutive uint32
+// magnitude|sign cells: the vector mirror of the raw-MRP bulk decoder's
+// recon_ref (exact form cur + bit<<bp; ojp mid-bin form
+// (mag - 2^bp + bit*2^(bp+1)) | sign — see t1_decode_impl).
+static inline void scatter_ref_bits32(uint32_t* c, int bp_, uint32_t v,
+                                      bool ojp) {
+  const __m128i cnt_bp = _mm_cvtsi32_si128(bp_);
+  const __m128i cnt_bp1 = _mm_cvtsi32_si128(bp_ + 1);
+  const __m256i one = _mm256_set1_epi32(1);
+  const __m256i msb = _mm256_set1_epi32((int)0x80000000u);
+  const __m256i vv = _mm256_set1_epi32((int)v);
+  __m256i sh = _mm256_setr_epi32(31, 30, 29, 28, 27, 26, 25, 24);
+  const __m256i eight = _mm256_set1_epi32(8);
+  for (int q = 0; q < 4; q++) {
+    __m256i bits = _mm256_and_si256(_mm256_srlv_epi32(vv, sh), one);
+    __m256i cur = _mm256_loadu_si256((const __m256i*)(c + 8 * q));
+    __m256i out;
+    if (!ojp) {
+      out = _mm256_add_epi32(cur, _mm256_sll_epi32(bits, cnt_bp));
+    } else {
+      __m256i mag = _mm256_andnot_si256(msb, cur);
+      mag = _mm256_sub_epi32(mag, _mm256_sll_epi32(one, cnt_bp));
+      mag = _mm256_add_epi32(mag, _mm256_sll_epi32(bits, cnt_bp1));
+      out = _mm256_or_si256(mag, _mm256_and_si256(cur, msb));
+    }
+    _mm256_storeu_si256((__m256i*)(c + 8 * q), out);
+    sh = _mm256_sub_epi32(sh, eight);
+  }
+}
 #endif
 
 namespace {
@@ -744,11 +791,19 @@ int t1_encode_impl(const ST* src, int w, int h, int style, int orient,
             int x = 0;
             for (; x + 8 <= w; x += 8) {
               const MT* c = cb + (size_t)4 * x;
-              uint32_t v = 0;
-              for (int k = 0; k < 32; k++) {
-                uint64_t av = (uint64_t)(c[k] & MAGMASK);
-                v = (v << 1) | (uint32_t)((av >> bitplane) & 1);
-                if (NM) nm += nmsedec_ref(av, bitplane);
+              uint32_t v;
+#if defined(__AVX2__)
+              if constexpr (!NM && sizeof(MT) == 4) {
+                v = gather_plane_bits32(c, bitplane);
+              } else
+#endif
+              {
+                v = 0;
+                for (int k = 0; k < 32; k++) {
+                  uint64_t av = (uint64_t)(c[k] & MAGMASK);
+                  v = (v << 1) | (uint32_t)((av >> bitplane) & 1);
+                  if (NM) nm += nmsedec_ref(av, bitplane);
+                }
               }
               mq.bypass_encode_n(v, 32);
             }
@@ -1741,9 +1796,16 @@ int t1_decode_impl(const uint8_t* stream, int stream_len, int w, int h,
             for (; x + 8 <= w; x += 8) {
               uint32_t v = rd.decode_n(32);
               MT* c = cb + (size_t)4 * x;
-              for (int k = 0; k < 32; k++)
-                c[k] = recon_ref(c[k], bitplane,
-                                 (int)((v >> (31 - k)) & 1));
+#if defined(__AVX2__)
+              if constexpr (sizeof(MT) == 4) {
+                scatter_ref_bits32(c, bitplane, v, ojp_recon != 0);
+              } else
+#endif
+              {
+                for (int k = 0; k < 32; k++)
+                  c[k] = recon_ref(c[k], bitplane,
+                                   (int)((v >> (31 - k)) & 1));
+              }
             }
             for (; x < w; x++) {
               uint32_t nib = rd.decode_n(4);
