@@ -138,7 +138,7 @@ def _params_from(parameters: Optional[Parameters],
     for key in ("mct_matrix", "mct_inverse", "mct_offsets", "mct_bindings",
                 "layer_rates", "roi_regions", "roi_shift", "roi_style",
                 "precincts", "precinct_width", "precinct_height",
-                "layer_budget_strategy",
+                "layer_budget_strategy", "packed_headers",
                 "block_encoder_factory"):
         v = parameters.get_parameter(key)
         if v is not None:

@@ -30,7 +30,8 @@ from ..ops.dwt97 import (fwd97_multilevel_jit as fwd97_multilevel,
 from ..ops.mct import (dc_level_shift, ict_forward, ict_inverse,
                        inv_dc_level_shift, rct_forward, rct_inverse)
 from ..t2.packets import (BlockState, PrecinctState, decode_packet,
-                          encode_packet, progression_order)
+                          decode_packet_split, encode_packet,
+                          progression_order)
 from . import j2k_quant as jq
 from .j2k_geometry import (BandGeom, ResolutionGeom, build_tile_geometry,
                            band_gain, ceil_div)
@@ -90,6 +91,12 @@ class J2KEncodeParams:
     precinct_height: int = 0
     comment: bytes = b"go-dicom-codec-tpu"
     guard_bits: int = 2
+    # packed packet headers (T.800 A.7.5): move every packet header out
+    # of the bitstream into PPT segments in the tile-part header. The
+    # reference defines the PPM/PPT markers but neither writes nor
+    # reads them (codestream/markers.go:69-72); this encoder writes
+    # PPT and the decoder reads both PPT and PPM.
+    packed_headers: bool = False
 
     def clamped_levels(self, w: int, h: int) -> int:
         """Clamp levels so the coarsest LL stays ≥1 px (lossy/codec.go:392)."""
@@ -383,20 +390,29 @@ class J2KEncoder:
                                 width * height * components)
             for (comp_res, comp_states, nc) in ctxs:
                 bodies.append(self._assemble_tile_packets(
-                    comp_res, comp_states, cod, nc))
+                    comp_res, comp_states, cod, nc,
+                    split=p.packed_headers))
         else:
             for tidx, rect in enumerate(rects):
                 bodies.append(self._encode_tile(
                     arr, rect, cod, qcd, bit_depth, signed, use_mct,
                     shifts,
-                    precomputed_tiles[tidx] if precomputed_tiles else None))
+                    precomputed_tiles[tidx] if precomputed_tiles else None,
+                    split=p.packed_headers))
+        if p.packed_headers:
+            # (PPT segments, bodies-only bitstream) per tile
+            parts = [(j2k.write_ppt(h), b) for (h, b) in bodies]
+        else:
+            parts = [(b"", b) for b in bodies]
         if p.htj2k:
             # TLM tile-part index for fast HT tile access (encoder.go
-            # writeTLM :1219-1244): Ptlm = SOT(12) + SOD(2) + body
-            out += j2k.write_tlm(0, [(i, 14 + len(b))
-                                     for i, b in enumerate(bodies)])
-        for tile_index, body in enumerate(bodies):
-            out += j2k.write_tile_part(tile_index, body)
+            # writeTLM :1219-1244): Ptlm = SOT(12) + headers + SOD(2)
+            # + body
+            out += j2k.write_tlm(0, [(i, 14 + len(hs) + len(b))
+                                     for i, (hs, b) in enumerate(parts)])
+        for tile_index, (head_segs, body) in enumerate(parts):
+            out += j2k.write_tile_part(tile_index, body,
+                                       head_segments=head_segs)
         out += (j2k.EOC).to_bytes(2, "big")
         return bytes(out)
 
@@ -458,14 +474,15 @@ class J2KEncoder:
                      qcd: j2k.QcdInfo, bit_depth: int, signed: bool,
                      use_mct: bool,
                      roi_shifts: Optional[Dict[int, int]] = None,
-                     precomputed_coeffs: Optional[np.ndarray] = None
-                     ) -> bytes:
+                     precomputed_coeffs: Optional[np.ndarray] = None,
+                     split: bool = False):
         coeffs = self._tile_coeffs(arr, rect, cod, qcd, bit_depth, signed,
                                    use_mct, roi_shifts, precomputed_coeffs)
         from ..utils.profiling import maybe_stage
         with maybe_stage("j2k.encode.entropy"):
             return self._encode_tile_entropy(coeffs, rect, cod, qcd,
-                                             bit_depth, roi_shifts)
+                                             bit_depth, roi_shifts,
+                                             split=split)
 
     def _tile_coeffs(self, arr: np.ndarray, rect, cod: j2k.CodInfo,
                      qcd: j2k.QcdInfo, bit_depth: int, signed: bool,
@@ -645,8 +662,8 @@ class J2KEncoder:
     def _encode_tile_entropy(self, coeffs: np.ndarray, rect,
                              cod: j2k.CodInfo, qcd: j2k.QcdInfo,
                              bit_depth: int,
-                             roi_shifts: Optional[Dict[int, int]] = None
-                             ) -> bytes:
+                             roi_shifts: Optional[Dict[int, int]] = None,
+                             split: bool = False):
         """Host stage: per component geometry + T1 + PCRD + packets."""
         ncomp = coeffs.shape[0]
         comp_res, comp_states = self._tile_block_states(
@@ -656,7 +673,7 @@ class J2KEncoder:
                             bit_depth,
                             (ty1 - ty0) * (tx1 - tx0) * ncomp)
         return self._assemble_tile_packets(comp_res, comp_states, cod,
-                                           ncomp)
+                                           ncomp, split=split)
 
     def _apply_t1_result(self, st, mb: int, dw: float, stream: bytes,
                          numbps: int, rates, terms, bitplanes,
@@ -974,11 +991,25 @@ class J2KEncoder:
             blk.layer_passes = counts
 
     def _assemble_tile_packets(self, comp_res, comp_states,
-                               cod: j2k.CodInfo, ncomp: int) -> bytes:
+                               cod: j2k.CodInfo, ncomp: int,
+                               split: bool = False):
         precinct_info = self._precinct_info_fn(comp_res, cod)
         order = list(progression_order(
             cod.progression, cod.num_layers, cod.num_levels + 1,
             ncomp, precinct_info))
+        if split:
+            # packed packet headers (PPT): headers and bodies assemble
+            # into separate streams (encode_packet already returns the
+            # pair, each header its own byte-aligned unit)
+            hdrs = bytearray()
+            body = bytearray()
+            for (l, r, c, pidx) in order:
+                header, pbody = encode_packet(comp_states[c][(r, pidx)],
+                                              l, cod.cb_style,
+                                              cod.num_layers)
+                hdrs += header
+                body += pbody
+            return bytes(hdrs), bytes(body)
         # native mirror assembles the whole tile (headers, tag trees,
         # Lblock, bodies) in one call; Python is the byte-identical
         # behavioral reference and the native-disabled path
@@ -1187,7 +1218,8 @@ class J2KDecoder:
                                          mct_bindings_inv,
                                          poc=cs.poc_for(tile),
                                          gs_masks=gs_masks,
-                                         comp_rects=comp_rects)
+                                         comp_rects=comp_rects,
+                                         packed_hdrs=tile.ppt)
             tx0, ty0, tx1, ty1 = rect
             out[ty0 - siz.yosiz:ty1 - siz.yosiz,
                 tx0 - siz.xosiz:tx1 - siz.xosiz, :] = tile_arr
@@ -1199,13 +1231,17 @@ class J2KDecoder:
                      mct_bindings_inv=None,
                      poc=None, gs_masks=None,
                      comp_rects=None,
+                     packed_hdrs: Optional[bytes] = None,
                      _return_packed: bool = False,
                      _return_packed_list: bool = False) -> np.ndarray:
         """cods/qcds: effective per-component CodInfo/QcdInfo (COD+COC,
         QCD+QCC resolution done by Codestream.cod_for/qcd_for).
         gs_masks: tile-local bool masks per General-Scaling component.
         comp_rects: per-component grid bounds (XRsiz/YRsiz-subsampled
-        tile rect); defaults to the tile rect for every component."""
+        tile rect); defaults to the tile rect for every component.
+        packed_hdrs: this tile's PPM/PPT packed packet headers
+        (TileInfo.ppt); packet headers then parse from this buffer
+        while bodies stay in the tile bitstream."""
         tx0, ty0, tx1, ty1 = rect
         th, tw = ty1 - ty0, tx1 - tx0
         cod0 = cods[0]  # progression/layers are COD-only fields
@@ -1259,15 +1295,21 @@ class J2KDecoder:
         # or resilient decode falls back to the Python reference, which
         # raises/recovers with exact semantics on untouched states)
         native_pos = None
-        if not self.resilient:
+        if not self.resilient and packed_hdrs is None:
             from ..native import t2_parse_packets_native
             native_pos = t2_parse_packets_native(
                 bytes(body), comp_states, order,
                 [cc.cb_style for cc in cods], cod0.use_sop, cod0.use_eph)
         if native_pos is None:
             pos = 0
+            hpos = 0
             for (l, r, c, pidx) in order:
-                if pos >= len(body):
+                # with packed headers, empty packets consume header
+                # bytes but no body — truncation is header exhaustion
+                exhausted = (hpos >= len(packed_hdrs)
+                             if packed_hdrs is not None
+                             else pos >= len(body))
+                if exhausted:
                     if self.resilient:
                         break
                     if l > 0:
@@ -1275,11 +1317,18 @@ class J2KDecoder:
                     raise CorruptStreamError(
                         "tile body exhausted mid-packets")
                 try:
-                    pos = decode_packet(body, pos,
-                                        comp_states[c][(r, pidx)],
-                                        l, cods[c].cb_style,
-                                        use_sop=cod0.use_sop,
-                                        use_eph=cod0.use_eph)
+                    if packed_hdrs is not None:
+                        hpos, pos = decode_packet_split(
+                            packed_hdrs, hpos, body, pos,
+                            comp_states[c][(r, pidx)],
+                            l, cods[c].cb_style,
+                            use_sop=cod0.use_sop, use_eph=cod0.use_eph)
+                    else:
+                        pos = decode_packet(body, pos,
+                                            comp_states[c][(r, pidx)],
+                                            l, cods[c].cb_style,
+                                            use_sop=cod0.use_sop,
+                                            use_eph=cod0.use_eph)
                 except CorruptStreamError:
                     if self.resilient:
                         break
@@ -1702,6 +1751,7 @@ def decode_to_packed_tiles(data: bytes):
             cs.rgn_shifts, None, poc=cs.poc_for(tile),
             gs_masks=gs_masks or None,
             comp_rects=[(tx0, ty0, tx1, ty1)] * ncomp,
+            packed_hdrs=tile.ppt,
             _return_packed=True)
         out.append((rect, packed))
     return out, siz, cod0, qcd0, _extract_mct_inverse(cs, ncomp)
@@ -1755,6 +1805,7 @@ def decode_to_component_tiles(data: bytes):
             tile.data, rect, cods, qcds, ncomp, depth0, signed0,
             cs.rgn_shifts, None, poc=cs.poc_for(tile),
             gs_masks=gs_masks or None, comp_rects=comp_rects,
+            packed_hdrs=tile.ppt,
             _return_packed_list=True)
         out.append((rect, comp_rects, packed_list, cods, qcds))
     return out, siz

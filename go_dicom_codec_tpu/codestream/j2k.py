@@ -140,6 +140,12 @@ class TileInfo:
     coc: Dict[int, CocInfo] = field(default_factory=dict)
     qcc: Dict[int, QcdInfo] = field(default_factory=dict)
     poc: List[PocEntry] = field(default_factory=list)
+    # packed packet headers (T.800 A.7.4/A.7.5): merged PPT payloads in
+    # (tile-part, Zppt) order, or this tile's share of the main-header
+    # PPM stream. None = packet headers live in the bitstream. The
+    # reference defines the PPM/PPT constants but never implements them
+    # (codestream/markers.go:69-72 only); this decoder accepts both.
+    ppt: Optional[bytes] = None
 
 
 def _overlay_coc(base: CodInfo, coc: CocInfo) -> CodInfo:
@@ -301,6 +307,49 @@ def write_plt(zplt: int, packet_lengths: List[int]) -> bytes:
     return _seg(PLT, bytes(payload))
 
 
+def write_ppt(headers: bytes, max_chunk: int = 65532) -> bytes:
+    """PPT segments (T.800 A.7.5) carrying one tile's packed packet
+    headers, split at the 16-bit segment-length limit with ascending
+    Zppt (max_chunk is lowerable for split-coverage tests). The
+    reference never writes PPM/PPT (markers.go:69-72 defines the
+    constants only); this writer exists for the packed_headers encode
+    option and for building decoder test vectors."""
+    out = bytearray()
+    z = 0
+    pos = 0
+    step = min(max_chunk, 65532)  # Lppt <= 65535 = L(2) + Zppt(1) + data
+    while True:
+        chunk = headers[pos:pos + step]
+        out += _seg(PPT, bytes([z & 0xFF]) + chunk)
+        pos += len(chunk)
+        z += 1
+        if pos >= len(headers):
+            break
+    return bytes(out)
+
+
+def write_ppm(records: List[bytes], max_chunk: int = 65532) -> bytes:
+    """PPM segments (T.800 A.7.4): one [Nppm u32][Ippm] record per
+    tile-part in codestream order, split across Zppm segments at the
+    16-bit length limit (records may straddle segment boundaries —
+    lower max_chunk to exercise that in tests)."""
+    stream = bytearray()
+    for rec in records:
+        stream += struct.pack(">I", len(rec)) + rec
+    out = bytearray()
+    z = 0
+    pos = 0
+    step = min(max_chunk, 65532)
+    while True:
+        chunk = stream[pos:pos + step]
+        out += _seg(PPM, bytes([z & 0xFF]) + bytes(chunk))
+        pos += len(chunk)
+        z += 1
+        if pos >= len(stream):
+            break
+    return bytes(out)
+
+
 def write_tlm(ztlm: int, entries: List[Tuple[int, int]]) -> bytes:
     """TLM segment (T.800 A.7.1): (Ttlm, Ptlm) with ST=2, SP=1
     (16-bit tile index, 32-bit tile-part length — reference
@@ -419,11 +468,13 @@ def write_rgn(comp: int, shift: int, num_components: int,
 
 
 def write_tile_part(index: int, tile_data: bytes, tpsot: int = 0,
-                    tnsot: int = 1) -> bytes:
-    """SOT + SOD + data (reference encoder.go:2105-2133 framing)."""
-    psot = 12 + 2 + len(tile_data)  # SOT segment + SOD marker + body
+                    tnsot: int = 1, head_segments: bytes = b"") -> bytes:
+    """SOT + optional tile-part-header segments (e.g. PPT) + SOD + data
+    (reference encoder.go:2105-2133 framing)."""
+    # SOT segment + header segments + SOD marker + body
+    psot = 12 + len(head_segments) + 2 + len(tile_data)
     sot = struct.pack(">HHHIBB", SOT, 10, index, psot, tpsot, tnsot)
-    return sot + struct.pack(">H", SOD) + tile_data
+    return sot + head_segments + struct.pack(">H", SOD) + tile_data
 
 
 def write_cap(pcap: int, ccap: List[int]) -> bytes:
@@ -560,6 +611,9 @@ def _parse_codestream(data: bytes) -> Codestream:
     main_qcc: Dict[int, QcdInfo] = {}
     main_poc: List[PocEntry] = []
     tiles: Dict[int, Dict[int, TileInfo]] = {}
+    ppm_segs: List[Tuple[int, bytes]] = []          # (Zppm, payload)
+    ppt_parts: Dict[int, Dict[int, List[Tuple[int, bytes]]]] = {}
+    part_order: List[int] = []  # Isot per tile-part, stream order (PPM)
 
     def ncomp():
         if siz is None:
@@ -610,7 +664,13 @@ def _parse_codestream(data: bytes) -> Codestream:
                         tqcc[cc] = qq
                     elif m == POC:
                         tpoc = parse_poc(pl, ncomp())
+                    elif m == PPT:
+                        if not pl:
+                            raise CorruptStreamError("empty PPT segment")
+                        ppt_parts.setdefault(isot, {}).setdefault(
+                            tpsot, []).append((pl[0], pl[1:]))
                 body_start = p
+            part_order.append(isot)
             body_end = pos + psot if psot else len(data)
             if body_end > len(data):
                 body_end = len(data)
@@ -649,19 +709,53 @@ def _parse_codestream(data: bytes) -> Codestream:
             main_qcc[cc] = qq
         elif m == POC:
             main_poc = parse_poc(payload, ncomp())
+        elif m == PPM:
+            if not payload:
+                raise CorruptStreamError("empty PPM segment")
+            ppm_segs.append((payload[0], payload[1:]))
         # TLM/PLM/PLT informational segments skipped (parse_tlm/parse_plt
         # available for tooling)
 
     if siz is None or cod is None or qcd is None:
         raise CorruptStreamError("codestream missing SIZ/COD/QCD")
 
+    # PPM (A.7.4): Zppm-ordered payloads form one stream of
+    # [Nppm u32][Ippm bytes] records, the i-th record carrying the
+    # packet headers of the i-th tile-part in codestream order (records
+    # may split across segments, so framing is walked on the join).
+    ppm_tile: Dict[int, bytearray] = {}
+    if ppm_segs:
+        joined = b"".join(s for _, s in sorted(ppm_segs, key=lambda t: t[0]))
+        p, i = 0, 0
+        while p < len(joined):
+            if p + 4 > len(joined):
+                raise CorruptStreamError("truncated PPM record length")
+            n = struct.unpack_from(">I", joined, p)[0]
+            p += 4
+            if p + n > len(joined):
+                raise CorruptStreamError("PPM record overruns PPM data")
+            if i >= len(part_order):
+                raise CorruptStreamError("more PPM records than tile-parts")
+            ppm_tile.setdefault(part_order[i], bytearray()).extend(
+                joined[p:p + n])
+            p += n
+            i += 1
+
     merged: Dict[int, TileInfo] = {}
     for isot, parts in tiles.items():
         body = b"".join(parts[k].data for k in sorted(parts))
         first = parts[min(parts)]
+        ppt = None
+        if isot in ppt_parts:
+            ppt = b"".join(
+                seg for part in sorted(ppt_parts[isot])
+                for _, seg in sorted(ppt_parts[isot][part],
+                                     key=lambda t: t[0]))
+        elif isot in ppm_tile:
+            ppt = bytes(ppm_tile[isot])
         merged[isot] = TileInfo(index=isot, data=body, cod=first.cod,
                                 qcd=first.qcd, coc=first.coc, qcc=first.qcc,
-                                poc=first.poc)
+                                poc=first.poc, ppt=ppt)
     return Codestream(siz=siz, cod=cod, qcd=qcd, tiles=merged,
                       comments=comments, rgn_shifts=rgn,
                       rgn_styles=rgn_style, cap=cap,

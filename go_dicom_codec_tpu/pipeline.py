@@ -335,10 +335,18 @@ def encode_frames_pipelined(frames, bit_depth: int = 16,
             pending = nxt
         for k in range(coeffs.shape[0]):
             frame_coeffs = coeffs[k] if rgb else coeffs[k : k + 1]
-            body = enc._encode_tile_entropy(frame_coeffs, (0, 0, w, h),
-                                            cod, qcd, bit_depth)
-            stream = bytes(header) + j2kcs.write_tile_part(0, body) + \
-                j2kcs.EOC.to_bytes(2, "big")
+            split = bool(enc.params.packed_headers)
+            res = enc._encode_tile_entropy(frame_coeffs, (0, 0, w, h),
+                                           cod, qcd, bit_depth,
+                                           split=split)
+            if split:  # PPT: headers in the tile-part header segment
+                hdrs, body = res
+                tp = j2kcs.write_tile_part(0, body,
+                                           head_segments=j2kcs.write_ppt(
+                                               hdrs))
+            else:
+                tp = j2kcs.write_tile_part(0, res)
+            stream = bytes(header) + tp + j2kcs.EOC.to_bytes(2, "big")
             out.append(stream)
     return out
 

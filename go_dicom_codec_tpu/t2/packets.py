@@ -269,7 +269,35 @@ def decode_packet(data: bytes, pos: int, bands: List[PrecinctState],
     # optional SOP marker
     if use_sop and pos + 6 <= len(data) and data[pos:pos + 2] == b"\xff\x91":
         pos += 6
-    br = BioReader(data[pos:])
+    _, pos = _decode_packet_core(data, pos, data, None, bands, layer,
+                                 style, use_eph)
+    return pos
+
+
+def decode_packet_split(hdr: bytes, hpos: int, data: bytes, pos: int,
+                        bands: List[PrecinctState], layer: int, style: int,
+                        use_sop: bool = False,
+                        use_eph: bool = False) -> Tuple[int, int]:
+    """decode_packet with PACKED packet headers (T.800 A.7.4/A.7.5):
+    the header bits come from the PPM/PPT stream at hdr[hpos:] (each
+    packet header is an independently byte-aligned unit, EPH included
+    when signalled), while the bodies stay in the bitstream at
+    data[pos:] (where SOP markers, if any, still appear). Returns
+    (new_hpos, new_pos)."""
+    if use_sop and pos + 6 <= len(data) and data[pos:pos + 2] == b"\xff\x91":
+        pos += 6
+    return _decode_packet_core(hdr, hpos, data, pos, bands, layer,
+                               style, use_eph)
+
+
+def _decode_packet_core(hdr: bytes, hpos: int, data: bytes,
+                        body_pos: Optional[int], bands: List[PrecinctState],
+                        layer: int, style: int,
+                        use_eph: bool) -> Tuple[int, int]:
+    """Shared packet parse: header bits from hdr[hpos:], segment bodies
+    from data (at body_pos, or immediately after the header + optional
+    EPH when body_pos is None — the in-bitstream layout)."""
+    br = BioReader(hdr[hpos:])
     if layer == 0:
         for ps in bands:
             ps.incl_tree.reset()
@@ -313,10 +341,11 @@ def decode_packet(data: bytes, pos: int, bands: List[PrecinctState],
                 reads.append((blk, new_passes, seg_lens))
 
     br.align_to_byte()
-    pos += br.bytes_read()
+    hpos += br.bytes_read()
     if use_eph:
-        if data[pos:pos + 2] == b"\xff\x92":
-            pos += 2
+        if hdr[hpos:hpos + 2] == b"\xff\x92":
+            hpos += 2
+    pos = hpos if body_pos is None else body_pos
 
     for blk, new_passes, seg_lens in reads:
         seg_counts = _segments(style, blk.numbps, blk.num_passes,
@@ -334,7 +363,9 @@ def decode_packet(data: bytes, pos: int, bands: List[PrecinctState],
                 blk.seg_ends.append(len(blk.seg_data))
             pos += ln
         blk.num_passes += new_passes
-    return pos
+    if body_pos is None:
+        hpos = pos  # in-bitstream layout: header stream IS the body stream
+    return hpos, pos
 
 
 # ---- progression iteration -------------------------------------------------

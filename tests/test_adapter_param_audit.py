@@ -48,6 +48,7 @@ SENTINELS = {
     "guard_bits": 3,
     "custom_quant_steps": [0.25],
     "quant_step_scale": 2.0,
+    "packed_headers": True,
 }
 
 

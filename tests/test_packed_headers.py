@@ -1,0 +1,265 @@
+"""PPM/PPT packed packet headers (T.800 A.7.4/A.7.5).
+
+The reference defines the PPM/PPT marker constants but neither writes
+nor reads them (/root/reference/jpeg2000/codestream/markers.go:69-72 is
+their only appearance) — real-world encoders (OpenJPEG -PPM/-PPT
+options, Kakadu ORGgen_plt variants) do emit them, so this repo goes
+beyond the reference: the encoder can write PPT (packed_headers=True)
+and the decoder reads both PPT and PPM. Pixels must be identical to the
+in-bitstream-headers decode; OpenJPEG (via the PIL oracle, where
+available) must accept our PPT streams.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from go_dicom_codec_tpu.codecs.jpeg2000 import (J2KEncodeParams, J2KEncoder,
+                                                decode_to_pixels)
+from go_dicom_codec_tpu.codestream import j2k
+from go_dicom_codec_tpu.errors import CorruptStreamError
+
+
+def _find_seg(data, marker):
+    """Offset of the first `marker` segment, walking the marker
+    structure (a raw byte search can false-match entropy data)."""
+    pos = 2
+    while pos < len(data):
+        m = struct.unpack_from(">H", data, pos)[0]
+        if m == j2k.EOC:
+            break
+        if m == marker:
+            return pos
+        if m == j2k.SOT:
+            ln = struct.unpack_from(">H", data, pos + 2)[0]
+            psot = struct.unpack_from(">I", data, pos + 6)[0]
+            p = pos + 2 + ln
+            while struct.unpack_from(">H", data, p)[0] != j2k.SOD:
+                m2, l2 = struct.unpack_from(">HH", data, p)
+                if m2 == marker:
+                    return p
+                p += 2 + l2
+            pos += psot
+            continue
+        ln = struct.unpack_from(">H", data, pos + 2)[0]
+        pos += 2 + ln
+    return -1
+
+
+def _img(h=120, w=110, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 4096, size=(h, w), dtype=np.uint16).astype(
+        np.int32)
+
+
+def _encode(img, packed, **kw):
+    p = J2KEncodeParams(packed_headers=packed, **kw)
+    return J2KEncoder(p).encode(img, img.shape[1], img.shape[0], 1, 12)
+
+
+CONFIGS = [
+    dict(),
+    dict(cb_style=0),
+    dict(num_layers=3, progression=j2k.PROG_RPCL),
+    dict(tile_width=64, tile_height=48),
+    dict(lossless=False, quality=60),
+    dict(lossless=False, quality=60, num_layers=2, progression=j2k.PROG_PCRL),
+    dict(htj2k=True),
+    dict(precincts=[(6, 6)] * 6),
+]
+
+
+@pytest.mark.parametrize("kw", CONFIGS,
+                         ids=[",".join(f"{k}={v}" for k, v in c.items())
+                              or "default" for c in CONFIGS])
+def test_ppt_roundtrip_matches_inline_headers(kw):
+    img = _img()
+    inline = _encode(img, False, **kw)
+    packed = _encode(img, True, **kw)
+    cs_p = j2k.parse_codestream(packed)
+    cs_i = j2k.parse_codestream(inline)
+    assert all(t.ppt is not None for t in cs_p.tiles.values())
+    assert all(t.ppt is None for t in cs_i.tiles.values())
+    assert decode_to_pixels(packed) == decode_to_pixels(inline)
+
+
+def test_ppt_lossless_bit_exact():
+    img = _img()
+    packed = _encode(img, True)
+    pix, w, h, c, depth, signed = decode_to_pixels(packed)
+    assert (w, h, c, depth, signed) == (110, 120, 1, 12, False)
+    assert np.frombuffer(pix, "<u2").reshape(120, 110).astype(
+        np.int32).tolist() == img.tolist()
+
+
+def test_ppt_segment_split_and_reorder():
+    """Multi-segment PPT (tiny max_chunk) and Zppt arriving out of
+    order must reassemble identically."""
+    img = _img()
+    packed = _encode(img, True, tile_width=64, tile_height=48)
+    ref = decode_to_pixels(packed)
+
+    # re-split every tile's PPT payload into 37-byte segments
+    def resplit(data, reorder):
+        pos, out = 2, bytearray(data[:2])
+        while pos < len(data):
+            marker = struct.unpack_from(">H", data, pos)[0]
+            if marker == j2k.EOC:
+                break
+            if marker == j2k.SOT:
+                ln = struct.unpack_from(">H", data, pos + 2)[0]
+                isot, psot, tpsot, tnsot = struct.unpack_from(
+                    ">HIBB", data, pos + 4)
+                p = pos + 2 + ln
+                hdrs = bytearray()
+                other = bytearray()
+                while struct.unpack_from(">H", data, p)[0] != j2k.SOD:
+                    m2, l2 = struct.unpack_from(">HH", data, p)
+                    if m2 == j2k.PPT:
+                        hdrs += data[p + 5:p + 2 + l2]
+                    else:
+                        other += data[p:p + 2 + l2]
+                    p += 2 + l2
+                body = data[p + 2:pos + psot]
+                segs = j2k.write_ppt(bytes(hdrs), max_chunk=37)
+                if reorder:  # whole segments, reversed Zppt order
+                    parts = []
+                    q = 0
+                    while q < len(segs):
+                        l2 = struct.unpack_from(">H", segs, q + 2)[0]
+                        parts.append(segs[q:q + 2 + l2])
+                        q += 2 + l2
+                    segs = b"".join(reversed(parts))
+                new_psot = 12 + len(other) + len(segs) + 2 + len(body)
+                out += struct.pack(">HHHIBB", j2k.SOT, 10, isot, new_psot,
+                                   tpsot, tnsot)
+                out += other + segs + struct.pack(">H", j2k.SOD) + body
+                pos += psot
+                continue
+            ln = struct.unpack_from(">H", data, pos + 2)[0]
+            out += data[pos:pos + 2 + ln]
+            pos += 2 + ln
+        out += j2k.EOC.to_bytes(2, "big")
+        return bytes(out)
+
+    for reorder in (False, True):
+        remuxed = resplit(packed, reorder)
+        assert decode_to_pixels(remuxed) == ref
+
+
+def _ppt_to_ppm(data, max_chunk=65532):
+    """Move every tile-part's PPT payload into main-header PPM."""
+    pos, records, parts, main = 2, [], [], bytearray()
+    while pos < len(data):
+        marker = struct.unpack_from(">H", data, pos)[0]
+        if marker == j2k.EOC:
+            break
+        if marker == j2k.SOT:
+            ln = struct.unpack_from(">H", data, pos + 2)[0]
+            isot, psot, tpsot, tnsot = struct.unpack_from(">HIBB", data,
+                                                          pos + 4)
+            p = pos + 2 + ln
+            hdrs = bytearray()
+            other = bytearray()
+            while struct.unpack_from(">H", data, p)[0] != j2k.SOD:
+                m2, l2 = struct.unpack_from(">HH", data, p)
+                if m2 == j2k.PPT:
+                    hdrs += data[p + 5:p + 2 + l2]
+                else:
+                    other += data[p:p + 2 + l2]
+                p += 2 + l2
+            body = data[p + 2:pos + psot]
+            records.append(bytes(hdrs))
+            parts.append((isot, tpsot, tnsot, bytes(other), body))
+            pos += psot
+            continue
+        ln = struct.unpack_from(">H", data, pos + 2)[0]
+        main += data[pos:pos + 2 + ln]
+        pos += 2 + ln
+    out = bytearray(data[:2]) + main
+    out += j2k.write_ppm(records, max_chunk=max_chunk)
+    for (isot, tpsot, tnsot, other, body) in parts:
+        psot = 12 + len(other) + 2 + len(body)
+        out += struct.pack(">HHHIBB", j2k.SOT, 10, isot, psot, tpsot, tnsot)
+        out += other + struct.pack(">H", j2k.SOD) + body
+    out += j2k.EOC.to_bytes(2, "big")
+    return bytes(out)
+
+
+@pytest.mark.parametrize("max_chunk", [65532, 41])
+def test_ppm_decode(max_chunk):
+    """Main-header PPM: multi-tile records assigned per tile-part in
+    codestream order; small max_chunk makes records straddle segment
+    boundaries (the spec allows splitting anywhere)."""
+    img = _img()
+    packed = _encode(img, True, tile_width=64, tile_height=48,
+                     num_layers=2)
+    ppm_stream = _ppt_to_ppm(packed, max_chunk=max_chunk)
+    assert _find_seg(ppm_stream, j2k.PPM) > 0
+    assert _find_seg(ppm_stream, j2k.PPT) == -1
+    cs = j2k.parse_codestream(ppm_stream)
+    assert all(t.ppt is not None for t in cs.tiles.values())
+    assert decode_to_pixels(ppm_stream) == decode_to_pixels(packed)
+
+
+def test_ppm_truncated_record_raises():
+    img = _img(64, 64)
+    packed = _encode(img, True)
+    ppm_stream = _ppt_to_ppm(packed)
+    # chop the last PPM segment's payload mid-record: shrink Nppm's data
+    i = _find_seg(ppm_stream, j2k.PPM)
+    ln = struct.unpack_from(">H", ppm_stream, i + 2)[0]
+    corrupt = (ppm_stream[:i + 2] + struct.pack(">H", ln) +
+               ppm_stream[i + 4:i + 2 + ln - 5] +
+               ppm_stream[i + 2 + ln:])
+    with pytest.raises(CorruptStreamError):
+        decode_to_pixels(corrupt)
+
+
+def test_empty_ppt_segment_raises():
+    img = _img(64, 64)
+    packed = _encode(img, True)
+    i = _find_seg(packed, j2k.PPT)
+    # replace the PPT segment with an empty-payload one (Lppt=2)
+    ln = struct.unpack_from(">H", packed, i + 2)[0]
+    corrupt = packed[:i + 2] + struct.pack(">H", 2) + packed[i + 2 + ln:]
+    with pytest.raises(CorruptStreamError):
+        decode_to_pixels(corrupt)
+
+
+def test_adapter_packed_headers_param():
+    import go_dicom_codec_tpu as dc
+    img = _img()
+    info = dc.FrameInfo(width=110, height=120, bits_allocated=16,
+                        bits_stored=12)
+    src = dc.MemoryPixelData(info=info)
+    src.add_frame(img.astype("<u2").tobytes())
+    codec = dc.get_global_registry().get_codec(dc.uids.JPEG_2000_LOSSLESS)
+    enc = dc.MemoryPixelData(info=info, encapsulated=True)
+    codec.encode(src, enc, dc.Parameters(packed_headers=True))
+    assert _find_seg(enc.get_frame(0), j2k.PPT) > 0
+    dec = dc.MemoryPixelData(info=info)
+    codec.decode(enc, dec)
+    assert dec.get_frame(0) == src.get_frame(0)
+
+
+def test_ppt_openjpeg_oracle():
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+    img = _img()
+    packed = _encode(img, True, tile_width=64, tile_height=48)
+    arr = np.asarray(PIL_Image.open(io.BytesIO(packed),
+                                    formats=["JPEG2000"]))
+    # PIL/OpenJPEG returns N-bit in 16-bit containers shifted by (16-N)
+    assert np.array_equal(arr >> 4, img.astype(arr.dtype))
+
+
+def test_ppt_pipelined_encode_matches_scalar():
+    from go_dicom_codec_tpu.pipeline import encode_frames_pipelined
+    imgs = np.stack([_img(seed=i) for i in range(3)])
+    streams = encode_frames_pipelined(
+        imgs, bit_depth=12,
+        params=J2KEncodeParams(packed_headers=True))
+    scalar = [_encode(imgs[i], True) for i in range(3)]
+    assert [bytes(s) for s in streams] == scalar
