@@ -14,6 +14,7 @@ slice of the packed-Mallat array, code-block stats come from one reduction
 from __future__ import annotations
 
 import math
+import struct
 
 from dataclasses import dataclass, field, replace
 from typing import Dict, List, Optional, Tuple
@@ -97,6 +98,13 @@ class J2KEncodeParams:
     # reads them (codestream/markers.go:69-72); this encoder writes
     # PPT and the decoder reads both PPT and PPM.
     packed_headers: bool = False
+    # resync markers (T.800 A.8): SOP before every packet (Nsop counts
+    # per tile, mod 65536), EPH after every packet header — with packed
+    # headers the EPH rides in the PPT/PPM stream while SOP stays in
+    # the bitstream. The reference decodes both flags but never writes
+    # them (t2/packet_header.go); both decoders here accept them.
+    use_sop: bool = False
+    use_eph: bool = False
 
     def clamped_levels(self, w: int, h: int) -> int:
         """Clamp levels so the coarsest LL stays ≥1 px (lossy/codec.go:392)."""
@@ -264,7 +272,8 @@ class J2KEncoder:
             mct=1 if (use_mct and components == 3) else 0,
             num_levels=levels, cb_width=p.cb_width, cb_height=p.cb_height,
             cb_style=cb_style, transform=1 if p.lossless else 0,
-            precinct_exps=p.resolved_precincts(levels))
+            precinct_exps=p.resolved_precincts(levels),
+            use_sop=p.use_sop, use_eph=p.use_eph)
         qcd = self._build_qcd(levels, bit_depth, use_mct,
                               components)
 
@@ -949,6 +958,9 @@ class J2KEncoder:
                     if n is None:
                         return None
                     total_b += n
+                    # SOP/EPH markers ride every packet (6 + 2 bytes)
+                    total_b += (6 * cod.use_sop + 2 * cod.use_eph) \
+                        * len(order)
                 return total_b
             finally:
                 for blk, lp in zip(all_blocks, saved):
@@ -977,13 +989,14 @@ class J2KEncoder:
                                         for li in range(nl)]
                     bi += 1
                 pinfo = self._precinct_info_fn(comp_res, cod)
+                per_pkt = 6 * cod.use_sop + 2 * cod.use_eph
                 for (l, r, c, pidx) in progression_order(
                         cod.progression, nl, cod.num_levels + 1, ncomp,
                         pinfo):
                     header, pbody = encode_packet(trial[c][(r, pidx)], l,
                                                   cod.cb_style,
                                                   cod.num_layers)
-                    total_b += len(header) + len(pbody)
+                    total_b += len(header) + len(pbody) + per_pkt
             return total_b
 
         alloc = allocate_layers(slopes, budgets, measure=measured_bytes)
@@ -997,32 +1010,46 @@ class J2KEncoder:
         order = list(progression_order(
             cod.progression, cod.num_layers, cod.num_levels + 1,
             ncomp, precinct_info))
+        def sop(n):
+            # SOP segment (T.800 A.8.1): marker + Lsop=4 + Nsop
+            return struct.pack(">HHH", j2k.SOP, 4, n & 0xFFFF)
+
         if split:
             # packed packet headers (PPT): headers and bodies assemble
             # into separate streams (encode_packet already returns the
-            # pair, each header its own byte-aligned unit)
+            # pair, each header its own byte-aligned unit); EPH belongs
+            # to the header stream, SOP stays with the bodies
             hdrs = bytearray()
             body = bytearray()
-            for (l, r, c, pidx) in order:
+            for nsop, (l, r, c, pidx) in enumerate(order):
                 header, pbody = encode_packet(comp_states[c][(r, pidx)],
                                               l, cod.cb_style,
                                               cod.num_layers)
                 hdrs += header
+                if cod.use_eph:
+                    hdrs += struct.pack(">H", j2k.EPH)
+                if cod.use_sop:
+                    body += sop(nsop)
                 body += pbody
             return bytes(hdrs), bytes(body)
         # native mirror assembles the whole tile (headers, tag trees,
         # Lblock, bodies) in one call; Python is the byte-identical
         # behavioral reference and the native-disabled path
-        from ..native import t2_assemble_packets_native
-        body_n = t2_assemble_packets_native(comp_states, order,
-                                            cod.cb_style)
-        if body_n is not None:
-            return body_n
+        if not cod.use_sop and not cod.use_eph:
+            from ..native import t2_assemble_packets_native
+            body_n = t2_assemble_packets_native(comp_states, order,
+                                                cod.cb_style)
+            if body_n is not None:
+                return body_n
         body = bytearray()
-        for (l, r, c, pidx) in order:
+        for nsop, (l, r, c, pidx) in enumerate(order):
             header, pbody = encode_packet(comp_states[c][(r, pidx)], l,
                                           cod.cb_style, cod.num_layers)
+            if cod.use_sop:
+                body += sop(nsop)
             body += header
+            if cod.use_eph:
+                body += struct.pack(">H", j2k.EPH)
             body += pbody
         return bytes(body)
 

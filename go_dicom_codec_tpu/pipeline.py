@@ -309,7 +309,7 @@ def encode_frames_pipelined(frames, bit_depth: int = 16,
                         mct=1 if rgb else 0,
                         num_levels=p.num_levels, cb_width=p.cb_width,
                         cb_height=p.cb_height, cb_style=p.cb_style,
-                        transform=1)
+                        transform=1, use_sop=p.use_sop, use_eph=p.use_eph)
     qcd = j2kcs.QcdInfo(style=0, guard_bits=p.guard_bits)
     from .codecs.j2k_geometry import band_gain
     from .codecs import j2k_quant as jq

@@ -49,6 +49,8 @@ SENTINELS = {
     "custom_quant_steps": [0.25],
     "quant_step_scale": 2.0,
     "packed_headers": True,
+    "use_sop": True,
+    "use_eph": True,
 }
 
 

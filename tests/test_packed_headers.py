@@ -263,3 +263,98 @@ def test_ppt_pipelined_encode_matches_scalar():
         params=J2KEncodeParams(packed_headers=True))
     scalar = [_encode(imgs[i], True) for i in range(3)]
     assert [bytes(s) for s in streams] == scalar
+
+
+# ---- SOP/EPH resync-marker WRITE support (decode predates it) ----------
+# The reference decodes Scod SOP/EPH flags (t2/packet_header.go) but its
+# encoder never sets them; here both directions work, composing with
+# packed headers (EPH rides in the PPT stream, SOP stays in the body).
+
+SOP_CONFIGS = [
+    dict(use_sop=True),
+    dict(use_eph=True),
+    dict(use_sop=True, use_eph=True),
+    dict(use_sop=True, use_eph=True, packed_headers=True),
+    dict(use_sop=True, use_eph=True, num_layers=3,
+         progression=j2k.PROG_RPCL),
+    dict(use_sop=True, use_eph=True, lossless=False, quality=60,
+         target_ratio=6.0, num_layers=2),
+    dict(use_sop=True, use_eph=True, htj2k=True),
+]
+
+
+@pytest.mark.parametrize("kw", SOP_CONFIGS,
+                         ids=[",".join(f"{k}={v}" for k, v in c.items())
+                              for c in SOP_CONFIGS])
+def test_sop_eph_roundtrip(kw):
+    img = _img()
+    plain = _encode(img, False)
+    marked = J2KEncoder(J2KEncodeParams(**kw)).encode(img, 110, 120, 1, 12)
+    cs = j2k.parse_codestream(marked)
+    assert cs.cod.use_sop == bool(kw.get("use_sop"))
+    assert cs.cod.use_eph == bool(kw.get("use_eph"))
+    got = decode_to_pixels(marked)
+    if kw.get("lossless", True):
+        assert got == decode_to_pixels(plain)
+    else:
+        assert got[1:] == decode_to_pixels(plain)[1:]  # same geometry
+
+
+def test_sop_markers_in_body():
+    """First packet's SOP carries Nsop=0 and markers count up."""
+    img = _img(64, 64)
+    marked = J2KEncoder(J2KEncodeParams(use_sop=True, num_levels=2)
+                        ).encode(img, 64, 64, 1, 12)
+    cs = j2k.parse_codestream(marked)
+    body = cs.tiles[0].data
+    # LRCP, 1 layer, 3 resolutions, 1 precinct each → 3 packets
+    for n in range(3):
+        assert body[:6] != b"" and struct.unpack_from(">HHH", body)[0:3] \
+            == (j2k.SOP, 4, n)
+        # skip SOP; find the next one by parsing is overkill — re-scan
+        nxt = body[6:].find(struct.pack(">HHH", j2k.SOP, 4, n + 1))
+        if n < 2:
+            assert nxt >= 0
+            body = body[6 + nxt:]
+
+
+def test_sop_eph_native_disabled_parity():
+    """SOP/EPH assembly is Python-side; the native-disabled lane must
+    produce the identical stream (native T2 is gated off for it)."""
+    import subprocess
+    import sys
+    code = (
+        "import os, hashlib, numpy as np\n"
+        "os.environ.pop('PALLAS_AXON_REMOTE_COMPILE', None)\n"
+        "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "from go_dicom_codec_tpu.codecs.jpeg2000 import (J2KEncoder,\n"
+        "    J2KEncodeParams)\n"
+        "rng = np.random.default_rng(3)\n"
+        "img = rng.integers(0, 4096, (120, 110)).astype(np.int32)\n"
+        "s = J2KEncoder(J2KEncodeParams(use_sop=True, use_eph=True,\n"
+        "    num_layers=2)).encode(img, 110, 120, 1, 12)\n"
+        "print(hashlib.sha256(s).hexdigest())\n")
+    outs = []
+    for disable in ("", "1"):
+        env = dict(**__import__("os").environ)
+        if disable:
+            env["GDCT_DISABLE_NATIVE"] = disable
+        else:
+            env.pop("GDCT_DISABLE_NATIVE", None)
+        r = subprocess.run([sys.executable, "-c", code], env=env,
+                           capture_output=True, text=True, timeout=300)
+        assert r.returncode == 0, r.stderr
+        outs.append(r.stdout.strip())
+    assert outs[0] == outs[1]
+
+
+def test_sop_eph_openjpeg_oracle():
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+    img = _img()
+    marked = J2KEncoder(J2KEncodeParams(use_sop=True, use_eph=True)
+                        ).encode(img, 110, 120, 1, 12)
+    arr = np.asarray(PIL_Image.open(io.BytesIO(marked),
+                                    formats=["JPEG2000"]))
+    assert np.array_equal(arr >> 4, img.astype(arr.dtype))
