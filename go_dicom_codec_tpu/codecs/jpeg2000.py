@@ -17,7 +17,7 @@ import math
 import struct
 
 from dataclasses import dataclass, field, replace
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, NamedTuple, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -36,6 +36,15 @@ from ..t2.packets import (BlockState, PrecinctState, decode_packet,
 from . import j2k_quant as jq
 from .j2k_geometry import (BandGeom, ResolutionGeom, build_tile_geometry,
                            band_gain, ceil_div)
+
+
+class _AssembledTile(NamedTuple):
+    """Tile packet assembly with optional side products: the PPT
+    header stream (packed_headers) and per-packet bitstream lengths
+    (plt_markers)."""
+    headers: Optional[bytes]
+    body: bytes
+    pkt_lengths: Optional[List[int]]
 
 
 @dataclass
@@ -105,6 +114,11 @@ class J2KEncodeParams:
     # them (t2/packet_header.go); both decoders here accept them.
     use_sop: bool = False
     use_eph: bool = False
+    # PLT packet-length pointers (T.800 A.8.2) in each tile-part
+    # header; lengths count everything a packet puts in the bitstream
+    # (SOP + header + EPH + body — body only under packed_headers).
+    # The reference defines/skips the marker (markers.go:65-66,129).
+    plt_markers: bool = False
 
     def clamped_levels(self, w: int, h: int) -> int:
         """Clamp levels so the coarsest LL stays ≥1 px (lossy/codec.go:392)."""
@@ -400,17 +414,24 @@ class J2KEncoder:
             for (comp_res, comp_states, nc) in ctxs:
                 bodies.append(self._assemble_tile_packets(
                     comp_res, comp_states, cod, nc,
-                    split=p.packed_headers))
+                    split=p.packed_headers, want_plt=p.plt_markers))
         else:
             for tidx, rect in enumerate(rects):
                 bodies.append(self._encode_tile(
                     arr, rect, cod, qcd, bit_depth, signed, use_mct,
                     shifts,
                     precomputed_tiles[tidx] if precomputed_tiles else None,
-                    split=p.packed_headers))
-        if p.packed_headers:
-            # (PPT segments, bodies-only bitstream) per tile
-            parts = [(j2k.write_ppt(h), b) for (h, b) in bodies]
+                    split=p.packed_headers, want_plt=p.plt_markers))
+        if p.packed_headers or p.plt_markers:
+            # (tile-part header segments, bitstream) per tile
+            parts = []
+            for at in bodies:
+                head = b""
+                if p.packed_headers:
+                    head += j2k.write_ppt(at.headers)
+                if p.plt_markers:
+                    head += j2k.write_plt_segments(at.pkt_lengths)
+                parts.append((head, at.body))
         else:
             parts = [(b"", b) for b in bodies]
         if p.htj2k:
@@ -484,14 +505,15 @@ class J2KEncoder:
                      use_mct: bool,
                      roi_shifts: Optional[Dict[int, int]] = None,
                      precomputed_coeffs: Optional[np.ndarray] = None,
-                     split: bool = False):
+                     split: bool = False, want_plt: bool = False):
         coeffs = self._tile_coeffs(arr, rect, cod, qcd, bit_depth, signed,
                                    use_mct, roi_shifts, precomputed_coeffs)
         from ..utils.profiling import maybe_stage
         with maybe_stage("j2k.encode.entropy"):
             return self._encode_tile_entropy(coeffs, rect, cod, qcd,
                                              bit_depth, roi_shifts,
-                                             split=split)
+                                             split=split,
+                                             want_plt=want_plt)
 
     def _tile_coeffs(self, arr: np.ndarray, rect, cod: j2k.CodInfo,
                      qcd: j2k.QcdInfo, bit_depth: int, signed: bool,
@@ -672,7 +694,7 @@ class J2KEncoder:
                              cod: j2k.CodInfo, qcd: j2k.QcdInfo,
                              bit_depth: int,
                              roi_shifts: Optional[Dict[int, int]] = None,
-                             split: bool = False):
+                             split: bool = False, want_plt: bool = False):
         """Host stage: per component geometry + T1 + PCRD + packets."""
         ncomp = coeffs.shape[0]
         comp_res, comp_states = self._tile_block_states(
@@ -682,7 +704,8 @@ class J2KEncoder:
                             bit_depth,
                             (ty1 - ty0) * (tx1 - tx0) * ncomp)
         return self._assemble_tile_packets(comp_res, comp_states, cod,
-                                           ncomp, split=split)
+                                           ncomp, split=split,
+                                           want_plt=want_plt)
 
     def _apply_t1_result(self, st, mb: int, dw: float, stream: bytes,
                          numbps: int, rates, terms, bitplanes,
@@ -1005,7 +1028,8 @@ class J2KEncoder:
 
     def _assemble_tile_packets(self, comp_res, comp_states,
                                cod: j2k.CodInfo, ncomp: int,
-                               split: bool = False):
+                               split: bool = False,
+                               want_plt: bool = False):
         precinct_info = self._precinct_info_fn(comp_res, cod)
         order = list(progression_order(
             cod.progression, cod.num_layers, cod.num_levels + 1,
@@ -1021,6 +1045,7 @@ class J2KEncoder:
             # to the header stream, SOP stays with the bodies
             hdrs = bytearray()
             body = bytearray()
+            lengths = [] if want_plt else None
             for nsop, (l, r, c, pidx) in enumerate(order):
                 header, pbody = encode_packet(comp_states[c][(r, pidx)],
                                               l, cod.cb_style,
@@ -1028,29 +1053,38 @@ class J2KEncoder:
                 hdrs += header
                 if cod.use_eph:
                     hdrs += struct.pack(">H", j2k.EPH)
+                n0 = len(body)
                 if cod.use_sop:
                     body += sop(nsop)
                 body += pbody
-            return bytes(hdrs), bytes(body)
+                if want_plt:
+                    lengths.append(len(body) - n0)
+            return _AssembledTile(bytes(hdrs), bytes(body), lengths)
         # native mirror assembles the whole tile (headers, tag trees,
         # Lblock, bodies) in one call; Python is the byte-identical
         # behavioral reference and the native-disabled path
-        if not cod.use_sop and not cod.use_eph:
+        if not cod.use_sop and not cod.use_eph and not want_plt:
             from ..native import t2_assemble_packets_native
             body_n = t2_assemble_packets_native(comp_states, order,
                                                 cod.cb_style)
             if body_n is not None:
                 return body_n
         body = bytearray()
+        lengths = [] if want_plt else None
         for nsop, (l, r, c, pidx) in enumerate(order):
             header, pbody = encode_packet(comp_states[c][(r, pidx)], l,
                                           cod.cb_style, cod.num_layers)
+            n0 = len(body)
             if cod.use_sop:
                 body += sop(nsop)
             body += header
             if cod.use_eph:
                 body += struct.pack(">H", j2k.EPH)
             body += pbody
+            if want_plt:
+                lengths.append(len(body) - n0)
+        if want_plt:
+            return _AssembledTile(None, bytes(body), lengths)
         return bytes(body)
 
 

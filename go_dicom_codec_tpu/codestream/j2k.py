@@ -307,6 +307,36 @@ def write_plt(zplt: int, packet_lengths: List[int]) -> bytes:
     return _seg(PLT, bytes(payload))
 
 
+def write_plt_segments(packet_lengths: List[int],
+                       max_chunk: int = 65532) -> bytes:
+    """One or more PLT segments (T.800 A.8.2) covering a tile-part's
+    packet lengths, split BETWEEN varints at the segment-length limit
+    with ascending Zplt (write_plt emits a single segment; real tiles
+    can exceed 65535 bytes of varints)."""
+    out = bytearray()
+    z = 0
+    cur = bytearray()
+    step = min(max_chunk, 65532)
+
+    def flush():
+        nonlocal z, cur
+        out.extend(_seg(PLT, bytes([z & 0xFF]) + bytes(cur)))
+        z += 1
+        cur = bytearray()
+
+    for n in packet_lengths:
+        chunk = bytearray([n & 0x7F])
+        n >>= 7
+        while n:
+            chunk.insert(0, 0x80 | (n & 0x7F))
+            n >>= 7
+        if len(cur) + len(chunk) > step and cur:
+            flush()
+        cur += chunk
+    flush()
+    return bytes(out)
+
+
 def write_ppt(headers: bytes, max_chunk: int = 65532) -> bytes:
     """PPT segments (T.800 A.7.5) carrying one tile's packed packet
     headers, split at the 16-bit segment-length limit with ascending

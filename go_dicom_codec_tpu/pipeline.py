@@ -336,14 +336,18 @@ def encode_frames_pipelined(frames, bit_depth: int = 16,
         for k in range(coeffs.shape[0]):
             frame_coeffs = coeffs[k] if rgb else coeffs[k : k + 1]
             split = bool(enc.params.packed_headers)
+            want_plt = bool(enc.params.plt_markers)
             res = enc._encode_tile_entropy(frame_coeffs, (0, 0, w, h),
                                            cod, qcd, bit_depth,
-                                           split=split)
-            if split:  # PPT: headers in the tile-part header segment
-                hdrs, body = res
-                tp = j2kcs.write_tile_part(0, body,
-                                           head_segments=j2kcs.write_ppt(
-                                               hdrs))
+                                           split=split, want_plt=want_plt)
+            if split or want_plt:  # PPT/PLT tile-part header segments
+                head = b""
+                if split:
+                    head += j2kcs.write_ppt(res.headers)
+                if want_plt:
+                    head += j2kcs.write_plt_segments(res.pkt_lengths)
+                tp = j2kcs.write_tile_part(0, res.body,
+                                           head_segments=head)
             else:
                 tp = j2kcs.write_tile_part(0, res)
             stream = bytes(header) + tp + j2kcs.EOC.to_bytes(2, "big")

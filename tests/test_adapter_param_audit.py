@@ -51,6 +51,7 @@ SENTINELS = {
     "packed_headers": True,
     "use_sop": True,
     "use_eph": True,
+    "plt_markers": True,
 }
 
 

@@ -358,3 +358,80 @@ def test_sop_eph_openjpeg_oracle():
     arr = np.asarray(PIL_Image.open(io.BytesIO(marked),
                                     formats=["JPEG2000"]))
     assert np.array_equal(arr >> 4, img.astype(arr.dtype))
+
+
+# ---- PLT packet-length pointers (write; parse predates it) --------------
+
+def _collect_plt_lengths(stream):
+    """All PLT varint lengths for tile 0, Zplt order."""
+    pos = 2
+    segs = []
+    while pos < len(stream):
+        m = struct.unpack_from(">H", stream, pos)[0]
+        if m == j2k.EOC:
+            break
+        if m == j2k.SOT:
+            ln = struct.unpack_from(">H", stream, pos + 2)[0]
+            psot = struct.unpack_from(">I", stream, pos + 6)[0]
+            p = pos + 2 + ln
+            while struct.unpack_from(">H", stream, p)[0] != j2k.SOD:
+                m2, l2 = struct.unpack_from(">HH", stream, p)
+                if m2 == j2k.PLT:
+                    segs.append(stream[p + 4:p + 2 + l2])
+                p += 2 + l2
+            body = stream[p + 2:pos + psot]
+            lengths = []
+            for seg in sorted(segs, key=lambda s: s[0]):
+                _, ls = j2k.parse_plt(seg)
+                lengths.extend(ls)
+            return lengths, body
+        ln = struct.unpack_from(">H", stream, pos + 2)[0]
+        pos += 2 + ln
+    return [], b""
+
+
+@pytest.mark.parametrize("kw", [
+    dict(plt_markers=True),
+    dict(plt_markers=True, use_sop=True, use_eph=True),
+    dict(plt_markers=True, packed_headers=True),
+    dict(plt_markers=True, num_layers=3, progression=j2k.PROG_RPCL),
+    dict(plt_markers=True, htj2k=True),
+], ids=["plain", "sop+eph", "ppt", "layers", "ht"])
+def test_plt_lengths_cover_the_bitstream(kw):
+    img = _img()
+    plain = _encode(img, False)
+    marked = J2KEncoder(J2KEncodeParams(**kw)).encode(img, 110, 120, 1, 12)
+    lengths, body = _collect_plt_lengths(marked)
+    assert lengths and sum(lengths) == len(body)
+    assert decode_to_pixels(marked) == decode_to_pixels(plain)
+
+
+def test_plt_boundaries_hit_sop_markers():
+    """With SOP on, every PLT length lands exactly on the next SOP."""
+    img = _img()
+    marked = J2KEncoder(J2KEncodeParams(plt_markers=True, use_sop=True)
+                        ).encode(img, 110, 120, 1, 12)
+    lengths, body = _collect_plt_lengths(marked)
+    pos = 0
+    for n, ln in enumerate(lengths):
+        assert struct.unpack_from(">HHH", body, pos) == (j2k.SOP, 4, n)
+        pos += ln
+    assert pos == len(body)
+
+
+def test_write_plt_segments_splits_between_varints():
+    lengths = [5, 300, 70000, 1, 128]
+    segs = j2k.write_plt_segments(lengths, max_chunk=3)
+    # parse back: multiple Zplt segments, concatenated varints intact
+    pos = 0
+    got = []
+    zs = []
+    while pos < len(segs):
+        m, ln = struct.unpack_from(">HH", segs, pos)
+        assert m == j2k.PLT
+        z, ls = j2k.parse_plt(segs[pos + 4:pos + 2 + ln])
+        zs.append(z)
+        got.extend(ls)
+        pos += 2 + ln
+    assert zs == sorted(zs) and len(zs) > 1
+    assert got == lengths
