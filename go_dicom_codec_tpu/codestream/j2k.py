@@ -625,7 +625,42 @@ def parse_codestream(data: bytes) -> Codestream:
         raise CorruptStreamError(f"corrupt marker payload: {e}") from e
 
 
+_JP2_SIGNATURE = b"\x00\x00\x00\x0cjP  \r\n\x87\n"
+
+
+def unwrap_jp2(data: bytes) -> bytes:
+    """The contiguous codestream (jp2c box payload) of a JP2/JPH file
+    (ISO 15444-1 Annex I box structure; 15444-15 JPH shares it).
+
+    DICOM transports raw codestreams, and the reference only handles
+    those — but real-world J2K files are usually JP2-wrapped (PIL and
+    OpenJPEG write JP2 by default), so the decoder accepts both."""
+    pos = 0
+    n = len(data)
+    while pos + 8 <= n:
+        lbox = struct.unpack_from(">I", data, pos)[0]
+        tbox = data[pos + 4:pos + 8]
+        payload = pos + 8
+        if lbox == 1:  # XLBox: 64-bit length
+            if payload + 8 > n:
+                raise CorruptStreamError("truncated JP2 XLBox")
+            end = pos + struct.unpack_from(">Q", data, payload)[0]
+            payload += 8
+        elif lbox == 0:  # to end of file
+            end = n
+        else:
+            end = pos + lbox
+        if end < payload or end > n:
+            raise CorruptStreamError(f"JP2 box {tbox!r} overruns file")
+        if tbox == b"jp2c":
+            return data[payload:end]
+        pos = end
+    raise CorruptStreamError("JP2 file has no jp2c codestream box")
+
+
 def _parse_codestream(data: bytes) -> Codestream:
+    if data.startswith(_JP2_SIGNATURE):
+        data = unwrap_jp2(data)
     if len(data) < 4 or struct.unpack_from(">H", data, 0)[0] != SOC:
         raise CorruptStreamError("missing SOC marker")
     pos = 2
