@@ -326,3 +326,43 @@ def test_batched_multiframe_decode_corrupt_frame_typed_error(uid, rng):
     out = dc.MemoryPixelData(info=info)
     with pytest.raises(CodecError):
         codec.decode(mixed, out)
+
+
+def test_corrupted_packed_header_stream_never_crashes(rng):
+    """PPT/PPM/SOP/EPH/PLT/JP2 paths are new parser attack surface:
+    truncation, byte flips, and deletions must raise cleanly."""
+    import io
+    import struct
+
+    from go_dicom_codec_tpu.codecs.jpeg2000 import (J2KEncodeParams,
+                                                    J2KEncoder,
+                                                    decode_to_pixels)
+    from go_dicom_codec_tpu.codestream import j2k
+
+    img = rng.integers(0, 4096, (64, 64)).astype(np.int32)
+    marked = J2KEncoder(J2KEncodeParams(
+        packed_headers=True, use_sop=True, use_eph=True, plt_markers=True,
+        tile_width=48, tile_height=48)).encode(img, 64, 64, 1, 12)
+    # a JP2-wrapped variant exercises the box walk too
+    ftyp = struct.pack(">I4s", 20, b"ftyp") + b"jp2 " + b"\0" * 8
+    jp2 = (j2k._JP2_SIGNATURE + ftyp +
+           struct.pack(">I4s", 8 + len(marked), b"jp2c") + marked)
+
+    for base in (marked, jp2):
+        for trial in range(24):
+            d2 = bytearray(base)
+            mode = trial % 3
+            if mode == 0:
+                d2 = d2[: int(rng.integers(0, len(d2)))]
+            elif mode == 1:
+                for _ in range(int(rng.integers(1, 8))):
+                    d2[int(rng.integers(0, len(d2)))] = \
+                        int(rng.integers(0, 256))
+            else:
+                a = int(rng.integers(0, len(d2)))
+                b = int(rng.integers(a, len(d2)))
+                d2 = d2[:a] + d2[b:]
+            try:
+                decode_to_pixels(bytes(d2))
+            except Exception:
+                pass  # any clean Python exception is acceptable
