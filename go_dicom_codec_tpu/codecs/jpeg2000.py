@@ -1236,9 +1236,15 @@ class J2KDecoder:
     """
 
     def __init__(self, resilient: bool = False,
-                 block_decoder_factory=None) -> None:
+                 block_decoder_factory=None, reduce: int = 0) -> None:
         self.resilient = resilient
         self.block_decoder_factory = block_decoder_factory
+        # reduced-resolution decode (OpenJPEG -r analogue, beyond the
+        # reference): skip the top `reduce` resolutions — T1 runs only
+        # on the kept code-blocks and the inverse DWT stops early, so a
+        # thumbnail decode costs a fraction of the full one. Output
+        # dims are the level-`reduce` LL window (ceil-div by 2^reduce).
+        self.reduce = int(reduce)
 
     def set_block_decoder_factory(self, factory) -> None:
         """Reference decoder.go:76 SetBlockDecoderFactory."""
@@ -1250,8 +1256,12 @@ class J2KDecoder:
         siz = cs.siz
         ncomp = len(siz.components)
         depth0, signed0, _, _ = siz.components[0]
-        width = siz.xsiz - siz.xosiz
-        height = siz.ysiz - siz.yosiz
+
+        def rdiv(v):  # reduced-grid coordinate (level-R LL window)
+            return -(-v // (1 << self.reduce))
+
+        width = rdiv(siz.xsiz) - rdiv(siz.xosiz)
+        height = rdiv(siz.ysiz) - rdiv(siz.yosiz)
         out = np.zeros((height, width, ncomp), dtype=np.int32)
 
         mct_bindings_inv = _extract_mct_inverse(cs, ncomp)
@@ -1282,8 +1292,9 @@ class J2KDecoder:
                                          comp_rects=comp_rects,
                                          packed_hdrs=tile.ppt)
             tx0, ty0, tx1, ty1 = rect
-            out[ty0 - siz.yosiz:ty1 - siz.yosiz,
-                tx0 - siz.xosiz:tx1 - siz.xosiz, :] = tile_arr
+            out[rdiv(ty0) - rdiv(siz.yosiz):rdiv(ty1) - rdiv(siz.yosiz),
+                rdiv(tx0) - rdiv(siz.xosiz):rdiv(tx1) - rdiv(siz.xosiz),
+                :] = tile_arr
         return out, siz, cs.cod
 
     def _decode_tile(self, body: bytes, rect, cods, qcds, ncomp: int,
@@ -1304,11 +1315,30 @@ class J2KDecoder:
         (TileInfo.ppt); packet headers then parse from this buffer
         while bodies stay in the tile bitstream."""
         tx0, ty0, tx1, ty1 = rect
-        th, tw = ty1 - ty0, tx1 - tx0
         cod0 = cods[0]  # progression/layers are COD-only fields
         rgn_shifts = rgn_shifts or {}
         comp_rects = comp_rects or [tuple(rect)] * ncomp
         uniform = all(tuple(cr) == tuple(rect) for cr in comp_rects)
+        # reduced-resolution decode: geometry/packet parsing stay on the
+        # full grid (headers are sequential), but coefficients assemble
+        # into the level-R LL window and the inverse runs R levels short.
+        # Band rects and packed offsets of the kept resolutions coincide
+        # in both layouts (ceil-div composes: ceil(ceil(x/2^R)/2^k) ==
+        # ceil(x/2^(R+k)), the Annex B window recursion).
+        reduce = self.reduce
+        if reduce:
+            for cc in cods:
+                if reduce > cc.num_levels:
+                    raise UnsupportedFormatError(
+                        f"reduce={reduce} exceeds the stream's "
+                        f"decomposition levels ({cc.num_levels})")
+
+        def _rd(t):
+            return tuple(-(-v // (1 << reduce)) for v in t)
+
+        etx0, ety0, etx1, ety1 = _rd(rect)
+        eff_comp_rects = [_rd(cr) for cr in comp_rects]
+        th, tw = ety1 - ety0, etx1 - etx0
 
         comp_res = []
         comp_states = []
@@ -1411,7 +1441,7 @@ class J2KDecoder:
         _pdt = np.int64 if any((rgn_shifts or {}).values()) else np.int32
         packed_list = [
             np.zeros((cr[3] - cr[1], cr[2] - cr[0]), dtype=_pdt)
-            for cr in comp_rects]
+            for cr in eff_comp_rects]
         def _paste(c, bg, g, blk):
             packed_list[c][
                 bg.row_off + (g.y0 - bg.y0):
@@ -1486,6 +1516,8 @@ class J2KDecoder:
             cod = cods[c]
             is_ht = bool(cod.cb_style & 0x40)
             for res in comp_res[c]:
+                if res.r > cod.num_levels - reduce:
+                    continue  # discarded resolution (reduced decode)
                 for prec in res.precincts:
                     plist = comp_states[c][(res.r, prec.index)]
                     for pb, ps in zip(prec.bands, plist):
@@ -1537,6 +1569,10 @@ class J2KDecoder:
             shift = rgn_shifts.get(c, 0)
             if not shift:
                 continue
+            if c in gs_masks and reduce:
+                raise UnsupportedFormatError(
+                    "reduced-resolution decode of General-Scaling ROI "
+                    "streams is not supported (full-grid geometry masks)")
             if c in gs_masks and uniform:
                 from .j2k_geometry import packed_band_layout
                 from .j2k_roi import band_roi_mask, unshift_general
@@ -1581,6 +1617,7 @@ class J2KDecoder:
         # whole component stack in one launch; heterogeneous per-component
         # styles reconstruct each component separately first.
         cod = cod0
+        eff_levels = cod0.num_levels - reduce
         homogeneous = uniform and all(
             cc.transform == cod0.transform
             and cc.num_levels == cod0.num_levels for cc in cods)
@@ -1590,15 +1627,15 @@ class J2KDecoder:
                 # host fast path: native inverse 5/3 (bit-parity mirror)
                 # + integer inverse RCT, no per-op device dispatch
                 rec = np.stack([
-                    _nat.dwt53_inv_native(p, cod.num_levels, tx0, ty0)
+                    _nat.dwt53_inv_native(p, eff_levels, etx0, ety0)
                     for p in packed])
                 if cod.mct == 1 and ncomp >= 3:
                     r_, g_, b_ = rct_inverse(rec[0], rec[1], rec[2])
                     rec = np.stack([r_, g_, b_]
                                    + [rec[i] for i in range(3, ncomp)])
             else:
-                rec = inv53_multilevel(jnp.asarray(packed), cod.num_levels,
-                                       x0=tx0, y0=ty0)
+                rec = inv53_multilevel(jnp.asarray(packed), eff_levels,
+                                       x0=etx0, y0=ety0)
                 if mct_bindings_inv:
                     rec = jnp.round(_apply_mct_bindings_inverse(
                         rec, mct_bindings_inv)).astype(jnp.int32)
@@ -1608,9 +1645,11 @@ class J2KDecoder:
                                     + [rec[i] for i in range(3, ncomp)])
         elif homogeneous:
             # irreversible: per-band dequantization → float 9/7 inverse
+            # (deltas build over the FULL level count — band indices in
+            # the reduced layout are a prefix-stable subset)
             fpacked = np.stack([
                 dequantize_packed(
-                    packed[c], (tx0, ty0, tx1, ty1), cod.num_levels,
+                    packed[c], (etx0, ety0, etx1, ety1), eff_levels,
                     J2KEncoder._band_deltas(qcds[c], cod.num_levels,
                                             depth))
                 for c in range(ncomp)])
@@ -1619,8 +1658,8 @@ class J2KDecoder:
                 # host fast path: native float32 9/7 inverse + numpy
                 # inverse ICT (no device dispatch; see encode-side note)
                 rec = np.stack([
-                    _nat.dwt97_inv_native(fpacked[c], cod.num_levels,
-                                          tx0, ty0)
+                    _nat.dwt97_inv_native(fpacked[c], eff_levels,
+                                          etx0, ety0)
                     for c in range(ncomp)])
                 if cod.mct == 1 and ncomp >= 3:
                     from ..ops.mct import ict_inverse_np
@@ -1630,7 +1669,7 @@ class J2KDecoder:
                 rec = np.round(rec).astype(np.int32)
             else:
                 rec = inv97_multilevel(jnp.asarray(fpacked),
-                                       cod.num_levels, x0=tx0, y0=ty0)
+                                       eff_levels, x0=etx0, y0=ety0)
                 if mct_bindings_inv:
                     rec = _apply_mct_bindings_inverse(rec,
                                                       mct_bindings_inv)
@@ -1651,7 +1690,8 @@ class J2KDecoder:
             recs = []
             for c in range(ncomp):
                 cod_c = cods[c]
-                ctx0, cty0, ctx1, cty1 = comp_rects[c]
+                lv_c = cod_c.num_levels - reduce
+                ctx0, cty0, ctx1, cty1 = eff_comp_rects[c]
                 cth, ctw = cty1 - cty0, ctx1 - ctx0
                 if cth == 0 or ctw == 0:
                     # T.800 B.3: subsampling rounded this tile-component
@@ -1661,19 +1701,19 @@ class J2KDecoder:
                 pk = packed_list[c].astype(np.int32, copy=False)
                 if cod_c.transform == 1:
                     from .. import native as _nat
-                    nat_rc = (_nat.dwt53_inv_native(pk, cod_c.num_levels,
+                    nat_rc = (_nat.dwt53_inv_native(pk, lv_c,
                                                     ctx0, cty0)
                               if _nat.get_lib() is not None else None)
                     rc = nat_rc if nat_rc is not None else inv53_multilevel(
-                        jnp.asarray(pk[None]), cod_c.num_levels,
+                        jnp.asarray(pk[None]), lv_c,
                         x0=ctx0, y0=cty0)[0]
                 else:
                     fp = dequantize_packed(
-                        pk, (ctx0, cty0, ctx1, cty1), cod_c.num_levels,
+                        pk, (ctx0, cty0, ctx1, cty1), lv_c,
                         J2KEncoder._band_deltas(qcds[c], cod_c.num_levels,
                                                 depth))
                     rc = jnp.round(inv97_multilevel(
-                        jnp.asarray(fp[None]), cod_c.num_levels,
+                        jnp.asarray(fp[None]), lv_c,
                         x0=ctx0, y0=cty0)[0]).astype(jnp.int32)
                 if (cth, ctw) != (th, tw):
                     up = np.asarray(rc)
@@ -1703,10 +1743,10 @@ def pack_decoded_pixels(arr: np.ndarray, depth: int, signed: bool,
     return np.ascontiguousarray(arr.astype(dt)).tobytes()
 
 
-def decode_to_pixels(data: bytes):
+def decode_to_pixels(data: bytes, reduce: int = 0):
     """Decode a codestream → (pixel bytes, width, height, comps, depth,
-    signed)."""
-    arr, siz, cod = J2KDecoder().decode(data)
+    signed). reduce=R decodes at 1/2^R resolution (J2KDecoder note)."""
+    arr, siz, cod = J2KDecoder(reduce=reduce).decode(data)
     depth, signed, _, _ = siz.components[0]
     h, w, c = arr.shape
     return (pack_decoded_pixels(arr, depth, signed), w, h, c,
