@@ -362,78 +362,111 @@ def _sign(n: int) -> int:
 
 # ---- single-component scan (reference encoder.go:330-447, decoder mirror) --
 
-def _code_component(scan: _Scan, gio, plane: np.ndarray, encode: bool):
+def _code_one_line(scan: _Scan, gio, row, above, prev_first: int,
+                   prev_prev_first: int, encode: bool) -> None:
+    """One line of one component (the T.87 main loop). `above` is the
+    same component's previous reconstructed line (None on line 0);
+    prev_first/prev_prev_first are that component's first samples of
+    the previous two lines. Mutates `row` in place."""
     t = scan.t
+    w = row.shape[0]
+    has_above = above is not None
+    x = 0
+    while x < w:
+        if x == 0:
+            ra = prev_first
+            rb = prev_first if has_above else 0
+            rc = prev_prev_first
+            rd = int(above[1]) if (has_above and w > 1) else rb
+        else:
+            ra = int(row[x - 1])
+            rb = int(above[x]) if has_above else 0
+            rc = int(above[x - 1]) if has_above else 0
+            rd = (int(above[min(x + 1, w - 1)]) if has_above else rb)
+        qs = scan.context_id(ra, rb, rc, rd)
+        if qs != 0:
+            if encode:
+                row[x] = scan.encode_regular(gio, int(row[x]), qs,
+                                             ra, rb, rc)
+            else:
+                row[x] = scan.decode_regular(gio, qs, ra, rb, rc)
+            x += 1
+            continue
+        # run mode
+        remaining = w - x
+        if encode:
+            run = 0
+            while run < remaining and t.is_near(int(row[x + run]), ra):
+                row[x + run] = ra
+                run += 1
+            scan.encode_run_length(gio, run, run == remaining)
+            if run == remaining:
+                x += run
+                break
+            xi = int(row[x + run])
+            rb2 = int(above[x + run]) if has_above else 0
+            if t.is_near(ra, rb2):
+                err = t.compute_error(xi - ra)
+                scan.encode_run_interruption(gio, scan.rctx[1], err)
+                row[x + run] = t.reconstruct(ra, err)
+            else:
+                s = _sign(rb2 - ra)
+                err = t.compute_error((xi - rb2) * s)
+                scan.encode_run_interruption(gio, scan.rctx[0], err)
+                row[x + run] = t.reconstruct(rb2, err * s)
+            scan.dec_run()
+            x += run + 1
+        else:
+            run = scan.decode_run_length(gio, remaining)
+            row[x : x + run] = ra
+            if run >= remaining:
+                x += run
+                break
+            rb2 = int(above[x + run]) if has_above else 0
+            if t.is_near(ra, rb2):
+                err = scan.decode_run_interruption(gio, scan.rctx[1])
+                err = t.modulo_range(err)
+                row[x + run] = t.reconstruct(ra, err)
+            else:
+                err = scan.decode_run_interruption(gio, scan.rctx[0])
+                err = t.modulo_range(err * _sign(rb2 - ra))
+                row[x + run] = t.reconstruct(rb2, err)
+            scan.dec_run()
+            x += run + 1
+
+
+def _code_component(scan: _Scan, gio, plane: np.ndarray, encode: bool):
     h, w = plane.shape
     prev_first = 0
     prev_prev_first = 0
     for y in range(h):
-        row = plane[y]
-        above = plane[y - 1] if y > 0 else None
-        x = 0
-        while x < w:
-            if x == 0:
-                ra = prev_first
-                rb = prev_first if y > 0 else 0
-                rc = prev_prev_first
-                rd = int(above[1]) if (y > 0 and w > 1) else rb
-            else:
-                ra = int(row[x - 1])
-                rb = int(above[x]) if y > 0 else 0
-                rc = int(above[x - 1]) if y > 0 else 0
-                rd = (int(above[min(x + 1, w - 1)]) if y > 0 else rb)
-            qs = scan.context_id(ra, rb, rc, rd)
-            if qs != 0:
-                if encode:
-                    row[x] = scan.encode_regular(gio, int(row[x]), qs,
-                                                 ra, rb, rc)
-                else:
-                    row[x] = scan.decode_regular(gio, qs, ra, rb, rc)
-                x += 1
-                continue
-            # run mode
-            remaining = w - x
-            if encode:
-                run = 0
-                while run < remaining and t.is_near(int(row[x + run]), ra):
-                    row[x + run] = ra
-                    run += 1
-                scan.encode_run_length(gio, run, run == remaining)
-                if run == remaining:
-                    x += run
-                    break
-                xi = int(row[x + run])
-                rb2 = int(above[x + run]) if y > 0 else 0
-                if t.is_near(ra, rb2):
-                    err = t.compute_error(xi - ra)
-                    scan.encode_run_interruption(gio, scan.rctx[1], err)
-                    row[x + run] = t.reconstruct(ra, err)
-                else:
-                    s = _sign(rb2 - ra)
-                    err = t.compute_error((xi - rb2) * s)
-                    scan.encode_run_interruption(gio, scan.rctx[0], err)
-                    row[x + run] = t.reconstruct(rb2, err * s)
-                scan.dec_run()
-                x += run + 1
-            else:
-                run = scan.decode_run_length(gio, remaining)
-                row[x : x + run] = ra
-                if run >= remaining:
-                    x += run
-                    break
-                rb2 = int(above[x + run]) if y > 0 else 0
-                if t.is_near(ra, rb2):
-                    err = scan.decode_run_interruption(gio, scan.rctx[1])
-                    err = t.modulo_range(err)
-                    row[x + run] = t.reconstruct(ra, err)
-                else:
-                    err = scan.decode_run_interruption(gio, scan.rctx[0])
-                    err = t.modulo_range(err * _sign(rb2 - ra))
-                    row[x + run] = t.reconstruct(rb2, err)
-                scan.dec_run()
-                x += run + 1
+        _code_one_line(scan, gio, plane[y],
+                       plane[y - 1] if y > 0 else None,
+                       prev_first, prev_prev_first, encode)
         prev_prev_first = prev_first
         prev_first = int(plane[y, 0])
+
+
+def _code_line_interleaved(scan: _Scan, gio, img: np.ndarray,
+                           encode: bool):
+    """ILV=1 (T.87 line interleaved): each line is coded per component
+    in component order. One shared set of context counters (the scan),
+    but RUNindex is maintained separately per component (T.87 A.2.1 /
+    CharLS run_index save-restore)."""
+    h, w, ncomp = img.shape
+    prev_first = [0] * ncomp
+    prev_prev_first = [0] * ncomp
+    run_index = [0] * ncomp
+    for y in range(h):
+        for c in range(ncomp):
+            plane = img[:, :, c]
+            scan.run_index = run_index[c]
+            _code_one_line(scan, gio, plane[y],
+                           plane[y - 1] if y > 0 else None,
+                           prev_first[c], prev_prev_first[c], encode)
+            run_index[c] = scan.run_index
+            prev_prev_first[c] = prev_first[c]
+            prev_first[c] = int(plane[y, 0])
 
 
 # ---- sample-interleaved scan (ILV=2; reference encoder.go:190-296) ---------
@@ -526,8 +559,13 @@ def _code_interleaved(scan: _Scan, gio, img: np.ndarray, encode: bool):
 # ---- byte-level API ---------------------------------------------------------
 
 def encode(pixels: bytes, width: int, height: int, components: int,
-           bit_depth: int, near: int = 0) -> bytes:
-    """Encode a frame (reference jpegls/lossless/encoder.go:46-188)."""
+           bit_depth: int, near: int = 0,
+           ilv: Optional[int] = None) -> bytes:
+    """Encode a frame (reference jpegls/lossless/encoder.go:46-188).
+
+    ilv: T.87 interleave mode for multi-component frames — 2 (sample,
+    the default and the reference's only mode), 1 (line interleaved),
+    or 0 (one scan per component). The decoder reads all three."""
     if width <= 0 or height <= 0:
         raise UnsupportedFormatError("invalid dimensions")
     if components not in (1, 3):
@@ -536,6 +574,12 @@ def encode(pixels: bytes, width: int, height: int, components: int,
         raise UnsupportedFormatError("bit depth out of [2, 16]")
     if near < 0 or near > min(255, (1 << bit_depth) - 1) // 2:
         raise UnsupportedFormatError(f"invalid NEAR {near}")
+    if ilv is None:
+        ilv = 2 if components > 1 else 0
+    if components == 1:
+        ilv = 0
+    if ilv not in (0, 1, 2):
+        raise UnsupportedFormatError(f"invalid ILV {ilv}")
 
     dt = np.uint8 if bit_depth <= 8 else np.dtype("<u2")
     arr = np.frombuffer(pixels, dtype=dt, count=width * height * components)
@@ -545,17 +589,32 @@ def encode(pixels: bytes, width: int, height: int, components: int,
 
     maxval = (1 << bit_depth) - 1
     traits = Traits(maxval=maxval, near=near)
-    from ..native import jls_encode_scan_native
-    scan_bytes = jls_encode_scan_native(img, maxval, near, traits.reset,
-                                        traits.t1, traits.t2, traits.t3)
-    if scan_bytes is None:
+
+    def _plane_bytes(plane3):
+        from ..native import jls_encode_scan_native
+        sb = jls_encode_scan_native(plane3, maxval, near, traits.reset,
+                                    traits.t1, traits.t2, traits.t3)
+        if sb is None:
+            scan = _Scan(traits)
+            gw = GolombWriter()
+            if plane3.shape[2] == 1:
+                _code_component(scan, gw, plane3[:, :, 0], encode=True)
+            else:
+                _code_interleaved(scan, gw, plane3, encode=True)
+            sb = gw.finish()
+        return sb
+
+    if ilv == 0 and components > 1:
+        # one scan per component, each with fresh coder state
+        scans = [_plane_bytes(np.ascontiguousarray(img[:, :, c:c + 1]))
+                 for c in range(components)]
+    elif ilv == 1:
         scan = _Scan(traits)
         gw = GolombWriter()
-        if components == 1:
-            _code_component(scan, gw, img[:, :, 0], encode=True)
-        else:
-            _code_interleaved(scan, gw, img, encode=True)
-        scan_bytes = gw.finish()
+        _code_line_interleaved(scan, gw, img, encode=True)
+        scans = [gw.finish()]
+    else:
+        scans = [_plane_bytes(img)]
 
     w = mk.JpegWriter()
     w.write_marker(mk.SOI)
@@ -570,13 +629,18 @@ def encode(pixels: bytes, width: int, height: int, components: int,
         for v in (maxval, traits.t1, traits.t2, traits.t3, traits.reset):
             lse += bytes([(v >> 8) & 0xFF, v & 0xFF])
         w.write_segment(mk.LSE, bytes(lse))
-    sos = bytearray([components])
-    for i in range(components):
-        sos += bytes([i + 1, 0])
-    ilv = 2 if components > 1 else 0
-    sos += bytes([near, ilv, 0])
-    w.write_segment(mk.SOS, bytes(sos))
-    w.write_bytes(scan_bytes)
+    if len(scans) > 1:  # ILV=0: one SOS + scan per component
+        for i, sb in enumerate(scans):
+            sos = bytearray([1, i + 1, 0, near, 0, 0])
+            w.write_segment(mk.SOS, bytes(sos))
+            w.write_bytes(sb)
+    else:
+        sos = bytearray([components])
+        for i in range(components):
+            sos += bytes([i + 1, 0])
+        sos += bytes([near, ilv if components > 1 else 0, 0])
+        w.write_segment(mk.SOS, bytes(sos))
+        w.write_bytes(scans[0])
     w.write_marker(mk.EOI)
     return w.get_bytes()
 
@@ -590,6 +654,7 @@ def decode(data: bytes):
     lse = None
     near = 0
     ilv = 0
+    scans: List[Tuple[List[int], bytes]] = []  # (component ids, bytes)
     while True:
         marker = r.read_marker()
         if marker == mk.SOF55:
@@ -611,9 +676,18 @@ def decode(data: bytes):
             ns = p[0]
             near = p[1 + ns * 2]
             ilv = p[2 + ns * 2]
+            cs_ids = [p[1 + 2 * i] for i in range(ns)]
             scan_bytes, _ = r.find_scan_end(ls_mode=True)
-            break
+            scans.append((cs_ids, scan_bytes))
+            if frame is None:
+                raise CorruptStreamError("SOS before SOF55")
+            # ILV=0 multi-component streams carry one scan per
+            # component — keep reading until all are covered
+            if sum(len(ids) for ids, _ in scans) >= frame[3]:
+                break
         elif marker == mk.EOI:
+            if scans:
+                break  # fewer scans than components: decode what's there
             raise CorruptStreamError("EOI before scan")
         elif marker in (mk.SOF0, mk.SOF1, mk.SOF3):
             raise UnsupportedFormatError("not a JPEG-LS stream")
@@ -631,21 +705,37 @@ def decode(data: bytes):
                         t1=lse[1], t2=lse[2], t3=lse[3])
     else:
         traits = Traits(maxval=maxval, near=near)
+    if ilv not in (0, 1, 2):
+        raise UnsupportedFormatError(f"invalid JPEG-LS ILV {ilv}")
 
     from ..native import jls_decode_scan_native
-    img = jls_decode_scan_native(scan_bytes, w, h, nc, traits.maxval,
-                                 near, traits.reset, traits.t1, traits.t2,
-                                 traits.t3, ilv)
-    if img is None:
+
+    def _decode_scan(scan_bytes, ncs, mode):
+        out = jls_decode_scan_native(scan_bytes, w, h, ncs, traits.maxval,
+                                     near, traits.reset, traits.t1,
+                                     traits.t2, traits.t3, mode)
+        if out is None:
+            out = np.zeros((h, w, ncs), dtype=np.int64)
+            gr = GolombReader(scan_bytes)
+            if ncs == 1:
+                _code_component(_Scan(traits), gr, out[:, :, 0],
+                                encode=False)
+            elif mode == 1:
+                _code_line_interleaved(_Scan(traits), gr, out,
+                                       encode=False)
+            else:
+                _code_interleaved(_Scan(traits), gr, out, encode=False)
+        return out
+
+    if len(scans) > 1 or (nc > 1 and len(scans[0][0]) == 1):
+        # ILV=0: independent per-component scans (fresh coder state
+        # each); component ids map scans to planes (1-based)
         img = np.zeros((h, w, nc), dtype=np.int64)
-        gr = GolombReader(scan_bytes)
-        if nc == 1 or ilv == 0:
-            for c in range(nc):
-                scan = _Scan(traits)
-                _code_component(scan, gr, img[:, :, c], encode=False)
-        else:
-            scan = _Scan(traits)
-            _code_interleaved(scan, gr, img, encode=False)
+        for i, (ids, sb) in enumerate(scans):
+            c = (ids[0] - 1) if 1 <= ids[0] <= nc else i
+            img[:, :, c] = _decode_scan(sb, 1, 0)[:, :, 0]
+    else:
+        img = _decode_scan(scans[0][1], nc, ilv if nc > 1 else 0)
 
     dt = np.uint8 if depth <= 8 else np.dtype("<u2")
     return (np.ascontiguousarray(img.astype(dt)).tobytes(), w, h, nc,
@@ -678,10 +768,14 @@ class _JPEGLSBase(Codec):
                parameters: Optional[Parameters] = None) -> None:
         info = old_pixel_data.get_frame_info()
         near = self._near_default
+        ilv = None
         if parameters is not None:
             nv = parameters.get_parameter("near")
             if isinstance(nv, int) and nv >= 0:
                 near = nv
+            iv = parameters.get_parameter("ilv")
+            if isinstance(iv, int):
+                ilv = iv
         if self._near_default == 0:
             near = 0  # lossless UID is always NEAR=0
         for i in range(old_pixel_data.frame_count()):
@@ -691,7 +785,7 @@ class _JPEGLSBase(Codec):
                     frame_to_array(frame, info)).tobytes()
             new_pixel_data.add_frame(encode(
                 frame, info.width, info.height, info.samples_per_pixel,
-                info.bits_stored, near))
+                info.bits_stored, near, ilv=ilv))
 
     def decode(self, old_pixel_data: PixelData, new_pixel_data: PixelData,
                parameters: Optional[Parameters] = None) -> None:

@@ -3274,6 +3274,7 @@ int jls_decode_scan(const uint8_t* data, int len, int w, int h, int comps,
                     int maxval, int near_, int reset, int t1, int t2, int t3,
                     int ilv, int64_t* out) {
   if (comps < 1 || comps > 4) return -1;
+  if (ilv == 1 && comps > 1) return -1;  // line-interleaved: Python path
   jls::GReader gr{data, len};
   if (comps == 1 || ilv == 0) {
     std::vector<int64_t> plane((size_t)w * h);

@@ -279,3 +279,125 @@ def test_regular_mode_scalar_roundtrip(rng):
         got = dec.decode_regular(gr, qs, ra, rb, rc)
         assert got == outs[i] == x
         ra = got
+
+
+# ---- interleave modes (T.87 ILV 0/1/2; the reference writes only 2) ----
+
+class TestInterleaveModes:
+    """ILV=0 (scan per component) and ILV=1 (line interleaved, shared
+    context counters but per-component RUNindex) are decode+encode
+    surfaces beyond the reference, which hardcodes ILV=2 for color
+    (jpegls/lossless/encoder.go SOS header)."""
+
+    def _rgb(self, seed=0, h=48, w=40):
+        import numpy as np
+        rng = np.random.default_rng(seed)
+        # mix of smooth (run-mode heavy) and noise (regular-mode heavy)
+        y, x = np.mgrid[0:h, 0:w]
+        img = ((x // 8)[..., None] * 16 + rng.integers(0, 24, (h, w, 3))
+               + (y // 6)[..., None]).astype(np.uint8)
+        return img
+
+    def test_all_modes_roundtrip_exact(self):
+        import numpy as np
+        from go_dicom_codec_tpu.codecs.jpegls import decode, encode
+        img = self._rgb()
+        sizes = {}
+        for ilv in (0, 1, 2):
+            s = encode(img.tobytes(), 40, 48, 3, 8, ilv=ilv)
+            pix, w, h, c, d, n = decode(s)
+            assert (w, h, c, d, n) == (40, 48, 3, 8, 0)
+            assert np.frombuffer(pix, np.uint8).reshape(48, 40, 3
+                                                        ).tolist() \
+                == img.tolist()
+            sizes[ilv] = len(s)
+        # three distinct streams (different scan structure)
+        assert len(set(sizes.values())) >= 2
+
+    def test_ilv0_emits_three_scans(self):
+        from go_dicom_codec_tpu.codecs.jpegls import encode
+        from go_dicom_codec_tpu.codestream import jpeg_markers as mk
+        s = encode(self._rgb().tobytes(), 40, 48, 3, 8, ilv=0)
+        r = mk.JpegReader(s)
+        assert r.read_marker() == mk.SOI
+        ns_seen = []
+        while True:
+            m = r.read_marker()
+            if m == mk.EOI:
+                break
+            if m == mk.SOS:
+                p = r.read_segment()
+                ns_seen.append((p[0], p[1]))  # (Ns, Cs1)
+                r.find_scan_end(ls_mode=True)
+            elif mk.has_length(m):
+                r.read_segment()
+        assert ns_seen == [(1, 1), (1, 2), (1, 3)]
+
+    def test_ilv0_scan_order_by_component_id(self):
+        """Scans map to planes by Cs id, not arrival order."""
+        import numpy as np
+        from go_dicom_codec_tpu.codecs.jpegls import decode, encode
+        from go_dicom_codec_tpu.codestream import jpeg_markers as mk
+        img = self._rgb(seed=2)
+        s = encode(img.tobytes(), 40, 48, 3, 8, ilv=0)
+        # reorder the three scans: move scan 1 (Cs=1) to the end
+        r = mk.JpegReader(s)
+        assert r.read_marker() == mk.SOI
+        pieces, head = [], bytearray(b"\xff\xd8")
+        while True:
+            m = r.read_marker()
+            if m == mk.EOI:
+                break
+            if m == mk.SOS:
+                p = r.read_segment()
+                start = r.pos
+                r.find_scan_end(ls_mode=True)
+                seg = (b"\xff\xda"
+                       + (len(p) + 2).to_bytes(2, "big") + p
+                       + s[start:r.pos])
+                pieces.append(seg)
+            elif mk.has_length(m):
+                p = r.read_segment()
+                head += bytes([0xFF, m & 0xFF])
+                head += (len(p) + 2).to_bytes(2, "big") + p
+        remuxed = bytes(head) + pieces[1] + pieces[2] + pieces[0] + \
+            b"\xff\xd9"
+        pix, w, h, c, d, n = decode(remuxed)
+        assert np.frombuffer(pix, np.uint8).reshape(48, 40, 3).tolist() \
+            == img.tolist()
+
+    def test_near_all_modes_within_bound(self):
+        import numpy as np
+        from go_dicom_codec_tpu.codecs.jpegls import decode, encode
+        img = self._rgb(seed=1)
+        for ilv in (0, 1, 2):
+            s = encode(img.tobytes(), 40, 48, 3, 8, near=3, ilv=ilv)
+            pix, w, h, c, d, n = decode(s)
+            got = np.frombuffer(pix, np.uint8).reshape(48, 40, 3)
+            assert n == 3
+            assert np.abs(got.astype(int) - img.astype(int)).max() <= 3
+
+    def test_adapter_ilv_parameter(self):
+        import numpy as np
+
+        import go_dicom_codec_tpu as dc
+        img = self._rgb(seed=4)
+        info = dc.FrameInfo(width=40, height=48, bits_allocated=8,
+                            bits_stored=8, samples_per_pixel=3)
+        src = dc.MemoryPixelData(info=info)
+        src.add_frame(img.tobytes())
+        codec = dc.get_global_registry().get_codec(dc.uids.JPEG_LS_LOSSLESS)
+        for ilv in (0, 1, 2):
+            enc = dc.MemoryPixelData(info=info, encapsulated=True)
+            codec.encode(src, enc, dc.Parameters(ilv=ilv))
+            dec = dc.MemoryPixelData(info=info)
+            codec.decode(enc, dec)
+            assert dec.get_frame(0) == src.get_frame(0)
+
+    def test_invalid_ilv_rejected(self):
+        import pytest
+
+        from go_dicom_codec_tpu.codecs.jpegls import encode
+        from go_dicom_codec_tpu.errors import UnsupportedFormatError
+        with pytest.raises(UnsupportedFormatError):
+            encode(self._rgb().tobytes(), 40, 48, 3, 8, ilv=3)
