@@ -65,6 +65,22 @@ def main():
     got = np.frombuffer(pix, np.uint8).reshape(64, 64, 3).astype(int)
     print(f"Part 2 MCT: maxerr={np.abs(got - rgb.astype(int)).max()}")
 
+    # 5. packed packet headers + resync + packet-length markers
+    data = J2KEncoder(J2KEncodeParams(num_levels=3, packed_headers=True,
+                                      use_sop=True, use_eph=True,
+                                      plt_markers=True)
+                      ).encode(img.tobytes(), 128, 128, 1, 12)
+    pix, *_ = decode_to_pixels(data)
+    print(f"PPT+SOP+EPH+PLT: {len(data)} bytes, lossless="
+          f"{pix == img.tobytes()}")
+
+    # 6. reduced-resolution decode (thumbnail from the same stream)
+    data = J2KEncoder(J2KEncodeParams(num_levels=4)
+                      ).encode(img.tobytes(), 128, 128, 1, 12)
+    for r in (1, 2):
+        arr, _, _ = J2KDecoder(reduce=r).decode(data)
+        print(f"reduce={r}: {arr.shape[1]}x{arr.shape[0]} thumbnail")
+
 
 if __name__ == "__main__":
     main()
