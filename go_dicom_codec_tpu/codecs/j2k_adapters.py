@@ -139,7 +139,7 @@ def _params_from(parameters: Optional[Parameters],
                 "layer_rates", "roi_regions", "roi_shift", "roi_style",
                 "precincts", "precinct_width", "precinct_height",
                 "layer_budget_strategy", "packed_headers",
-                "use_sop", "use_eph", "plt_markers",
+                "use_sop", "use_eph", "plt_markers", "tlm_markers",
                 "block_encoder_factory"):
         v = parameters.get_parameter(key)
         if v is not None:

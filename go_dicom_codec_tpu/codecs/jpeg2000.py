@@ -119,6 +119,10 @@ class J2KEncodeParams:
     # (SOP + header + EPH + body — body only under packed_headers).
     # The reference defines/skips the marker (markers.go:65-66,129).
     plt_markers: bool = False
+    # TLM tile-part pointers (T.800 A.7.1) in the main header — always
+    # on for HTJ2K (reference writeTLM); this flag adds them to classic
+    # J2K streams too.
+    tlm_markers: bool = False
 
     def clamped_levels(self, w: int, h: int) -> int:
         """Clamp levels so the coarsest LL stays ≥1 px (lossy/codec.go:392)."""
@@ -434,7 +438,7 @@ class J2KEncoder:
                 parts.append((head, at.body))
         else:
             parts = [(b"", b) for b in bodies]
-        if p.htj2k:
+        if p.htj2k or p.tlm_markers:
             # TLM tile-part index for fast HT tile access (encoder.go
             # writeTLM :1219-1244): Ptlm = SOT(12) + headers + SOD(2)
             # + body

@@ -52,6 +52,7 @@ SENTINELS = {
     "use_sop": True,
     "use_eph": True,
     "plt_markers": True,
+    "tlm_markers": True,
 }
 
 

@@ -435,3 +435,35 @@ def test_write_plt_segments_splits_between_varints():
         pos += 2 + ln
     assert zs == sorted(zs) and len(zs) > 1
     assert got == lengths
+
+
+# ---- TLM tile-part pointers for classic J2K (tlm_markers) ---------------
+
+def test_tlm_markers_on_classic_j2k():
+    """TLM entries must point at the exact tile-part extents (the
+    reference writes TLM only on the HT path; tlm_markers extends it
+    to classic streams, composing with PPT/PLT header segments)."""
+    img = _img()
+    s = J2KEncoder(J2KEncodeParams(tlm_markers=True, tile_width=64,
+                                   tile_height=48, packed_headers=True,
+                                   plt_markers=True)
+                   ).encode(img, 110, 120, 1, 12)
+    i = _find_seg(s, j2k.TLM)
+    assert i > 0
+    ln = struct.unpack_from(">H", s, i + 2)[0]
+    z, entries = j2k.parse_tlm(s[i + 4:i + 2 + ln])
+    # walk the real tile-parts and compare (Ttlm, Ptlm) pairwise
+    pos, seen = 2, []
+    while pos < len(s):
+        m = struct.unpack_from(">H", s, pos)[0]
+        if m == j2k.EOC:
+            break
+        if m == j2k.SOT:
+            isot, psot = struct.unpack_from(">HI", s, pos + 4)
+            seen.append((isot, psot))
+            pos += psot
+            continue
+        pos += 2 + struct.unpack_from(">H", s, pos + 2)[0]
+    assert entries == seen and len(entries) == 6  # 2x3 tile grid
+    assert decode_to_pixels(s) == decode_to_pixels(
+        J2KEncoder(J2KEncodeParams()).encode(img, 110, 120, 1, 12))
