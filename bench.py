@@ -69,14 +69,20 @@ def _chained_encode(x):
 
 
 def _chained_decode(x):
-    """ITERS decode transform steps: dequant + inverse 5/3 + inv shift."""
+    """ITERS decode transform steps: dequant + inverse 5/3 + inv shift +
+    range clip — exactly the production decode epilogue
+    (pack_decoded_pixels clips to the declared range). The clipped
+    frame feeds back as the next batch (values stay <= 65535, so the
+    dequant doubling never overflows int32); the old extra `>> 1` was
+    loop plumbing, not decode work, and cost one full elementwise pass
+    per iteration."""
 
     def body(_, carry):
         q, acc = carry
         c = q * 2                      # dequant multiply (Δ = 2)
         r = inv53_multilevel(c, LEVELS)
         p = inv_dc_level_shift(r, 16, False)
-        return jnp.clip(p, 0, 65535) >> 1, acc + p[0, 0, 0]
+        return jnp.clip(p, 0, 65535), acc + p[0, 0, 0]
 
     return jax.lax.fori_loop(0, ITERS, body, (x, jnp.int32(0)))
 
