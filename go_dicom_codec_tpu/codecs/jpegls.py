@@ -590,15 +590,18 @@ def encode(pixels: bytes, width: int, height: int, components: int,
     maxval = (1 << bit_depth) - 1
     traits = Traits(maxval=maxval, near=near)
 
-    def _plane_bytes(plane3):
+    def _plane_bytes(plane3, mode=2):
         from ..native import jls_encode_scan_native
         sb = jls_encode_scan_native(plane3, maxval, near, traits.reset,
-                                    traits.t1, traits.t2, traits.t3)
+                                    traits.t1, traits.t2, traits.t3,
+                                    ilv=mode)
         if sb is None:
             scan = _Scan(traits)
             gw = GolombWriter()
             if plane3.shape[2] == 1:
                 _code_component(scan, gw, plane3[:, :, 0], encode=True)
+            elif mode == 1:
+                _code_line_interleaved(scan, gw, plane3, encode=True)
             else:
                 _code_interleaved(scan, gw, plane3, encode=True)
             sb = gw.finish()
@@ -608,13 +611,8 @@ def encode(pixels: bytes, width: int, height: int, components: int,
         # one scan per component, each with fresh coder state
         scans = [_plane_bytes(np.ascontiguousarray(img[:, :, c:c + 1]))
                  for c in range(components)]
-    elif ilv == 1:
-        scan = _Scan(traits)
-        gw = GolombWriter()
-        _code_line_interleaved(scan, gw, img, encode=True)
-        scans = [gw.finish()]
     else:
-        scans = [_plane_bytes(img)]
+        scans = [_plane_bytes(img, mode=ilv)]
 
     w = mk.JpegWriter()
     w.write_marker(mk.SOI)

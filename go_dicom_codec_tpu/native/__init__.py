@@ -125,7 +125,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.jls_encode_scan.argtypes = [
             i64p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, u8p, ctypes.c_int]
+            ctypes.c_int, ctypes.c_int, u8p, ctypes.c_int]
         lib.jls_decode_scan.restype = ctypes.c_int
         lib.jls_decode_scan.argtypes = [
             u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -626,9 +626,11 @@ def t1_encode_blocks_native(blocks, orients, style: int,
 
 
 def jls_encode_scan_native(img: np.ndarray, maxval: int, near: int,
-                           reset: int, t1: int, t2: int, t3: int):
-    """Native JPEG-LS scan encode. img: [h, w, comps] int; returns scan
-    bytes (no markers) or None."""
+                           reset: int, t1: int, t2: int, t3: int,
+                           ilv: int = 2):
+    """Native JPEG-LS scan encode. img: [h, w, comps] int; ilv is the
+    T.87 interleave mode for multi-component frames (2 sample, 1 line);
+    returns scan bytes (no markers) or None."""
     lib = get_lib()
     if lib is None:
         return None
@@ -637,7 +639,7 @@ def jls_encode_scan_native(img: np.ndarray, maxval: int, near: int,
     cap = max(w * h * comps * 4 + 4096, 8192)
     out = np.empty(cap, dtype=np.uint8)
     n = lib.jls_encode_scan(buf, w, h, comps, maxval, near, reset,
-                            t1, t2, t3, out, cap)
+                            t1, t2, t3, ilv, out, cap)
     if n < 0:
         return None
     return out[:n].tobytes()

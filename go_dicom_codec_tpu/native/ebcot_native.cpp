@@ -3058,79 +3058,120 @@ struct Scan {
 
 // single-component scan (encode=true writes to gw, else reads gr)
 template <bool ENC>
+void code_one_line(Scan& s, GWriter* gw, GReader* gr, int64_t* row,
+                   const int64_t* above, int w, int prev_first,
+                   int prev_prev_first) {
+  // one line of one component (the T.87 main loop; mirror of the
+  // Python _code_one_line split). above == nullptr on line 0.
+  Traits& t = s.t;
+  int x = 0;
+  while (x < w) {
+    int ra, rb, rc, rd;
+    if (x == 0) {
+      ra = prev_first;
+      rb = above ? prev_first : 0;
+      rc = prev_prev_first;
+      rd = (above && w > 1) ? (int)above[1] : rb;
+    } else {
+      ra = (int)row[x - 1];
+      rb = above ? (int)above[x] : 0;
+      rc = above ? (int)above[x - 1] : 0;
+      rd = above ? (int)above[x + 1 < w ? x + 1 : w - 1] : rb;
+    }
+    int qs = s.context_id(ra, rb, rc, rd);
+    if (qs != 0) {
+      if (ENC) row[x] = s.encode_regular(*gw, (int)row[x], qs, ra, rb, rc);
+      else row[x] = s.decode_regular(*gr, qs, ra, rb, rc);
+      x++;
+      continue;
+    }
+    int remaining = w - x;
+    if (ENC) {
+      int run = 0;
+      while (run < remaining && t.is_near((int)row[x + run], ra)) {
+        row[x + run] = ra;
+        run++;
+      }
+      s.encode_run_length(*gw, run, run == remaining);
+      if (run == remaining) { x += run; break; }
+      int xi = (int)row[x + run];
+      int rb2 = above ? (int)above[x + run] : 0;
+      if (t.is_near(ra, rb2)) {
+        int err = t.compute_error(xi - ra);
+        s.encode_run_interruption(*gw, s.rctx[1], err);
+        row[x + run] = t.reconstruct(ra, err);
+      } else {
+        int sg = sgn(rb2 - ra);
+        int err = t.compute_error((xi - rb2) * sg);
+        s.encode_run_interruption(*gw, s.rctx[0], err);
+        row[x + run] = t.reconstruct(rb2, err * sg);
+      }
+      s.dec_run();
+      x += run + 1;
+    } else {
+      int run = s.decode_run_length(*gr, remaining);
+      if (run < 0) run = remaining;
+      for (int i = 0; i < run; i++) row[x + i] = ra;
+      if (run >= remaining) { x += run; break; }
+      int rb2 = above ? (int)above[x + run] : 0;
+      if (t.is_near(ra, rb2)) {
+        int err = s.decode_run_interruption(*gr, s.rctx[1]);
+        err = t.modulo_range(err);
+        row[x + run] = t.reconstruct(ra, err);
+      } else {
+        int err = s.decode_run_interruption(*gr, s.rctx[0]);
+        err = t.modulo_range(err * sgn(rb2 - ra));
+        row[x + run] = t.reconstruct(rb2, err);
+      }
+      s.dec_run();
+      x += run + 1;
+    }
+  }
+}
+
+template <bool ENC>
 void code_component(Scan& s, GWriter* gw, GReader* gr, int64_t* plane,
                     int w, int h) {
-  Traits& t = s.t;
   int prev_first = 0, prev_prev_first = 0;
   for (int y = 0; y < h; y++) {
-    int64_t* row = plane + (size_t)y * w;
-    int64_t* above = y > 0 ? plane + (size_t)(y - 1) * w : nullptr;
-    int x = 0;
-    while (x < w) {
-      int ra, rb, rc, rd;
-      if (x == 0) {
-        ra = prev_first;
-        rb = y > 0 ? prev_first : 0;
-        rc = prev_prev_first;
-        rd = (y > 0 && w > 1) ? (int)above[1] : rb;
-      } else {
-        ra = (int)row[x - 1];
-        rb = y > 0 ? (int)above[x] : 0;
-        rc = y > 0 ? (int)above[x - 1] : 0;
-        rd = y > 0 ? (int)above[x + 1 < w ? x + 1 : w - 1] : rb;
-      }
-      int qs = s.context_id(ra, rb, rc, rd);
-      if (qs != 0) {
-        if (ENC) row[x] = s.encode_regular(*gw, (int)row[x], qs, ra, rb, rc);
-        else row[x] = s.decode_regular(*gr, qs, ra, rb, rc);
-        x++;
-        continue;
-      }
-      int remaining = w - x;
-      if (ENC) {
-        int run = 0;
-        while (run < remaining && t.is_near((int)row[x + run], ra)) {
-          row[x + run] = ra;
-          run++;
-        }
-        s.encode_run_length(*gw, run, run == remaining);
-        if (run == remaining) { x += run; break; }
-        int xi = (int)row[x + run];
-        int rb2 = y > 0 ? (int)above[x + run] : 0;
-        if (t.is_near(ra, rb2)) {
-          int err = t.compute_error(xi - ra);
-          s.encode_run_interruption(*gw, s.rctx[1], err);
-          row[x + run] = t.reconstruct(ra, err);
-        } else {
-          int sg = sgn(rb2 - ra);
-          int err = t.compute_error((xi - rb2) * sg);
-          s.encode_run_interruption(*gw, s.rctx[0], err);
-          row[x + run] = t.reconstruct(rb2, err * sg);
-        }
-        s.dec_run();
-        x += run + 1;
-      } else {
-        int run = s.decode_run_length(*gr, remaining);
-        if (run < 0) run = remaining;
-        for (int i = 0; i < run; i++) row[x + i] = ra;
-        if (run >= remaining) { x += run; break; }
-        int rb2 = y > 0 ? (int)above[x + run] : 0;
-        if (t.is_near(ra, rb2)) {
-          int err = s.decode_run_interruption(*gr, s.rctx[1]);
-          err = t.modulo_range(err);
-          row[x + run] = t.reconstruct(ra, err);
-        } else {
-          int err = s.decode_run_interruption(*gr, s.rctx[0]);
-          err = t.modulo_range(err * sgn(rb2 - ra));
-          row[x + run] = t.reconstruct(rb2, err);
-        }
-        s.dec_run();
-        x += run + 1;
-      }
-    }
+    code_one_line<ENC>(s, gw, gr, plane + (size_t)y * w,
+                       y > 0 ? plane + (size_t)(y - 1) * w : nullptr, w,
+                       prev_first, prev_prev_first);
     prev_prev_first = prev_first;
     prev_first = (int)plane[(size_t)y * w];
   }
+}
+
+// line-interleaved scan (ILV=1): every line coded per component in
+// component order — one shared set of context counters, RUNindex kept
+// per component (T.87 A.2.1; mirror of _code_line_interleaved)
+template <bool ENC>
+void code_line_interleaved(Scan& s, GWriter* gw, GReader* gr, int64_t* img,
+                           int w, int h, int ncomp) {
+  std::vector<int64_t> planes((size_t)ncomp * w * h, 0);
+  if (ENC)
+    for (int y = 0; y < h; y++)
+      for (int x = 0; x < w; x++)
+        for (int c = 0; c < ncomp; c++)
+          planes[((size_t)c * h + y) * w + x] =
+              img[((size_t)y * w + x) * ncomp + c];
+  std::vector<int> pf(ncomp, 0), ppf(ncomp, 0), ri(ncomp, 0);
+  for (int y = 0; y < h; y++)
+    for (int c = 0; c < ncomp; c++) {
+      int64_t* plane = planes.data() + (size_t)c * w * h;
+      s.run_index = ri[c];
+      code_one_line<ENC>(s, gw, gr, plane + (size_t)y * w,
+                         y > 0 ? plane + (size_t)(y - 1) * w : nullptr, w,
+                         pf[c], ppf[c]);
+      ri[c] = s.run_index;
+      ppf[c] = pf[c];
+      pf[c] = (int)plane[(size_t)y * w];
+    }
+  for (int y = 0; y < h; y++)
+    for (int x = 0; x < w; x++)
+      for (int c = 0; c < ncomp; c++)
+        img[((size_t)y * w + x) * ncomp + c] =
+            planes[((size_t)c * h + y) * w + x];
 }
 
 // sample-interleaved scan (ILV=2), ncomp components
@@ -3243,9 +3284,11 @@ extern "C" {
 // Encode a JPEG-LS scan (entropy bytes only, no markers).
 // img: [h*w*comps] interleaved samples (modified: reconstruction).
 // Returns byte length, or -1 on error.
+// Encode one JPEG-LS scan. ilv: 2 = sample interleaved (multi-comp
+// default), 1 = line interleaved, else single-component/planar.
 int jls_encode_scan(int64_t* img, int w, int h, int comps, int maxval,
                     int near_, int reset, int t1, int t2, int t3,
-                    uint8_t* out, int cap) {
+                    int ilv, uint8_t* out, int cap) {
   if (comps < 1 || comps > 4) return -1;
   jls::Scan s;
   s.t = jls::Traits{maxval, near_, reset, t1, t2, t3};
@@ -3260,6 +3303,8 @@ int jls_encode_scan(int64_t* img, int w, int h, int comps, int maxval,
   gw.buf = scratch.data();
   if (comps == 1)
     jls::code_component<true>(s, &gw, nullptr, img, w, h);
+  else if (ilv == 1)
+    jls::code_line_interleaved<true>(s, &gw, nullptr, img, w, h, comps);
   else
     jls::code_interleaved<true>(s, &gw, nullptr, img, w, h, comps);
   gw.finish();
@@ -3274,8 +3319,17 @@ int jls_decode_scan(const uint8_t* data, int len, int w, int h, int comps,
                     int maxval, int near_, int reset, int t1, int t2, int t3,
                     int ilv, int64_t* out) {
   if (comps < 1 || comps > 4) return -1;
-  if (ilv == 1 && comps > 1) return -1;  // line-interleaved: Python path
   jls::GReader gr{data, len};
+  if (ilv == 1 && comps > 1) {
+    jls::Scan s;
+    s.t = jls::Traits{maxval, near_, reset, t1, t2, t3};
+    s.t.init();
+    s.t.build_qlut();
+    s.init();
+    memset(out, 0, (size_t)w * h * comps * sizeof(int64_t));
+    jls::code_line_interleaved<false>(s, nullptr, &gr, out, w, h, comps);
+    return 0;
+  }
   if (comps == 1 || ilv == 0) {
     std::vector<int64_t> plane((size_t)w * h);
     for (int c = 0; c < comps; c++) {

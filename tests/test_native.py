@@ -153,6 +153,27 @@ def test_jls_native_roundtrip_16bit(near, rng):
         assert np.abs(out - img).max() <= near
 
 
+@pytest.mark.parametrize("near", [0, 2])
+def test_jls_native_line_interleaved_parity(near, rng):
+    """ILV=1 native mirror: byte-identical scan bytes vs the Python
+    _code_line_interleaved, and decode round-trips through native."""
+    from go_dicom_codec_tpu.codecs.jpegls import _code_line_interleaved
+    img = rng.integers(0, 256, size=(18, 14, 3)).astype(np.int64)
+    t = Traits(maxval=255, near=near)
+    native = jls_encode_scan_native(img.copy(), 255, near, t.reset,
+                                    t.t1, t.t2, t.t3, ilv=1)
+    scan = _Scan(t)
+    gw = GolombWriter()
+    _code_line_interleaved(scan, gw, img.copy(), encode=True)
+    assert native == gw.finish()
+    out = jls_decode_scan_native(native, 14, 18, 3, 255, near, t.reset,
+                                 t.t1, t.t2, t.t3, 1)
+    if near == 0:
+        np.testing.assert_array_equal(out, img)
+    else:
+        assert np.abs(out - img).max() <= near
+
+
 def test_jls_codec_uses_native_speed(rng):
     """512x512 JPEG-LS through the codec should be fast with native."""
     import time
