@@ -350,7 +350,12 @@ def encode_frames_pipelined(frames, bit_depth: int = 16,
                                            head_segments=head)
             else:
                 tp = j2kcs.write_tile_part(0, res)
-            stream = bytes(header) + tp + j2kcs.EOC.to_bytes(2, "big")
+            tlm = b""
+            if getattr(enc.params, "tlm_markers", False):
+                # Ptlm covers the whole tile-part incl. PPT/PLT segs
+                tlm = j2kcs.write_tlm(0, [(0, len(tp))])
+            stream = (bytes(header) + tlm + tp
+                      + j2kcs.EOC.to_bytes(2, "big"))
             out.append(stream)
     return out
 

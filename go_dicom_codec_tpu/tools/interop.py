@@ -33,7 +33,9 @@ from typing import List, Optional
 
 import numpy as np
 
-# format definitions: (label, uid, bits_stored, samples, tolerance)
+# format definitions: (label, uid, bits_stored, samples, tolerance[,
+# encode params dict]) — the optional 6th element exercises non-default
+# encode options through the same matrix
 FORMAT_DEFINITIONS = [
     ("rle", "1.2.840.10008.1.2.5", 16, 1, 0),
     ("jpeg-baseline", "1.2.840.10008.1.2.4.50", 8, 1, 64),
@@ -50,6 +52,12 @@ FORMAT_DEFINITIONS = [
     ("htj2k-lossless", "1.2.840.10008.1.2.4.201", 12, 1, 0),
     ("htj2k-rpcl", "1.2.840.10008.1.2.4.202", 12, 1, 0),
     ("htj2k", "1.2.840.10008.1.2.4.203", 8, 1, 64),
+    # beyond-reference encode options through the same lanes
+    ("jpeg2000-packed", "1.2.840.10008.1.2.4.90", 12, 1, 0,
+     {"packed_headers": True, "use_sop": True, "use_eph": True,
+      "plt_markers": True, "tlm_markers": True}),
+    ("jpeg-ls-ilv1", "1.2.840.10008.1.2.4.80", 8, 3, 0, {"ilv": 1}),
+    ("jpeg-ls-planar", "1.2.840.10008.1.2.4.80", 8, 3, 0, {"ilv": 0}),
 ]
 
 
@@ -104,6 +112,7 @@ PIL_DECODABLE = {
     "jpeg2000-lossless", "jpeg2000-lossy",
     "jpeg2000-mc-lossless", "jpeg2000-mc-lossy",
     "htj2k-lossless", "htj2k-rpcl", "htj2k",
+    "jpeg2000-packed",
 }
 
 
@@ -125,7 +134,7 @@ def _pil_check(stream: bytes, img, bits: int, tol: int):
 def run_format(args):
     """One format's encode→decode check. Runs in a worker process."""
     (label, uid, bits, samples, tol, width, height, seed, oracle,
-     fixture) = args
+     fixture, enc_params) = args
     import os
 
     # workers must never contend for the (single) TPU tunnel, and CPU
@@ -158,7 +167,8 @@ def run_format(args):
         src.add_frame(img.tobytes())
         codec = dc.get_global_registry().get_codec(uid)
         enc = dc.MemoryPixelData(info=info, encapsulated=True)
-        codec.encode(src, enc)
+        codec.encode(src, enc,
+                     dc.Parameters(**enc_params) if enc_params else None)
         dec = dc.MemoryPixelData(info=info)
         codec.decode(enc, dec)
         got = np.frombuffer(dec.get_frame(0), dtype=img.dtype)
@@ -190,12 +200,16 @@ def run_format(args):
             for f in frames:
                 mf.add_frame(f.tobytes())
             menc = dc.MemoryPixelData(info=info, encapsulated=True)
-            codec.encode(mf, menc)
+            codec.encode(mf, menc,
+                         dc.Parameters(**enc_params) if enc_params
+                         else None)
             for i, f in enumerate(frames):
                 one = dc.MemoryPixelData(info=info)
                 one.add_frame(f.tobytes())
                 oenc = dc.MemoryPixelData(info=info, encapsulated=True)
-                codec.encode(one, oenc)
+                codec.encode(one, oenc,
+                             dc.Parameters(**enc_params) if enc_params
+                             else None)
                 if menc.get_frame(i) != oenc.get_frame(0):
                     return (label, False,
                             f"multiframe stream {i} != per-frame encode")
@@ -239,10 +253,11 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     width, height = (int(v) for v in opts.size.split("x"))
     wanted = set(opts.formats.split(",")) if opts.formats else None
-    jobs = [(label, uid, bits, samples, tol, width, height, opts.seed,
-             opts.oracle, opts.fixture)
-            for (label, uid, bits, samples, tol) in FORMAT_DEFINITIONS
-            if wanted is None or label in wanted]
+    jobs = [(row[0], row[1], row[2], row[3], row[4], width, height,
+             opts.seed, opts.oracle, opts.fixture,
+             row[5] if len(row) > 5 else None)
+            for row in FORMAT_DEFINITIONS
+            if wanted is None or row[0] in wanted]
 
     failures = 0
     # spawn (not fork): `python -m` already initialized JAX on the axon

@@ -265,6 +265,21 @@ def test_ppt_pipelined_encode_matches_scalar():
     assert [bytes(s) for s in streams] == scalar
 
 
+def test_all_marker_options_pipelined_matches_scalar():
+    """The batched multi-frame encoder must stay byte-identical to the
+    scalar encoder under the full marker-option surface (regression:
+    it silently dropped TLM)."""
+    from go_dicom_codec_tpu.pipeline import encode_frames_pipelined
+    kw = dict(packed_headers=True, use_sop=True, use_eph=True,
+              plt_markers=True, tlm_markers=True)
+    imgs = np.stack([_img(seed=i) for i in range(3)])
+    streams = encode_frames_pipelined(imgs, bit_depth=12,
+                                      params=J2KEncodeParams(**kw))
+    scalar = [J2KEncoder(J2KEncodeParams(**kw)).encode(
+        imgs[i], 110, 120, 1, 12) for i in range(3)]
+    assert [bytes(s) for s in streams] == scalar
+
+
 # ---- SOP/EPH resync-marker WRITE support (decode predates it) ----------
 # The reference decodes Scod SOP/EPH flags (t2/packet_header.go) but its
 # encoder never sets them; here both directions work, composing with
