@@ -1038,55 +1038,38 @@ class J2KEncoder:
         order = list(progression_order(
             cod.progression, cod.num_layers, cod.num_levels + 1,
             ncomp, precinct_info))
-        def sop(n):
-            # SOP segment (T.800 A.8.1): marker + Lsop=4 + Nsop
-            return struct.pack(">HHH", j2k.SOP, 4, n & 0xFFFF)
-
-        if split:
-            # packed packet headers (PPT): headers and bodies assemble
-            # into separate streams (encode_packet already returns the
-            # pair, each header its own byte-aligned unit); EPH belongs
-            # to the header stream, SOP stays with the bodies
-            hdrs = bytearray()
-            body = bytearray()
-            lengths = [] if want_plt else None
-            for nsop, (l, r, c, pidx) in enumerate(order):
-                header, pbody = encode_packet(comp_states[c][(r, pidx)],
-                                              l, cod.cb_style,
-                                              cod.num_layers)
-                hdrs += header
-                if cod.use_eph:
-                    hdrs += struct.pack(">H", j2k.EPH)
-                n0 = len(body)
-                if cod.use_sop:
-                    body += sop(nsop)
-                body += pbody
-                if want_plt:
-                    lengths.append(len(body) - n0)
-            return _AssembledTile(bytes(hdrs), bytes(body), lengths)
-        # native mirror assembles the whole tile (headers, tag trees,
-        # Lblock, bodies) in one call; Python is the byte-identical
-        # behavioral reference and the native-disabled path
-        if not cod.use_sop and not cod.use_eph and not want_plt:
+        if not split and not want_plt and not cod.use_sop \
+                and not cod.use_eph:
+            # native mirror assembles the whole tile (headers, tag
+            # trees, Lblock, bodies) in one call; Python below is the
+            # byte-identical behavioral reference / native-disabled path
             from ..native import t2_assemble_packets_native
             body_n = t2_assemble_packets_native(comp_states, order,
                                                 cod.cb_style)
             if body_n is not None:
                 return body_n
+        # one loop for both layouts: with packed headers (split) the
+        # header + EPH bytes go to their own stream and SOP stays with
+        # the bodies; inline, everything lands in `body`. PLT lengths
+        # count what each packet puts in the bitstream either way.
         body = bytearray()
+        hdrs = bytearray() if split else body
         lengths = [] if want_plt else None
         for nsop, (l, r, c, pidx) in enumerate(order):
             header, pbody = encode_packet(comp_states[c][(r, pidx)], l,
                                           cod.cb_style, cod.num_layers)
             n0 = len(body)
             if cod.use_sop:
-                body += sop(nsop)
-            body += header
+                # SOP segment (T.800 A.8.1): marker + Lsop=4 + Nsop
+                body += struct.pack(">HHH", j2k.SOP, 4, nsop & 0xFFFF)
+            hdrs += header
             if cod.use_eph:
-                body += struct.pack(">H", j2k.EPH)
+                hdrs += struct.pack(">H", j2k.EPH)
             body += pbody
             if want_plt:
                 lengths.append(len(body) - n0)
+        if split:
+            return _AssembledTile(bytes(hdrs), bytes(body), lengths)
         if want_plt:
             return _AssembledTile(None, bytes(body), lengths)
         return bytes(body)
@@ -1400,10 +1383,16 @@ class J2KDecoder:
             hpos = 0
             for (l, r, c, pidx) in order:
                 # with packed headers, empty packets consume header
-                # bytes but no body — truncation is header exhaustion
-                exhausted = (hpos >= len(packed_hdrs)
-                             if packed_hdrs is not None
-                             else pos >= len(body))
+                # bytes but no body — truncation is header exhaustion,
+                # except that rate truncation cuts the post-SOD bodies
+                # while PPT headers stay whole: a layered packed stream
+                # whose body is consumed takes the same graceful break
+                # as the in-bitstream layout
+                if packed_hdrs is not None:
+                    exhausted = (hpos >= len(packed_hdrs)
+                                 or (l > 0 and pos >= len(body)))
+                else:
+                    exhausted = pos >= len(body)
                 if exhausted:
                     if self.resilient:
                         break

@@ -652,6 +652,7 @@ def decode(data: bytes):
     lse = None
     near = 0
     ilv = 0
+    comp_ids: List[int] = []
     scans: List[Tuple[List[int], bytes]] = []  # (component ids, bytes)
     while True:
         marker = r.read_marker()
@@ -662,6 +663,8 @@ def decode(data: bytes):
             w = (p[3] << 8) | p[4]
             nc = p[5]
             frame = (depth, w, h, nc)
+            comp_ids = [p[6 + 3 * i] for i in range(nc)
+                        if 6 + 3 * i < len(p)]
         elif marker == mk.LSE:
             p = r.read_segment()
             if p and p[0] == 1 and len(p) >= 11:
@@ -721,17 +724,27 @@ def decode(data: bytes):
             elif mode == 1:
                 _code_line_interleaved(_Scan(traits), gr, out,
                                        encode=False)
+            elif mode == 0:
+                # non-conformant Ns>1 ILV=0 single scan: planar
+                # components in sequence, fresh coder state each
+                # (matches the native jls_decode_scan dispatch)
+                for c in range(ncs):
+                    _code_component(_Scan(traits), gr, out[:, :, c],
+                                    encode=False)
             else:
                 _code_interleaved(_Scan(traits), gr, out, encode=False)
         return out
 
     if len(scans) > 1 or (nc > 1 and len(scans[0][0]) == 1):
         # ILV=0: independent per-component scans (fresh coder state
-        # each); component ids map scans to planes (1-based)
+        # each); scans map to planes by the SOF55 component-id list
+        # (ids need not be 1-based — CharLS writes whatever the SOF
+        # declares), falling back to arrival order for unknown ids
         img = np.zeros((h, w, nc), dtype=np.int64)
+        id_to_plane = {cid: idx for idx, cid in enumerate(comp_ids)}
         for i, (ids, sb) in enumerate(scans):
-            c = (ids[0] - 1) if 1 <= ids[0] <= nc else i
-            img[:, :, c] = _decode_scan(sb, 1, 0)[:, :, 0]
+            c = id_to_plane.get(ids[0], i)
+            img[:, :, min(c, nc - 1)] = _decode_scan(sb, 1, 0)[:, :, 0]
     else:
         img = _decode_scan(scans[0][1], nc, ilv if nc > 1 else 0)
 

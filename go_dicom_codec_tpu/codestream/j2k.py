@@ -320,7 +320,10 @@ def write_plt_segments(packet_lengths: List[int],
 
     def flush():
         nonlocal z, cur
-        out.extend(_seg(PLT, bytes([z & 0xFF]) + bytes(cur)))
+        if z > 255:
+            raise ValueError(
+                "packet lengths exceed 256 PLT segments (Zplt is 8-bit)")
+        out.extend(_seg(PLT, bytes([z]) + bytes(cur)))
         z += 1
         cur = bytearray()
 
@@ -349,8 +352,12 @@ def write_ppt(headers: bytes, max_chunk: int = 65532) -> bytes:
     pos = 0
     step = min(max_chunk, 65532)  # Lppt <= 65535 = L(2) + Zppt(1) + data
     while True:
+        if z > 255:
+            raise ValueError(
+                "packed packet headers exceed 256 PPT segments "
+                "(Zppt is 8-bit)")
         chunk = headers[pos:pos + step]
-        out += _seg(PPT, bytes([z & 0xFF]) + chunk)
+        out += _seg(PPT, bytes([z]) + chunk)
         pos += len(chunk)
         z += 1
         if pos >= len(headers):
@@ -371,8 +378,12 @@ def write_ppm(records: List[bytes], max_chunk: int = 65532) -> bytes:
     pos = 0
     step = min(max_chunk, 65532)
     while True:
+        if z > 255:
+            raise ValueError(
+                "packed packet headers exceed 256 PPM segments "
+                "(Zppm is 8-bit)")
         chunk = stream[pos:pos + step]
-        out += _seg(PPM, bytes([z & 0xFF]) + bytes(chunk))
+        out += _seg(PPM, bytes([z]) + bytes(chunk))
         pos += len(chunk)
         z += 1
         if pos >= len(stream):

@@ -401,3 +401,63 @@ class TestInterleaveModes:
         from go_dicom_codec_tpu.errors import UnsupportedFormatError
         with pytest.raises(UnsupportedFormatError):
             encode(self._rgb().tobytes(), 40, 48, 3, 8, ilv=3)
+
+    def test_zero_based_component_ids(self):
+        """Foreign ILV=0 streams may use 0-based component ids; scans
+        map to planes via the SOF55 id list, not raw Cs-1."""
+        import numpy as np
+        from go_dicom_codec_tpu.codecs.jpegls import decode, encode
+        img = self._rgb(seed=6)
+        s = bytearray(encode(img.tobytes(), 40, 48, 3, 8, ilv=0))
+        # rewrite ids 1,2,3 -> 0,1,2 in SOF55 and each SOS
+        i = s.find(bytes([0xFF, 0xF7]))  # SOF55
+        ln = (s[i + 2] << 8) | s[i + 3]
+        for c in range(3):
+            assert s[i + 10 + 3 * c] == c + 1
+            s[i + 10 + 3 * c] = c
+        p = i + 2 + ln
+        while p < len(s):
+            if s[p] == 0xFF and s[p + 1] == 0xDA:  # SOS
+                assert s[p + 5] in (1, 2, 3)
+                s[p + 5] -= 1
+                p += 2 + ((s[p + 2] << 8) | s[p + 3])
+            else:
+                p += 1
+        pix, w, h, c, d, n = decode(bytes(s))
+        assert np.frombuffer(pix, np.uint8).reshape(48, 40, 3).tolist() \
+            == img.tolist()
+
+    def test_nonconformant_single_scan_ilv0_lane_parity(self):
+        """A single Ns=3 scan declaring ILV=0 (non-conformant) must
+        decode IDENTICALLY native vs native-disabled (both planar-
+        sequential) — the lanes may not disagree on any input."""
+        import subprocess
+        import sys
+        code = (
+            "import os, hashlib, numpy as np\n"
+            "os.environ.pop('PALLAS_AXON_REMOTE_COMPILE', None)\n"
+            "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+            "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+            "from go_dicom_codec_tpu.codecs.jpegls import decode, encode\n"
+            "rng = np.random.default_rng(8)\n"
+            "img = rng.integers(0, 256, (24, 20, 3)).astype(np.uint8)\n"
+            "s = bytearray(encode(img.tobytes(), 20, 24, 3, 8, ilv=2))\n"
+            "i = s.find(bytes([0xFF, 0xDA]))\n"
+            "ns = s[i + 4]\n"
+            "assert s[i + 6 + ns * 2] == 2\n"
+            "s[i + 6 + ns * 2] = 0  # declare ILV=0 on the Ns=3 scan\n"
+            "pix, *_ = decode(bytes(s))\n"
+            "print(hashlib.sha256(pix).hexdigest())\n")
+        outs = []
+        for disable in ("", "1"):
+            env = dict(**__import__("os").environ)
+            if disable:
+                env["GDCT_DISABLE_NATIVE"] = disable
+            else:
+                env.pop("GDCT_DISABLE_NATIVE", None)
+            r = subprocess.run([sys.executable, "-c", code], env=env,
+                               capture_output=True, text=True,
+                               timeout=300)
+            assert r.returncode == 0, r.stderr
+            outs.append(r.stdout.strip())
+        assert outs[0] == outs[1]

@@ -482,3 +482,59 @@ def test_tlm_markers_on_classic_j2k():
     assert entries == seen and len(entries) == 6  # 2x3 tile grid
     assert decode_to_pixels(s) == decode_to_pixels(
         J2KEncoder(J2KEncodeParams()).encode(img, 110, 120, 1, 12))
+
+
+def test_ppt_writer_rejects_256_segments():
+    with pytest.raises(ValueError):
+        j2k.write_ppt(b"x" * 300, max_chunk=1)
+    with pytest.raises(ValueError):
+        j2k.write_ppm([b"x" * 300], max_chunk=1)
+    with pytest.raises(ValueError):
+        j2k.write_plt_segments([1] * 300, max_chunk=1)
+
+
+def test_packed_layered_truncation_decodes_gracefully():
+    """Rate truncation cuts packet bodies while PPT headers stay whole;
+    a STRICT decode must still return the surviving layers (same
+    graceful break as the in-bitstream layout)."""
+    img = _img()
+    s = J2KEncoder(J2KEncodeParams(packed_headers=True, plt_markers=True,
+                                   num_layers=2, layer_rates=[16.0, 0])
+                   ).encode(img, 110, 120, 1, 12)
+    # layer-0 body size = sum of the first half of the PLT lengths
+    # (LRCP is layer-major; 1 tile, maximal precincts)
+    pos, lengths = 2, []
+    sot = None
+    while pos < len(s):
+        m = struct.unpack_from(">H", s, pos)[0]
+        if m == j2k.EOC:
+            break
+        if m == j2k.SOT:
+            sot = pos
+            ln = struct.unpack_from(">H", s, pos + 2)[0]
+            psot = struct.unpack_from(">I", s, pos + 6)[0]
+            p = pos + 2 + ln
+            while struct.unpack_from(">H", s, p)[0] != j2k.SOD:
+                m2, l2 = struct.unpack_from(">HH", s, p)
+                if m2 == j2k.PLT:
+                    lengths.extend(j2k.parse_plt(s[p + 4:p + 2 + l2])[1])
+                p += 2 + l2
+            body_start = p + 2
+            pos += psot
+            continue
+        pos += 2 + struct.unpack_from(">H", s, pos + 2)[0]
+    assert lengths and len(lengths) % 2 == 0
+    l0 = sum(lengths[:len(lengths) // 2])
+    truncated = s[:body_start + l0]
+    full = np.frombuffer(decode_to_pixels(s)[0], "<u2").astype(np.int64)
+    assert np.array_equal(full, img.reshape(-1))
+    pix, w, h, c, depth, signed = decode_to_pixels(truncated)  # STRICT
+    part = np.frombuffer(pix, "<u2").astype(np.int64)
+    # strict and resilient must agree on the truncated stream, and
+    # layer 0 alone (16:1 on noise) is lossy but not garbage
+    from go_dicom_codec_tpu.codecs.jpeg2000 import J2KDecoder
+    res = J2KDecoder(resilient=True).decode(truncated)[0][:, :, 0]
+    assert np.array_equal(part.reshape(120, 110),
+                          np.clip(res, 0, 4095))
+    err = np.abs(part - img.reshape(-1)).mean()
+    assert 0 < err < 1500
