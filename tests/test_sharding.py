@@ -121,6 +121,10 @@ def test_encode_frames_sharded_byte_identical(rng):
     ("precincts",
      dict(precincts=[(6, 6)] * 4, progression=2), (2, 96, 80), 12),
     ("htj2k", dict(htj2k=True), (2, 64, 64), 12),
+    ("packed_markers",
+     dict(packed_headers=True, use_sop=True, use_eph=True,
+          plt_markers=True, tlm_markers=True, tile_width=48,
+          tile_height=40), (2, 96, 80), 12),
 ])
 def test_encode_frames_sharded_full_surface(name, kw, shape, bits, rng):
     """VERDICT r3 #3: the mesh-sharded encode covers the full parameter
