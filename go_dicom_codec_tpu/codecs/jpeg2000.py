@@ -1746,7 +1746,8 @@ def decode_to_pixels(data: bytes, reduce: int = 0):
             depth, signed)
 
 
-def decode_to_packed(data: bytes, return_qcd: bool = False):
+def decode_to_packed(data: bytes, return_qcd: bool = False,
+                     reduce: int = 0):
     """Host stage only for a single-tile codestream: parse + T1 +
     subband assembly, stopping before the inverse DWT. Returns
     (packed [C, th, tw] int32, siz, cod) — the input the batched
@@ -1766,16 +1767,19 @@ def decode_to_packed(data: bytes, return_qcd: bool = False):
         # Part-2 custom MCT inversion happens in the scalar device stage
         raise UnsupportedFormatError("packed decode: custom MCT streams "
                                      "use the scalar path")
-    tiles, siz, cod, qcd, _ = decode_to_packed_tiles(data)
+    tiles, siz, cod, qcd, _ = decode_to_packed_tiles(data, reduce=reduce)
     packed = tiles[0][1]
     if return_qcd:
         return packed, siz, cod, qcd
     return packed, siz, cod
 
 
-def decode_to_packed_tiles(data: bytes):
+def decode_to_packed_tiles(data: bytes, reduce: int = 0):
     """Host stage for every tile of a codestream: parse + T1 + subband
-    assembly, stopping before the inverse DWT. Returns
+    assembly, stopping before the inverse DWT. reduce=R skips the top
+    R resolutions (J2KDecoder note) — rects and packed dims come back
+    ceil-divided and the caller's inverse must run R levels short.
+    Returns
     ([(rect, packed [C, th, tw] int32), ...] in raster tile order,
     siz, cod, qcd, mct_bindings_inv) — the per-tile input the
     multi-tile sharded decode batches across frames
@@ -1804,7 +1808,7 @@ def decode_to_packed_tiles(data: bytes):
                 "packed decode requires unsubsampled components")
     depth0, signed0, _, _ = siz.components[0]
     ntx, _ = siz.num_tiles
-    dec = J2KDecoder()
+    dec = J2KDecoder(reduce=reduce)
     out = []
     # validate EVERY tile's header-level constraints before any entropy
     # work — these checks only need cod_for/qcd_for, and raising late
@@ -1847,6 +1851,11 @@ def decode_to_packed_tiles(data: bytes):
             comp_rects=[(tx0, ty0, tx1, ty1)] * ncomp,
             packed_hdrs=tile.ppt,
             _return_packed=True)
+        if reduce:
+            # reduced decode: the packed arrays live on the level-R
+            # window; report the matching ceil-div rect so the batched
+            # inverse runs with the right origins/paste bounds
+            rect = tuple(-(-v // (1 << reduce)) for v in rect)
         out.append((rect, packed))
     return out, siz, cod0, qcd0, _extract_mct_inverse(cs, ncomp)
 

@@ -156,7 +156,8 @@ def encode_frames_sharded(frames, bit_depth: int = 16,
     return out
 
 
-def decode_frames_sharded(streams, mesh: Optional[Mesh] = None):
+def decode_frames_sharded(streams, mesh: Optional[Mesh] = None,
+                          reduce: int = 0):
     """Multi-chip J2K multi-frame DECODE (the scale-out mirror of
     encode_frames_sharded; the reference decodes frames in a sequential
     loop, decoder.go:91-124).
@@ -199,16 +200,21 @@ def decode_frames_sharded(streams, mesh: Optional[Mesh] = None):
     packs, meta, qcd0, mct_inv = [], None, None, None
     for s in streams:
         try:
-            tiles, siz, cod, qcd, minv = decode_to_packed_tiles(s)
+            tiles, siz, cod, qcd, minv = decode_to_packed_tiles(
+                s, reduce=reduce)
         except UnsupportedFormatError:
-            if meta is not None:
-                raise  # mixed uniform/heterogeneous batch
+            if meta is not None or reduce:
+                raise  # mixed batch / reduce on a heterogeneous stream
             return _decode_frames_sharded_hetero(streams, mesh)
         mkey = tuple((tuple(ids), inv.tobytes(),
                       offs.tobytes() if offs is not None else None)
                      for (ids, inv, offs) in minv)
-        m = ([(r, p.shape) for (r, p) in tiles], cod.num_levels,
-             (siz.xsiz, siz.ysiz, siz.xosiz, siz.yosiz),
+        def _rdv(v):
+            return -(-v // (1 << reduce))
+
+        m = ([(r, p.shape) for (r, p) in tiles], cod.num_levels - reduce,
+             (_rdv(siz.xsiz), _rdv(siz.ysiz), _rdv(siz.xosiz),
+              _rdv(siz.yosiz)),
              siz.components[0][:2], cod.mct, cod.transform, qcd, mkey)
         if meta is None:
             meta, qcd0, mct_inv = m, qcd, minv
@@ -223,7 +229,9 @@ def decode_frames_sharded(streams, mesh: Optional[Mesh] = None):
     nshard = mesh.shape[FRAME_AXIS] * mesh.shape[TILE_AXIS]
     sharding = NamedSharding(mesh, P((FRAME_AXIS, TILE_AXIS)))
 
-    deltas = (J2KEncoder._band_deltas(qcd0, levels, bits)
+    # deltas build over the FULL level count (band indices are a
+    # prefix-stable subset under reduce)
+    deltas = (J2KEncoder._band_deltas(qcd0, levels + reduce, bits)
               if transform != 1 else None)
     height, width = ys - yos, xs - xos
     ncomp = tile_shapes[0][1][0]

@@ -482,7 +482,7 @@ def _j2k_decode_device_stage_97(fbatch, levels, x0, y0, bits, signed, mct,
 
 def decode_frames_pipelined(streams, chunk: int = 8,
                             return_info: bool = False,
-                            device: str = "auto"):
+                            device: str = "auto", reduce: int = 0):
     """Double-buffered J2K multi-frame DECODE.
 
     The host entropy-decodes (T1 + T2) chunk k+1 while the device runs
@@ -516,11 +516,16 @@ def decode_frames_pipelined(streams, chunk: int = 8,
 
     global_meta = [None]  # enforced across ALL chunks, not just within
 
+    def rdiv(v):  # reduced-grid coordinate (level-R LL window)
+        return -(-v // (1 << reduce))
+
     def host_stage(group):
         packs = []
         for s in group:
-            packed, siz, cod, qcd = decode_to_packed(s, return_qcd=True)
-            m = (packed.shape, cod.num_levels, siz.xosiz, siz.yosiz,
+            packed, siz, cod, qcd = decode_to_packed(s, return_qcd=True,
+                                                     reduce=reduce)
+            m = (packed.shape, cod.num_levels - reduce, rdiv(siz.xosiz),
+                 rdiv(siz.yosiz),
                  siz.components[0][:2], cod.mct, cod.transform, qcd)
             if global_meta[0] is None:
                 global_meta[0] = m
@@ -529,13 +534,17 @@ def decode_frames_pipelined(streams, chunk: int = 8,
                                  "streams")
             if cod.transform != 1:
                 # irreversible: per-band dequant on the host (QCD steps,
-                # shared helper with the scalar decoder)
+                # shared helper with the scalar decoder; deltas build
+                # over the FULL level count — band indices are a
+                # prefix-stable subset under reduce)
                 _, th_, tw_ = packed.shape
                 deltas = J2KEncoder._band_deltas(qcd, cod.num_levels,
                                                  siz.components[0][0])
                 packed = dequantize_packed(
-                    packed, (siz.xosiz, siz.yosiz, siz.xosiz + tw_,
-                             siz.yosiz + th_), cod.num_levels, deltas)
+                    packed, (rdiv(siz.xosiz), rdiv(siz.yosiz),
+                             rdiv(siz.xosiz) + tw_,
+                             rdiv(siz.yosiz) + th_),
+                    cod.num_levels - reduce, deltas)
             packs.append(packed)
         return np.stack(packs)
 
@@ -592,7 +601,11 @@ def decode_frames_pipelined(streams, chunk: int = 8,
         # compact upload when the (host-known) coefficients fit int16
         if batch.dtype == np.int32 and np.abs(batch).max() <= 32767:
             batch = batch.astype(np.int16)
-        narrow = bits <= 16
+        # the narrow readback's clip is an identity only for FULL
+        # reversible reconstruction; a reduced decode's LL can over/
+        # undershoot the declared range (lowpass ringing), so reduce
+        # keeps the int32 path and stays bit-identical to J2KDecoder
+        narrow = bits <= 16 and reduce == 0
         if transform == 1:
             pending = _j2k_decode_device_stage(
                 jnp.asarray(batch), levels, x0, y0, bits, signed,

@@ -141,3 +141,42 @@ def test_reduce_zero_matches_default():
     a = J2KDecoder().decode(s)[0]
     b = J2KDecoder(reduce=0).decode(s)[0]
     assert np.array_equal(a, b)
+
+
+# ---- reduce through the batched/sharded decode paths --------------------
+
+@pytest.mark.parametrize("r", [1, 2])
+def test_reduce_pipelined_matches_scalar(r):
+    from go_dicom_codec_tpu.pipeline import decode_frames_pipelined
+    imgs = [_img(seed=i) for i in range(3)]
+    enc = J2KEncoder(J2KEncodeParams(num_levels=4))
+    streams = [enc.encode(im, 190, 200, 1, 12) for im in imgs]
+    got = decode_frames_pipelined(streams, reduce=r)
+    for g, im, s in zip(got, imgs, streams):
+        ref = J2KDecoder(reduce=r).decode(s)[0]
+        assert np.array_equal(g, ref)  # bit-identical incl. overshoot
+
+
+@pytest.mark.parametrize("kw,exact", [
+    (dict(), True),
+    (dict(htj2k=True), True),
+    (dict(tile_width=96, tile_height=80), True),
+    (dict(lossless=False, quality=70), False),
+])
+def test_reduce_sharded_matches_scalar(kw, exact):
+    from go_dicom_codec_tpu.parallel.mesh import (decode_frames_sharded,
+                                                  make_mesh)
+    imgs = [_img(seed=i) for i in range(3)]
+    enc = J2KEncoder(J2KEncodeParams(num_levels=4, **kw))
+    streams = [enc.encode(im, 190, 200, 1, 12) for im in imgs]
+    got = decode_frames_sharded(streams, mesh=make_mesh(), reduce=2)
+    for g, s in zip(got, streams):
+        ref = J2KDecoder(reduce=2).decode(s)[0]
+        if exact:
+            assert np.array_equal(g, ref)
+        else:
+            # float program shapes may flip a quant tie (documented
+            # batched-lossy policy); sharded output is range-clipped
+            d = np.abs(np.clip(g, 0, 4095).astype(np.int64)
+                       - np.clip(ref, 0, 4095).astype(np.int64))
+            assert d.max() <= 1
