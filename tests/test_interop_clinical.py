@@ -16,10 +16,10 @@ from go_dicom_codec_tpu.tools.interop import (FORMAT_DEFINITIONS,
 
 
 @pytest.mark.parametrize(
-    "label,uid,bits,samples,tol",
-    FORMAT_DEFINITIONS,
+    "label,uid,bits,samples,tol,enc_params",
+    [(r + (None,))[:6] for r in FORMAT_DEFINITIONS],
     ids=[row[0] for row in FORMAT_DEFINITIONS])
-def test_clinical_roundtrip(label, uid, bits, samples, tol):
+def test_clinical_roundtrip(label, uid, bits, samples, tol, enc_params):
     img, signed = _clinical_fixture(bits, samples)
     h, w = img.shape[:2]
     info = dc.FrameInfo(
@@ -32,7 +32,8 @@ def test_clinical_roundtrip(label, uid, bits, samples, tol):
     src.add_frame(np.ascontiguousarray(img).tobytes())
     codec = dc.get_global_registry().get_codec(uid)
     enc = dc.MemoryPixelData(info=info, encapsulated=True)
-    codec.encode(src, enc)
+    codec.encode(src, enc,
+                 dc.Parameters(**enc_params) if enc_params else None)
     dec = dc.MemoryPixelData(info=info)
     codec.decode(enc, dec)
     got = np.frombuffer(dec.get_frame(0), dtype=img.dtype)
