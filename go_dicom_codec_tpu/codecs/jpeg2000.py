@@ -1223,7 +1223,8 @@ class J2KDecoder:
     """
 
     def __init__(self, resilient: bool = False,
-                 block_decoder_factory=None, reduce: int = 0) -> None:
+                 block_decoder_factory=None, reduce: int = 0,
+                 window=None) -> None:
         self.resilient = resilient
         self.block_decoder_factory = block_decoder_factory
         # reduced-resolution decode (OpenJPEG -r analogue, beyond the
@@ -1232,6 +1233,15 @@ class J2KDecoder:
         # thumbnail decode costs a fraction of the full one. Output
         # dims are the level-`reduce` LL window (ceil-div by 2^reduce).
         self.reduce = int(reduce)
+        # spatial window decode (OpenJPEG -d analogue, beyond the
+        # reference): decode only the (x0, y0, x1, y1) reference-grid
+        # region — tiles outside it skip entirely and code-blocks whose
+        # bands cannot influence it (Annex B ceil-div mapping plus a
+        # conservative lifting-support margin) skip T1. decode()
+        # returns just the window (composable with reduce: the output
+        # is the window's level-R ceil-div). Pixels are identical to
+        # cropping a full decode.
+        self.window = tuple(window) if window is not None else None
 
     def set_block_decoder_factory(self, factory) -> None:
         """Reference decoder.go:76 SetBlockDecoderFactory."""
@@ -1247,8 +1257,25 @@ class J2KDecoder:
         def rdiv(v):  # reduced-grid coordinate (level-R LL window)
             return -(-v // (1 << self.reduce))
 
-        width = rdiv(siz.xsiz) - rdiv(siz.xosiz)
-        height = rdiv(siz.ysiz) - rdiv(siz.yosiz)
+        window = self.window
+        if window is not None:
+            wx0, wy0, wx1, wy1 = window
+            wx0 = max(int(wx0), siz.xosiz)
+            wy0 = max(int(wy0), siz.yosiz)
+            wx1 = min(int(wx1), siz.xsiz)
+            wy1 = min(int(wy1), siz.ysiz)
+            if wx1 <= wx0 or wy1 <= wy0:
+                raise UnsupportedFormatError(
+                    f"decode window {window} does not intersect the "
+                    f"image grid")
+            window = (wx0, wy0, wx1, wy1)
+            ox, oy = rdiv(wx0), rdiv(wy0)
+            width = rdiv(wx1) - ox
+            height = rdiv(wy1) - oy
+        else:
+            ox, oy = rdiv(siz.xosiz), rdiv(siz.yosiz)
+            width = rdiv(siz.xsiz) - ox
+            height = rdiv(siz.ysiz) - oy
         out = np.zeros((height, width, ncomp), dtype=np.int32)
 
         mct_bindings_inv = _extract_mct_inverse(cs, ncomp)
@@ -1259,6 +1286,10 @@ class J2KDecoder:
         for tidx, tile in sorted(cs.tiles.items()):
             ti, tj = tidx % ntx, tidx // ntx
             rect = siz.tile_rect(ti, tj)
+            if window is not None and (
+                    rect[2] <= window[0] or rect[0] >= window[2]
+                    or rect[3] <= window[1] or rect[1] >= window[3]):
+                continue  # tile entirely outside the decode window
             cods = [cs.cod_for(c, tile) for c in range(ncomp)]
             qcds = [cs.qcd_for(c, tile) for c in range(ncomp)]
             gs_masks = _gs_masks_for_tile(cs, roi_regions, rect)
@@ -1266,22 +1297,41 @@ class J2KDecoder:
             # (reference tile_decoder.go:330-392 ceilDiv component bounds)
             tx0, ty0, tx1, ty1 = rect
             comp_rects = []
+            comp_windows = None
+            if window is not None:
+                comp_windows = []
             for c in range(ncomp):
                 _, _, xr, yr = siz.components[c]
                 xr, yr = max(xr, 1), max(yr, 1)
                 comp_rects.append((-(-tx0 // xr), -(-ty0 // yr),
                                    -(-tx1 // xr), -(-ty1 // yr)))
+                if window is not None:
+                    comp_windows.append(
+                        (window[0] // xr, window[1] // yr,
+                         -(-window[2] // xr), -(-window[3] // yr)))
             tile_arr = self._decode_tile(tile.data, rect, cods, qcds, ncomp,
                                          depth0, signed0, cs.rgn_shifts,
                                          mct_bindings_inv,
                                          poc=cs.poc_for(tile),
                                          gs_masks=gs_masks,
                                          comp_rects=comp_rects,
-                                         packed_hdrs=tile.ppt)
+                                         packed_hdrs=tile.ppt,
+                                         comp_windows=comp_windows)
             tx0, ty0, tx1, ty1 = rect
-            out[rdiv(ty0) - rdiv(siz.yosiz):rdiv(ty1) - rdiv(siz.yosiz),
-                rdiv(tx0) - rdiv(siz.xosiz):rdiv(tx1) - rdiv(siz.xosiz),
-                :] = tile_arr
+            if window is None:
+                out[rdiv(ty0) - oy:rdiv(ty1) - oy,
+                    rdiv(tx0) - ox:rdiv(tx1) - ox, :] = tile_arr
+            else:
+                # paste only the tile∩window slice of the tile array
+                ix0 = max(rdiv(tx0), rdiv(window[0]))
+                iy0 = max(rdiv(ty0), rdiv(window[1]))
+                ix1 = min(rdiv(tx1), rdiv(window[2]))
+                iy1 = min(rdiv(ty1), rdiv(window[3]))
+                if ix1 <= ix0 or iy1 <= iy0:
+                    continue  # reduced grid rounded the overlap away
+                out[iy0 - oy:iy1 - oy, ix0 - ox:ix1 - ox, :] = \
+                    tile_arr[iy0 - rdiv(ty0):iy1 - rdiv(ty0),
+                             ix0 - rdiv(tx0):ix1 - rdiv(tx0), :]
         return out, siz, cs.cod
 
     def _decode_tile(self, body: bytes, rect, cods, qcds, ncomp: int,
@@ -1291,6 +1341,7 @@ class J2KDecoder:
                      poc=None, gs_masks=None,
                      comp_rects=None,
                      packed_hdrs: Optional[bytes] = None,
+                     comp_windows=None,
                      _return_packed: bool = False,
                      _return_packed_list: bool = False) -> np.ndarray:
         """cods/qcds: effective per-component CodInfo/QcdInfo (COD+COC,
@@ -1505,6 +1556,22 @@ class J2KDecoder:
                     and self.block_decoder_factory is None)
         ht_items, ht_ctx = [], []
         t1_groups = {}  # cb_style -> (items, ctxs)
+        # spatial window: per (component, resolution, band) rect the
+        # window maps onto (Annex B ceil-div) expanded by a lifting-
+        # support margin — 8 band samples covers the cumulative 5/3 and
+        # 9/7 dependency widths; blocks outside it cannot influence any
+        # window pixel and skip T1 (window exactness is pinned against
+        # full-decode crops in tests/test_window_decode.py)
+        _WIN_MARGIN = 8
+
+        def _win_band_rect(c, r, band):
+            from .j2k_geometry import band_rect
+            cw = comp_windows[c]
+            b = band_rect(cw[0], cw[1], cw[2], cw[3],
+                          cods[c].num_levels, r, band)
+            return (b[0] - _WIN_MARGIN, b[1] - _WIN_MARGIN,
+                    b[2] + _WIN_MARGIN, b[3] + _WIN_MARGIN)
+
         for c in range(ncomp):
             cod = cods[c]
             is_ht = bool(cod.cb_style & 0x40)
@@ -1515,9 +1582,15 @@ class J2KDecoder:
                     plist = comp_states[c][(res.r, prec.index)]
                     for pb, ps in zip(prec.bands, plist):
                         bg = pb.band
+                        wb = (None if comp_windows is None else
+                              _win_band_rect(c, res.r, bg.band))
                         for g, st in zip(pb.blocks, ps.blocks):
                             if st.num_passes == 0 or st.numbps <= 0:
                                 continue
+                            if wb is not None and (
+                                    g.x1 <= wb[0] or g.x0 >= wb[2]
+                                    or g.y1 <= wb[1] or g.y0 >= wb[3]):
+                                continue  # outside the decode window
                             ctx = (c, cod, is_ht, bg, ps, g, st)
                             if not batch_ok:
                                 _scalar_and_paste(*ctx)
@@ -1736,10 +1809,11 @@ def pack_decoded_pixels(arr: np.ndarray, depth: int, signed: bool,
     return np.ascontiguousarray(arr.astype(dt)).tobytes()
 
 
-def decode_to_pixels(data: bytes, reduce: int = 0):
+def decode_to_pixels(data: bytes, reduce: int = 0, window=None):
     """Decode a codestream → (pixel bytes, width, height, comps, depth,
-    signed). reduce=R decodes at 1/2^R resolution (J2KDecoder note)."""
-    arr, siz, cod = J2KDecoder(reduce=reduce).decode(data)
+    signed). reduce=R decodes at 1/2^R resolution; window=(x0,y0,x1,y1)
+    decodes only that reference-grid region (J2KDecoder notes)."""
+    arr, siz, cod = J2KDecoder(reduce=reduce, window=window).decode(data)
     depth, signed, _, _ = siz.components[0]
     h, w, c = arr.shape
     return (pack_decoded_pixels(arr, depth, signed), w, h, c,
