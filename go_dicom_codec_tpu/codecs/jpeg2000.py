@@ -1561,16 +1561,22 @@ class J2KDecoder:
         # support margin — 8 band samples covers the cumulative 5/3 and
         # 9/7 dependency widths; blocks outside it cannot influence any
         # window pixel and skip T1 (window exactness is pinned against
-        # full-decode crops in tests/test_window_decode.py)
-        _WIN_MARGIN = 8
-
-        def _win_band_rect(c, r, band):
+        # full-decode crops in tests/test_window_decode.py). Rects are
+        # precomputed once per (c, r, band) — they don't vary by
+        # precinct or tile position within the walk.
+        win_rects = None
+        if comp_windows is not None:
             from .j2k_geometry import band_rect
-            cw = comp_windows[c]
-            b = band_rect(cw[0], cw[1], cw[2], cw[3],
-                          cods[c].num_levels, r, band)
-            return (b[0] - _WIN_MARGIN, b[1] - _WIN_MARGIN,
-                    b[2] + _WIN_MARGIN, b[3] + _WIN_MARGIN)
+            _M = 8
+            win_rects = {}
+            for c in range(ncomp):
+                cw = comp_windows[c]
+                for r in range(cods[c].num_levels + 1):
+                    for band in ((0,) if r == 0 else (1, 2, 3)):
+                        b = band_rect(cw[0], cw[1], cw[2], cw[3],
+                                      cods[c].num_levels, r, band)
+                        win_rects[(c, r, band)] = (b[0] - _M, b[1] - _M,
+                                                   b[2] + _M, b[3] + _M)
 
         for c in range(ncomp):
             cod = cods[c]
@@ -1582,8 +1588,8 @@ class J2KDecoder:
                     plist = comp_states[c][(res.r, prec.index)]
                     for pb, ps in zip(prec.bands, plist):
                         bg = pb.band
-                        wb = (None if comp_windows is None else
-                              _win_band_rect(c, res.r, bg.band))
+                        wb = (None if win_rects is None else
+                              win_rects[(c, res.r, bg.band)])
                         for g, st in zip(pb.blocks, ps.blocks):
                             if st.num_passes == 0 or st.numbps <= 0:
                                 continue

@@ -188,6 +188,7 @@ def decode_frames_sharded(streams, mesh: Optional[Mesh] = None,
     shard — the unshift runs on the packed host coefficients. Returns
     [H, W, C] int32 arrays.
     """
+    from ..codecs.j2k_geometry import ceil_div
     from ..codecs.jpeg2000 import (J2KEncoder, decode_to_packed_tiles,
                                    dequantize_packed)
     from ..errors import UnsupportedFormatError
@@ -209,12 +210,9 @@ def decode_frames_sharded(streams, mesh: Optional[Mesh] = None,
         mkey = tuple((tuple(ids), inv.tobytes(),
                       offs.tobytes() if offs is not None else None)
                      for (ids, inv, offs) in minv)
-        def _rdv(v):
-            return -(-v // (1 << reduce))
-
         m = ([(r, p.shape) for (r, p) in tiles], cod.num_levels - reduce,
-             (_rdv(siz.xsiz), _rdv(siz.ysiz), _rdv(siz.xosiz),
-              _rdv(siz.yosiz)),
+             tuple(ceil_div(v, 1 << reduce)
+                   for v in (siz.xsiz, siz.ysiz, siz.xosiz, siz.yosiz)),
              siz.components[0][:2], cod.mct, cod.transform, qcd, mkey)
         if meta is None:
             meta, qcd0, mct_inv = m, qcd, minv

@@ -603,9 +603,12 @@ def decode_frames_pipelined(streams, chunk: int = 8,
             batch = batch.astype(np.int16)
         # the narrow readback's clip is an identity only for FULL
         # reversible reconstruction; a reduced decode's LL can over/
-        # undershoot the declared range (lowpass ringing), so reduce
-        # keeps the int32 path and stays bit-identical to J2KDecoder
-        narrow = bits <= 16 and reduce == 0
+        # undershoot the declared range (lowpass ringing), so reversible
+        # reduce keeps the int32 path and stays bit-identical to
+        # J2KDecoder. Irreversible output is ALWAYS clipped — the
+        # documented batched-lossy policy, matching the host lane and
+        # decode_frames_sharded.
+        narrow = bits <= 16 and (reduce == 0 or transform != 1)
         if transform == 1:
             pending = _j2k_decode_device_stage(
                 jnp.asarray(batch), levels, x0, y0, bits, signed,

@@ -180,3 +180,23 @@ def test_reduce_sharded_matches_scalar(kw, exact):
             d = np.abs(np.clip(g, 0, 4095).astype(np.int64)
                        - np.clip(ref, 0, 4095).astype(np.int64))
             assert d.max() <= 1
+
+
+def test_reduce_lossy_pipelined_lanes_agree():
+    """Regression: the host and device lanes of decode_frames_pipelined
+    must return the SAME pixels for lossy + reduce (both clipped to the
+    declared range, the documented batched-lossy policy — the device
+    lane's clip was once disabled under reduce while the host lane's
+    stayed)."""
+    from go_dicom_codec_tpu.pipeline import decode_frames_pipelined
+    rng = np.random.default_rng(6)
+    # step image: the reduced LL rings hard past the declared range
+    img = np.where(np.arange(200)[:, None] % 32 < 16, 4095, 0
+                   ).astype(np.int32) * np.ones((1, 190), np.int32)
+    s = J2KEncoder(J2KEncodeParams(lossless=False, quality=70)
+                   ).encode(img, 190, 200, 1, 12)
+    dev = decode_frames_pipelined([s], reduce=1, device="device")[0]
+    host = decode_frames_pipelined([s], reduce=1, device="host")[0]
+    assert dev.min() >= 0 and dev.max() <= 4095  # clipped policy
+    d = np.abs(dev.astype(np.int64) - host.astype(np.int64))
+    assert d.max() <= 1  # one-ulp float-tie policy between lanes
