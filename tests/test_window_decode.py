@@ -132,3 +132,22 @@ def test_window_skips_unneeded_tiles_entirely():
     full = J2KDecoder().decode(s)[0]
     got = J2KDecoder(window=(0, 0, 64, 48)).decode(bytes(d))[0]
     assert np.array_equal(got, full[0:48, 0:64, :])
+
+
+@pytest.mark.parametrize("h,w", [(1, 1), (1, 300), (300, 1), (3, 5)])
+def test_window_and_reduce_on_degenerate_shapes(h, w):
+    img = _img(h, w, seed=h * 100 + w) if h * w > 1 else \
+        np.array([[1234]], dtype=np.int32)
+    s = J2KEncoder(J2KEncodeParams()).encode(img, w, h, 1, 12)
+    full = J2KDecoder().decode(s)[0]
+    # full-cover window
+    got = J2KDecoder(window=(0, 0, w, h)).decode(s)[0]
+    assert np.array_equal(got, full)
+    # single-pixel window
+    got = J2KDecoder(window=(w - 1, h - 1, w, h)).decode(s)[0]
+    assert np.array_equal(got, full[h - 1:h, w - 1:w, :])
+    # reduce past the clamped level count still yields >= 1 px
+    lv = J2KEncodeParams().clamped_levels(w, h)
+    if lv > 0:
+        arr = J2KDecoder(reduce=lv).decode(s)[0]
+        assert arr.shape[0] >= 1 and arr.shape[1] >= 1
