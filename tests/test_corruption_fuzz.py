@@ -331,7 +331,6 @@ def test_batched_multiframe_decode_corrupt_frame_typed_error(uid, rng):
 def test_corrupted_packed_header_stream_never_crashes(rng):
     """PPT/PPM/SOP/EPH/PLT/JP2 paths are new parser attack surface:
     truncation, byte flips, and deletions must raise cleanly."""
-    import io
     import struct
 
     from go_dicom_codec_tpu.codecs.jpeg2000 import (J2KEncodeParams,
