@@ -3473,6 +3473,10 @@ int jpg_decode_scan(const uint8_t* destuffed, long nbytes, int ncomp,
       }
       mcu_index++;
       for (int ci = 0; ci < ncomp; ci++) {
+        // hostile streams can put any byte in the SOS table ids —
+        // bound-check before indexing the 4-slot arrays
+        if (comp_dc[ci] < 0 || comp_dc[ci] >= 4 ||
+            comp_ac[ci] < 0 || comp_ac[ci] >= 4) return -2;
         const jpg::HuffLut& dtab = dct[comp_dc[ci]];
         const jpg::HuffLut& atab = act[comp_ac[ci]];
         if (!dtab.valid || !atab.valid) return -2;
@@ -3524,6 +3528,8 @@ int jpg_lossless_decode_scan(const uint8_t* destuffed, long nbytes,
   jpg::HuffLut tabs[4];
   for (int t = 0; t < 4; t++)
     if (nvals[t] > 0) tabs[t].build(bits + t * 16, vals + t * 256, nvals[t]);
+  for (int c = 0; c < ncomp; c++)  // hostile SOS table ids (see above)
+    if (comp_tid[c] < 0 || comp_tid[c] >= 4) return -2;
   bool ok = true;
   long n = (long)w * h * ncomp;
   for (long i = 0; i < n; i++) {

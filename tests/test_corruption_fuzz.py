@@ -365,3 +365,53 @@ def test_corrupted_packed_header_stream_never_crashes(rng):
                 decode_to_pixels(bytes(d2))
             except Exception:
                 pass  # any clean Python exception is acceptable
+
+
+def test_hostile_jpeg_sos_table_ids_native(rng):
+    """A corrupt SOS can reference any Huffman-table id; the native
+    scan decoders must bound-check before indexing their 4-slot table
+    arrays (found by the 20k-trial campaign: an out-of-range id
+    segfaulted the native lane while Python raised cleanly). Both
+    lanes must raise the same clean error."""
+    import subprocess
+    import sys
+    code = (
+        "import os, numpy as np\n"
+        "os.environ.pop('PALLAS_AXON_REMOTE_COMPILE', None)\n"
+        "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "import go_dicom_codec_tpu as dc\n"
+        "rng = np.random.default_rng(5)\n"
+        "img = rng.integers(0, 256, (48, 40, 3)).astype(np.uint8)\n"
+        "info = dc.FrameInfo(width=40, height=48, bits_allocated=8,\n"
+        "    bits_stored=8, samples_per_pixel=3)\n"
+        "src = dc.MemoryPixelData(info=info); src.add_frame(img.tobytes())\n"
+        "codec = dc.get_global_registry().get_codec(\n"
+        "    dc.uids.JPEG_BASELINE_8BIT)\n"
+        "enc = dc.MemoryPixelData(info=info, encapsulated=True)\n"
+        "codec.encode(src, enc)\n"
+        "d = bytearray(enc.get_frame(0))\n"
+        "i = d.find(bytes([0xFF, 0xDA]))\n"
+        "ns = d[i + 4]\n"
+        "for c in range(ns):\n"
+        "    d[i + 6 + 2 * c] = 0xC8  # Td/Ta = 12/8: both out of range\n"
+        "bad = dc.MemoryPixelData(info=info, encapsulated=True)\n"
+        "bad.add_frame(bytes(d))\n"
+        "out = dc.MemoryPixelData(info=info)\n"
+        "try:\n"
+        "    codec.decode(bad, out)\n"
+        "    print('DECODED')\n"
+        "except Exception as e:\n"
+        "    print('RAISED', type(e).__name__)\n")
+    outs = []
+    for disable in ("", "1"):
+        env = dict(**__import__("os").environ)
+        if disable:
+            env["GDCT_DISABLE_NATIVE"] = disable
+        else:
+            env.pop("GDCT_DISABLE_NATIVE", None)
+        r = subprocess.run([sys.executable, "-c", code], env=env,
+                           capture_output=True, text=True, timeout=300)
+        assert r.returncode == 0, (r.returncode, r.stderr[-500:])
+        outs.append(r.stdout.strip())
+    assert outs[0] == outs[1] and outs[0].startswith("RAISED")
