@@ -1210,6 +1210,26 @@ def _gs_masks_for_tile(cs, gs_regions, rect):
     return gs_masks
 
 
+def _sop_resync(body, start: int, cur_idx: int, npackets: int):
+    """Next SOP marker naming a packet after cur_idx → (pos, index).
+
+    Resilient-decode recovery (T.800 A.8.1): Nsop counts packets per
+    tile mod 65536, so the smallest order index j > cur_idx with
+    j % 65536 == Nsop is the packet the marker opens. Scans from
+    `start`; returns None when no usable SOP remains. The returned pos
+    points AT the SOP marker (decode_packet re-consumes it)."""
+    off = body.find(b"\xff\x91\x00\x04", start)
+    while off != -1:
+        if off + 6 > len(body):
+            return None
+        nsop = (body[off + 4] << 8) | body[off + 5]
+        j = cur_idx + 1 + ((nsop - (cur_idx + 1)) % 65536)
+        if j < npackets:
+            return off, j
+        off = body.find(b"\xff\x91\x00\x04", off + 1)
+    return None
+
+
 class J2KDecoder:
     """Codestream decoder (reference decoder.go:91-124, tile_decoder.go).
 
@@ -1316,7 +1336,8 @@ class J2KDecoder:
                                          gs_masks=gs_masks,
                                          comp_rects=comp_rects,
                                          packed_hdrs=tile.ppt,
-                                         comp_windows=comp_windows)
+                                         comp_windows=comp_windows,
+                                         plt_lengths=tile.plt)
             tx0, ty0, tx1, ty1 = rect
             if window is None:
                 out[rdiv(ty0) - oy:rdiv(ty1) - oy,
@@ -1342,6 +1363,7 @@ class J2KDecoder:
                      comp_rects=None,
                      packed_hdrs: Optional[bytes] = None,
                      comp_windows=None,
+                     plt_lengths: Optional[List[int]] = None,
                      _return_packed: bool = False,
                      _return_packed_list: bool = False) -> np.ndarray:
         """cods/qcds: effective per-component CodInfo/QcdInfo (COD+COC,
@@ -1351,7 +1373,12 @@ class J2KDecoder:
         tile rect); defaults to the tile rect for every component.
         packed_hdrs: this tile's PPM/PPT packed packet headers
         (TileInfo.ppt); packet headers then parse from this buffer
-        while bodies stay in the tile bitstream."""
+        while bodies stay in the tile bitstream.
+        plt_lengths: this tile's PLT packet lengths (TileInfo.plt);
+        under reduced-resolution decode the walk advances over
+        dropped-resolution packets by their recorded length instead of
+        bit-parsing their headers (random-access use of A.8.2 the
+        reference's write-only PLT never gets)."""
         tx0, ty0, tx1, ty1 = rect
         cod0 = cods[0]  # progression/layers are COD-only fields
         rgn_shifts = rgn_shifts or {}
@@ -1420,6 +1447,18 @@ class J2KDecoder:
                                       max_res, ncomp, precinct_info)
 
         order = list(order)
+        # PLT-assisted skip: with reduce=R and a PLT covering every
+        # packet, dropped-resolution packets advance by their recorded
+        # length — no header bit-parse, no tag-tree updates (their
+        # precinct states are never read; T1 skips those resolutions
+        # below). A PLT that doesn't cover the packet count is ignored.
+        plt_skip = None
+        if (reduce and plt_lengths is not None and packed_hdrs is None
+                and len(plt_lengths) >= len(order)):
+            plt_skip = [r > cods[c].num_levels - reduce
+                        for (_, r, c, _) in order]
+            if not any(plt_skip):
+                plt_skip = None
         # native whole-tile packet parse (strict mode; any stream error
         # or resilient decode falls back to the Python reference, which
         # raises/recovers with exact semantics on untouched states)
@@ -1428,11 +1467,16 @@ class J2KDecoder:
             from ..native import t2_parse_packets_native
             native_pos = t2_parse_packets_native(
                 bytes(body), comp_states, order,
-                [cc.cb_style for cc in cods], cod0.use_sop, cod0.use_eph)
+                [cc.cb_style for cc in cods], cod0.use_sop, cod0.use_eph,
+                pkt_skip=None if plt_skip is None else
+                [plt_lengths[i] if plt_skip[i] else -1
+                 for i in range(len(order))])
         if native_pos is None:
             pos = 0
             hpos = 0
-            for (l, r, c, pidx) in order:
+            i = 0
+            while i < len(order):
+                l, r, c, pidx = order[i]
                 # with packed headers, empty packets consume header
                 # bytes but no body — truncation is header exhaustion,
                 # except that rate truncation cuts the post-SOD bodies
@@ -1451,6 +1495,10 @@ class J2KDecoder:
                         break  # truncated layered stream
                     raise CorruptStreamError(
                         "tile body exhausted mid-packets")
+                if plt_skip is not None and plt_skip[i]:
+                    pos += plt_lengths[i]
+                    i += 1
+                    continue
                 try:
                     if packed_hdrs is not None:
                         hpos, pos = decode_packet_split(
@@ -1465,9 +1513,23 @@ class J2KDecoder:
                                             use_sop=cod0.use_sop,
                                             use_eph=cod0.use_eph)
                 except CorruptStreamError:
-                    if self.resilient:
+                    if not self.resilient:
+                        raise
+                    # SOP resync (T.800 A.8.1, beyond the reference's
+                    # flag-only decode): scan forward for the next SOP
+                    # whose Nsop names a later packet of this tile and
+                    # resume there — only the damaged packet's blocks
+                    # are lost instead of every packet after it. The
+                    # failed packet's partial state is kept; its blocks
+                    # zero-fill at T1 if their data is inconsistent.
+                    nxt = None
+                    if cod0.use_sop and packed_hdrs is None:
+                        nxt = _sop_resync(body, pos + 1, i, len(order))
+                    if nxt is None:
                         break
-                    raise
+                    pos, i = nxt
+                    continue
+                i += 1
 
         # T1 decode + assemble packed coefficient arrays per component
         # (int64: MaxShift-scaled ROI magnitudes can exceed 31 bits)
@@ -1930,6 +1992,7 @@ def decode_to_packed_tiles(data: bytes, reduce: int = 0):
             gs_masks=gs_masks or None,
             comp_rects=[(tx0, ty0, tx1, ty1)] * ncomp,
             packed_hdrs=tile.ppt,
+            plt_lengths=tile.plt,
             _return_packed=True)
         if reduce:
             # reduced decode: the packed arrays live on the level-R
@@ -1989,6 +2052,7 @@ def decode_to_component_tiles(data: bytes):
             cs.rgn_shifts, None, poc=cs.poc_for(tile),
             gs_masks=gs_masks or None, comp_rects=comp_rects,
             packed_hdrs=tile.ppt,
+            plt_lengths=tile.plt,
             _return_packed_list=True)
         out.append((rect, comp_rects, packed_list, cods, qcds))
     return out, siz

@@ -146,6 +146,12 @@ class TileInfo:
     # reference defines the PPM/PPT constants but never implements them
     # (codestream/markers.go:69-72 only); this decoder accepts both.
     ppt: Optional[bytes] = None
+    # PLT packet lengths (T.800 A.8.2), merged across tile-parts in
+    # (TPsot, Zplt) order — varints re-parsed over the join so lengths
+    # split between segments survive. None = no PLT in the stream.
+    # The decoder uses these to skip dropped-resolution packets under
+    # reduced-resolution decode without bit-parsing their headers.
+    plt: Optional[List[int]] = None
 
 
 def _overlay_coc(base: CodInfo, coc: CocInfo) -> CodInfo:
@@ -453,19 +459,23 @@ def parse_poc(payload: bytes, num_components: int) -> List[PocEntry]:
     return entries
 
 
-def parse_plt(payload: bytes) -> Tuple[int, List[int]]:
-    """→ (Zplt, packet lengths)."""
-    if not payload:
-        raise CorruptStreamError("PLT empty")
-    zplt = payload[0]
+def _plt_varints(data: bytes) -> List[int]:
+    """7-bit big-endian varint run → packet lengths (T.800 A.8.2)."""
     lengths = []
     n = 0
-    for b in payload[1:]:
+    for b in data:
         n = (n << 7) | (b & 0x7F)
         if not (b & 0x80):
             lengths.append(n)
             n = 0
-    return zplt, lengths
+    return lengths
+
+
+def parse_plt(payload: bytes) -> Tuple[int, List[int]]:
+    """→ (Zplt, packet lengths)."""
+    if not payload:
+        raise CorruptStreamError("PLT empty")
+    return payload[0], _plt_varints(payload[1:])
 
 
 def parse_tlm(payload: bytes) -> Tuple[int, List[Tuple[int, int]]]:
@@ -689,6 +699,7 @@ def _parse_codestream(data: bytes) -> Codestream:
     tiles: Dict[int, Dict[int, TileInfo]] = {}
     ppm_segs: List[Tuple[int, bytes]] = []          # (Zppm, payload)
     ppt_parts: Dict[int, Dict[int, List[Tuple[int, bytes]]]] = {}
+    plt_parts: Dict[int, Dict[int, List[Tuple[int, bytes]]]] = {}
     part_order: List[int] = []  # Isot per tile-part, stream order (PPM)
 
     def ncomp():
@@ -745,6 +756,11 @@ def _parse_codestream(data: bytes) -> Codestream:
                             raise CorruptStreamError("empty PPT segment")
                         ppt_parts.setdefault(isot, {}).setdefault(
                             tpsot, []).append((pl[0], pl[1:]))
+                    elif m == PLT:
+                        if not pl:
+                            raise CorruptStreamError("PLT empty")
+                        plt_parts.setdefault(isot, {}).setdefault(
+                            tpsot, []).append((pl[0], pl[1:]))
                 body_start = p
             part_order.append(isot)
             body_end = pos + psot if psot else len(data)
@@ -789,8 +805,9 @@ def _parse_codestream(data: bytes) -> Codestream:
             if not payload:
                 raise CorruptStreamError("empty PPM segment")
             ppm_segs.append((payload[0], payload[1:]))
-        # TLM/PLM/PLT informational segments skipped (parse_tlm/parse_plt
-        # available for tooling)
+        # TLM/PLM informational segments skipped (parse_tlm available
+        # for tooling); PLT lives in tile-part headers and is captured
+        # above into TileInfo.plt for decode-side packet skipping
 
     if siz is None or cod is None or qcd is None:
         raise CorruptStreamError("codestream missing SIZ/COD/QCD")
@@ -829,9 +846,15 @@ def _parse_codestream(data: bytes) -> Codestream:
                                      key=lambda t: t[0]))
         elif isot in ppm_tile:
             ppt = bytes(ppm_tile[isot])
+        plt = None
+        if isot in plt_parts:
+            plt = _plt_varints(b"".join(
+                seg for part in sorted(plt_parts[isot])
+                for _, seg in sorted(plt_parts[isot][part],
+                                     key=lambda t: t[0])))
         merged[isot] = TileInfo(index=isot, data=body, cod=first.cod,
                                 qcd=first.qcd, coc=first.coc, qcc=first.qcc,
-                                poc=first.poc, ppt=ppt)
+                                poc=first.poc, ppt=ppt, plt=plt)
     return Codestream(siz=siz, cod=cod, qcd=qcd, tiles=merged,
                       comments=comments, rgn_shifts=rgn,
                       rgn_styles=rgn_style, cap=cap,

@@ -110,7 +110,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
             u8p, ctypes.c_long, i32p, i32p, ctypes.c_int, i32p, i32p,
             i32p, i32p, i32p, ctypes.c_int, i32p, i32p, i64p, i32p,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p, i32p, i32p,
-            u8p, u8p, i64p, i32p, i32p, ctypes.c_int]
+            u8p, u8p, i64p, i32p, i32p, ctypes.c_int, i64p]
         lib.t1_decode.restype = ctypes.c_int
         lib.t1_decode.argtypes = [
             u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -974,14 +974,18 @@ def t2_assemble_packets_native(comp_states, order, style: int):
 
 
 def t2_parse_packets_native(body: bytes, comp_states, order,
-                            styles, use_sop: bool, use_eph: bool):
+                            styles, use_sop: bool, use_eph: bool,
+                            pkt_skip=None):
     """Parse every packet of a tile body natively (STRICT mode only —
     resilient/corrupt paths stay on the Python reference). order:
     [(layer, r, c, pidx)]; styles: per-component cb_style. Mutates the
     BlockStates (numbps/zero_bitplanes/included/num_passes/seg_data/
     seg_ends) exactly like running t2/packets.decode_packet over the
     order, and returns the final body position — or None (unavailable
-    or any stream error; the states are untouched then)."""
+    or any stream error; the states are untouched then).
+    pkt_skip: optional per-packet PLT length (or -1 = parse); a
+    non-negative entry advances over that packet without reading it
+    (reduced-resolution decode of dropped resolutions)."""
     lib = get_lib()
     if lib is None:
         return None
@@ -1036,7 +1040,10 @@ def t2_parse_packets_native(body: bytes, comp_states, order,
         np.asarray(pkt_bands_l or [0], dtype=np.int32), len(order),
         1 if use_sop else 0, 1 if use_eph else 0,
         o_numbps, o_zbp, o_npasses, o_included, o_segdata,
-        o_data_offsets, o_seg_ends, o_seg_counts, max_segs)
+        o_data_offsets, o_seg_ends, o_seg_counts, max_segs,
+        np.full(max(len(order), 1), -1, dtype=np.int64)
+        if pkt_skip is None
+        else np.asarray(pkt_skip, dtype=np.int64))
     if pos < 0:
         return None
     for i, blk in enumerate(blocks):

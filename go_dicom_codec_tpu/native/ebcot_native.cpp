@@ -2520,6 +2520,10 @@ long t2_assemble_packets(
 // Outputs: per block numbps/zbp/num_passes/included, contiguous
 // seg_data bytes at o_data_offsets (o_segdata cap >= body_len), and
 // seg_ends (cumulative in-block offsets) strided by max_segs.
+// pkt_skip: per-packet PLT-recorded bitstream length, or -1 to parse
+// normally — a non-negative entry advances pos without touching the
+// packet's bytes (reduced-resolution decode skips dropped-resolution
+// packets; mirror of the plt_skip branch in jpeg2000._decode_tile).
 // Returns the final body position, or a negative error code (any
 // error -> the caller reruns the Python reference path untouched).
 long t2_parse_packets(
@@ -2531,7 +2535,8 @@ long t2_parse_packets(
     const int32_t* pkt_bands, int npackets, int use_sop, int use_eph,
     int32_t* o_numbps, int32_t* o_zbp, int32_t* o_npasses,
     uint8_t* o_included, uint8_t* o_segdata, int64_t* o_data_offsets,
-    int32_t* o_seg_ends, int32_t* o_seg_counts, int max_segs) {
+    int32_t* o_seg_ends, int32_t* o_seg_counts, int max_segs,
+    const int64_t* pkt_skip) {
   using namespace t2n;
   std::vector<TagDec> incl(nbands), zbpt(nbands);
   for (int b = 0; b < nbands; b++) {
@@ -2563,6 +2568,10 @@ long t2_parse_packets(
     if (pos >= body_len) {
       if (layer > 0) break;  // truncated layered stream
       return -2;
+    }
+    if (pkt_skip && pkt_skip[p] >= 0) {
+      pos += pkt_skip[p];  // PLT skip: bytes never read
+      continue;
     }
     if (use_sop && pos + 6 <= body_len && body[pos] == 0xFF &&
         body[pos + 1] == 0x91)
