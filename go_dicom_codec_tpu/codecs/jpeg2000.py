@@ -1407,6 +1407,7 @@ class J2KDecoder:
 
         comp_res = []
         comp_states = []
+        comp_prec = []  # per component: (r, pidx) → precinct geometry
         for c in range(ncomp):
             cod_c, qcd_c = cods[c], qcds[c]
             ctx0, cty0, ctx1, cty1 = comp_rects[c]
@@ -1414,6 +1415,9 @@ class J2KDecoder:
                 ctx0, cty0, ctx1, cty1, cod_c.num_levels, cod_c.cb_width,
                 cod_c.cb_height, cod_c.precinct_exp)
             comp_res.append(resolutions)
+            comp_prec.append({(res.r, prec.index): prec
+                              for res in resolutions
+                              for prec in res.precincts})
             states = {}
             for res in resolutions:
                 for prec in res.precincts:
@@ -1447,16 +1451,64 @@ class J2KDecoder:
                                       max_res, ncomp, precinct_info)
 
         order = list(order)
-        # PLT-assisted skip: with reduce=R and a PLT covering every
-        # packet, dropped-resolution packets advance by their recorded
-        # length — no header bit-parse, no tag-tree updates (their
-        # precinct states are never read; T1 skips those resolutions
-        # below). A PLT that doesn't cover the packet count is ignored.
+        # spatial window: per (component, resolution, band) rect the
+        # window maps onto (Annex B ceil-div) expanded by a lifting-
+        # support margin — 8 band samples covers the cumulative 5/3 and
+        # 9/7 dependency widths; blocks outside it cannot influence any
+        # window pixel and skip T1 (window exactness is pinned against
+        # full-decode crops in tests/test_window_decode.py). Rects are
+        # precomputed once per (c, r, band) — they don't vary by
+        # precinct or tile position within the walk.
+        win_rects = None
+        if comp_windows is not None:
+            from .j2k_geometry import band_rect
+            _M = 8
+            win_rects = {}
+            for c in range(ncomp):
+                cw = comp_windows[c]
+                for r in range(cods[c].num_levels + 1):
+                    for band in ((0,) if r == 0 else (1, 2, 3)):
+                        b = band_rect(cw[0], cw[1], cw[2], cw[3],
+                                      cods[c].num_levels, r, band)
+                        win_rects[(c, r, band)] = (b[0] - _M, b[1] - _M,
+                                                   b[2] + _M, b[3] + _M)
+
+        def _prec_outside_window(c, r, pidx):
+            """True iff every block of the precinct misses the window's
+            band rects (same test T1 applies per block below — a
+            skipped packet's blocks are exactly the T1-skipped ones).
+            Blocks tile the precinct-band rect, so per-block overlap
+            is equivalent to bbox overlap; the loop exits early."""
+            prec = comp_prec[c].get((r, pidx))
+            if prec is None:
+                return False
+            for pb in prec.bands:
+                wb = win_rects.get((c, r, pb.band.band))
+                if wb is None:
+                    return False
+                for g in pb.blocks:
+                    if not (g.x1 <= wb[0] or g.x0 >= wb[2]
+                            or g.y1 <= wb[1] or g.y0 >= wb[3]):
+                        return False
+            return True
+
+        # PLT-assisted skip: with a PLT covering every packet, packets
+        # the output cannot see — dropped resolutions under reduce=R,
+        # precincts fully outside the decode window — advance by their
+        # recorded length: no header bit-parse, no tag-tree updates
+        # (their precinct states are never read; T1 skips the same
+        # blocks below). A PLT that doesn't cover the packet count is
+        # ignored.
         plt_skip = None
-        if (reduce and plt_lengths is not None and packed_hdrs is None
-                and len(plt_lengths) >= len(order)):
-            plt_skip = [r > cods[c].num_levels - reduce
-                        for (_, r, c, _) in order]
+        if (plt_lengths is not None and packed_hdrs is None
+                and len(plt_lengths) >= len(order)
+                and (reduce or win_rects is not None)):
+            plt_skip = []
+            for (_, r, c, pidx) in order:
+                s = r > cods[c].num_levels - reduce
+                if not s and win_rects is not None:
+                    s = _prec_outside_window(c, r, pidx)
+                plt_skip.append(s)
             if not any(plt_skip):
                 plt_skip = None
         # native whole-tile packet parse (strict mode; any stream error
@@ -1618,28 +1670,8 @@ class J2KDecoder:
                     and self.block_decoder_factory is None)
         ht_items, ht_ctx = [], []
         t1_groups = {}  # cb_style -> (items, ctxs)
-        # spatial window: per (component, resolution, band) rect the
-        # window maps onto (Annex B ceil-div) expanded by a lifting-
-        # support margin — 8 band samples covers the cumulative 5/3 and
-        # 9/7 dependency widths; blocks outside it cannot influence any
-        # window pixel and skip T1 (window exactness is pinned against
-        # full-decode crops in tests/test_window_decode.py). Rects are
-        # precomputed once per (c, r, band) — they don't vary by
-        # precinct or tile position within the walk.
-        win_rects = None
-        if comp_windows is not None:
-            from .j2k_geometry import band_rect
-            _M = 8
-            win_rects = {}
-            for c in range(ncomp):
-                cw = comp_windows[c]
-                for r in range(cods[c].num_levels + 1):
-                    for band in ((0,) if r == 0 else (1, 2, 3)):
-                        b = band_rect(cw[0], cw[1], cw[2], cw[3],
-                                      cods[c].num_levels, r, band)
-                        win_rects[(c, r, band)] = (b[0] - _M, b[1] - _M,
-                                                   b[2] + _M, b[3] + _M)
-
+        # win_rects (computed above the packet walk) drives the same
+        # per-block outside-window test here in T1
         for c in range(ncomp):
             cod = cods[c]
             is_ht = bool(cod.cb_style & 0x40)

@@ -155,3 +155,50 @@ def test_plt_full_decode_unchanged():
     a = J2KDecoder().decode(_enc(img, plt_markers=True))[0]
     b = J2KDecoder().decode(_enc(img))[0]
     assert np.array_equal(a, b)
+
+
+@pytest.mark.parametrize("kw", [
+    dict(precinct_width=64, precinct_height=64),
+    dict(precinct_width=64, precinct_height=64,
+         progression=j2k.PROG_RPCL, num_layers=2, layer_rates=[8.0],
+         append_lossless_layer=True),
+], ids=["precincts", "rpcl-layered"])
+def test_plt_window_matches_plain_stream(kw):
+    """Out-of-window precinct packets skip via PLT; the windowed decode
+    still equals the plain stream's windowed decode exactly."""
+    img = _img(h=256, w=256)
+    win = (16, 24, 80, 96)
+    a = J2KDecoder(window=win).decode(_enc(img, plt_markers=True, **kw))[0]
+    b = J2KDecoder(window=win).decode(_enc(img, **kw))[0]
+    assert np.array_equal(a, b)
+
+
+def test_window_skips_far_precinct_packets():
+    """Corrupt the far-corner precinct's packet: a top-left window
+    decode never reads it (PLT skip) and stays bit-exact."""
+    img = _img(h=256, w=256)
+    s = _enc(img, plt_markers=True, progression=j2k.PROG_RPCL,
+             precinct_width=64, precinct_height=64)
+    win = (0, 0, 48, 48)
+    want = J2KDecoder(window=win).decode(s)[0]
+    cs = j2k.parse_codestream(s)
+    plt = cs.tiles[0].plt
+    b0, b1 = _tile_body_span(s)
+    # RPCL raster precinct order: the LAST packet is the bottom-right
+    # precinct of the top resolution — far outside the window
+    last_off = b0 + sum(plt[:-1])
+    corrupted = bytearray(s)
+    for i in range(last_off + 1, b1):
+        corrupted[i] = 0x55
+    got = J2KDecoder(window=win).decode(bytes(corrupted))[0]
+    assert np.array_equal(got, want)
+
+
+def test_plt_window_composes_with_reduce():
+    img = _img(h=256, w=256)
+    kw = dict(precinct_width=64, precinct_height=64)
+    win = (16, 24, 80, 96)
+    a = J2KDecoder(window=win, reduce=1).decode(
+        _enc(img, plt_markers=True, **kw))[0]
+    b = J2KDecoder(window=win, reduce=1).decode(_enc(img, **kw))[0]
+    assert np.array_equal(a, b)
