@@ -1502,7 +1502,11 @@ class J2KDecoder:
         plt_skip = None
         if (plt_lengths is not None and packed_hdrs is None
                 and len(plt_lengths) >= len(order)
-                and (reduce or win_rects is not None)):
+                and (reduce or win_rects is not None)
+                # hostile-PLT guard: no real packet outruns the tile
+                # body (also keeps every value inside the native
+                # int64 pkt_skip marshalling)
+                and all(ln <= len(body) for ln in plt_lengths)):
             plt_skip = []
             for (_, r, c, pidx) in order:
                 s = r > cods[c].num_levels - reduce

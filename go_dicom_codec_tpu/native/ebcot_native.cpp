@@ -2570,7 +2570,9 @@ long t2_parse_packets(
       return -2;
     }
     if (pkt_skip && pkt_skip[p] >= 0) {
-      pos += pkt_skip[p];  // PLT skip: bytes never read
+      // PLT skip: bytes never read; clamp so a hostile length can't
+      // overflow pos past the loop-top exhaustion check
+      pos = (pkt_skip[p] > body_len - pos) ? body_len : pos + pkt_skip[p];
       continue;
     }
     if (use_sop && pos + 6 <= body_len && body[pos] == 0xFF &&

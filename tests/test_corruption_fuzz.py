@@ -415,3 +415,39 @@ def test_hostile_jpeg_sos_table_ids_native(rng):
         assert r.returncode == 0, (r.returncode, r.stderr[-500:])
         outs.append(r.stdout.strip())
     assert outs[0] == outs[1] and outs[0].startswith("RAISED")
+
+
+def test_corrupted_sop_plt_streams_never_crash(rng):
+    """Fuzz the new resync/PLT surfaces: resilient decode (SOP resync
+    walks corrupted bodies), reduce and window decode (PLT skip uses
+    attacker-controlled lengths) must raise cleanly or degrade, never
+    hang or crash."""
+    from go_dicom_codec_tpu.codecs.jpeg2000 import (J2KDecoder,
+                                                    J2KEncodeParams,
+                                                    J2KEncoder)
+    img = rng.integers(0, 4096, (96, 96)).astype(np.int32)
+    s = J2KEncoder(J2KEncodeParams(
+        use_sop=True, use_eph=True, plt_markers=True,
+        precinct_width=64, precinct_height=64, num_layers=2,
+        layer_rates=[6.0], append_lossless_layer=True)
+    ).encode(img, 96, 96, 1, 12)
+    decoders = [J2KDecoder(resilient=True), J2KDecoder(reduce=1),
+                J2KDecoder(window=(0, 0, 40, 40)),
+                J2KDecoder(resilient=True, reduce=2)]
+    for trial in range(24):
+        d2 = bytearray(s)
+        mode = trial % 3
+        if mode == 0:
+            d2 = d2[: int(rng.integers(4, len(d2)))]
+        elif mode == 1:
+            for _ in range(int(rng.integers(1, 10))):
+                d2[int(rng.integers(0, len(d2)))] = int(rng.integers(0, 256))
+        else:
+            a = int(rng.integers(0, len(d2)))
+            b = int(rng.integers(a, len(d2)))
+            d2 = d2[:a] + d2[b:]
+        for dec in decoders:
+            try:
+                dec.decode(bytes(d2))
+            except Exception:
+                pass  # clean raise is fine; hang/crash is not

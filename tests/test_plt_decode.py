@@ -202,3 +202,24 @@ def test_plt_window_composes_with_reduce():
         _enc(img, plt_markers=True, **kw))[0]
     b = J2KDecoder(window=win, reduce=1).decode(_enc(img, **kw))[0]
     assert np.array_equal(a, b)
+
+
+def test_hostile_plt_length_is_ignored():
+    """A PLT entry larger than the tile body (even > 2^63, which would
+    overflow the native int64 marshalling) is rejected as bogus — the
+    walk falls back to header parsing and decodes exactly."""
+    img = _img()
+    s = _enc(img)  # levels=5 single precinct → 6 packets
+    want = J2KDecoder(reduce=1).decode(s)[0]
+    sot_at = s.find(b"\xff\x90")
+    lsot = struct.unpack_from(">H", s, sot_at + 2)[0]
+    seg_end = sot_at + 2 + lsot
+    psot = struct.unpack_from(">I", s, sot_at + 6)[0]
+    fake = j2k.write_plt_segments([3, 3, 3, 3, 3, 1 << 70])
+    rebuilt = s[:seg_end] + fake + s[seg_end:]
+    rebuilt = (rebuilt[:sot_at + 6]
+               + struct.pack(">I", psot + len(fake))
+               + rebuilt[sot_at + 10:])
+    assert j2k.parse_codestream(rebuilt).tiles[0].plt[-1] == 1 << 70
+    got = J2KDecoder(reduce=1).decode(rebuilt)[0]
+    assert np.array_equal(got, want)
