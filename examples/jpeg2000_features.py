@@ -81,6 +81,21 @@ def main():
         arr, _, _ = J2KDecoder(reduce=r).decode(data)
         print(f"reduce={r}: {arr.shape[1]}x{arr.shape[0]} thumbnail")
 
+    # 7. damage tolerance: PLT lets reduce/window decode skip packets
+    # without reading them; SOP lets resilient decode resync after a
+    # corrupt packet instead of dropping everything behind it
+    data = J2KEncoder(J2KEncodeParams(num_levels=3, use_sop=True,
+                                      plt_markers=True)
+                      ).encode(img.tobytes(), 128, 128, 1, 12)
+    bad = bytearray(data)
+    for i in range(len(bad) - 40, len(bad) - 2):  # wreck the tail
+        bad[i] = 0x55
+    thumb = J2KDecoder(reduce=2).decode(bytes(bad))[0]
+    ok = np.array_equal(thumb, J2KDecoder(reduce=2).decode(data)[0])
+    print(f"thumbnail from damaged stream bit-exact={ok}")
+    arr = J2KDecoder(resilient=True).decode(bytes(bad))[0]
+    print(f"resilient full decode still returns {arr.shape}")
+
 
 if __name__ == "__main__":
     main()
