@@ -1217,7 +1217,14 @@ def _sop_resync(body, start: int, cur_idx: int, npackets: int):
     tile mod 65536, so the smallest order index j > cur_idx with
     j % 65536 == Nsop is the packet the marker opens. Scans from
     `start`; returns None when no usable SOP remains. The returned pos
-    points AT the SOP marker (decode_packet re-consumes it)."""
+    points AT the SOP marker (decode_packet re-consumes it).
+
+    Aliasing caveat: in tiles with more than 65536 packets the mod-2^16
+    Nsop can name an EARLIER congruent packet than the marker actually
+    opens. This is best-effort resilient recovery only — a wrong
+    candidate fails to parse and the caller's retry loop rescans from
+    past it, so the cost is degraded recovery, never wrong strict
+    output."""
     off = body.find(b"\xff\x91\x00\x04", start)
     while off != -1:
         if off + 6 > len(body):
@@ -1506,7 +1513,14 @@ class J2KDecoder:
                 # hostile-PLT guard: no real packet outruns the tile
                 # body (also keeps every value inside the native
                 # int64 pkt_skip marshalling)
-                and all(ln <= len(body) for ln in plt_lengths)):
+                and all(ln <= len(body) for ln in plt_lengths)
+                # internal-consistency guard: the recorded lengths must
+                # tile the body exactly (encoder output always does;
+                # test_parse_codestream_captures_plt asserts it). An
+                # inconsistent PLT would desync the KEPT packets and
+                # silently decode wrong pixels, diverging from
+                # PLT-ignoring decoders — fall back to bit-parsing.
+                and sum(plt_lengths[:len(order)]) == len(body)):
             plt_skip = []
             for (_, r, c, pidx) in order:
                 s = r > cods[c].num_levels - reduce

@@ -68,10 +68,9 @@ def test_clinical_roundtrip(uid, name):
     meta = {k: (b, s) for (k, v, b, s) in _clinical()}
     arr = data[name]
     bits, signed = meta[name]
-    if signed and uid in (dc.uids.JPEG_LS_LOSSLESS,
-                          dc.uids.JPEG_LOSSLESS_SV1):
-        pytest.skip("signed input via unsigned-core codecs covered "
-                    "by representation tests")
+    # signed MR through the unsigned-core codecs (JPEG-LS / SV1) passes
+    # container bytes straight through, exactly like the reference
+    # (jpegls/lossless/codec.go:74-77) — asserted end-to-end, not skipped.
     h, w = arr.shape
     info = dc.FrameInfo(width=w, height=h,
                         bits_allocated=arr.dtype.itemsize * 8,

