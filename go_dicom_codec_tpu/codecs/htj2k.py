@@ -64,6 +64,18 @@ class HTJ2KLosslessCodec(Codec):
                 v = parameters.get_parameter(key)
                 if isinstance(v, int):
                     setattr(p, key, v)
+            # SigProp+MagRef refinement (T.814 §7.3-7.5, beyond the
+            # reference): 3 PCRD truncation points per code-block
+            if parameters.get_parameter("ht_refinement"):
+                p.ht_refinement = True
+            nl = parameters.get_parameter("num_layers")
+            if isinstance(nl, int) and nl > 1:
+                p.num_layers = nl
+                lr = parameters.get_parameter("layer_rates")
+                if isinstance(lr, (list, tuple)):
+                    p.layer_rates = [float(r) for r in lr]
+                if parameters.get_parameter("append_lossless_layer"):
+                    p.append_lossless_layer = True
         # clamp levels for small images (htj2k/codec.go:312-333)
         p.num_levels = p.clamped_levels(info.width, info.height)
         return p

@@ -140,7 +140,7 @@ def _params_from(parameters: Optional[Parameters],
                 "precincts", "precinct_width", "precinct_height",
                 "layer_budget_strategy", "packed_headers",
                 "use_sop", "use_eph", "plt_markers", "tlm_markers",
-                "block_encoder_factory"):
+                "ht_refinement", "block_encoder_factory"):
         v = parameters.get_parameter(key)
         if v is not None:
             setattr(p, key, v)

@@ -68,6 +68,14 @@ class J2KEncodeParams:
     tile_height: int = 0
     cb_style: int = 0
     htj2k: bool = False        # Part 15 HT block coding (cb_style 0x40)
+    # HT SigProp+MagRef refinement passes (T.814 §7.3-7.5) — beyond the
+    # reference's cleanup-only experiment (htj2k/encoder.go:55-68): the
+    # cleanup pass codes |v|>>1 and the refinement pair codes plane 0,
+    # giving PCRD three truncation points per code-block instead of
+    # one. Blocks whose plane-0 ones are not SigProp-reachable fall
+    # back to a full-precision cleanup (Z_blk=1) so the complete
+    # stream stays bit-exact.
+    ht_refinement: bool = False
     layer_rates: Optional[List[float]] = None  # compression ratios per layer
     target_ratio: float = 0.0  # orig/compressed; 0 = off (PCRD truncation)
     append_lossless_layer: bool = False  # final rate-0 layer after rates
@@ -747,10 +755,14 @@ class J2KEncoder:
                                             st.pass_rates[_k + 1])
 
     def _apply_ht_result(self, st, mb: int, blob, blk_data, width: int,
-                         height: int) -> None:
+                         height: int, real_dist: bool = False,
+                         dw: float = 1.0) -> None:
         """Fill a BlockState from one HT cleanup encode result; b"" =
         all-zero block (stays empty), None = native failure → Python
-        reference coder."""
+        reference coder. real_dist: use the actual block energy as the
+        PCRD distortion (×128 at bit-plane 0) so Z=1 fallback blocks
+        stay on the same slope scale as ht_refinement multipass blocks
+        in the tile."""
         if blob == b"":
             return  # all-zero block
         if blob is None:
@@ -762,10 +774,69 @@ class J2KEncoder:
             st.data = blob
             st.pass_rates = [len(blob)]
             st.pass_terms = [True]
-            # single all-or-nothing cleanup pass: give PCRD a
-            # top-bitplane slope so layered streams ship HT blocks in
-            # the earliest fitting layer
-            st.pass_bitplanes = [mb]
+            if real_dist:
+                av = np.abs(blk_data.astype(np.int64))
+                st.pass_bitplanes = [0]
+                st.pass_nmsedecs = [128 * int((av * av).sum())]
+                st.dist_weight = dw
+            else:
+                # single all-or-nothing cleanup pass: give PCRD a
+                # top-bitplane slope so layered streams ship HT blocks
+                # in the earliest fitting layer
+                st.pass_bitplanes = [mb]
+
+    @staticmethod
+    def _prep_ht_refinement(blk_data: np.ndarray, cb_style: int):
+        """Split a block for a 3-pass HT set (T.814 §7.3-7.5): the
+        cleanup pass codes u = sign·(|v|>>1) positioned one plane up by
+        signalling numbps=2 (S_blk = Mb-2, so the §7.6 refinement plane
+        MSB_{S_blk+2} is plane 0 — verified against OpenJPEG), and
+        SigProp/MagRef code plane 0. Returns (u, dref, sp_len,
+        nmsedecs) or None when the block must stay a single
+        full-precision cleanup pass: all-zero u (the first cleanup
+        segment may not be empty, B.3) or a plane-0 one that SigProp
+        cannot reach (exactness would be lost)."""
+        av = np.abs(blk_data.astype(np.int64))
+        if not (av > 1).any():
+            return None
+        from ..entropy.htrefine import encode_refinement
+        dref, sp_len, exact, n_new, n_ref = encode_refinement(
+            blk_data, causal=bool(cb_style & 0x08))
+        if not exact:
+            return None
+        u = ((av >> 1) * np.sign(blk_data)).astype(blk_data.dtype)
+        # distortion deltas in T.800 J.4 fixed-point units (×128, at
+        # bit-plane 0): cleanup leaves midpoint error (1-lsb)² on
+        # significant samples and lsb on the rest; SigProp removes 1
+        # per newly-significant sample; MagRef 1 per lsb=0 refinement
+        lsb = (av & 1).astype(np.int64)
+        energy = int((av * av).sum())
+        after_cp = int((lsb[av > 1] ^ 1).sum()) + int(lsb[av <= 1].sum())
+        nms = [128 * (energy - after_cp), 128 * n_new, 128 * n_ref]
+        return u, dref, sp_len, nms
+
+    def _apply_ht_multipass(self, st, mb: int, blob, u: np.ndarray,
+                            width: int, height: int, dref: bytes,
+                            sp_len: int, nms, dw: float) -> None:
+        """Fill a BlockState for a 3-pass HT set: data = cleanup segment
+        + refinement segment (SigProp bytes then reversed MagRef bytes);
+        every PCRD truncation of the pass sequence is a byte prefix."""
+        if blob is None:
+            from ..entropy.htcleanup import HTCleanupEncoder
+            blob = HTCleanupEncoder(width, height, mb).encode(u)
+        if blob is None:   # degenerate geometry: keep the block empty
+            return
+        # numbps=2 (zbp = Mb-2): positions the cleanup payload one
+        # plane up and the refinement plane at plane 0 (§7.6)
+        st.numbps = 2
+        st.zero_bitplanes = mb - 2
+        st.data = blob + dref
+        st.pass_rates = [len(blob), len(blob) + sp_len,
+                         len(blob) + len(dref)]
+        st.pass_terms = [True, False, True]
+        st.pass_bitplanes = [0, 0, 0]
+        st.pass_nmsedecs = nms
+        st.dist_weight = dw
 
     def _tile_block_states(self, coeffs: np.ndarray, rect,
                            cod: j2k.CodInfo, qcd: j2k.QcdInfo,
@@ -787,6 +858,10 @@ class J2KEncoder:
                          or (eff and any(r > 0 for r in eff)))
         pending = []   # (BlockState, block array, orient, mb, dw)
         pending_ht = []  # (BlockState, block array, mb, width, height)
+        ht_refine = bool(self.params.ht_refinement)
+        # id(BlockState) -> (dref, sp_len, nms, dw, original block) for
+        # blocks taking the 3-pass HT set; absent = Z=1 cleanup
+        ht_refine_info: Dict[int, tuple] = {}
         comp_res: List[List[ResolutionGeom]] = []
         comp_states: List[Dict[Tuple[int, int], List[PrecinctState]]] = []
         for c in range(ncomp):
@@ -814,13 +889,25 @@ class J2KEncoder:
                                 bg.col_off + (g.x1 - bg.x0)]
                             st = BlockState(cbx=g.cbx, cby=g.cby)
                             if cod.cb_style & 0x40:
-                                # HT block: cleanup pass only, Kmax = Mb,
-                                # zbp = Mb-1 (encoder.go:3374-3383);
-                                # int32 blocks defer into the batched
-                                # native call after the walk
+                                # HT block: Kmax = Mb, zbp = Mb-1
+                                # (encoder.go:3374-3383); int32 blocks
+                                # defer into the batched native call
+                                # after the walk. With ht_refinement,
+                                # eligible blocks cleanup-encode |v|>>1
+                                # and carry a SigProp/MagRef pair.
+                                cu_data = blk_data
+                                if ht_refine and blk_data.dtype != np.int64:
+                                    prep = self._prep_ht_refinement(
+                                        blk_data, cod.cb_style)
+                                    if prep is not None:
+                                        u, dref, sp_len, nms = prep
+                                        ht_refine_info[id(st)] = (
+                                            dref, sp_len, nms, dw)
+                                        cu_data = u
                                 if blk_data.dtype != np.int64:
-                                    pending_ht.append((st, blk_data, mb,
-                                                       g.width, g.height))
+                                    pending_ht.append((st, cu_data, mb,
+                                                       g.width, g.height,
+                                                       dw))
                                     blocks.append(st)
                                     continue
                                 from ..native import ht_cleanup_encode_native
@@ -828,7 +915,9 @@ class J2KEncoder:
                                     np.ascontiguousarray(blk_data), mb)
                                 self._apply_ht_result(st, mb, blob,
                                                       blk_data, g.width,
-                                                      g.height)
+                                                      g.height,
+                                                      real_dist=ht_refine,
+                                                      dw=dw)
                                 blocks.append(st)
                                 continue
                             factory = self.params.block_encoder_factory
@@ -856,11 +945,19 @@ class J2KEncoder:
                                   ht_cleanup_encode_native)
             results = ht_cleanup_encode_blocks_native(
                 [p[1] for p in pending_ht], [p[2] for p in pending_ht])
-            for i, (st, blk_data, mb, w_, h_) in enumerate(pending_ht):
+            for i, (st, blk_data, mb, w_, h_, dw_) in enumerate(pending_ht):
                 blob = results[i] if results is not None else \
                     ht_cleanup_encode_native(
                         np.ascontiguousarray(blk_data), mb)
-                self._apply_ht_result(st, mb, blob, blk_data, w_, h_)
+                ref = ht_refine_info.get(id(st))
+                if ref is not None:
+                    dref, sp_len, nms, _dw = ref
+                    self._apply_ht_multipass(st, mb, blob, blk_data,
+                                             w_, h_, dref, sp_len, nms,
+                                             dw_)
+                else:
+                    self._apply_ht_result(st, mb, blob, blk_data, w_, h_,
+                                          real_dist=ht_refine, dw=dw_)
 
         if pending:
             from ..native import t1_encode_blocks_native, t1_encode_native
@@ -1636,8 +1733,19 @@ class J2KDecoder:
                     seg_lengths=st.seg_ends, mb=ps.mb))
             if is_ht:
                 from ..native import ht_cleanup_decode_native
+                seg = bytes(st.seg_data)
+                dref = b""
+                if st.num_passes > 3:
+                    # multiple HT sets per code-block (T.814 Annex B
+                    # placeholder-pass machinery) are not implemented
+                    raise CorruptStreamError(
+                        f"{st.num_passes} HT passes: multiple HT sets "
+                        "per code-block are not supported")
+                if st.num_passes >= 2 and st.seg_ends:
+                    cu_end = st.seg_ends[0]
+                    seg, dref = seg[:cu_end], seg[cu_end:]
                 blk = ht_cleanup_decode_native(
-                    bytes(st.seg_data), g.width, g.height, ps.mb,
+                    seg, g.width, g.height, ps.mb,
                     ps.mb - st.numbps)
                 if isinstance(blk, tuple):
                     raise CorruptStreamError(
@@ -1646,7 +1754,15 @@ class J2KDecoder:
                     from ..entropy.htcleanup import HTCleanupDecoder
                     blk = HTCleanupDecoder(
                         g.width, g.height, ps.mb,
-                        ps.mb - st.numbps).decode(bytes(st.seg_data))
+                        ps.mb - st.numbps).decode(seg)
+                if dref:
+                    # HT SigProp (+MagRef) refinement (T.814 §7.4-7.5);
+                    # a zero-length refinement segment means Z_blk=1
+                    # (B.3) and the cleanup output stands alone
+                    from ..entropy.htrefine import apply_refinement
+                    blk = apply_refinement(
+                        np.asarray(blk, dtype=np.int64), dref,
+                        st.num_passes, causal=bool(cod.cb_style & 0x08))
                 return blk
             import numpy as _np
 
@@ -1713,6 +1829,12 @@ class J2KDecoder:
                             if not batch_ok:
                                 _scalar_and_paste(*ctx)
                             elif is_ht:
+                                if st.num_passes > 1:
+                                    # SigProp/MagRef refinement: the
+                                    # batched entry is cleanup-only —
+                                    # scalar path splits the segments
+                                    _scalar_and_paste(*ctx)
+                                    continue
                                 ht_items.append(
                                     (bytes(st.seg_data), g.width,
                                      g.height, ps.mb, ps.mb - st.numbps))

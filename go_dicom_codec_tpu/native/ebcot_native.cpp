@@ -2170,6 +2170,19 @@ inline int floor_log2(int n) {
 // (t2/packets.py _segments; same termination walk as the T1 coder)
 inline int segments_of(int style, int numbps, int start_pass,
                        int new_passes, int* segs) {
+  if (style & 0x40) {
+    // HT sets (T.814 B.2): pass walk [cleanup, SigProp, MagRef];
+    // boundaries at pass indices == 0 and == 2 (mod 3)
+    int nsegs = 0, count = 0;
+    for (int idx = start_pass; idx < start_pass + new_passes; idx++) {
+      count++;
+      if (idx % 3 != 1 || idx == start_pass + new_passes - 1) {
+        segs[nsegs++] = count;
+        count = 0;
+      }
+    }
+    return nsegs;
+  }
   if (numbps <= 0) {
     if (new_passes) {
       segs[0] = new_passes;
@@ -2307,6 +2320,7 @@ inline int get_num_passes(BioR& br) {
 
 // whether global pass idx is terminating (t2/packets.py _terminates_at)
 inline bool terminates_at(int style, int numbps, int idx) {
+  if (style & 0x40) return idx % 3 != 1;  // HT sets (T.814 B.2)
   if (numbps <= 0) return false;
   int maxbp = numbps - 1;
   int pass_type = 2, bitplane = maxbp, i = 0;

@@ -120,7 +120,21 @@ def _segments(style: int, numbps: int, start_pass: int, new_passes: int
     Memoized: decode calls this once per (block, layer) and the walk
     repeats the same few argument tuples thousands of times per frame
     (measured ~20% of dense-frame T2 decode time).
+
+    HT blocks (style 0x40) follow ITU-T T.814 B.2 instead: the pass
+    walk per HT set is [cleanup, SigProp, MagRef] and the segment set T
+    terminates each cleanup pass and each refinement pair — boundaries
+    at pass indices ≡ 0 and ≡ 2 (mod 3).
     """
+    if style & 0x40:
+        segs: List[int] = []
+        count = 0
+        for idx in range(start_pass, start_pass + new_passes):
+            count += 1
+            if idx % 3 != 1 or idx == start_pass + new_passes - 1:
+                segs.append(count)
+                count = 0
+        return tuple(segs)
     if numbps <= 0:
         return (new_passes,) if new_passes else ()
     maxbp = numbps - 1
@@ -150,6 +164,8 @@ def _segments(style: int, numbps: int, start_pass: int, new_passes: int
 def _terminates_at(style: int, numbps: int, idx: int) -> bool:
     """Whether global pass `idx` is a terminating pass under `style`
     (same walk as _segments / ebcot._is_terminating)."""
+    if style & 0x40:          # HT sets: cleanup and MagRef terminate
+        return idx % 3 != 1   # (T.814 B.2), SigProp only when last
     if numbps <= 0:
         return False
     maxbp = numbps - 1

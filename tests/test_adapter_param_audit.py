@@ -53,6 +53,7 @@ SENTINELS = {
     "use_eph": True,
     "plt_markers": True,
     "tlm_markers": True,
+    "ht_refinement": True,
 }
 
 
