@@ -799,9 +799,13 @@ class J2KEncoder:
         av = np.abs(blk_data.astype(np.int64))
         if not (av > 1).any():
             return None
-        from ..entropy.htrefine import encode_refinement
-        dref, sp_len, exact, n_new, n_ref = encode_refinement(
-            blk_data, causal=bool(cb_style & 0x08))
+        causal = bool(cb_style & 0x08)
+        from ..native import ht_refine_encode_native
+        res = ht_refine_encode_native(blk_data, causal)
+        if res is None:
+            from ..entropy.htrefine import encode_refinement
+            res = encode_refinement(blk_data, causal)
+        dref, sp_len, exact, n_new, n_ref = res
         if not exact:
             return None
         u = ((av >> 1) * np.sign(blk_data)).astype(blk_data.dtype)
@@ -1759,10 +1763,18 @@ class J2KDecoder:
                     # HT SigProp (+MagRef) refinement (T.814 §7.4-7.5);
                     # a zero-length refinement segment means Z_blk=1
                     # (B.3) and the cleanup output stands alone
-                    from ..entropy.htrefine import apply_refinement
-                    blk = apply_refinement(
-                        np.asarray(blk, dtype=np.int64), dref,
-                        st.num_passes, causal=bool(cod.cb_style & 0x08))
+                    from ..native import ht_refine_apply_native
+                    causal = bool(cod.cb_style & 0x08)
+                    w64 = np.asarray(blk, dtype=np.int64)
+                    ref = ht_refine_apply_native(w64, dref,
+                                                 st.num_passes, causal)
+                    if ref is None or isinstance(ref, tuple):
+                        # unavailable / stream error: the Python
+                        # reference raises with exact semantics
+                        from ..entropy.htrefine import apply_refinement
+                        ref = apply_refinement(w64, dref, st.num_passes,
+                                               causal)
+                    blk = ref
                 return blk
             import numpy as _np
 

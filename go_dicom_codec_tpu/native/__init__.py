@@ -22,7 +22,13 @@ _LOCK = threading.Lock()
 _TRIED = False
 
 _SRC = os.path.join(os.path.dirname(__file__), "ebcot_native.cpp")
-_SO = os.path.join(os.path.dirname(__file__), "libebcot.so")
+# GDCT_NATIVE_SO: alternate build output (sanitizer lanes keep their
+# instrumented build beside the normal cache); GDCT_NATIVE_CFLAGS:
+# extra compile flags, e.g. "-fsanitize=thread -O1 -g" for the TSAN CI
+# lane over the per-codeblock thread pool.
+_SO = os.environ.get(
+    "GDCT_NATIVE_SO",
+    os.path.join(os.path.dirname(__file__), "libebcot.so"))
 
 
 def _build() -> bool:
@@ -37,10 +43,11 @@ def _build() -> bool:
         # and produce a loadable-but-corrupt library (observed as a 2x
         # T1 slowdown when a test run and a benchmark rebuilt at once).
         tmp = f"{_SO}.tmp.{os.getpid()}"
+        user_flags = os.environ.get("GDCT_NATIVE_CFLAGS", "").split()
         for extra in (["-march=native"], []):
             r = subprocess.run(
                 ["g++", "-O3", "-fwrapv", *extra, "-shared", "-fPIC",
-                 "-pthread", "-std=c++17", "-o", tmp, _SRC],
+                 "-pthread", "-std=c++17", *user_flags, "-o", tmp, _SRC],
                 capture_output=True, timeout=240)
             if r.returncode == 0 and os.path.exists(tmp):
                 os.replace(tmp, _SO)
@@ -172,6 +179,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.ht_cleanup_decode.argtypes = [
             u8p, ctypes.c_long, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, i32p, i32p, i64p]
+        lib.ht_refine_apply.restype = ctypes.c_int
+        lib.ht_refine_apply.argtypes = [
+            i64p, ctypes.c_int, ctypes.c_int, u8p, ctypes.c_long,
+            ctypes.c_int, ctypes.c_int, i64p]
+        lib.ht_refine_encode.restype = ctypes.c_long
+        lib.ht_refine_encode.argtypes = [
+            i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, u8p,
+            ctypes.c_long, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int)]
         lib.p14_diffs_hist.restype = ctypes.c_int
         lib.p14_diffs_hist.argtypes = [
             i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -483,6 +500,51 @@ def ht_cleanup_decode_native(codeblock: bytes, w: int, h: int, kmax: int,
     if r != 0:
         return ("corrupt", r)
     return out.reshape(h, w).astype(np.int32)
+
+
+def ht_refine_apply_native(w_arr: np.ndarray, dref: bytes, zblk: int,
+                           causal: bool):
+    """Native HT SigProp/MagRef apply → int64 [h, w], ("corrupt", code)
+    on a stream error, or None when the library is unavailable
+    (mirrors entropy/htrefine.apply_refinement)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    h, w = w_arr.shape
+    src = np.ascontiguousarray(w_arr, dtype=np.int64).reshape(-1)
+    buf = np.frombuffer(dref, dtype=np.uint8)
+    if buf.size == 0:
+        buf = np.zeros(1, dtype=np.uint8)
+    out = np.zeros(h * w, dtype=np.int64)
+    r = lib.ht_refine_apply(src, w, h, np.ascontiguousarray(buf),
+                            len(dref), zblk, int(causal), out)
+    if r != 0:
+        return ("corrupt", r)
+    return out.reshape(h, w)
+
+
+def ht_refine_encode_native(blk: np.ndarray, causal: bool):
+    """Native HT SigProp/MagRef encode → (dref bytes, sp_len, exact,
+    n_new, n_ref), or None when the library is unavailable (mirrors
+    entropy/htrefine.encode_refinement)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    h, w = blk.shape
+    src = np.ascontiguousarray(blk, dtype=np.int32).reshape(-1)
+    cap = 4 * h * w + 64
+    out = np.zeros(cap, dtype=np.uint8)
+    sp_len = ctypes.c_int()
+    exact = ctypes.c_int()
+    n_new = ctypes.c_int()
+    n_ref = ctypes.c_int()
+    n = lib.ht_refine_encode(src, w, h, int(causal), out, cap,
+                             ctypes.byref(sp_len), ctypes.byref(exact),
+                             ctypes.byref(n_new), ctypes.byref(n_ref))
+    if n < 0:
+        return None
+    return (out[:n].tobytes(), int(sp_len.value), bool(exact.value),
+            int(n_new.value), int(n_ref.value))
 
 
 def p14_cat_hist_native(diffs: np.ndarray):

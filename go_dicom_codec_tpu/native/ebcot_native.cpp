@@ -16,6 +16,7 @@
 #include <cstring>
 #include <cmath>
 #include <memory>
+#include <mutex>
 #include <thread>
 #include <vector>
 
@@ -154,8 +155,12 @@ int zc_context(int h, int v, int d, int orient) {
   return hv >= 2 ? 2 : (hv == 1 ? 1 : 0);
 }
 
-void build_luts() {
-  if (luts_ready) return;
+// one-time LUT fill, thread-safe: the per-codeblock pool can enter the
+// coders concurrently and the old `if (ready) return; ...; ready=true`
+// pattern raced (caught by the round-5 TSAN lane — idempotent writes,
+// so byte parity never noticed, but UB regardless)
+std::once_flag luts_once;
+void build_luts_impl() {
   for (int orient = 0; orient < 4; orient++)
     for (int idx = 0; idx < 512; idx++) {
       int nw = idx & 1, n = (idx >> 1) & 1, ne = (idx >> 2) & 1;
@@ -190,6 +195,7 @@ void build_luts() {
   }
   luts_ready = true;
 }
+void build_luts() { std::call_once(luts_once, build_luts_impl); }
 
 // 9-bit neighborhood window for row j: bits [NW N NE W own E SW S SE] at
 // positions 0..8 — exactly the ZC_LUT index layout (the LUT ignores
@@ -247,8 +253,8 @@ inline int nmse_q(double f) {
   long v = (long)std::floor(f * 64.0 + 0.5);
   return v > 0 ? (int)(v * 128) : 0;
 }
-void build_nmse() {
-  if (nmse_ready) return;
+std::once_flag nmse_once;
+void build_nmse_impl() {
   for (int i = 0; i < 128; i++) {
     double t = i / 64.0;
     nmse_sig[i] = nmse_q(3.0 * t - 2.25);
@@ -258,6 +264,7 @@ void build_nmse() {
   }
   nmse_ready = true;
 }
+void build_nmse() { std::call_once(nmse_once, build_nmse_impl); }
 inline int nmsedec_sig(uint64_t av, int bp) {
   uint64_t x = av << 6;
   if (bp > 0) return nmse_sig[(x >> bp) & 127];
@@ -4442,6 +4449,255 @@ int ht_cleanup_decode_blocks(const uint8_t* data, const int64_t* offs,
       memset(dst, 0, (size_t)ws[i] * hs[i] * sizeof(int32_t));
   });
   return 0;
+}
+
+}  // extern "C"
+
+// ============================================================================
+// HT SigProp/MagRef refinement passes (T.814 §7.3-7.5) — exact mirror of
+// entropy/htrefine.py (the Python module is the behavioral reference,
+// parity-pinned in tests/test_native.py). Any stream error aborts with a
+// nonzero code so the caller re-runs the Python path for exact exception
+// semantics.
+// ============================================================================
+
+namespace htref {
+
+struct SPRead {  // importSigPropBit (§7.1.5): forward, 7 bits after 0xFF
+  const uint8_t* d;
+  long n, pos = 0;
+  int bits = 0;
+  uint32_t tmp = 0, last = 0;
+  bool err = false;
+  SPRead(const uint8_t* dd, long nn) : d(dd), n(nn) {}
+  inline int read() {
+    if (bits == 0) {
+      bits = (last == 0xFF) ? 7 : 8;
+      if (pos < n) {
+        tmp = d[pos++];
+        if (tmp & (1u << bits)) err = true;  // stuff bit set
+      } else {
+        tmp = 0;
+      }
+      last = tmp;
+    }
+    int b = (int)(tmp & 1);
+    tmp >>= 1;
+    bits--;
+    return b;
+  }
+};
+
+struct MRRead {  // importMagRefBit (§7.1.6): backward from the segment end
+  const uint8_t* d;
+  long pos;
+  int bits = 0;
+  uint32_t tmp = 0, last = 0xFF;
+  MRRead(const uint8_t* dd, long nn) : d(dd), pos(nn - 1) {}
+  inline int read() {
+    if (bits == 0) {
+      tmp = pos >= 0 ? d[pos] : 0;
+      pos--;
+      bits = 8;
+      if (last > 0x8F && (tmp & 0x7F) == 0x7F) bits = 7;
+      last = tmp;
+    }
+    int b = (int)(tmp & 1);
+    tmp >>= 1;
+    bits--;
+    return b;
+  }
+};
+
+struct SPPack {  // emitSPBit / termSPPacker (F.5)
+  std::vector<uint8_t> buf;
+  int bits = 0, maxb = 8;
+  uint32_t tmp = 0;
+  inline void emit(int bit) {
+    tmp |= (uint32_t)(bit & 1) << bits;
+    if (++bits == maxb) {
+      buf.push_back((uint8_t)tmp);
+      maxb = (tmp == 0xFF) ? 7 : 8;
+      tmp = 0;
+      bits = 0;
+    }
+  }
+  void terminate(bool followed_by_magref) {
+    if (bits && (tmp != 0 || followed_by_magref))
+      buf.push_back((uint8_t)tmp);
+    if (!buf.empty() && buf.back() == 0xFF) buf.push_back(0x00);
+  }
+};
+
+struct MRPack {  // emitMRBit (F.5); emitted reversed into the segment
+  std::vector<uint8_t> buf;
+  int bits = 0;
+  uint32_t tmp = 0, last = 255;
+  inline void emit(int bit) {
+    tmp |= (uint32_t)(bit & 1) << bits;
+    bits++;
+    if (last > 0x8F && tmp == 0x7F && bits == 7) bits++;  // stuff MSB 0
+    if (bits == 8) {
+      buf.push_back((uint8_t)tmp);
+      last = tmp;
+      tmp = 0;
+      bits = 0;
+    }
+  }
+  void terminate() {
+    if (bits) buf.push_back((uint8_t)tmp);
+  }
+};
+
+// §7.4 stripe scan over one code-block; OnMag(y, x) -> refinement bit,
+// OnSign(y, x) per newly-significant sample, interleaved per
+// column-group of four stripe columns. `reach` = σ | r evolving in
+// scan order (scan-causal propagation falls out naturally).
+template <typename OnMag, typename OnSign>
+static void sigprop_scan(const uint8_t* sig, uint8_t* reach, int w, int h,
+                         bool causal, OnMag&& on_mag, OnSign&& on_sign) {
+  int gy[16], gx[16];
+  for (int y0 = 0; y0 < h; y0 += 4) {
+    int sh = h - y0 > 4 ? 4 : h - y0;
+    for (int x0 = 0; x0 < w; x0 += 4) {
+      int gw = w - x0 > 4 ? 4 : w - x0;
+      int ngroup = 0;
+      for (int dx = 0; dx < gw; dx++) {
+        int x = x0 + dx;
+        for (int j = 0; j < sh; j++) {
+          int y = y0 + j;
+          if (sig[(size_t)y * w + x]) continue;
+          int ylo = y > 0 ? y - 1 : 0;
+          int yhi = (j < sh - 1 || !causal) ? y + 2 : y + 1;
+          if (yhi > h) yhi = h;
+          int xlo = x > 0 ? x - 1 : 0;
+          int xhi = x + 2 < w ? x + 2 : w;
+          bool mbr = false;
+          for (int yy = ylo; yy < yhi && !mbr; yy++)
+            for (int xx = xlo; xx < xhi; xx++)
+              if (reach[(size_t)yy * w + xx]) { mbr = true; break; }
+          if (!mbr) continue;
+          int r = on_mag(y, x);
+          if (r) {
+            reach[(size_t)y * w + x] = 1;
+            gy[ngroup] = y;
+            gx[ngroup] = x;
+            ngroup++;
+          }
+        }
+      }
+      for (int k = 0; k < ngroup; k++) on_sign(gy[k], gx[k]);
+    }
+  }
+}
+
+}  // namespace htref
+
+extern "C" {
+
+// Decode: apply an HT refinement segment to cleanup output `w_in`
+// (int64, Z>=2 signalling — midpoint half-bit already present).
+// Returns 0 ok, -1 stream error (caller re-runs the Python reference).
+int ht_refine_apply(const int64_t* w_in, int w, int h,
+                    const uint8_t* dref, long dref_len, int zblk,
+                    int causal, int64_t* out) {
+  std::vector<uint8_t> sig((size_t)w * h), reach((size_t)w * h);
+  std::vector<uint8_t> neg((size_t)w * h, 0);
+  for (long i = 0; i < (long)w * h; i++) {
+    int64_t v = w_in[i];
+    sig[i] = v != 0;
+    reach[i] = sig[i];
+    neg[i] = v < 0;
+    out[i] = v < 0 ? -v : v;
+  }
+  htref::SPRead sp(dref, dref_len);
+  htref::sigprop_scan(
+      sig.data(), reach.data(), w, h, causal != 0,
+      [&](int y, int x) { return sp.read(); },
+      [&](int y, int x) {
+        if (sp.read()) neg[(size_t)y * w + x] = 1;
+        out[(size_t)y * w + x] = 1;
+      });
+  if (sp.err) return -1;
+  if (zblk >= 3) {
+    htref::MRRead mr(dref, dref_len);
+    for (int y0 = 0; y0 < h; y0 += 4) {
+      int sh = h - y0 > 4 ? 4 : h - y0;
+      for (int x = 0; x < w; x++)
+        for (int j = 0; j < sh; j++) {
+          size_t i = (size_t)(y0 + j) * w + x;
+          if (sig[i]) out[i] = (out[i] & ~(int64_t)1) | mr.read();
+        }
+    }
+  }
+  for (long i = 0; i < (long)w * h; i++)
+    if (neg[i]) out[i] = -out[i];
+  return 0;
+}
+
+// Encode: SigProp + MagRef for block values v (int32). Writes the
+// refinement segment into `out` (cap `out_cap`); returns its length or
+// -1 on overflow. sp_len_out = terminated SigProp byte count (the
+// 2-pass truncation point); exact_out = 0 when some plane-0 one is
+// not SigProp-reachable; n_new/n_ref feed PCRD distortion deltas.
+long ht_refine_encode(const int32_t* v, int w, int h, int causal,
+                      uint8_t* out, long out_cap, int* sp_len_out,
+                      int* exact_out, int* n_new_out, int* n_ref_out) {
+  long n = (long)w * h;
+  std::vector<uint8_t> sig((size_t)n), reach((size_t)n), lsb((size_t)n),
+      covered((size_t)n, 0);
+  bool any_sig = false;
+  for (long i = 0; i < n; i++) {
+    int64_t av = v[i] < 0 ? -(int64_t)v[i] : v[i];
+    sig[i] = (av >> 1) != 0;
+    reach[i] = sig[i];
+    lsb[i] = (uint8_t)(av & 1);
+    any_sig |= sig[i] != 0;
+  }
+  htref::SPPack sp;
+  int n_new = 0;
+  htref::sigprop_scan(
+      sig.data(), reach.data(), w, h, causal != 0,
+      [&](int y, int x) {
+        size_t i = (size_t)y * w + x;
+        covered[i] = 1;
+        int r = lsb[i];
+        sp.emit(r);
+        return r;
+      },
+      [&](int y, int x) {
+        n_new++;
+        sp.emit(v[(size_t)y * w + x] < 0 ? 1 : 0);
+      });
+  int exact = 1;
+  for (long i = 0; i < n; i++)
+    if (!covered[i] && !sig[i] && lsb[i]) { exact = 0; break; }
+  sp.terminate(any_sig);
+
+  htref::MRPack mr;
+  int n_ref = 0;
+  for (int y0 = 0; y0 < h; y0 += 4) {
+    int sh = h - y0 > 4 ? 4 : h - y0;
+    for (int x = 0; x < w; x++)
+      for (int j = 0; j < sh; j++) {
+        size_t i = (size_t)(y0 + j) * w + x;
+        if (sig[i]) {
+          mr.emit(lsb[i]);
+          if (!lsb[i]) n_ref++;
+        }
+      }
+  }
+  mr.terminate();
+  long total = (long)(sp.buf.size() + mr.buf.size());
+  if (total > out_cap) return -1;
+  memcpy(out, sp.buf.data(), sp.buf.size());
+  for (size_t k = 0; k < mr.buf.size(); k++)  // reversed MagRef bytes
+    out[sp.buf.size() + k] = mr.buf[mr.buf.size() - 1 - k];
+  *sp_len_out = (int)sp.buf.size();
+  *exact_out = exact;
+  *n_new_out = n_new;
+  *n_ref_out = n_ref;
+  return total;
 }
 
 }  // extern "C"

@@ -192,6 +192,50 @@ def test_jls_codec_uses_native_speed(rng):
     assert t_enc < 1.0 and t_dec < 1.0, (t_enc, t_dec)
 
 
+# ---- HT SigProp/MagRef native parity ----------------------------------------
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ht_refinement_native_parity(causal, rng):
+    """Native SigProp/MagRef mirror emits byte-identical refinement
+    segments and applies them bit-exact vs entropy/htrefine.py."""
+    from go_dicom_codec_tpu.entropy.htrefine import (apply_refinement,
+                                                     encode_refinement)
+    from go_dicom_codec_tpu.native import (get_lib,
+                                           ht_refine_apply_native,
+                                           ht_refine_encode_native)
+
+    if get_lib() is None:
+        pytest.skip("native unavailable")
+    for _ in range(40):
+        h, w = rng.integers(1, 40, size=2)
+        dense = rng.random() < 0.5
+        lo, hi = (-40, 41) if dense else (-2, 3)
+        v = rng.integers(lo, hi, size=(h, w)).astype(np.int32)
+        py = encode_refinement(v, causal)
+        assert ht_refine_encode_native(v, causal) == py
+        u = (np.abs(v.astype(np.int64)) >> 1) * np.sign(v)
+        wcu = 2 * np.abs(u) * np.sign(v) + np.sign(v) * (np.abs(u) > 0)
+        for z in (2, 3):
+            dref = py[0] if z == 3 else py[0][:py[1]]
+            a = apply_refinement(wcu, dref, z, causal)
+            b = ht_refine_apply_native(wcu, dref, z, causal)
+            assert isinstance(b, np.ndarray) and np.array_equal(a, b)
+
+
+def test_ht_refinement_native_flags_stuff_bit_error(rng):
+    """A set SigProp stuff bit returns a corrupt marker (the caller
+    re-runs the Python path, which raises CorruptStreamError)."""
+    from go_dicom_codec_tpu.native import get_lib, ht_refine_apply_native
+
+    if get_lib() is None:
+        pytest.skip("native unavailable")
+    w = np.zeros((8, 8), dtype=np.int64)
+    w[0, 0] = 9  # significant seed so neighbours become eligible
+    r = ht_refine_apply_native(w, bytes([0xFF, 0x80]), 2, False)
+    assert isinstance(r, tuple) and r[0] == "corrupt"
+
+
 # ---- HT cleanup native parity ------------------------------------------------
 
 HT_SIZES = [(64, 64), (32, 32), (17, 23), (1, 64), (64, 1), (5, 5), (2, 2)]
