@@ -170,6 +170,9 @@ def decode(data: bytes):
             ns = p[0]
             scan_sel = [(p[1 + i * 2], p[2 + i * 2] >> 4) for i in range(ns)]
             predictor = p[1 + ns * 2]
+            # Al = point transform Pt (T.81 H.1: samples coded as
+            # v >> Pt, predicted from 2^(P-Pt-1); output shifts back)
+            point_transform = p[3 + ns * 2] & 0x0F
             scan_bytes, _ = r.find_scan_end()
             break
         elif marker == mk.EOI:
@@ -221,14 +224,22 @@ def decode(data: bytes):
             else:
                 diffs[i] = hf.receive_extend(br.take(cat), cat)
 
-    # vectorized stage: reconstruct each component plane
+    # vectorized stage: reconstruct each component plane (point
+    # transform: reconstruct in the shifted P-Pt domain, shift back up)
+    eff_prec = precision - point_transform
+    if eff_prec < 1:
+        raise CorruptStreamError(
+            f"point transform {point_transform} >= precision {precision}")
     planes = []
     d = diffs.reshape(height, width, nc)
     for c in range(nc):
         from ..native import p14_reconstruct_native
-        rec = p14_reconstruct_native(d[:, :, c], predictor, precision)
-        planes.append(rec if rec is not None
-                      else reconstruct(d[:, :, c], predictor, precision))
+        rec = p14_reconstruct_native(d[:, :, c], predictor, eff_prec)
+        if rec is None:
+            rec = reconstruct(d[:, :, c], predictor, eff_prec)
+        if point_transform:
+            rec = rec << point_transform
+        planes.append(rec)
     return (_planes_to_pixels(planes, precision), width, height, nc,
             precision)
 

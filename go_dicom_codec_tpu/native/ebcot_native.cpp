@@ -5005,38 +5005,14 @@ int p14_diffs_hist(const int32_t* samples, int w, int h, int predictor,
     const int32_t* up = y > 0 ? row - w : nullptr;
     int32_t* drow = diffs_out + (size_t)y * w;
     if (y == 0) {
-      // first row: Rb = Rc = default, Ra = left (pred-independent forms)
+      // T.81 H.1.2.2 first line: Px = Ra for every predictor (mirrors
+      // ops/lossless_predict.encode_diffs)
       drow[0] = (((row[0] - dflt) + 0x8000) & 0xFFFF) - 0x8000;
-      for (int x = 1; x < w; x++) {
-        int32_t ra = row[x - 1];
-        int32_t pred;
-        switch (predictor) {
-          case 1: pred = ra; break;
-          case 2: case 3: pred = dflt; break;
-          case 4: pred = ra; break;
-          case 5: pred = ra; break;
-          case 6: pred = dflt + ((ra - dflt) >> 1); break;
-          default: pred = (ra + dflt) >> 1; break;
-        }
-        drow[x] = (((row[x] - pred) + 0x8000) & 0xFFFF) - 0x8000;
-      }
+      for (int x = 1; x < w; x++)
+        drow[x] = (((row[x] - row[x - 1]) + 0x8000) & 0xFFFF) - 0x8000;
     } else {
-      // first column: Ra default (pred-1 exception: sample above)
-      {
-        int32_t ra = (predictor == 1) ? up[0] : dflt;
-        int32_t rb = up[0], rc = dflt;
-        int32_t pred;
-        switch (predictor) {
-          case 1: pred = ra; break;
-          case 2: pred = rb; break;
-          case 3: pred = rc; break;
-          case 4: pred = ra + rb - rc; break;
-          case 5: pred = ra + ((rb - rc) >> 1); break;
-          case 6: pred = rb + ((ra - rc) >> 1); break;
-          default: pred = (ra + rb) >> 1; break;
-        }
-        drow[0] = (((row[0] - pred) + 0x8000) & 0xFFFF) - 0x8000;
-      }
+      // T.81 H.1.2.2 first column: Px = Rb for every predictor
+      drow[0] = (((row[0] - up[0]) + 0x8000) & 0xFFFF) - 0x8000;
       switch (predictor) {
         case 1: p14_diff_row<1>(row, up, drow, w); break;
         case 2: p14_diff_row<2>(row, up, drow, w); break;
@@ -5163,21 +5139,13 @@ int p14_reconstruct(const int32_t* diffs, int w, int h, int predictor,
       int32_t rb = up ? up[x] : dflt;
       int32_t rc = (up && x > 0) ? up[x - 1] : dflt;
       int32_t pred;
+      // T.81 H.1.2.2 boundaries (mirrors ops/lossless_predict.
+      // reconstruct): first sample 2^(P-1); rest of first line Ra;
+      // first column Rb; interior = the selected formula
       if (x == 0) {
-        if (!up) pred = dflt;
-        else switch (predictor) {
-          case 1: case 2: case 4: case 6: pred = up[0]; break;
-          case 3: pred = dflt; break;
-          case 5: pred = dflt + ((up[0] - dflt) >> 1); break;
-          default: pred = (dflt + up[0]) >> 1; break;
-        }
+        pred = up ? up[0] : dflt;
       } else if (!up) {
-        switch (predictor) {
-          case 2: case 3: pred = dflt; break;
-          case 1: case 4: case 5: pred = ra; break;
-          case 6: pred = dflt + ((ra - dflt) >> 1); break;
-          default: pred = (ra + dflt) >> 1; break;
-        }
+        pred = ra;
       } else {
         switch (predictor) {
           case 1: pred = ra; break;

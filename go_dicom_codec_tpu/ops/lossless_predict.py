@@ -1,11 +1,21 @@
 """JPEG Lossless (Process 14) prediction, batched.
 
-Semantics of reference jpeg/lossless/predictors.go:12-54 and the scan
-order/neighbor-default rules of jpeg/lossless/encoder.go:219-282 /
-decoder.go:210-336: 7 predictors over (Ra=left, Rb=above, Rc=above-left),
-boundary neighbors replaced by 2^(P-1) (with the predictor-1 first-column
-exception: Ra = sample above), first pixel predicted as 2^(P-1),
-differences wrapped to int16, reconstruction wrapped to [0, 2^P).
+Predictor formulas of reference jpeg/lossless/predictors.go:12-54 with
+the STRICT T.81 H.1.2.2 boundary rules (round 5): the first sample is
+predicted as 2^(P-1); the rest of the first line uses Ra regardless of
+the selected predictor; the first sample of every other line uses Rb;
+interior samples use the selected formula over real neighbors.
+Differences wrap to int16, reconstruction wraps to [0, 2^P).
+
+The reference instead substitutes 2^(P-1) for out-of-bounds neighbors
+and applies the selected formula everywhere (encoder.go:219-282, with
+a predictor-1 first-column exception) — a conformance bug that makes
+its predictor-2..7 streams mis-decode the first row/column in
+T.81-conformant decoders (SURVEY §7 "anomalies: don't replicate").
+Predictor 1 coincides with the standard under both rule sets, so the
+fo-dicom SV1 golden and every predictor-1 stream are byte-identical
+across this change; spec-direct vectors in
+tests/test_spec_direct_vectors.py pin the conformant behavior.
 
 The encode direction is embarrassingly parallel: Ra/Rb/Rc are whole-plane
 shifts, so diffs for a full [H, W] plane (or a batch) are one vector
@@ -39,31 +49,19 @@ def _predict(p: int, ra, rb, rc):
 
 def encode_diffs(plane: np.ndarray, predictor: int, precision: int
                  ) -> np.ndarray:
-    """[H, W] samples → int16-wrapped prediction differences.
-
-    Matches encoder.go:219-282's neighbor rules exactly.
-    """
+    """[H, W] samples → int16-wrapped prediction differences
+    (T.81 H.1.2.2 boundary rules; see the module docstring)."""
     s = plane.astype(np.int64)
     h, w = s.shape
     default = 1 << (precision - 1)
 
-    ra = np.empty_like(s)
-    ra[:, 1:] = s[:, :-1]
-    if predictor == 1:
-        ra[0, 0] = default
-        ra[1:, 0] = s[:-1, 0]  # pred-1 column exception (encoder.go:236-241)
-    else:
-        ra[:, 0] = default
-
-    rb = np.empty_like(s)
-    rb[1:, :] = s[:-1, :]
-    rb[0, :] = default
-
-    rc = np.full_like(s, default)
-    rc[1:, 1:] = s[:-1, :-1]
-
-    pred = _predict(predictor, ra, rb, rc)
+    pred = np.empty_like(s)
     pred[0, 0] = default
+    pred[0, 1:] = s[0, :-1]          # first line: Px = Ra
+    if h > 1:
+        pred[1:, 0] = s[:-1, 0]      # first column: Px = Rb
+        pred[1:, 1:] = _predict(predictor, s[1:, :-1], s[:-1, 1:],
+                                s[:-1, :-1])
     diff = s - pred
     return ((diff + 0x8000) & 0xFFFF).astype(np.int64) - 0x8000
 
@@ -81,38 +79,14 @@ def reconstruct(diffs: np.ndarray, predictor: int, precision: int
     mod = 1 << precision
     s = np.zeros((h, w), dtype=np.int64)
 
-    # first row: Rb=Rc=default; pred reduces to a left-to-right form
-    s[0, 0] = (default + d[0, 0]) % mod
-    if w > 1:
-        if predictor in (2, 3):
-            s[0, 1:] = (default + d[0, 1:]) % mod
-        elif predictor in (1, 4, 5):          # pred = Ra (4,5 collapse)
-            s[0, :] = (default + np.cumsum(d[0, :])) % mod
-        elif predictor == 6:                   # default + ((Ra-default)>>1)
-            for c in range(1, w):
-                pred = default + ((s[0, c - 1] - default) >> 1)
-                s[0, c] = (pred + d[0, c]) % mod
-        elif predictor == 7:                   # (Ra+default)>>1
-            for c in range(1, w):
-                pred = (s[0, c - 1] + default) >> 1
-                s[0, c] = (pred + d[0, c]) % mod
+    # first line: Px = Ra for every predictor (T.81 H.1.2.2) — one
+    # left-to-right chain from the 2^(P-1) start
+    s[0, :] = (default + np.cumsum(d[0, :])) % mod
 
     for r in range(1, h):
         above = s[r - 1]
-        # column 0: Ra = (pred1 ? above : default), Rb = above, Rc = default
-        if predictor == 1:
-            col0_pred = above[0]
-        elif predictor in (2, 4):
-            col0_pred = above[0]
-        elif predictor == 3:
-            col0_pred = default
-        elif predictor == 5:
-            col0_pred = default + ((above[0] - default) >> 1)
-        elif predictor == 6:
-            col0_pred = above[0] + ((default - default) >> 1)
-        else:  # 7
-            col0_pred = (default + above[0]) >> 1
-        s[r, 0] = (col0_pred + d[r, 0]) % mod
+        # first column: Px = Rb for every predictor
+        s[r, 0] = (above[0] + d[r, 0]) % mod
         if w == 1:
             continue
 

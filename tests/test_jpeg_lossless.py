@@ -17,25 +17,25 @@ from go_dicom_codec_tpu.ops.lossless_predict import (encode_diffs,
 
 
 def _scalar_diffs(plane, predictor, precision):
-    """Literal scalar model of the reference scan rules
-    (jpeg/lossless/encoder.go:219-282)."""
+    """Literal scalar model of the T.81 H.1.2 scan rules: first sample
+    2^(P-1), rest of the first line Ra, first column Rb, interior =
+    the selected predictor over real neighbors (the round-5 conformance
+    fix; the reference's default-substitution edge rule is documented
+    as nonconformant in ops/lossless_predict.py)."""
     h, w = plane.shape
     default = 1 << (precision - 1)
     out = np.zeros((h, w), dtype=np.int64)
     s = plane.astype(int)
     for r in range(h):
         for c in range(w):
-            if c > 0:
-                ra = s[r, c - 1]
-            elif r > 0 and predictor == 1:
-                ra = s[r - 1, c]
-            else:
-                ra = default
-            rb = s[r - 1, c] if r > 0 else default
-            rc = s[r - 1, c - 1] if r > 0 and c > 0 else default
             if r == 0 and c == 0:
                 pred = default
+            elif r == 0:
+                pred = s[0, c - 1]          # first line: Px = Ra
+            elif c == 0:
+                pred = s[r - 1, 0]          # first column: Px = Rb
             else:
+                ra, rb, rc = s[r, c - 1], s[r - 1, c], s[r - 1, c - 1]
                 pred = {1: ra, 2: rb, 3: rc, 4: ra + rb - rc,
                         5: ra + ((rb - rc) >> 1), 6: rb + ((ra - rc) >> 1),
                         7: (ra + rb) >> 1}[predictor]
