@@ -5544,7 +5544,8 @@ struct JFdct {
   // the quant vectors (so callers avoid wide reloads of the freshly
   // scalar-scattered qs — a store-forwarding stall).
   void block_zz(int by, int bx, int32_t* qs,
-                uint64_t* nzraster = nullptr) const {
+                uint64_t* nzraster = nullptr,
+                bool raster_out = false) const {
     const int32_t* band =
         aligned ? nullptr : src.data() + (size_t)by * 8 * pw;
 #if defined(__AVX2__)
@@ -5615,6 +5616,13 @@ struct JFdct {
         m |= (uint64_t)(~zb & 0xFF) << (v * 8);
       }
       *nzraster = m;
+      if (raster_out) {
+        // fused-frame fast path: the scan walker indexes through
+        // jdct::ZZ itself, so the 64-wide zigzag scatter (64 scalar
+        // loads+stores for ~19 read coefficients) is skipped
+        memcpy(qs, qr, sizeof(qr));
+        return;
+      }
     }
     for (int i = 0; i < 64; i++) qs[i] = qr[jdct::ZZ[i]];
 #else
@@ -5671,6 +5679,10 @@ struct JFdct {
       for (int k = 0; k < 64; k++)
         if (qr[k]) m |= 1ull << k;
       *nzraster = m;
+      if (raster_out) {  // see the AVX2 branch
+        memcpy(qs, qr, sizeof(qr));
+        return;
+      }
     }
     for (int i = 0; i < 64; i++) qs[i] = qr[jdct::ZZ[i]];
 #endif
@@ -5766,7 +5778,7 @@ long jpg_encode_frame(const uint8_t* plane, int src_type, int w, int h,
   for (int by = 0; by < ctx.nby; by++) {
     for (int bx = 0; bx < ctx.nbx; bx++) {
       uint64_t rmask = 0;
-      ctx.block_zz(by, bx, blk, &rmask);
+      ctx.block_zz(by, bx, blk, &rmask, true);
       int64_t diff = (int64_t)blk[0] - prev_dc;
       prev_dc = blk[0];
       int cat = jpg_cat(diff);
@@ -5790,7 +5802,7 @@ long jpg_encode_frame(const uint8_t* plane, int src_type, int w, int h,
           emit((uint32_t)ac_codes[0xF0], ac_lens[0xF0]);
           run -= 16;
         }
-        int32_t v = blk[k2];
+        int32_t v = blk[jdct::ZZ[k2]];
         int32_t sgn = v >> 31;
         uint32_t a = (uint32_t)((v ^ sgn) - sgn);
         int ac = 32 - __builtin_clz(a);
