@@ -17,7 +17,10 @@ bit-exact.
 (libjpeg for JPEG baseline, OpenJPEG for J2K/HTJ2K) — a genuinely
 foreign implementation, matching the role of the reference's external
 fo-dicom oracle (main.go:568). Formats PIL cannot decode (RLE,
-12-bit JPEG, JPEG lossless, JPEG-LS) keep the self-decode oracle.
+12-bit JPEG, JPEG lossless, JPEG-LS) keep the self-decode oracle here;
+their independent validation lives in tests/test_spec_direct_vectors.py
+(hand-packed PS3.5 Annex G / T.81 Annex H+F / T.87 streams from naive
+spec-direct coders, plus sha-pinned encoder-output goldens).
 
 Usage:
     python -m go_dicom_codec_tpu.tools.interop [--parallel N]

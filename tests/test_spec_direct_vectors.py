@@ -21,7 +21,7 @@ import struct
 import numpy as np
 import pytest
 
-from go_dicom_codec_tpu.codecs import jpeg_lossless, jpegls, rle
+from go_dicom_codec_tpu.codecs import jpeg_extended, jpeg_lossless, jpegls, rle
 from go_dicom_codec_tpu.entropy.rlepack import packbits_decode
 from go_dicom_codec_tpu.frames import FrameInfo
 
@@ -565,6 +565,165 @@ def test_jls_spec_direct_hand_vector():
 
 
 # =========================================================================
+# T.81 Annex F — Extended sequential 12-bit (SOF1)
+# =========================================================================
+
+_ZIGZAG = [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+           12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+           35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+           58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+
+# flat 5-bit DC table over categories 0..16; 3-bit AC table holding
+# only the symbols this generator emits: EOB, (run0,size1), (run1,
+# size1), ZRL
+_EXT_DC_BITS = [0, 0, 0, 0, 17, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_EXT_DC_VALS = list(range(17))
+_EXT_AC_BITS = [0, 0, 4, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_EXT_AC_VALS = [0x00, 0x01, 0x11, 0xF0]
+
+
+def _ext12_encode_spec(blocks, bw_, bh_, w, h, qtab, dri=0):
+    """Spec-direct SOF1 12-bit single-component encoder: 16-bit DQT
+    (Pq=1), hand-built canonical Huffman tables, optional DRI/RSTn.
+    `blocks` is a [bh_][bw_] list of {zigzag_index: quantized_value}
+    dicts. Shares nothing with codecs/jpeg_baseline's vectorized
+    symbol-stream builder."""
+    dc_codes = _canonical_codes(_EXT_DC_BITS, _EXT_DC_VALS)
+    ac_codes = _canonical_codes(_EXT_AC_BITS, _EXT_AC_VALS)
+    bw = _BitW()
+    out = bytearray(b"\xff\xd8")
+    dqt = bytes([0x10]) + b"".join(
+        struct.pack(">H", qtab[i]) for i in range(64))
+    out += b"\xff\xdb" + struct.pack(">H", len(dqt) + 2) + dqt
+    sof = struct.pack(">BHHB", 12, h, w, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc1" + struct.pack(">H", len(sof) + 2) + sof
+    dht = bytes([0x00]) + bytes(_EXT_DC_BITS) + bytes(_EXT_DC_VALS)
+    dht += bytes([0x11]) + bytes(_EXT_AC_BITS) + bytes(_EXT_AC_VALS)
+    out += b"\xff\xc4" + struct.pack(">H", len(dht) + 2) + dht
+    if dri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, dri)
+    sos = bytes([1, 1, 0x01, 0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+    def put_code(codes, sym):
+        code, ln = codes[sym]
+        bw.put(code, ln)
+
+    prev_dc = 0
+    mcu = 0
+    rst = 0
+    for by in range(bh_):
+        for bx in range(bw_):
+            if dri and mcu and mcu % dri == 0:
+                # flush with 1-padding, emit RSTn, reset DC prediction
+                out += bw.done() + bytes([0xFF, 0xD0 + (rst & 7)])
+                bw = _BitW()
+                rst += 1
+                prev_dc = 0
+            blk = blocks[by][bx]
+            dc = blk.get(0, 0)
+            diff = dc - prev_dc
+            prev_dc = dc
+            cat = abs(diff).bit_length()
+            put_code(dc_codes, cat)
+            if cat:
+                bw.put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+            run = 0
+            for k in range(1, 64):
+                v = blk.get(k, 0)
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    put_code(ac_codes, 0xF0)
+                    run -= 16
+                assert abs(v) == 1 and run <= 1, "generator table limits"
+                put_code(ac_codes, (run << 4) | 1)
+                bw.put(1 if v > 0 else 0, 1)
+                run = 0
+            if run:
+                put_code(ac_codes, 0x00)  # EOB
+            mcu += 1
+    out += bw.done() + b"\xff\xd9"
+    return bytes(out)
+
+
+def _idct_float(coeffs):
+    """Independent float64 AAN-free textbook IDCT (T.81 A.3.3)."""
+    x = np.arange(8)
+    c = np.where(x == 0, 1 / np.sqrt(2), 1.0)
+    cosm = np.cos((2 * x[:, None] + 1) * x[None, :] * np.pi / 16)
+    # out[y][x] = 1/4 sum_u sum_v Cu Cv F[v][u] cos.. cos..
+    return 0.25 * np.einsum("vu,yv,xu,v,u->yx", coeffs, cosm, cosm, c, c)
+
+
+@pytest.mark.parametrize("dri", [0, 2])
+def test_ext12_spec_direct_streams_decode(dri, rng):
+    """Hand-packed SOF1 12-bit streams (16-bit DQT, minimal canonical
+    tables, DC + sparse ±1 AC, optional restart intervals): the
+    production decoder must parse them exactly and reconstruct within
+    ±1 of the exact float IDCT (T.83 accuracy latitude covers the
+    integer islow transform)."""
+    w, h = 20, 12                     # 3x2 blocks, right column cropped
+    bw_, bh_ = 3, 2
+    qtab = np.full(64, 1, dtype=np.int64)
+    qtab[0] = 300                     # 16-bit DQT entry (> 255)
+    qtab[1] = 17
+    blocks = []
+    r = np.random.default_rng(42 + dri)
+    for by in range(bh_):
+        row = []
+        for bx in range(bw_):
+            blk = {0: int(r.integers(-8, 9))}
+            if (bx + by) % 2 == 0:
+                blk[1] = 1            # zigzag 1, run 0
+                if bx == 2:
+                    blk[3] = -1       # one zero between → run 1
+            elif bx == 2:
+                blk[2] = -1           # run 1 from the start
+            if by == 1 and bx == 0:
+                blk[18] = 1           # 17 zeros → ZRL + run-1 symbol
+            row.append(blk)
+        blocks.append(row)
+    stream = _ext12_encode_spec(blocks, bw_, bh_, w, h, qtab, dri=dri)
+
+    from go_dicom_codec_tpu.codecs import jpeg_extended
+    pixels, gw, gh, nc, depth = jpeg_extended.decode(stream)
+    assert (gw, gh, nc, depth) == (w, h, 1, 12)
+    got = np.frombuffer(pixels, dtype="<u2").reshape(h, w).astype(np.int64)
+
+    for by in range(bh_):
+        for bx in range(bw_):
+            f = np.zeros((8, 8), dtype=np.float64)
+            for zz, v in blocks[by][bx].items():
+                nat = _ZIGZAG[zz]
+                f[nat // 8, nat % 8] = v * qtab[zz]
+            want = np.clip(np.round(_idct_float(f)) + 2048, 0, 4095)
+            gy, gx = by * 8, bx * 8
+            sub = got[gy:min(gy + 8, h), gx:min(gx + 8, w)]
+            werr = np.abs(sub - want[: sub.shape[0], : sub.shape[1]])
+            assert werr.max() <= 1, (by, bx, werr.max())
+
+
+def test_ext12_spec_direct_dc_only_flat():
+    """DC-only blocks: the IDCT output is analytically flat
+    (dc*q/8 + 2048) — exact closed-form expectation, zero tolerance
+    except the half-integer rounding tie (dc*q ≡ 4 mod 8)."""
+    qtab = np.full(64, 1, dtype=np.int64)
+    qtab[0] = 16
+    blocks = [[{0: 5}, {0: -3}], [{0: 0}, {0: 100}]]
+    stream = _ext12_encode_spec(blocks, 2, 2, 16, 16, qtab)
+    from go_dicom_codec_tpu.codecs import jpeg_extended
+    pixels, gw, gh, nc, depth = jpeg_extended.decode(stream)
+    got = np.frombuffer(pixels, dtype="<u2").reshape(16, 16).astype(int)
+    for (by, bx), dc in [((0, 0), 5), ((0, 1), -3), ((1, 0), 0),
+                         ((1, 1), 100)]:
+        flat = int(np.clip(dc * 16 // 8 + 2048, 0, 4095))
+        sub = got[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+        assert np.abs(sub - flat).max() <= 1, (by, bx, sub[0, 0], flat)
+
+
+# =========================================================================
 # sha-pinned goldens of our own encoders (byte-drift tripwire)
 # =========================================================================
 
@@ -582,6 +741,7 @@ GOLDEN_SHAS = {
     "p14_pred4_12": "cc4a8b5edf31cc4a58655289a551e0ae979c942376bbb1cce44d89ab71805484",
     "jls_near0_8": "d1453e1dc1e32167cc77ee599b460fd81d58aa4d2a27dab0f7c919ab03eeb8f4",
     "jls_near2_8": "139f2da78497afc2f75130b581e16813dbd42faae2c84de814ca687eba50ba83",
+    "ext12_q90": "d4aa8752fee966034c0db5f76f6d6afc9754d4cc6bc922241de9bcba4d7a5b8b",
 }
 
 
@@ -600,6 +760,8 @@ def test_encoder_output_shas_pinned():
         "jls_near2_8": jpegls.encode(
             (_fixed_image(32, 48, 8).astype(np.uint8)).tobytes(),
             48, 32, 1, 8, near=2),
+        "ext12_q90": jpeg_extended.encode(
+            img16.astype("<u2").tobytes(), 48, 32, 1, 12),
     }
     got = {k: hashlib.sha256(v).hexdigest() for k, v in streams.items()}
     assert got == GOLDEN_SHAS, got
