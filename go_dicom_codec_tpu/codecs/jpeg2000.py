@@ -131,6 +131,11 @@ class J2KEncodeParams:
     # on for HTJ2K (reference writeTLM); this flag adds them to classic
     # J2K streams too.
     tlm_markers: bool = False
+    # file container: None = raw codestream (the DICOM transport and
+    # the reference's only output), "jp2" = ISO 15444-1 Annex I file,
+    # "jph" = ISO 15444-15 Annex A file (use for htj2k streams).
+    # Decode unwraps either transparently (codestream/j2k.unwrap_jp2).
+    container: Optional[str] = None
 
     def clamped_levels(self, w: int, h: int) -> int:
         """Clamp levels so the coarsest LL stays ≥1 px (lossy/codec.go:392)."""
@@ -456,6 +461,8 @@ class J2KEncoder:
             out += j2k.write_tile_part(tile_index, body,
                                        head_segments=head_segs)
         out += (j2k.EOC).to_bytes(2, "big")
+        if p.container is not None:
+            return j2k.wrap_jp2(bytes(out), brand=p.container)
         return bytes(out)
 
     def _build_qcd(self, levels: int, bit_depth: int, use_mct: bool,

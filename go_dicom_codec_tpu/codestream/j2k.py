@@ -679,6 +679,63 @@ def unwrap_jp2(data: bytes) -> bytes:
     raise CorruptStreamError("JP2 file has no jp2c codestream box")
 
 
+def _jp2_box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def wrap_jp2(codestream: bytes, brand: str = "jp2") -> bytes:
+    """Wrap a raw codestream in a JP2 (ISO 15444-1 Annex I) or JPH
+    (ISO 15444-15 Annex A) file: signature + ftyp + jp2h(ihdr [+ bpcc]
+    + colr) + jp2c. Image geometry, component count and bit depths are
+    derived from the codestream's own SIZ marker.
+
+    Write direction of `unwrap_jp2` (the reference transports raw
+    codestreams only — containers are beyond it); output round-trips
+    through PIL/OpenJPEG and OpenJPH file tooling. Use brand="jph" for
+    HTJ2K codestreams (a Part-15 file is not "jp2 "-compatible).
+
+    Colour specification: enumerated sRGB for >= 3 components,
+    greyscale otherwise; for component counts other than 1 or 3 the
+    ihdr UnkC flag is set (colourspace not reliably known).
+    """
+    if brand not in ("jp2", "jph"):
+        raise ValueError(f"brand must be 'jp2' or 'jph', got {brand!r}")
+    if len(codestream) < 8 or struct.unpack_from(">H", codestream, 0)[0] \
+            != SOC or struct.unpack_from(">H", codestream, 2)[0] != SIZ:
+        raise CorruptStreamError("not a J2K codestream (no SOC+SIZ)")
+    # SIZ segment spans offsets [4, 4+Lsiz): Lsiz counts itself but not
+    # the marker, payload follows the 2-byte length field
+    lsiz = struct.unpack_from(">H", codestream, 4)[0]
+    if lsiz < 2 or 4 + lsiz > len(codestream):
+        raise CorruptStreamError("SIZ overruns codestream")
+    siz = parse_siz(codestream[6:4 + lsiz])
+
+    width = siz.xsiz - siz.xosiz
+    height = siz.ysiz - siz.yosiz
+    nc = len(siz.components)
+    depth_sign = [(d, s) for (d, s, _, _) in siz.components]
+    uniform = all(ds == depth_sign[0] for ds in depth_sign)
+    if uniform:
+        d, s = depth_sign[0]
+        bpc = (d - 1) | (0x80 if s else 0)
+    else:
+        bpc = 255  # per-component depths live in a bpcc box
+    unkc = 0 if nc in (1, 3) else 1
+    ihdr = struct.pack(">IIHBBBB", height, width, nc, bpc, 7, unkc, 0)
+    enumcs = 16 if nc >= 3 else 17  # sRGB / greyscale
+    colr = struct.pack(">BBBI", 1, 0, 0, enumcs)
+    jp2h = _jp2_box(b"ihdr", ihdr)
+    if not uniform:
+        jp2h += _jp2_box(b"bpcc", bytes(
+            (d - 1) | (0x80 if s else 0) for d, s in depth_sign))
+    jp2h += _jp2_box(b"colr", colr)
+
+    btag = b"jp2 " if brand == "jp2" else b"jph "
+    ftyp = btag + struct.pack(">I", 0) + btag  # brand, minor, compat list
+    return (_JP2_SIGNATURE + _jp2_box(b"ftyp", ftyp)
+            + _jp2_box(b"jp2h", jp2h) + _jp2_box(b"jp2c", codestream))
+
+
 def _parse_codestream(data: bytes) -> Codestream:
     if data.startswith(_JP2_SIGNATURE):
         data = unwrap_jp2(data)

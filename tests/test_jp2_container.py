@@ -1,10 +1,11 @@
-"""JP2 container unwrapping (ISO 15444-1 Annex I).
+"""JP2/JPH container WRITE (codestream/j2k.wrap_jp2) — write direction
+of the transparent unwrap the decoder already does.
 
-DICOM transports raw codestreams and the reference handles only those;
-real-world files are usually JP2-wrapped (PIL/OpenJPEG write JP2 by
-default), so parse_codestream transparently extracts the jp2c box.
-Foreign JP2 files here are written by PIL's OpenJPEG binding — a true
-cross-implementation check of the box walk.
+Beyond the reference: it transports raw codestreams only (its
+codestream/markers.go has no box layer at all). Box layout is written
+from ISO 15444-1 Annex I (ihdr/colr/jp2c) and ISO 15444-15 Annex A
+(brand "jph "); PIL/OpenJPEG serves as the foreign oracle that the
+files — not just the embedded codestreams — are well-formed.
 """
 
 import io
@@ -13,95 +14,135 @@ import struct
 import numpy as np
 import pytest
 
-from go_dicom_codec_tpu.codecs.jpeg2000 import decode_to_pixels
 from go_dicom_codec_tpu.codestream import j2k
+from go_dicom_codec_tpu.codecs.jpeg2000 import (J2KDecoder, J2KEncodeParams,
+                                                J2KEncoder)
 from go_dicom_codec_tpu.errors import CorruptStreamError
 
-PIL_Image = pytest.importorskip("PIL.Image")
+
+def _img(bits=8, h=64, w=48, comps=1, seed=3):
+    rng = np.random.default_rng(seed)
+    a = np.cumsum(rng.integers(-5, 6, (h, w, comps)), axis=1)
+    a = (a % ((1 << bits) - 8) + 4).astype(np.int32)
+    return a[..., 0] if comps == 1 else a
 
 
-def _jp2(img, **save_kw):
-    buf = io.BytesIO()
-    PIL_Image.fromarray(img).save(buf, format="JPEG2000",
-                                  irreversible=False, **save_kw)
-    return buf.getvalue()
+def _encode(img, bits=8, comps=1, **kw):
+    h, w = img.shape[:2]
+    return J2KEncoder(J2KEncodeParams(**kw)).encode(img, w, h, comps, bits)
 
 
-def test_jp2_gray8_bit_exact():
-    rng = np.random.default_rng(0)
-    img = rng.integers(0, 256, size=(90, 80)).astype(np.uint8)
-    jp2 = _jp2(img)
-    assert jp2.startswith(j2k._JP2_SIGNATURE)
-    pix, w, h, c, depth, signed = decode_to_pixels(jp2)
-    assert (w, h, c, depth, signed) == (80, 90, 1, 8, False)
-    assert np.array_equal(np.frombuffer(pix, np.uint8).reshape(90, 80),
-                          img)
+def _boxes(data):
+    """[(type, payload)] top-level box walk."""
+    out = []
+    pos = 0
+    while pos + 8 <= len(data):
+        lbox = struct.unpack_from(">I", data, pos)[0]
+        tbox = data[pos + 4:pos + 8]
+        end = len(data) if lbox == 0 else pos + lbox
+        out.append((tbox, data[pos + 8:end]))
+        pos = end
+    return out
 
 
-def test_jp2_gray16_bit_exact():
-    rng = np.random.default_rng(1)
-    img = rng.integers(0, 1 << 16, size=(64, 72)).astype(np.uint16)
-    jp2 = _jp2(img)
-    pix, w, h, c, depth, signed = decode_to_pixels(jp2)
-    assert (w, h, c) == (72, 64, 1)
-    got = np.frombuffer(pix, "<u2").reshape(64, 72)
-    # PIL may signal <16 significant bits; compare in the common domain
-    assert np.array_equal(got, img >> (16 - depth))
+def test_wrap_roundtrips_through_unwrap():
+    cs = _encode(_img(), 8)
+    for brand in ("jp2", "jph"):
+        wrapped = j2k.wrap_jp2(cs, brand=brand)
+        assert wrapped.startswith(j2k._JP2_SIGNATURE)
+        assert j2k.unwrap_jp2(wrapped) == cs
 
 
-def test_jp2_rgb_bit_exact():
-    rng = np.random.default_rng(2)
-    img = rng.integers(0, 256, size=(50, 40, 3)).astype(np.uint8)
-    jp2 = _jp2(img)
-    pix, w, h, c, depth, signed = decode_to_pixels(jp2)
-    assert (w, h, c, depth) == (40, 50, 3, 8)
-    got = np.frombuffer(pix, np.uint8).reshape(50, 40, 3)
-    assert np.array_equal(got, img)
+def test_box_structure_and_ihdr_fields():
+    img = _img(bits=12, h=50, w=70)
+    cs = _encode(img, 12)
+    boxes = _boxes(j2k.wrap_jp2(cs))
+    types = [t for t, _ in boxes]
+    # signature first, ftyp second, header before codestream (I.4)
+    assert types[0] == b"jP  " and types[1] == b"ftyp"
+    assert types.index(b"jp2h") < types.index(b"jp2c")
+    ftyp = dict(boxes)[b"ftyp"]
+    assert ftyp[:4] == b"jp2 " and ftyp[8:12] == b"jp2 "
+    sub = dict(_boxes(dict(boxes)[b"jp2h"]))
+    h, w, nc, bpc, ctyp, unkc, ipr = struct.unpack(">IIHBBBB", sub[b"ihdr"])
+    assert (h, w, nc) == (50, 70, 1)
+    assert bpc == 11 and ctyp == 7 and unkc == 0 and ipr == 0
+    meth, prec, approx, enumcs = struct.unpack(">BBBI", sub[b"colr"])
+    assert (meth, enumcs) == (1, 17)  # enumerated greyscale
 
 
-def test_jp2_with_xlbox_and_lbox0():
-    """Hand-built containers: a 64-bit-length (XLBox) jp2c box, and an
-    LBox=0 (to-EOF) jp2c box."""
-    rng = np.random.default_rng(3)
-    img = rng.integers(0, 256, size=(32, 32)).astype(np.uint8)
-    raw = j2k.unwrap_jp2(_jp2(img))
-    ftyp = struct.pack(">I4s", 20, b"ftyp") + b"jp2 " + b"\0" * 8
-    xl = (j2k._JP2_SIGNATURE + ftyp +
-          struct.pack(">I4sQ", 1, b"jp2c", 16 + len(raw)) + raw)
-    assert decode_to_pixels(xl) == decode_to_pixels(raw)
-    eof = (j2k._JP2_SIGNATURE + ftyp +
-           struct.pack(">I4s", 0, b"jp2c") + raw)
-    assert decode_to_pixels(eof) == decode_to_pixels(raw)
+def test_rgb_ihdr_and_srgb_colr():
+    img = _img(8, comps=3)
+    wrapped = j2k.wrap_jp2(_encode(img, 8, comps=3))
+    sub = dict(_boxes(dict(_boxes(wrapped))[b"jp2h"]))
+    *_, nc, bpc, _, unkc, _ = struct.unpack(">IIHBBBB", sub[b"ihdr"])
+    assert nc == 3 and bpc == 7 and unkc == 0
+    assert struct.unpack(">BBBI", sub[b"colr"])[3] == 16  # sRGB
 
 
-def test_jp2_missing_jp2c_raises():
-    ftyp = struct.pack(">I4s", 20, b"ftyp") + b"jp2 " + b"\0" * 8
+def test_jph_brand():
+    cs = _encode(_img(), 8, htj2k=True)
+    ftyp = dict(_boxes(j2k.wrap_jp2(cs, brand="jph")))[b"ftyp"]
+    assert ftyp[:4] == b"jph " and ftyp[8:12] == b"jph "
+
+
+def test_signed_and_heterogeneous_depths():
+    # signed uniform → BPC sign bit; hetero depths → BPC=255 + bpcc
+    siz = j2k.write_siz(j2k.SizInfo(
+        xsiz=16, ysiz=16, xtsiz=16, ytsiz=16,
+        components=[(12, True, 1, 1), (12, True, 1, 1)]))
+    cs = j2k.SOC.to_bytes(2, "big") + siz
+    sub = dict(_boxes(dict(_boxes(j2k.wrap_jp2(cs)))[b"jp2h"]))
+    bpc = struct.unpack(">IIHBBBB", sub[b"ihdr"])[3]
+    assert bpc == (11 | 0x80)
+    assert b"bpcc" not in sub
+    # 2 components is neither grey nor RGB → UnkC set
+    assert struct.unpack(">IIHBBBB", sub[b"ihdr"])[5] == 1
+
+    siz = j2k.write_siz(j2k.SizInfo(
+        xsiz=16, ysiz=16, xtsiz=16, ytsiz=16,
+        components=[(8, False, 1, 1), (12, True, 1, 1)]))
+    cs = j2k.SOC.to_bytes(2, "big") + siz
+    sub = dict(_boxes(dict(_boxes(j2k.wrap_jp2(cs)))[b"jp2h"]))
+    assert struct.unpack(">IIHBBBB", sub[b"ihdr"])[3] == 255
+    assert sub[b"bpcc"] == bytes([7, 11 | 0x80])
+
+
+def test_wrap_rejects_garbage():
     with pytest.raises(CorruptStreamError):
-        decode_to_pixels(j2k._JP2_SIGNATURE + ftyp)
+        j2k.wrap_jp2(b"\x00" * 32)
+    with pytest.raises(ValueError):
+        j2k.wrap_jp2(_encode(_img(), 8), brand="mj2")
 
 
-def test_jp2_overrunning_box_raises():
-    bad = j2k._JP2_SIGNATURE + struct.pack(">I4s", 1 << 30, b"ftyp")
-    with pytest.raises(CorruptStreamError):
-        decode_to_pixels(bad)
+def test_encoder_container_param_decodes_transparently():
+    img = _img(bits=12, h=40, w=56)
+    for kw, brand in (({"container": "jp2"}, b"jp2 "),
+                      ({"container": "jph", "htj2k": True}, b"jph ")):
+        wrapped = _encode(img, 12, **kw)
+        assert wrapped.startswith(j2k._JP2_SIGNATURE)
+        assert dict(_boxes(wrapped))[b"ftyp"][:4] == brand
+        out = np.squeeze(J2KDecoder().decode(wrapped)[0])
+        np.testing.assert_array_equal(out, img)
 
 
-def test_jp2_truncated_xlbox_raises():
-    bad = j2k._JP2_SIGNATURE + struct.pack(">I4s", 1, b"jp2c") + b"\0\0"
-    with pytest.raises(CorruptStreamError):
-        decode_to_pixels(bad)
+@pytest.mark.parametrize("bits,comps", [(8, 1), (8, 3), (12, 1)])
+def test_pil_oracle_reads_our_jp2_files(bits, comps):
+    PIL_Image = pytest.importorskip("PIL.Image")
+    img = _img(bits=bits, comps=comps, h=64, w=64)
+    wrapped = _encode(img, bits, comps=comps, container="jp2")
+    pil = np.array(PIL_Image.open(io.BytesIO(wrapped)))
+    if bits > 8:
+        pil = pil.astype(np.int64) >> (16 - bits)  # PIL container shift
+    np.testing.assert_array_equal(np.squeeze(pil), np.squeeze(img))
 
 
-def test_adapter_decodes_jp2_frame():
-    import go_dicom_codec_tpu as dc
-    rng = np.random.default_rng(4)
-    img = rng.integers(0, 256, size=(48, 56)).astype(np.uint8)
-    jp2 = _jp2(img)
-    info = dc.FrameInfo(width=56, height=48, bits_allocated=8,
-                        bits_stored=8)
-    enc = dc.MemoryPixelData(info=info, encapsulated=True)
-    enc.add_frame(jp2)
-    dec = dc.MemoryPixelData(info=info)
-    codec = dc.get_global_registry().get_codec(dc.uids.JPEG_2000_LOSSLESS)
-    codec.decode(enc, dec)
-    assert dec.get_frame(0) == img.tobytes()
+def test_pil_oracle_reads_our_jph_file():
+    PIL_Image = pytest.importorskip("PIL.Image")
+    img = _img(bits=8, h=64, w=64)
+    wrapped = _encode(img, 8, htj2k=True, container="jph")
+    try:
+        pil = np.array(PIL_Image.open(io.BytesIO(wrapped)))
+    except Exception:
+        pytest.skip("PIL/OpenJPEG build rejects the jph brand")
+    np.testing.assert_array_equal(np.squeeze(pil), img)
