@@ -137,6 +137,50 @@ def test_pil_oracle_reads_our_jp2_files(bits, comps):
     np.testing.assert_array_equal(np.squeeze(pil), np.squeeze(img))
 
 
+def test_unwrap_hostile_boxes_never_crash():
+    """Truncations and bit flips over a wrapped file either unwrap to
+    SOMETHING or raise CorruptStreamError — never crash or hang."""
+    rng = np.random.default_rng(11)
+    wrapped = bytearray(j2k.wrap_jp2(_encode(_img(h=16, w=16), 8)))
+    for cut in range(0, len(wrapped), 7):
+        try:
+            j2k.unwrap_jp2(bytes(wrapped[:cut]))
+        except CorruptStreamError:
+            pass
+    for _ in range(300):
+        m = bytes(wrapped[:12]) + bytes(
+            rng.integers(0, 256, rng.integers(0, 96), dtype=np.uint8))
+        try:
+            j2k.unwrap_jp2(m)
+        except CorruptStreamError:
+            pass
+    # XLBox (lbox=1 + 64-bit length) wrapping the jp2c payload
+    cs = _encode(_img(h=16, w=16), 8)
+    xl = (j2k._JP2_SIGNATURE
+          + struct.pack(">I", 1) + b"jp2c" + struct.pack(">Q", 16 + len(cs))
+          + cs)
+    assert j2k.unwrap_jp2(xl) == cs
+    # hostile XLBox lengths
+    for q in (0, 15, 2**63, len(xl) + 1):
+        bad = (j2k._JP2_SIGNATURE
+               + struct.pack(">I", 1) + b"jp2c" + struct.pack(">Q", q) + cs)
+        try:
+            j2k.unwrap_jp2(bad)
+        except CorruptStreamError:
+            pass
+
+
+def test_decoder_rejects_wrapped_garbage_codestream():
+    # a well-formed container around a corrupt codestream must surface
+    # the codestream error, not a box error
+    wrapped = bytearray(j2k.wrap_jp2(_encode(_img(h=16, w=16), 8)))
+    wrapped[-7] ^= 0xFF  # flip inside the jp2c payload tail
+    try:
+        J2KDecoder().decode(bytes(wrapped))
+    except CorruptStreamError:
+        pass
+
+
 def test_pil_oracle_reads_our_jph_file():
     PIL_Image = pytest.importorskip("PIL.Image")
     img = _img(bits=8, h=64, w=64)
