@@ -181,6 +181,16 @@ def test_decoder_rejects_wrapped_garbage_codestream():
         pass
 
 
+def test_batched_decoders_unwrap_transparently():
+    from go_dicom_codec_tpu.pipeline import decode_frames_pipelined
+    imgs = [(_img(8, h=32, w=32, seed=s)).astype(np.int32)
+            for s in range(3)]
+    enc = J2KEncoder(J2KEncodeParams(container="jp2"))
+    streams = [enc.encode(im, 32, 32, 1, 8) for im in imgs]
+    for out, im in zip(decode_frames_pipelined(streams), imgs):
+        np.testing.assert_array_equal(np.squeeze(np.asarray(out)), im)
+
+
 def test_pil_oracle_reads_our_jph_file():
     PIL_Image = pytest.importorskip("PIL.Image")
     img = _img(bits=8, h=64, w=64)
