@@ -1818,10 +1818,12 @@ class J2KDecoder:
         # Factory blocks, deep-ROI (numbps>30) blocks, and any block
         # whose batched decode reports an error take the scalar path.
         from ..native import (get_lib, ht_cleanup_decode_blocks_native,
+                              ht_decode_blocks_refined_native,
                               t1_decode_blocks_native)
         batch_ok = (get_lib() is not None
                     and self.block_decoder_factory is None)
         ht_items, ht_ctx = [], []
+        htr_items, htr_ctx = [], []  # SigProp/MagRef multipass blocks
         t1_groups = {}  # cb_style -> (items, ctxs)
         # win_rects (computed above the packet walk) drives the same
         # per-block outside-window test here in T1
@@ -1848,11 +1850,22 @@ class J2KDecoder:
                             if not batch_ok:
                                 _scalar_and_paste(*ctx)
                             elif is_ht:
-                                if st.num_passes > 1:
-                                    # SigProp/MagRef refinement: the
-                                    # batched entry is cleanup-only —
-                                    # scalar path splits the segments
+                                if st.num_passes > 3:
+                                    # multiple HT sets: scalar path
+                                    # raises with exact semantics
                                     _scalar_and_paste(*ctx)
+                                    continue
+                                if st.num_passes >= 2 and st.seg_ends:
+                                    # SigProp/MagRef refinement rides
+                                    # the batched cleanup+refine entry
+                                    htr_items.append(
+                                        (bytes(st.seg_data),
+                                         st.seg_ends[0], g.width,
+                                         g.height, ps.mb,
+                                         ps.mb - st.numbps,
+                                         st.num_passes,
+                                         cod.cb_style & 0x08))
+                                    htr_ctx.append(ctx)
                                     continue
                                 ht_items.append(
                                     (bytes(st.seg_data), g.width,
@@ -1875,6 +1888,14 @@ class J2KDecoder:
                 if isinstance(blk, np.ndarray):
                     _paste(ctx[0], ctx[3], ctx[5], blk)
                 else:
+                    _scalar_and_paste(*ctx)
+        if htr_items:
+            results = ht_decode_blocks_refined_native(htr_items)
+            for i, ctx in enumerate(htr_ctx):
+                blk = results[i] if results is not None else None
+                if isinstance(blk, np.ndarray):
+                    _paste(ctx[0], ctx[3], ctx[5], blk)
+                else:  # incl. status 900/901: exact error semantics
                     _scalar_and_paste(*ctx)
         for style, (items, ctxs) in t1_groups.items():
             results = t1_decode_blocks_native(items, style,

@@ -106,6 +106,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.ht_cleanup_decode_blocks.argtypes = [
             u8p, i64p, i32p, i32p, i32p, i32p, ctypes.c_int, i32p, i32p,
             i32p, i64p, i32p]
+        lib.ht_decode_blocks_refined.restype = ctypes.c_int
+        lib.ht_decode_blocks_refined.argtypes = [
+            u8p, i64p, i64p, i32p, i32p, i32p, i32p, i32p, i32p,
+            ctypes.c_int, i32p, i32p, i32p, i64p, i32p]
         lib.t2_assemble_packets.restype = ctypes.c_long
         lib.t2_assemble_packets.argtypes = [
             i32p, i32p, i32p, i32p, i64p, i32p, u8p, i64p, i32p, i64p,
@@ -892,6 +896,46 @@ def ht_cleanup_decode_blocks_native(items):
                                  out, out_offsets, status)
     return [out[out_offsets[i]:out_offsets[i + 1]].reshape(
                 items[i][2], items[i][1]) if status[i] == 0
+            else ("corrupt", int(status[i])) for i in range(nb)]
+
+
+def ht_decode_blocks_refined_native(items):
+    """Batched native HT cleanup+refinement decode. items: sequence of
+    (segment bytes, cleanup_len, w, h, kmax, missing, zblk, causal) —
+    segment[cleanup_len:] is the SigProp/MagRef refinement (may be
+    empty = Z_blk 1). Returns a list of int32 [h, w] arrays with
+    ("corrupt", code) at failed blocks (900 = refinement error, the
+    caller re-runs the scalar path for exact exception semantics), or
+    None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None or not items:
+        return None
+    nb = len(items)
+    offs = np.zeros(nb + 1, dtype=np.int64)
+    out_offsets = np.zeros(nb + 1, dtype=np.int64)
+    cus = np.empty(nb, dtype=np.int64)
+    ws = np.empty(nb, dtype=np.int32)
+    hs = np.empty(nb, dtype=np.int32)
+    kms = np.empty(nb, dtype=np.int32)
+    mis = np.empty(nb, dtype=np.int32)
+    zbs = np.empty(nb, dtype=np.int32)
+    cas = np.empty(nb, dtype=np.int32)
+    for i, (s, cu, w, h, km, mi, zb, ca) in enumerate(items):
+        offs[i + 1] = offs[i] + len(s)
+        out_offsets[i + 1] = out_offsets[i] + w * h
+        cus[i], ws[i], hs[i] = cu, w, h
+        kms[i], mis[i], zbs[i], cas[i] = km, mi, zb, int(bool(ca))
+    data = np.frombuffer(b"".join(s for (s, *_r) in items),
+                         dtype=np.uint8)
+    if data.size == 0:
+        data = np.zeros(1, dtype=np.uint8)
+    _, _, d0, d1 = _ht_luts()
+    out = np.zeros(int(out_offsets[-1]), dtype=np.int32)
+    status = np.zeros(nb, dtype=np.int32)
+    lib.ht_decode_blocks_refined(data, offs, cus, ws, hs, kms, mis, zbs,
+                                 cas, nb, d0, d1, out, out_offsets, status)
+    return [out[out_offsets[i]:out_offsets[i + 1]].reshape(
+                items[i][3], items[i][2]) if status[i] == 0
             else ("corrupt", int(status[i])) for i in range(nb)]
 
 

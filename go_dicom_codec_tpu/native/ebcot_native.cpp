@@ -4598,6 +4598,49 @@ static void sigprop_scan(const uint8_t* sig, uint8_t* reach, int w, int h,
   }
 }
 
+// One refinement application, generic over the value type: the int64
+// form serves the scalar ctypes ABI below; the int32 form runs in
+// place on the batched cleanup output (cleanup magnitudes fit int32,
+// refinement only sets plane 0 and signs). Single walk = single
+// behavior, parity-pinned once.
+template <typename VT>
+static int refine_apply_impl(const VT* w_in, int w, int h,
+                             const uint8_t* dref, long dref_len, int zblk,
+                             int causal, VT* out) {
+  std::vector<uint8_t> sig((size_t)w * h), reach((size_t)w * h);
+  std::vector<uint8_t> neg((size_t)w * h, 0);
+  for (long i = 0; i < (long)w * h; i++) {
+    VT v = w_in[i];
+    sig[i] = v != 0;
+    reach[i] = sig[i];
+    neg[i] = v < 0;
+    out[i] = v < 0 ? -v : v;
+  }
+  SPRead sp(dref, dref_len);
+  sigprop_scan(
+      sig.data(), reach.data(), w, h, causal != 0,
+      [&](int y, int x) { return sp.read(); },
+      [&](int y, int x) {
+        if (sp.read()) neg[(size_t)y * w + x] = 1;
+        out[(size_t)y * w + x] = 1;
+      });
+  if (sp.err) return -1;
+  if (zblk >= 3) {
+    MRRead mr(dref, dref_len);
+    for (int y0 = 0; y0 < h; y0 += 4) {
+      int sh = h - y0 > 4 ? 4 : h - y0;
+      for (int x = 0; x < w; x++)
+        for (int j = 0; j < sh; j++) {
+          size_t i = (size_t)(y0 + j) * w + x;
+          if (sig[i]) out[i] = (out[i] & ~(VT)1) | mr.read();
+        }
+    }
+  }
+  for (long i = 0; i < (long)w * h; i++)
+    if (neg[i]) out[i] = -out[i];
+  return 0;
+}
+
 }  // namespace htref
 
 extern "C" {
@@ -4608,37 +4651,47 @@ extern "C" {
 int ht_refine_apply(const int64_t* w_in, int w, int h,
                     const uint8_t* dref, long dref_len, int zblk,
                     int causal, int64_t* out) {
-  std::vector<uint8_t> sig((size_t)w * h), reach((size_t)w * h);
-  std::vector<uint8_t> neg((size_t)w * h, 0);
-  for (long i = 0; i < (long)w * h; i++) {
-    int64_t v = w_in[i];
-    sig[i] = v != 0;
-    reach[i] = sig[i];
-    neg[i] = v < 0;
-    out[i] = v < 0 ? -v : v;
-  }
-  htref::SPRead sp(dref, dref_len);
-  htref::sigprop_scan(
-      sig.data(), reach.data(), w, h, causal != 0,
-      [&](int y, int x) { return sp.read(); },
-      [&](int y, int x) {
-        if (sp.read()) neg[(size_t)y * w + x] = 1;
-        out[(size_t)y * w + x] = 1;
-      });
-  if (sp.err) return -1;
-  if (zblk >= 3) {
-    htref::MRRead mr(dref, dref_len);
-    for (int y0 = 0; y0 < h; y0 += 4) {
-      int sh = h - y0 > 4 ? 4 : h - y0;
-      for (int x = 0; x < w; x++)
-        for (int j = 0; j < sh; j++) {
-          size_t i = (size_t)(y0 + j) * w + x;
-          if (sig[i]) out[i] = (out[i] & ~(int64_t)1) | mr.read();
-        }
+  return htref::refine_apply_impl<int64_t>(w_in, w, h, dref, dref_len,
+                                           zblk, causal, out);
+}
+
+// Batched HT cleanup + refinement decode (role: keep multipass HTJ2K
+// streams on ONE ctypes round trip + the per-codeblock thread pool,
+// like ht_cleanup_decode_blocks does for cleanup-only streams).
+// Segment i spans [offs[i], offs[i+1]) and splits at cu_lens[i] into
+// cleanup | SigProp(+MagRef) refinement; an empty refinement side
+// means Z_blk=1 (cleanup stands alone). zblks[i] = pass count,
+// causals[i] = COD cb_style causal bit. status: cleanup codes as in
+// ht_cleanup_decode_blocks; 900 = refinement stream error, 901 = bad
+// split (caller re-runs the scalar/Python path for exact semantics).
+int ht_decode_blocks_refined(const uint8_t* data, const int64_t* offs,
+                             const int64_t* cu_lens, const int32_t* ws,
+                             const int32_t* hs, const int32_t* kmaxs,
+                             const int32_t* missings, const int32_t* zblks,
+                             const int32_t* causals, int nb,
+                             const int32_t* dec_lut0,
+                             const int32_t* dec_lut1, int32_t* out,
+                             const int64_t* out_offsets, int32_t* status) {
+  parallel_blocks(nb, batch_threads(nb), [&](int i) {
+    int32_t* dst = out + out_offsets[i];
+    const long seg_len = (long)(offs[i + 1] - offs[i]);
+    const long cu = (long)cu_lens[i];
+    if (cu < 0 || cu > seg_len) {
+      status[i] = 901;
+    } else {
+      status[i] = ht_cleanup_decode_impl(data + offs[i], cu, ws[i], hs[i],
+                                         kmaxs[i], missings[i], dec_lut0,
+                                         dec_lut1, dst);
+      if (status[i] == 0 && seg_len > cu &&
+          htref::refine_apply_impl<int32_t>(dst, ws[i], hs[i],
+                                            data + offs[i] + cu,
+                                            seg_len - cu, zblks[i],
+                                            causals[i], dst) != 0)
+        status[i] = 900;
     }
-  }
-  for (long i = 0; i < (long)w * h; i++)
-    if (neg[i]) out[i] = -out[i];
+    if (status[i] != 0)
+      memset(dst, 0, (size_t)ws[i] * hs[i] * sizeof(int32_t));
+  });
   return 0;
 }
 

@@ -170,6 +170,25 @@ def test_ht_refinement_lossless_exact(kw, rng):
     assert np.array_equal(got_res, img)
 
 
+def test_batched_refined_decode_matches_scalar(rng, monkeypatch):
+    """The batched native cleanup+refine entry (one ctypes round trip +
+    thread pool) must reproduce the scalar per-block path bit-exactly —
+    multi-block image so the batch really carries several blocks."""
+    img = np.asarray(rng.integers(0, 4096, (96, 96)), dtype=np.int32)
+    p = J2KEncodeParams(htj2k=True, ht_refinement=True, num_levels=2,
+                        cb_width=32, cb_height=32)
+    s = J2KEncoder(p).encode(img, 96, 96, 1, 12)
+    batched = np.squeeze(J2KDecoder().decode(s)[0])
+    # the decoder imports the batched entry at call time, so patching
+    # the native module forces every block down the scalar path
+    from go_dicom_codec_tpu import native as nat
+    monkeypatch.setattr(nat, "ht_decode_blocks_refined_native",
+                        lambda items: None)
+    scalar = np.squeeze(J2KDecoder().decode(s)[0])
+    assert np.array_equal(batched, scalar)
+    assert np.array_equal(batched, img)
+
+
 def test_ht_refinement_stream_close_to_cleanup_only(rng):
     img = _img(rng)
     s1 = J2KEncoder(J2KEncodeParams(htj2k=True, ht_refinement=True)).encode(

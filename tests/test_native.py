@@ -769,7 +769,7 @@ def test_t2_parse_truncation_sweep_parity(monkeypatch):
 
 @pytest.mark.parametrize("kind", ["jpegls", "jpegls_near", "baseline",
                                   "baseline_rgb", "extended12",
-                                  "p14", "sv1", "htj2k"])
+                                  "p14", "sv1", "htj2k", "htj2k_refined"])
 def test_truncation_sweep_lane_parity(kind, tmp_path):
     """Truncation-sweep lane parity for every native scan/block decoder
     (the T2 version of this sweep caught the br.align() regression):
@@ -818,8 +818,11 @@ def test_truncation_sweep_lane_parity(kind, tmp_path):
     else:
         from go_dicom_codec_tpu.codecs.jpeg2000 import (J2KEncodeParams,
                                                         J2KEncoder)
-        stream = J2KEncoder(J2KEncodeParams(htj2k=True, num_levels=2)
-                            ).encode(img12.tobytes(), 32, 32, 1, 12)
+        stream = J2KEncoder(J2KEncodeParams(
+            htj2k=True, num_levels=2,
+            ht_refinement=kind == "htj2k_refined")
+        ).encode(img12.tobytes(), 32, 32, 1, 12)
+        kind = "htj2k"
 
     step = 9
     native_lane = [tuple(r) for r in sweep(kind, stream, step)]
