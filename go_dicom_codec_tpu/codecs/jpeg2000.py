@@ -902,21 +902,13 @@ class J2KEncoder:
                             if cod.cb_style & 0x40:
                                 # HT block: Kmax = Mb, zbp = Mb-1
                                 # (encoder.go:3374-3383); int32 blocks
-                                # defer into the batched native call
-                                # after the walk. With ht_refinement,
+                                # defer into the batched native calls
+                                # after the walk (incl. the
+                                # ht_refinement SigProp/MagRef prep —
                                 # eligible blocks cleanup-encode |v|>>1
-                                # and carry a SigProp/MagRef pair.
-                                cu_data = blk_data
-                                if ht_refine and blk_data.dtype != np.int64:
-                                    prep = self._prep_ht_refinement(
-                                        blk_data, cod.cb_style)
-                                    if prep is not None:
-                                        u, dref, sp_len, nms = prep
-                                        ht_refine_info[id(st)] = (
-                                            dref, sp_len, nms, dw)
-                                        cu_data = u
+                                # and carry a refinement pair).
                                 if blk_data.dtype != np.int64:
-                                    pending_ht.append((st, cu_data, mb,
+                                    pending_ht.append((st, blk_data, mb,
                                                        g.width, g.height,
                                                        dw))
                                     blocks.append(st)
@@ -953,7 +945,25 @@ class J2KEncoder:
 
         if pending_ht:
             from ..native import (ht_cleanup_encode_blocks_native,
-                                  ht_cleanup_encode_native)
+                                  ht_cleanup_encode_native,
+                                  ht_refine_encode_blocks_native)
+            if ht_refine:
+                # batched SigProp/MagRef prep (one native round trip);
+                # refined blocks swap their cleanup source for u
+                preps = ht_refine_encode_blocks_native(
+                    [p[1] for p in pending_ht],
+                    bool(cod.cb_style & 0x08))
+                for i, (st, blk_data, mb, w_, h_, dw_) in \
+                        enumerate(pending_ht):
+                    prep = preps[i] if preps is not None else \
+                        self._prep_ht_refinement(blk_data, cod.cb_style)
+                    if prep == "fallback":  # native segment overflow
+                        prep = self._prep_ht_refinement(blk_data,
+                                                        cod.cb_style)
+                    if prep is not None:
+                        u, dref, sp_len, nms = prep
+                        ht_refine_info[id(st)] = (dref, sp_len, nms, dw_)
+                        pending_ht[i] = (st, u, mb, w_, h_, dw_)
             results = ht_cleanup_encode_blocks_native(
                 [p[1] for p in pending_ht], [p[2] for p in pending_ht])
             for i, (st, blk_data, mb, w_, h_, dw_) in enumerate(pending_ht):

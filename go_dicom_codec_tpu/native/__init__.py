@@ -110,6 +110,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.ht_decode_blocks_refined.argtypes = [
             u8p, i64p, i64p, i32p, i32p, i32p, i32p, i32p, i32p,
             ctypes.c_int, i32p, i32p, i32p, i64p, i32p]
+        lib.ht_refine_encode_blocks.restype = ctypes.c_int
+        lib.ht_refine_encode_blocks.argtypes = [
+            i32p, i64p, i32p, i32p, ctypes.c_int, ctypes.c_int, i32p,
+            u8p, i64p, i64p, i32p, i64p, i32p]
         lib.t2_assemble_packets.restype = ctypes.c_long
         lib.t2_assemble_packets.argtypes = [
             i32p, i32p, i32p, i32p, i64p, i32p, u8p, i64p, i32p, i64p,
@@ -549,6 +553,56 @@ def ht_refine_encode_native(blk: np.ndarray, causal: bool):
         return None
     return (out[:n].tobytes(), int(sp_len.value), bool(exact.value),
             int(n_new.value), int(n_ref.value))
+
+
+def ht_refine_encode_blocks_native(blks, causal: bool):
+    """Batched HT refinement ENCODE prep. blks: sequence of int32 [h,w]
+    arrays. Returns a per-block list of
+        (u [h,w] int32, dref bytes, sp_len, [nms0, nms1, nms2])
+    for refined blocks, None where the block keeps its single
+    full-precision cleanup pass, or "fallback" where the caller must
+    re-run the scalar prep; returns None overall when the native
+    library is unavailable."""
+    lib = get_lib()
+    if lib is None or not blks:
+        return None
+    nb = len(blks)
+    v_offs = np.zeros(nb + 1, dtype=np.int64)
+    dref_offs = np.zeros(nb + 1, dtype=np.int64)
+    ws = np.empty(nb, dtype=np.int32)
+    hs = np.empty(nb, dtype=np.int32)
+    srcs = []
+    for i, b in enumerate(blks):
+        h, w = b.shape
+        srcs.append(np.ascontiguousarray(b, dtype=np.int32).reshape(-1))
+        v_offs[i + 1] = v_offs[i] + w * h
+        dref_offs[i + 1] = dref_offs[i] + 4 * w * h + 64
+        ws[i], hs[i] = w, h
+    v = np.concatenate(srcs) if srcs else np.zeros(1, dtype=np.int32)
+    u = np.zeros(int(v_offs[-1]), dtype=np.int32)
+    dref = np.zeros(int(dref_offs[-1]), dtype=np.uint8)
+    dref_lens = np.zeros(nb, dtype=np.int64)
+    sp_lens = np.zeros(nb, dtype=np.int32)
+    nms = np.zeros(nb * 3, dtype=np.int64)
+    status = np.zeros(nb, dtype=np.int32)
+    lib.ht_refine_encode_blocks(v, v_offs, ws, hs, int(bool(causal)), nb,
+                                u, dref, dref_offs, dref_lens, sp_lens,
+                                nms, status)
+    out = []
+    for i in range(nb):
+        if status[i] == 0:
+            d0 = int(dref_offs[i])
+            out.append((u[v_offs[i]:v_offs[i + 1]].reshape(
+                            blks[i].shape),
+                        dref[d0:d0 + int(dref_lens[i])].tobytes(),
+                        int(sp_lens[i]),
+                        [int(nms[i * 3]), int(nms[i * 3 + 1]),
+                         int(nms[i * 3 + 2])]))
+        elif status[i] == 1:
+            out.append(None)
+        else:
+            out.append("fallback")
+    return out
 
 
 def p14_cat_hist_native(diffs: np.ndarray):

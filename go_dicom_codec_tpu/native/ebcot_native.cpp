@@ -4760,6 +4760,61 @@ long ht_refine_encode(const int32_t* v, int w, int h, int causal,
   return total;
 }
 
+// Batched SigProp/MagRef ENCODE prep (role: one ctypes round trip +
+// the per-codeblock thread pool for everything _prep_ht_refinement in
+// codecs/jpeg2000.py did per block with numpy temporaries): for each
+// block decide 3-pass eligibility, emit the refinement segment into
+// dref_out[dref_offs[i]..], write the cleanup source u = sign·(|v|>>1)
+// into u_out at the block's own offset, and compute the T.800 J.4
+// distortion deltas (×128 at plane 0: cleanup leaves (1-lsb) on
+// samples with |v|>1 and lsb elsewhere; SigProp removes 1 per newly-
+// significant; MagRef 1 per lsb=0 refinement — int64 wrap semantics
+// match numpy). status: 0 = refined, 1 = keep the single full-
+// precision cleanup pass (all-|v|<=1 or not exactly SigProp-reachable),
+// 2 = segment overflow (caller re-runs the scalar/Python prep).
+int ht_refine_encode_blocks(const int32_t* v, const int64_t* v_offs,
+                            const int32_t* ws, const int32_t* hs,
+                            int causal, int nb, int32_t* u_out,
+                            uint8_t* dref_out, const int64_t* dref_offs,
+                            int64_t* dref_lens, int32_t* sp_lens,
+                            int64_t* nms_out, int32_t* status) {
+  parallel_blocks(nb, batch_threads(nb), [&](int i) {
+    const int32_t* src = v + v_offs[i];
+    const long n = (long)ws[i] * hs[i];
+    bool any = false;
+    for (long k = 0; k < n && !any; k++) {
+      int64_t av = src[k] < 0 ? -(int64_t)src[k] : src[k];
+      any = av > 1;
+    }
+    if (!any) { status[i] = 1; return; }
+    uint8_t* dst = dref_out + dref_offs[i];
+    const long cap = (long)(dref_offs[i + 1] - dref_offs[i]);
+    int sp = 0, exact = 0, nnew = 0, nref = 0;
+    long len = ht_refine_encode(src, ws[i], hs[i], causal, dst, cap,
+                                &sp, &exact, &nnew, &nref);
+    if (len < 0) { status[i] = 2; return; }
+    if (!exact) { status[i] = 1; return; }
+    int64_t energy = 0, after_cp = 0;
+    int32_t* u = u_out + v_offs[i];
+    for (long k = 0; k < n; k++) {
+      const int64_t vv = src[k];
+      const int64_t av = vv < 0 ? -vv : vv;
+      energy += av * av;
+      const int64_t lsb = av & 1;
+      after_cp += av > 1 ? (lsb ^ 1) : lsb;
+      const int64_t uu = av >> 1;
+      u[k] = (int32_t)(vv < 0 ? -uu : uu);
+    }
+    dref_lens[i] = len;
+    sp_lens[i] = sp;
+    nms_out[(size_t)i * 3] = 128 * (energy - after_cp);
+    nms_out[(size_t)i * 3 + 1] = 128 * (int64_t)nnew;
+    nms_out[(size_t)i * 3 + 2] = 128 * (int64_t)nref;
+    status[i] = 0;
+  });
+  return 0;
+}
+
 }  // extern "C"
 
 // ============================================================================

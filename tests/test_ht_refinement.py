@@ -189,6 +189,23 @@ def test_batched_refined_decode_matches_scalar(rng, monkeypatch):
     assert np.array_equal(batched, img)
 
 
+def test_batched_refined_encode_matches_scalar(rng, monkeypatch):
+    """The batched native refinement prep (u + segment + distortion
+    deltas in one call) must produce byte-identical streams to the
+    per-block scalar prep."""
+    img = np.asarray(rng.integers(0, 4096, (96, 96)), dtype=np.int32)
+    p = J2KEncodeParams(htj2k=True, ht_refinement=True, num_levels=2,
+                        cb_width=32, cb_height=32, num_layers=2)
+    batched = J2KEncoder(p).encode(img, 96, 96, 1, 12)
+    from go_dicom_codec_tpu import native as nat
+    monkeypatch.setattr(nat, "ht_refine_encode_blocks_native",
+                        lambda blks, causal: None)
+    scalar = J2KEncoder(p).encode(img, 96, 96, 1, 12)
+    assert batched == scalar
+    got = np.squeeze(J2KDecoder().decode(batched)[0])
+    assert np.array_equal(got, img)
+
+
 def test_ht_refinement_stream_close_to_cleanup_only(rng):
     img = _img(rng)
     s1 = J2KEncoder(J2KEncodeParams(htj2k=True, ht_refinement=True)).encode(
