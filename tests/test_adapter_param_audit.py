@@ -17,6 +17,9 @@ EXEMPT = {
     "lossless",   # chosen by the transfer-syntax UID
     "htj2k",      # chosen by the transfer-syntax UID
     "comment",    # encoder identity string
+    "container",  # JP2/JPH file wrapper — DICOM transports RAW
+                  # codestreams (PS3.5 A.4.4), so the adapters must
+                  # never emit a boxed file; library/tools surface only
 }
 
 SENTINELS = {
