@@ -206,6 +206,15 @@ def test_batched_refined_encode_matches_scalar(rng, monkeypatch):
     assert np.array_equal(got, img)
 
 
+def test_window_decode_composes_with_refinement(rng):
+    img = np.asarray(rng.integers(0, 4096, (96, 96)), dtype=np.int32)
+    p = J2KEncodeParams(htj2k=True, ht_refinement=True, num_levels=2,
+                        cb_width=32, cb_height=32)
+    s = J2KEncoder(p).encode(img, 96, 96, 1, 12)
+    w = np.squeeze(J2KDecoder(window=(16, 16, 64, 64)).decode(s)[0])
+    assert np.array_equal(w, img[16:64, 16:64])
+
+
 def test_ht_refinement_stream_close_to_cleanup_only(rng):
     img = _img(rng)
     s1 = J2KEncoder(J2KEncodeParams(htj2k=True, ht_refinement=True)).encode(

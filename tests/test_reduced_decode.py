@@ -35,8 +35,9 @@ def _ll(img, levels, bits=12):
 
 
 @pytest.mark.parametrize("r", [1, 2, 3, 5])
-@pytest.mark.parametrize("kw", [dict(), dict(htj2k=True), dict(cb_style=0)],
-                         ids=["mq-lazy", "ht", "mq"])
+@pytest.mark.parametrize("kw", [dict(), dict(htj2k=True), dict(cb_style=0),
+                                dict(htj2k=True, ht_refinement=True)],
+                         ids=["mq-lazy", "ht", "mq", "ht-refined"])
 def test_reversible_reduce_is_the_exact_ll(r, kw):
     img = _img()
     s = J2KEncoder(J2KEncodeParams(**kw)).encode(img, 190, 200, 1, 12)
