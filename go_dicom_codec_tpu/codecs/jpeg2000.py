@@ -233,6 +233,11 @@ class J2KEncoder:
         stage while keeping the FULL header/entropy/PCRD path.
         """
         p = self.params
+        if p.container not in (None, "jp2", "jph"):
+            # fail before the (potentially multi-second) encode runs,
+            # not inside wrap_jp2 at the very end
+            raise ValueError(
+                f"container must be 'jp2' or 'jph', got {p.container!r}")
         if components < 1:
             raise UnsupportedFormatError("components must be >= 1")
         # any N encodes (reference EncodeComponents takes [][]int32 of

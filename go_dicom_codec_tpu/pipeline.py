@@ -356,6 +356,11 @@ def encode_frames_pipelined(frames, bit_depth: int = 16,
                 tlm = j2kcs.write_tlm(0, [(0, len(tp))])
             stream = (bytes(header) + tlm + tp
                       + j2kcs.EOC.to_bytes(2, "big"))
+            if enc.params.container is not None:
+                # same JP2/JPH wrapping as J2KEncoder.encode — the
+                # pipelined path must emit identical bytes per params
+                stream = j2kcs.wrap_jp2(stream,
+                                        brand=enc.params.container)
             out.append(stream)
     return out
 

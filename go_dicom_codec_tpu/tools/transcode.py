@@ -34,7 +34,10 @@ import numpy as np
 # (pixels bytes <u1/<u2, width, height, components, bit_depth, signed)
 Decoded = Tuple[bytes, int, int, int, int, bool]
 
-_JP2_MAGIC = b"\x00\x00\x00\x0cjP  \r\n\x87\n"
+
+def _jp2_magic() -> bytes:
+    from ..codestream.j2k import _JP2_SIGNATURE
+    return _JP2_SIGNATURE
 
 ALIASES = {
     "rle": "1.2.840.10008.1.2.5",
@@ -54,7 +57,7 @@ ALIASES = {
 
 def sniff(data: bytes) -> str:
     """Input format key from magic bytes."""
-    if data.startswith(_JP2_MAGIC):
+    if data.startswith(_jp2_magic()):
         return "j2k"
     if len(data) >= 4 and data[:2] == b"\xff\x4f" and data[2:4] == b"\xff\x51":
         return "j2k"
@@ -96,10 +99,13 @@ def _frame_info(w: int, h: int, comps: int, depth: int):
 
 
 def decode_any(data: bytes, *, width: int = 0, height: int = 0,
-               bits: int = 0, samples: int = 1,
-               signed: bool = False) -> Decoded:
-    """Decode any sniffable input to raw little-endian samples."""
-    kind = sniff(data)
+               bits: int = 0, samples: int = 1, signed: bool = False,
+               kind: Optional[str] = None) -> Decoded:
+    """Decode any sniffable input to raw little-endian samples.
+
+    kind overrides the magic-byte sniff — needed when raw pixel data
+    happens to look like an RLE header (--from raw)."""
+    kind = kind or sniff(data)
     if kind == "j2k":
         from ..codecs.jpeg2000 import decode_to_pixels
         return decode_to_pixels(data)
@@ -162,21 +168,34 @@ def encode_any(target: str, dec: Decoded, *, quality: int = 90,
     if uid == ALIASES["rle"]:
         from ..codecs import rle
         return rle.encode_frame(px, _frame_info(w, h, c, depth))
+    # JPEG-family coders are unsigned: signed samples travel as raw
+    # two's-complement CONTAINER bytes at the container width (the
+    # reference adapters' documented signed policy for JLS/SV1) —
+    # values like int16 -1 would otherwise overflow a <16-bit range
+    jdepth = depth if not signed else (8 if depth <= 8 else 16)
     if uid == ALIASES["baseline"]:
         from ..codecs import jpeg_baseline
+        if jdepth > 8:
+            raise ValueError(
+                f"baseline JPEG is 8-bit; input is {jdepth}-bit "
+                "(use --to extended, jls or a J2K target)")
         return jpeg_baseline.encode(px, w, h, c, quality)
     if uid == ALIASES["extended"]:
         from ..codecs import jpeg_extended
-        return jpeg_extended.encode(px, w, h, c, 12 if depth > 8 else 8,
+        if jdepth > 12:
+            raise ValueError(
+                f"extended JPEG is 12-bit; input is {jdepth}-bit "
+                "(use --to jls, p14 or a J2K target)")
+        return jpeg_extended.encode(px, w, h, c, 12 if jdepth > 8 else 8,
                                     quality)
     if uid in (ALIASES["p14"], ALIASES["sv1"]):
         from ..codecs import jpeg_lossless
         pred = 1 if uid == ALIASES["sv1"] else predictor
-        return jpeg_lossless.encode(px, w, h, c, depth, predictor=pred)
+        return jpeg_lossless.encode(px, w, h, c, jdepth, predictor=pred)
     if uid in (ALIASES["jls"], ALIASES["jls-near"]):
         from ..codecs import jpegls
         nr = near if uid == ALIASES["jls-near"] else 0
-        return jpegls.encode(px, w, h, c, depth, near=nr, ilv=ilv)
+        return jpegls.encode(px, w, h, c, jdepth, near=nr, ilv=ilv)
     if uid in (ALIASES["j2k"], ALIASES["j2k-lossy"], ALIASES["htj2k"],
                ALIASES["htj2k-lossy"], "1.2.840.10008.1.2.4.92",
                "1.2.840.10008.1.2.4.93", "1.2.840.10008.1.2.4.202"):
@@ -199,6 +218,12 @@ def main(argv=None) -> int:
     ap.add_argument("input")
     ap.add_argument("output")
     ap.add_argument("--to", required=True, help="target alias or UID")
+    ap.add_argument("--from", dest="from_kind", default=None,
+                    choices=("j2k", "jpeg-dct", "jpeg-extended",
+                             "jpeg-lossless", "jpeg-ls", "rle", "npy",
+                             "raw"),
+                    help="override input sniffing (e.g. raw samples "
+                         "whose first bytes look like an RLE header)")
     ap.add_argument("--width", type=int, default=0)
     ap.add_argument("--height", type=int, default=0)
     ap.add_argument("--bits", type=int, default=0)
@@ -216,10 +241,10 @@ def main(argv=None) -> int:
     jax.config.update("jax_platforms", "cpu")  # host tool: no TPU dispatch
 
     data = open(args.input, "rb").read()
-    kind = sniff(data)
+    kind = args.from_kind or sniff(data)
     dec = decode_any(data, width=args.width, height=args.height,
                      bits=args.bits, samples=args.samples,
-                     signed=args.signed)
+                     signed=args.signed, kind=kind)
     out = encode_any(args.to, dec, quality=args.quality, near=args.near,
                      predictor=args.predictor, ilv=args.ilv,
                      container=args.container,

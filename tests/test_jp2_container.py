@@ -171,14 +171,31 @@ def test_unwrap_hostile_boxes_never_crash():
 
 
 def test_decoder_rejects_wrapped_garbage_codestream():
-    # a well-formed container around a corrupt codestream must surface
-    # the codestream error, not a box error
-    wrapped = bytearray(j2k.wrap_jp2(_encode(_img(h=16, w=16), 8)))
-    wrapped[-7] ^= 0xFF  # flip inside the jp2c payload tail
-    try:
-        J2KDecoder().decode(bytes(wrapped))
-    except CorruptStreamError:
-        pass
+    # a well-formed container around a non-codestream payload must
+    # surface the CODESTREAM error (missing SOC), not a box error
+    wrapped = j2k.wrap_jp2(_encode(_img(h=16, w=16), 8))
+    cs = j2k.unwrap_jp2(wrapped)
+    garbage = wrapped.replace(cs, b"\x00" * len(cs))
+    with pytest.raises(CorruptStreamError, match="SOC"):
+        J2KDecoder().decode(garbage)
+
+
+def test_container_param_validated_before_encoding():
+    with pytest.raises(ValueError, match="container"):
+        J2KEncoder(J2KEncodeParams(container="jpx")).encode(
+            _img(h=16, w=16), 16, 16, 1, 8)
+
+
+def test_pipelined_encoder_honors_container():
+    from go_dicom_codec_tpu.pipeline import encode_frames_pipelined
+    imgs = np.stack([(_img(8, h=32, w=32, seed=s)).astype(np.int32)
+                     for s in range(3)])
+    p = J2KEncodeParams(container="jp2")
+    streams = encode_frames_pipelined(imgs, params=p, bit_depth=8)
+    scalar = J2KEncoder(p)
+    for s, im in zip(streams, imgs):
+        assert s.startswith(j2k._JP2_SIGNATURE)
+        assert s == scalar.encode(im, 32, 32, 1, 8)
 
 
 def test_batched_decoders_unwrap_transparently():

@@ -100,7 +100,7 @@ def test_container_output_and_uid_target(tmp_path, capsys):
     meta = json.loads(line.split("|", 1)[1])
     assert meta["from"] == "npy" and meta["bit_depth"] == 8
     data = dst.read_bytes()
-    assert data.startswith(tc._JP2_MAGIC)
+    assert data.startswith(tc._jp2_magic())
     # transparent re-decode of the wrapped file back to npy
     back = tmp_path / "back.npy"
     assert tc.main([str(dst), str(back), "--to", "npy"]) == 0
@@ -114,6 +114,48 @@ def test_container_rejected_for_non_j2k(tmp_path):
     with pytest.raises(ValueError):
         tc.main([str(src), str(tmp_path / "o.jls"), "--to", "jls",
                  "--container", "jp2"])
+
+
+def test_from_override_rescues_rle_lookalike_raw(tmp_path):
+    # raw 16-bit samples whose first bytes mimic an RLE header
+    img = _img(12, h=16, w=16, seed=1).astype("<u2")
+    img.flat[0], img.flat[1] = 5, 0  # u32le 5 => sniffed as "rle"
+    src = tmp_path / "in.raw"
+    src.write_bytes(img.tobytes())
+    assert tc.sniff(img.tobytes()) == "rle"
+    dst = tmp_path / "out.npy"
+    assert tc.main([str(src), str(dst), "--to", "npy", "--from", "raw",
+                    "--width", "16", "--height", "16", "--bits", "12"]) == 0
+    got = np.load(io.BytesIO(dst.read_bytes()))
+    np.testing.assert_array_equal(got, img.astype(np.uint16))
+
+
+def test_depth_guards_for_dct_targets(tmp_path):
+    src = tmp_path / "in.npy"
+    src.write_bytes(_npy_bytes(_img(12)))
+    with pytest.raises(ValueError, match="8-bit"):
+        tc.main([str(src), str(tmp_path / "o.jpg"), "--to", "baseline",
+                 "--bits", "12"])
+    src16 = tmp_path / "in16.npy"
+    src16.write_bytes(_npy_bytes(_img(16)))
+    with pytest.raises(ValueError, match="12-bit"):
+        tc.main([str(src16), str(tmp_path / "o.jpg"), "--to", "extended"])
+
+
+def test_signed_input_rides_container_width(tmp_path):
+    # signed samples travel as raw two's-complement container bytes at
+    # 16-bit width through the unsigned JPEG-family coders (reference
+    # adapters' signed policy) — byte-exact roundtrip
+    img = (_img(12, seed=8).astype(np.int64) - 2048).astype("<i2")
+    src = tmp_path / "in.raw"
+    src.write_bytes(img.tobytes())
+    mid = tmp_path / "m.jls"
+    assert tc.main([str(src), str(mid), "--to", "jls", "--from", "raw",
+                    "--signed", "--width", str(img.shape[1]),
+                    "--height", str(img.shape[0]), "--bits", "12"]) == 0
+    out = tmp_path / "o.raw"
+    assert tc.main([str(mid), str(out), "--to", "raw"]) == 0
+    assert out.read_bytes() == img.tobytes()
 
 
 def test_lossy_roundtrip_close(tmp_path):
