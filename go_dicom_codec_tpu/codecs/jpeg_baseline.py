@@ -238,6 +238,8 @@ def decode(data: bytes,
         marker = r.read_marker()
         if marker in expected_sofs:
             p = r.read_segment()
+            if len(p) < 6:
+                raise CorruptStreamError("truncated SOF header")
             precision = p[0]
             if precision > max_precision:
                 raise UnsupportedFormatError(
@@ -245,13 +247,18 @@ def decode(data: bytes,
             h = (p[1] << 8) | p[2]
             w = (p[3] << 8) | p[4]
             nc = p[5]
+            if w < 1 or h < 1 or nc < 1:
+                raise CorruptStreamError("invalid SOF dimensions")
             if len(p) < 6 + nc * 3:
                 raise CorruptStreamError("truncated SOF component table")
             comps = []
             for i in range(nc):
                 off = 6 + i * 3
-                comps.append((p[off], p[off + 1] >> 4, p[off + 1] & 0x0F,
-                              p[off + 2]))
+                ch, cv = p[off + 1] >> 4, p[off + 1] & 0x0F
+                if not (1 <= ch <= 4 and 1 <= cv <= 4):  # T.81 B.2.2
+                    raise CorruptStreamError(
+                        f"invalid sampling factors {ch}x{cv}")
+                comps.append((p[off], ch, cv, p[off + 2]))
             frame = (precision, w, h, comps)
         elif marker in (mk.SOF1, mk.SOF2, mk.SOF3, mk.SOF5, mk.SOF6, mk.SOF7,
                         mk.SOF9, mk.SOF10, mk.SOF11, mk.SOF13, mk.SOF14,

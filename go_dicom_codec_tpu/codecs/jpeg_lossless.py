@@ -151,10 +151,14 @@ def decode(data: bytes):
         marker = r.read_marker()
         if marker == mk.SOF3:
             p = r.read_segment()
+            if len(p) < 6:
+                raise CorruptStreamError("truncated SOF3 header")
             precision = p[0]
             h = (p[1] << 8) | p[2]
             w = (p[3] << 8) | p[4]
             nc = p[5]
+            if w < 1 or h < 1 or nc < 1 or not (2 <= precision <= 16):
+                raise CorruptStreamError("invalid SOF3 dimensions")
             if len(p) < 6 + nc * 3:
                 raise CorruptStreamError("truncated SOF3 component table")
             comps = [(p[6 + i * 3], p[8 + i * 3]) for i in range(nc)]

@@ -65,6 +65,8 @@ def decode(data: bytes):
         marker = r.read_marker()
         if marker == mk.SOF2:
             p = r.read_segment()
+            if len(p) < 6:
+                raise CorruptStreamError("truncated SOF2 header")
             precision = p[0]
             if precision != 8:
                 raise UnsupportedFormatError(
@@ -72,13 +74,18 @@ def decode(data: bytes):
             h = (p[1] << 8) | p[2]
             w = (p[3] << 8) | p[4]
             nc = p[5]
+            if w < 1 or h < 1 or nc < 1:
+                raise CorruptStreamError("invalid SOF2 dimensions")
             if len(p) < 6 + nc * 3:
                 raise CorruptStreamError("truncated SOF2 component table")
             comps = []
             for i in range(nc):
                 off = 6 + i * 3
-                comps.append((p[off], p[off + 1] >> 4, p[off + 1] & 0x0F,
-                              p[off + 2]))
+                ch, cv = p[off + 1] >> 4, p[off + 1] & 0x0F
+                if not (1 <= ch <= 4 and 1 <= cv <= 4):  # T.81 B.2.2
+                    raise CorruptStreamError(
+                        f"invalid sampling factors {ch}x{cv}")
+                comps.append((p[off], ch, cv, p[off + 2]))
             frame = (precision, w, h, comps)
         elif marker == mk.DQT:
             jc.parse_dqt(r.read_segment(), qtables)

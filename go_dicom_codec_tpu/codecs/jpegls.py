@@ -658,10 +658,14 @@ def decode(data: bytes):
         marker = r.read_marker()
         if marker == mk.SOF55:
             p = r.read_segment()
+            if len(p) < 6:
+                raise CorruptStreamError("truncated SOF55 header")
             depth = p[0]
             h = (p[1] << 8) | p[2]
             w = (p[3] << 8) | p[4]
             nc = p[5]
+            if w < 1 or h < 1 or nc < 1 or not (2 <= depth <= 16):
+                raise CorruptStreamError("invalid SOF55 dimensions")
             frame = (depth, w, h, nc)
             comp_ids = [p[6 + 3 * i] for i in range(nc)
                         if 6 + 3 * i < len(p)]

@@ -221,3 +221,56 @@ def test_select_best_predictor_horizontal_gradient():
     # perfect predictor yields bit-exact roundtrip regardless
     np.testing.assert_array_equal(
         reconstruct(encode_diffs(plane, best, 8), best, 8), plane)
+
+
+# --- hostile SOF headers must raise typed errors (fuzz trial 30795) ---
+
+def _patch_after(stream: bytes, marker: bytes, rel: int, val: int) -> bytes:
+    """Overwrite the byte `rel` positions past the 2-byte marker+length."""
+    i = stream.index(marker)
+    b = bytearray(stream)
+    b[i + 4 + rel] = val  # +2 marker, +2 length field
+    return bytes(b)
+
+
+def test_baseline_zero_sampling_factor_is_typed():
+    from go_dicom_codec_tpu.codecs import jpeg_baseline
+    img = np.arange(64 * 64, dtype=np.uint8).reshape(64, 64)
+    s = jpeg_baseline.encode(img.tobytes(), 64, 64, 1, 90)
+    # SOF0 payload: precision(1) H(2) W(2) Nf(1) then [Ci, HiVi, Tqi]
+    bad = _patch_after(s, b"\xff\xc0", 7, 0x00)  # HiVi := 0x00
+    with pytest.raises(CorruptStreamError):
+        jpeg_baseline.decode(bad)
+    bad = _patch_after(s, b"\xff\xc0", 5, 0)  # Nf := 0
+    with pytest.raises(CorruptStreamError):
+        jpeg_baseline.decode(bad)
+
+
+def test_baseline_zero_dimensions_are_typed():
+    from go_dicom_codec_tpu.codecs import jpeg_baseline
+    img = np.arange(64 * 64, dtype=np.uint8).reshape(64, 64)
+    s = jpeg_baseline.encode(img.tobytes(), 64, 64, 1, 90)
+    bad = bytearray(s)
+    i = s.index(b"\xff\xc0")
+    bad[i + 4 + 1:i + 4 + 5] = b"\x00\x00\x00\x00"  # H := 0, W := 0
+    with pytest.raises(CorruptStreamError):
+        jpeg_baseline.decode(bytes(bad))
+
+
+def test_p14_invalid_precision_is_typed():
+    from go_dicom_codec_tpu.codecs import jpeg_lossless
+    img = np.arange(32 * 32, dtype=np.uint16).reshape(32, 32) % 4096
+    s = jpeg_lossless.encode(img.astype("<u2").tobytes(), 32, 32, 1, 12,
+                             predictor=1)
+    bad = _patch_after(s, b"\xff\xc3", 0, 0)  # precision := 0
+    with pytest.raises(CorruptStreamError):
+        jpeg_lossless.decode(bad)
+
+
+def test_jls_invalid_depth_is_typed():
+    from go_dicom_codec_tpu.codecs import jpegls
+    img = np.arange(32 * 32, dtype=np.uint16).reshape(32, 32) % 4096
+    s = jpegls.encode(img.astype("<u2").tobytes(), 32, 32, 1, 12)
+    bad = _patch_after(s, b"\xff\xf7", 0, 0)  # depth := 0
+    with pytest.raises(CorruptStreamError):
+        jpegls.decode(bad)
