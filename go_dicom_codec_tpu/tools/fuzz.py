@@ -103,11 +103,17 @@ def main(argv=None) -> int:
         if fam == "j2k":
             from ..codecs.jpeg2000 import J2KDecoder
             return [lambda d: J2KDecoder().decode(d),
-                    lambda d: J2KDecoder(resilient=True).decode(d)]
+                    lambda d: J2KDecoder(resilient=True).decode(d),
+                    lambda d: J2KDecoder(resilient=True, reduce=1).decode(d),
+                    lambda d: J2KDecoder(
+                        resilient=True, window=(8, 8, 40, 40)).decode(d)]
         if fam == "jpeg":
-            from ..codecs import jpeg_extended, jpeg_lossless
-            return [lambda d: jpeg_extended.decode(d),
-                    lambda d: jpeg_lossless.decode(d)]
+            from ..codecs import (jpeg_baseline, jpeg_extended,
+                                  jpeg_lossless, jpeg_progressive)
+            return [lambda d: jpeg_baseline.decode(d),
+                    lambda d: jpeg_extended.decode(d),
+                    lambda d: jpeg_lossless.decode(d),
+                    lambda d: jpeg_progressive.decode(d)]
         if fam == "jls":
             from ..codecs import jpegls
             return [lambda d: jpegls.decode(d)]
