@@ -135,6 +135,10 @@ const uint32_t SIG_ROW4 = 7u << 15;              // stripe-below row
 
 // ---- context LUTs (generated from T.800 D.1/D.3 rules like ebcot.py) -------
 uint8_t ZC_LUT[4][512];
+// 6-bit row mask -> every-3rd-bit spread (rows -1..4 of one column to
+// its slot in the 18-bit window layout above); the T1N engine composes
+// whole window words from per-column sigma masks with three lookups.
+uint32_t SPREAD3[64];
 uint8_t SC_LUT[256];
 uint8_t SPB_LUT[256];
 bool luts_ready = false;
@@ -169,6 +173,12 @@ void build_luts_impl() {
       ZC_LUT[orient][idx] =
           (uint8_t)zc_context(w + e, n + s, nw + ne + sw + se, orient);
     }
+  for (int v = 0; v < 64; v++) {
+    uint32_t s = 0;
+    for (int r = 0; r < 6; r++)
+      if (v & (1 << r)) s |= 1u << (3 * r);
+    SPREAD3[v] = s;
+  }
   // sign coding (T.800 Table D.3)
   const int tbl[3][3][2] = {  // [hc+1][vc+1] -> {ctx, spb}
       {{13, 1}, {12, 1}, {11, 1}},
@@ -995,7 +1005,524 @@ int t1_encode_impl(const ST* src, int w, int h, int style, int orient,
   return n;
 }
 
+// ---- normalized-flag encode engine (T1N) -----------------------------------
+// Same pass semantics and byte-identical output as t1_encode_impl, but
+// the per-column state is NORMALIZED: one uint16 per stripe-column
+// holding only that column's own sigma/chi/pi/mu nibbles. The 3x6
+// neighborhood views are composed per stripe into a scratch row before
+// each scan and then carried in registers: the left column's
+// view rolls forward as a register (it is final when the scan reaches
+// column x), the right column's view is the pre-pass scratch value
+// (that column has not been visited yet), and cross-stripe rows enter
+// through the scratch composition (the stripe above is final for this
+// pass, the stripe below still holds the previous pass's state —
+// exactly the visit-time semantics of the denormalized engine).
+// A significance event updates two REGISTERS (own window + own word)
+// instead of 3-6 neighbor words in memory — the store->load web that
+// BENCHMARKS.md 4i hypothesized as the SPP/CP serializer is gone
+// entirely. MEASURED RESULT (kept as the experiment's record): this is
+// 4-5% SLOWER on dense/textured 512^2 content and ~14% slower on
+// sparse blocks (the per-stripe compose + per-column window assembly
+// costs more than the removed stores ever did), refuting the
+// hypothesis: the OOO core absorbs the neighbor-store web for free and
+// the serial MQ chain is the whole wall. Byte-identity with the
+// default engine is pinned in tests/test_native.py.
+//   word bits: 0-3 sigma(rows 0..3) | 4-7 chi | 8-11 pi | 12-15 mu
+//   view bits (v6/c6): row r at bit r+1 for r in -1..4
+template <typename MT>
+struct T1N {
+  static constexpr int MSBIT = sizeof(MT) * 8 - 1;
+  static constexpr MT MSB = (MT)1 << MSBIT;
+  static constexpr MT MAGMASK = MSB - 1;
+
+  int w, h, nstripes, stride;
+  std::vector<uint16_t> S;      // (nstripes + 2) x (w + 2), padded
+  std::vector<MT> dataS;        // stripe-column packed: [st][x][4 rows]
+  std::vector<uint8_t> v6, c6;  // per-stripe composed views, [-1..w]
+
+  T1N(int w_, int h_) : w(w_), h(h_) {
+    nstripes = (h + 3) / 4;
+    stride = w + 2;
+    S.assign((size_t)(nstripes + 2) * stride, 0);
+    dataS.assign((size_t)nstripes * w * 4, 0);
+    v6.assign((size_t)stride, 0);
+    c6.assign((size_t)stride, 0);
+  }
+  inline uint16_t* row(int st) {  // indexed by x in [-1, w]
+    return S.data() + (size_t)(st + 1) * stride + 1;
+  }
+  inline MT* col(int st, int x) {
+    return dataS.data() + ((size_t)st * w + x) * 4;
+  }
+  // Compose the sigma/chi views for stripe st. Row -1 comes from the
+  // stripe above (final for this pass), rows 0..3 from this stripe's
+  // pre-pass words, row 4 from the stripe below (previous-pass state).
+  // AVX2: 16 columns per iteration (the sweep runs once per stripe per
+  // pass, so its cost is on the per-COLUMN critical path).
+  inline void compose(int st) {
+    const uint16_t* up = row(st) - stride - 1;  // include the left pad
+    const uint16_t* cur = row(st) - 1;
+    const uint16_t* dn = row(st) + stride - 1;
+    uint8_t* vp = v6.data();
+    uint8_t* cp = c6.data();
+    int n = stride, x = 0;
+#if defined(__AVX2__)
+    const __m256i m1 = _mm256_set1_epi16(1);
+    const __m256i mF = _mm256_set1_epi16(0xF);
+    for (; x + 16 <= n; x += 16) {
+      __m256i u = _mm256_loadu_si256((const __m256i*)(up + x));
+      __m256i c = _mm256_loadu_si256((const __m256i*)(cur + x));
+      __m256i d = _mm256_loadu_si256((const __m256i*)(dn + x));
+      __m256i v = _mm256_or_si256(
+          _mm256_or_si256(
+              _mm256_and_si256(_mm256_srli_epi16(u, 3), m1),
+              _mm256_slli_epi16(_mm256_and_si256(c, mF), 1)),
+          _mm256_slli_epi16(_mm256_and_si256(d, m1), 5));
+      __m256i ch = _mm256_or_si256(
+          _mm256_or_si256(
+              _mm256_and_si256(_mm256_srli_epi16(u, 7), m1),
+              _mm256_slli_epi16(
+                  _mm256_and_si256(_mm256_srli_epi16(c, 4), mF), 1)),
+          _mm256_slli_epi16(
+              _mm256_and_si256(_mm256_srli_epi16(d, 4), m1), 5));
+      // pack 16-bit values (all <= 0x3F) to bytes, fixing lane order
+      __m256i vp8 = _mm256_permute4x64_epi64(
+          _mm256_packus_epi16(v, _mm256_setzero_si256()), 0xD8);
+      __m256i cp8 = _mm256_permute4x64_epi64(
+          _mm256_packus_epi16(ch, _mm256_setzero_si256()), 0xD8);
+      _mm_storeu_si128((__m128i*)(vp + x),
+                       _mm256_castsi256_si128(vp8));
+      _mm_storeu_si128((__m128i*)(cp + x),
+                       _mm256_castsi256_si128(cp8));
+    }
+#endif
+    for (; x < n; x++) {
+      uint32_t u = up[x], c = cur[x], d = dn[x];
+      vp[x] = (uint8_t)(((u >> 3) & 1) | ((c & 0xFu) << 1) |
+                        ((d & 1) << 5));
+      cp[x] = (uint8_t)(((u >> 7) & 1) | (((c >> 4) & 0xFu) << 1) |
+                        (((d >> 4) & 1) << 5));
+    }
+  }
+  // 18-bit window for one column, identical to the denormalized
+  // engine's f sigma bits — composed on demand for columns that have
+  // coding work, so the scan reads contexts with the SAME two-op nb9
+  // slice and ZC_LUT. dl is the left column's this-pass sigma delta.
+  static inline uint32_t window(const uint8_t* vv, int x, uint32_t dl) {
+    return SPREAD3[vv[x - 1] | dl] | (SPREAD3[vv[x]] << 1) |
+           (SPREAD3[vv[x + 1]] << 2);
+  }
+};
+
+// SC/SPB LUT index from the window word (sigma; same slices as
+// sc_index_cf's f) and the chi views (the LUTs are shared).
+inline int sc_index_w(uint32_t W, uint32_t c6l, uint32_t c6c,
+                      uint32_t c6r, int j, bool vsc) {
+  uint32_t w_sig = (W >> (3 * j + 3)) & 1;
+  uint32_t n_sig = (W >> (3 * j + 1)) & 1;
+  uint32_t e_sig = (W >> (3 * j + 5)) & 1;
+  uint32_t s_sig = (vsc && j == 3) ? 0 : ((W >> (3 * j + 7)) & 1);
+  uint32_t w_chi = (c6l >> (j + 1)) & 1;
+  uint32_t n_chi = (c6c >> j) & 1;
+  uint32_t e_chi = (c6r >> (j + 1)) & 1;
+  uint32_t s_chi = (c6c >> (j + 2)) & 1;
+  return (int)((w_sig << 3) | (w_sig & w_chi)
+               | (n_sig << 1) | ((n_sig & n_chi) << 4)
+               | (e_sig << 5) | ((e_sig & e_chi) << 2)
+               | (s_sig << 7) | ((s_sig & s_chi) << 6));
+}
+
+template <typename MT, bool VSC, bool NM, typename ST>
+int t1_encode_impl_n(const ST* src, int w, int h, int style, int orient,
+                     int roishift, uint8_t* out, int out_cap,
+                     int* numbps_out, int* npasses_out, int* pass_rates,
+                     uint8_t* pass_terms, int* pass_bitplanes,
+                     int* pass_nmsedec, int max_passes) {
+  constexpr MT MSB = T1N<MT>::MSB;
+  constexpr MT MAGMASK = T1N<MT>::MAGMASK;
+  constexpr int MSBIT = T1N<MT>::MSBIT;
+  build_luts();
+  build_nmse();
+  T1N<MT> t(w, h);
+  int nstripes = t.nstripes;
+  uint64_t maxabs = 0;
+  std::vector<MT> colmag((size_t)nstripes * w, 0);
+  for (int st = 0; st < nstripes; st++)
+    for (int x = 0; x < w; x++) {
+      MT* c = t.col(st, x);
+      MT m = 0;
+      for (int j = 0; j < 4; j++) {
+        int y = st * 4 + j;
+        int64_t v = y < h ? (int64_t)src[(size_t)y * w + x] : 0;
+        uint64_t av = (uint64_t)(v < 0 ? -v : v);
+        c[j] = (MT)av | (v < 0 ? MSB : (MT)0);
+        m |= (MT)av;
+      }
+      colmag[(size_t)st * w + x] = m;
+      if ((uint64_t)m > maxabs) maxabs = (uint64_t)m;
+    }
+  int numbps = 0;
+  while (maxabs > 0) { numbps++; maxabs >>= 1; }
+  MQEnc mq;
+  mq.reserve_hint((size_t)w * h + 512);
+  if (numbps == 0) {
+    mq.flush();
+    *numbps_out = 0; *npasses_out = 0;
+    int n = mq.num_bytes();
+    if (n > out_cap) return -1;
+    memcpy(out, mq.buf.data() + 1, n);
+    return n;
+  }
+  int maxbp = numbps - 1;
+  mq.ctx[CTX_UNI] = 46; mq.ctx[CTX_RL] = 3; mq.ctx[0] = 4;
+  std::vector<uint8_t> stripe_done((size_t)nstripes, 0);
+  std::vector<uint8_t> stripe_refss((size_t)nstripes, 0);
+
+  int pass_type = 2, bitplane = maxbp, pass_idx = 0;
+  bool prev_term = false;
+  const uint8_t* zc = ZC_LUT[orient];
+  constexpr bool vsc = VSC;
+
+  while (bitplane >= 0 && pass_idx < max_passes) {
+    if (pass_type == 0 || (pass_type == 2 && pass_idx == 0)) {
+      for (auto& s : t.S) s &= 0xF0FFu;  // clear pi
+      if (roishift > 0 && bitplane >= roishift) {
+        pass_type = 0; bitplane--; continue;
+      }
+    }
+    bool raw = lazy_raw(bitplane, maxbp, pass_type, style);
+    if (prev_term) {
+      if (raw) mq.bypass_init(); else mq.restart_init();
+      prev_term = false;
+    }
+
+    int64_t nm = 0;
+    if (pass_type == 0) {  // SPP
+      for (int st = 0; st < nstripes; st++) {
+        if (stripe_done[st]) continue;
+        int hh = h - st * 4; if (hh > 4) hh = 4;
+        uint16_t* Sr = t.row(st);
+        t.compose(st);
+        const uint8_t* vv = t.v6.data() + 1;
+        const uint8_t* cc = t.c6.data() + 1;
+        uint32_t dprev = 0;     // this-pass sigma delta of column x-1
+        uint32_t c6l = cc[-1];
+        for (int x = 0; x < w; x++) {
+          // bulk skip: when the left column did not change this pass
+          // and the next 9 scratch views are zero, columns x..x+7 have
+          // empty windows — SPP codes nothing there, no flags change
+          while (x + 8 <= w && !dprev) {
+            uint64_t a, b;
+            memcpy(&a, vv + x, 8);
+            memcpy(&b, vv + x + 1, 8);
+            if ((uint64_t)vv[x - 1] | a | b) break;
+            x += 8; c6l = 0;
+          }
+          if (x >= w) break;
+          uint32_t vl = vv[x - 1] | dprev;
+          if (!(vl | vv[x] | vv[x + 1])) { dprev = 0; c6l = cc[x]; continue; }
+          uint32_t word = Sr[x];
+          if (hh == 4 && (word & 0xFu) == 0xFu) {
+            dprev = 0; c6l = cc[x]; continue;  // steady: all significant
+          }
+          uint32_t W = t.window(vv, x, dprev);
+          const MT* c = t.col(st, x);
+          uint32_t c6c = cc[x], c6r = cc[x + 1];
+          uint32_t delta = 0;
+          uint32_t todo = ~word & ((1u << hh) - 1);
+          while (todo) {
+            int j = __builtin_ctz(todo);
+            todo &= todo - 1;
+            uint32_t g = nb9(W, j, vsc);
+            if (!(g & 0x1EFu)) continue;             // no sig neighbor
+            MT m = c[j];
+            uint64_t av = (uint64_t)(m & MAGMASK);
+            int sig = (int)((av >> bitplane) & 1);
+            if (raw) mq.bypass_encode(sig);
+            else mq.encode(sig, zc[g]);
+            word |= 1u << (8 + j);                   // pi: coded in SPP
+            if (sig) {
+              int sign = (int)(m >> MSBIT);
+              if (raw) mq.bypass_encode(sign);
+              else {
+                int si = sc_index_w(W, c6l, c6c, c6r, j, vsc);
+                mq.encode(sign ^ SPB_LUT[si], SC_LUT[si]);
+              }
+              W |= 2u << (3 * (j + 1));
+              delta |= 1u << (j + 1);
+              word |= 1u << j;
+              if (sign) { word |= 1u << (4 + j); c6c |= 1u << (j + 1); }
+              if (NM) nm += nmsedec_sig(av, bitplane);
+            }
+          }
+          Sr[x] = (uint16_t)word;
+          dprev = delta;
+          c6l = c6c;
+        }
+      }
+    } else if (pass_type == 1) {  // MRP
+      for (int st = 0; st < nstripes; st++) {
+        int hh = h - st * 4; if (hh > 4) hh = 4;
+        uint16_t* Sr = t.row(st);
+        if (hh == 4 && !stripe_refss[st]) {
+          bool all = true;
+          for (int x = 0; x < w; x++)
+            if ((Sr[x] & 0xFF0Fu) != 0xF00Fu) { all = false; break; }
+          stripe_refss[st] = all ? 1 : 0;
+        }
+        if (stripe_refss[st]) {
+          // whole-stripe steady state: 4*w consecutive magnitude bits
+          const MT* cb = t.col(st, 0);
+          if (raw) {
+            int x = 0;
+            for (; x + 8 <= w; x += 8) {
+              const MT* c = cb + (size_t)4 * x;
+              uint32_t v;
+#if defined(__AVX2__)
+              if constexpr (!NM && sizeof(MT) == 4) {
+                v = gather_plane_bits32(c, bitplane);
+              } else
+#endif
+              {
+                v = 0;
+                for (int k = 0; k < 32; k++) {
+                  uint64_t av = (uint64_t)(c[k] & MAGMASK);
+                  v = (v << 1) | (uint32_t)((av >> bitplane) & 1);
+                  if (NM) nm += nmsedec_ref(av, bitplane);
+                }
+              }
+              mq.bypass_encode_n(v, 32);
+            }
+            for (; x < w; x++) {
+              const MT* c = cb + (size_t)4 * x;
+              uint32_t nib = 0;
+              for (int j = 0; j < 4; j++) {
+                uint64_t av = (uint64_t)(c[j] & MAGMASK);
+                nib = (nib << 1) | (uint32_t)((av >> bitplane) & 1);
+                if (NM) nm += nmsedec_ref(av, bitplane);
+              }
+              mq.bypass_encode_n(nib, 4);
+            }
+          } else {
+            uint8_t s16 = mq.ctx[16];
+            for (int x = 0; x < w; x++) {
+              const MT* c = cb + (size_t)4 * x;
+              for (int j = 0; j < 4; j++) {
+                uint64_t av = (uint64_t)(c[j] & MAGMASK);
+                mq.encode_s((int)((av >> bitplane) & 1), s16);
+                if (NM) nm += nmsedec_ref(av, bitplane);
+              }
+            }
+            mq.ctx[16] = s16;
+          }
+          continue;
+        }
+        t.compose(st);
+        const uint8_t* vv = t.v6.data() + 1;
+        for (int x = 0; x < w; x++) {
+          // bulk skip: four columns with no significant sample (sigma
+          // never changes during MRP, so the scratch windows stay exact)
+          while (x + 4 <= w) {
+            uint64_t m;
+            memcpy(&m, Sr + x, 8);
+            if (m & 0x000F000F000F000FULL) break;
+            x += 4;
+          }
+          if (x >= w) break;
+          uint32_t word = Sr[x];
+          if (!(word & 0xFu)) continue;
+          const MT* c = t.col(st, x);
+          if (hh == 4 && (word & 0xFF0Fu) == 0xF00Fu) {
+            // steady state: all significant + refined + untouched
+            if (raw) {
+              uint32_t nib = 0;
+              for (int j = 0; j < 4; j++) {
+                uint64_t av = (uint64_t)(c[j] & MAGMASK);
+                nib = (nib << 1) | (uint32_t)((av >> bitplane) & 1);
+                if (NM) nm += nmsedec_ref(av, bitplane);
+              }
+              mq.bypass_encode_n(nib, 4);
+            } else {
+              uint8_t s16 = mq.ctx[16];
+              for (int j = 0; j < 4; j++) {
+                uint64_t av = (uint64_t)(c[j] & MAGMASK);
+                mq.encode_s((int)((av >> bitplane) & 1), s16);
+                if (NM) nm += nmsedec_ref(av, bitplane);
+              }
+              mq.ctx[16] = s16;
+            }
+            continue;
+          }
+          uint32_t W = t.window(vv, x, 0);
+          uint32_t todo = (word & ~(word >> 8)) & ((1u << hh) - 1);
+          while (todo) {
+            int j = __builtin_ctz(todo);
+            todo &= todo - 1;
+            uint64_t av = (uint64_t)(c[j] & MAGMASK);
+            int bit = (int)((av >> bitplane) & 1);
+            if (raw) mq.bypass_encode(bit);
+            else {
+              int ctx;
+              if (word & (1u << (12 + j))) ctx = 16;
+              else ctx = nb9(W, j, vsc) & 0x1EFu ? 15 : 14;
+              mq.encode(bit, ctx);
+            }
+            word |= 1u << (12 + j);          // mu: refined once
+            if (NM) nm += nmsedec_ref(av, bitplane);
+          }
+          Sr[x] = (uint16_t)word;
+        }
+      }
+    } else {  // CP
+      for (int st = 0; st < nstripes; st++) {
+        if (stripe_done[st]) continue;
+        int hh = h - st * 4; if (hh > 4) hh = 4;
+        bool full = hh == 4;
+        uint16_t* Sr = t.row(st);
+        t.compose(st);
+        const uint8_t* vv = t.v6.data() + 1;
+        const uint8_t* cc = t.c6.data() + 1;
+        uint32_t dprev = 0, c6l = cc[-1];
+        constexpr uint32_t vmask6 = VSC ? 0x1Fu : 0x3Fu;
+        for (int x = 0; x < w; x++) {
+          uint32_t vl = vv[x - 1] | dprev;
+          uint32_t vany = (vl | vv[x] | vv[x + 1]) & vmask6;
+          uint32_t word = Sr[x];
+          if (full && !(vany | (word & 0xF00u))) {
+            // untouched all-insignificant column: run-length mode
+            const uint64_t cm = (uint64_t)colmag[(size_t)st * w + x];
+            if (!((cm >> bitplane) & 1)) {
+              mq.encode(0, CTX_RL);
+              dprev = 0; c6l = cc[x]; continue;
+            }
+            const MT* c = t.col(st, x);
+            int rl_pos = 0;
+            while (!((((uint64_t)(c[rl_pos] & MAGMASK)) >> bitplane) & 1))
+              rl_pos++;
+            mq.encode(1, CTX_RL);
+            mq.encode((rl_pos >> 1) & 1, CTX_UNI);
+            mq.encode(rl_pos & 1, CTX_UNI);
+            uint32_t W = t.window(vv, x, dprev);
+            uint32_t c6c = cc[x], c6r = cc[x + 1];
+            uint32_t delta = 0;
+            bool partial = true;
+            for (int j = rl_pos; j < 4; j++) {
+              MT m = c[j];
+              uint64_t av = (uint64_t)(m & MAGMASK);
+              int sig;
+              if (partial) { sig = 1; partial = false; }
+              else {
+                sig = (int)((av >> bitplane) & 1);
+                mq.encode(sig, zc[nb9(W, j, vsc)]);
+              }
+              if (sig) {
+                int sign = (int)(m >> MSBIT);
+                int si = sc_index_w(W, c6l, c6c, c6r, j, vsc);
+                mq.encode(sign ^ SPB_LUT[si], SC_LUT[si]);
+                W |= 2u << (3 * (j + 1));
+                delta |= 1u << (j + 1);
+                word |= 1u << j;
+                if (sign) { word |= 1u << (4 + j); c6c |= 1u << (j + 1); }
+                if (NM) nm += nmsedec_sig(av, bitplane);
+              }
+            }
+            Sr[x] = (uint16_t)word;
+            dprev = delta;
+            c6l = c6c;
+            continue;
+          }
+          if ((word & 0xFu) == 0xFu) {
+            Sr[x] = (uint16_t)(word & 0xF0FFu);  // steady: clear pi
+            dprev = 0; c6l = cc[x];
+            continue;
+          }
+          const MT* c = t.col(st, x);
+          uint32_t W = t.window(vv, x, dprev);
+          uint32_t c6c = cc[x], c6r = cc[x + 1];
+          uint32_t delta = 0;
+          uint32_t todo = ~word & ~(word >> 8) & ((1u << hh) - 1);
+          while (todo) {
+            int j = __builtin_ctz(todo);
+            todo &= todo - 1;
+            MT m = c[j];
+            uint64_t av = (uint64_t)(m & MAGMASK);
+            int sig = (int)((av >> bitplane) & 1);
+            mq.encode(sig, zc[nb9(W, j, vsc)]);
+            if (sig) {
+              int sign = (int)(m >> MSBIT);
+              int si = sc_index_w(W, c6l, c6c, c6r, j, vsc);
+              mq.encode(sign ^ SPB_LUT[si], SC_LUT[si]);
+              W |= 2u << (3 * (j + 1));
+              delta |= 1u << (j + 1);
+              word |= 1u << j;
+              if (sign) { word |= 1u << (4 + j); c6c |= 1u << (j + 1); }
+              if (NM) nm += nmsedec_sig(av, bitplane);
+            }
+          }
+          Sr[x] = (uint16_t)(word & 0xF0FFu);    // clear pi like the model
+          dprev = delta;
+          c6l = c6c;
+        }
+        if (full) {
+          bool done = true;
+          for (int x = 0; x < w; x++)
+            if ((Sr[x] & 0xFu) != 0xFu) { done = false; break; }
+          stripe_done[st] = done ? 1 : 0;
+        }
+      }
+      if (style & S_SEGSYM) {
+        mq.encode(1, CTX_UNI); mq.encode(0, CTX_UNI);
+        mq.encode(1, CTX_UNI); mq.encode(0, CTX_UNI);
+      }
+    }
+
+    bool term = terminating(bitplane, maxbp, pass_type, style);
+    if (term) {
+      if (raw) mq.bypass_flush(style & S_PTERM);
+      else if (style & S_PTERM) mq.erterm();
+      else mq.flush();
+      prev_term = true;
+    }
+    pass_rates[pass_idx] = mq.num_bytes();
+    pass_terms[pass_idx] = term ? 1 : 0;
+    pass_bitplanes[pass_idx] = bitplane;
+    pass_nmsedec[pass_idx] = (int)nm;
+
+    if (style & S_RESET) {
+      memset(mq.ctx, 0, NUMCTX);
+      mq.ctx[CTX_UNI] = 46; mq.ctx[CTX_RL] = 3; mq.ctx[0] = 4;
+    }
+    pass_idx++;
+    if (pass_type == 2) { pass_type = 0; bitplane--; } else pass_type++;
+  }
+
+  if (!prev_term) mq.flush();
+  int n = mq.num_bytes();
+  if (pass_idx > 0) {
+    pass_rates[pass_idx - 1] = n;
+    pass_terms[pass_idx - 1] = 1;
+  }
+  *numbps_out = numbps;
+  *npasses_out = pass_idx;
+  if (n > out_cap) return -1;
+  memcpy(out, mq.buf.data() + 1, n);
+  return n;
+}
+
 }  // namespace
+
+// engine select: the denormalized column-flags engine (default) vs the
+// normalized-flag T1N experiment (byte-identical; see struct T1N).
+// GDCT_T1_ENGINE=1 opts into T1N; env-read per call so one process can
+// A/B both. T1N is kept as a measured NEGATIVE result: removing every
+// in-scan neighbor store (the BENCHMARKS.md 4i "store->load web"
+// hypothesis) is 4-5% SLOWER on dense/textured 512^2 and ~14% on
+// sparse blocks — the scan is not store-bound, the serial MQ chain is
+// the wall (experiment #10 in BENCHMARKS.md 4i).
+static bool t1n_engine() {
+  const char* e = getenv("GDCT_T1_ENGINE");
+  return e && e[0] == '1';
+}
 
 template <typename MT, typename ST>
 static int t1_encode_vsc_nm(const ST* src, int w, int h, int style,
@@ -1005,6 +1532,25 @@ static int t1_encode_vsc_nm(const ST* src, int w, int h, int style,
                             int* pass_bitplanes, int* pass_nmsedec,
                             int max_passes, int need_nmse) {
   const bool vsc = (style & S_VSC) != 0;
+  if (t1n_engine()) {
+    if (need_nmse)
+      return vsc ? t1_encode_impl_n<MT, true, true>(
+                       src, w, h, style, orient, roishift, out, out_cap,
+                       numbps_out, npasses_out, pass_rates, pass_terms,
+                       pass_bitplanes, pass_nmsedec, max_passes)
+                 : t1_encode_impl_n<MT, false, true>(
+                       src, w, h, style, orient, roishift, out, out_cap,
+                       numbps_out, npasses_out, pass_rates, pass_terms,
+                       pass_bitplanes, pass_nmsedec, max_passes);
+    return vsc ? t1_encode_impl_n<MT, true, false>(
+                     src, w, h, style, orient, roishift, out, out_cap,
+                     numbps_out, npasses_out, pass_rates, pass_terms,
+                     pass_bitplanes, pass_nmsedec, max_passes)
+               : t1_encode_impl_n<MT, false, false>(
+                     src, w, h, style, orient, roishift, out, out_cap,
+                     numbps_out, npasses_out, pass_rates, pass_terms,
+                     pass_bitplanes, pass_nmsedec, max_passes);
+  }
   if (need_nmse)
     return vsc ? t1_encode_impl<MT, true, true>(
                      src, w, h, style, orient, roishift, out, out_cap,

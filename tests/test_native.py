@@ -966,3 +966,28 @@ def test_codec_streams_thread_pool_byte_identity(rng, monkeypatch):
             reg.get_codec(uid).decode(enc, dec)
             got[th] = (enc.get_frame(0), dec.get_frame(0))
         assert got["1"] == got["4"], uid
+
+
+# --- T1N normalized-flag engine (kept negative experiment) -------------------
+# GDCT_T1_ENGINE=1 opts into the store-free normalized engine
+# (ebcot_native.cpp struct T1N). It measured SLOWER (BENCHMARKS.md 4i
+# experiment #10) and is non-default, but its byte-identity with the
+# default engine is pinned here so the in-tree record stays correct.
+
+@pytest.mark.parametrize("style", [0, STYLE_LAZY, STYLE_VSC,
+                                   STYLE_LAZY | STYLE_TERMALL | STYLE_RESET
+                                   | STYLE_VSC | STYLE_SEGSYM])
+def test_t1n_engine_byte_identity(style, rng, monkeypatch):
+    for (h, w), mag, roi in [((64, 64), 1 << 12, 0), ((64, 64), 4, 0),
+                             ((33, 29), 1 << 8, 0), ((64, 61), 1 << 12, 8),
+                             ((5, 7), 1 << 29, 0), ((16, 1), 1 << 12, 0)]:
+        data = rng.integers(-mag, mag, (h, w)).astype(np.int64)
+        if mag == 4:
+            data[rng.random((h, w)) < 0.9] = 0
+        for orient in (0, 2):
+            monkeypatch.delenv("GDCT_T1_ENGINE", raising=False)
+            a = t1_encode_native(data, style, orient, roi, need_nmse=1)
+            monkeypatch.setenv("GDCT_T1_ENGINE", "1")
+            b = t1_encode_native(data, style, orient, roi, need_nmse=1)
+            monkeypatch.delenv("GDCT_T1_ENGINE")
+            assert a == b
