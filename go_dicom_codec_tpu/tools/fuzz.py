@@ -65,13 +65,20 @@ def main(argv=None) -> int:
                    dict(htj2k=True, ht_refinement=True),
                    dict(lossless=False, quality=60),
                    dict(packed_headers=True, use_sop=True, use_eph=True,
-                        plt_markers=True)):
+                        plt_markers=True),
+                   dict(tile_width=32, tile_height=32, tlm_markers=True),
+                   dict(progression=j2k.PROG_PCRL, num_layers=2)):
             s = J2KEncoder(J2KEncodeParams(
                 num_levels=2, cb_width=32, cb_height=32, **kw)
             ).encode(img, 64, 64, 1, 12)
             corpus.append(("j2k", s))
             corpus.append(("j2k", j2k.wrap_jp2(
                 s, brand="jph" if kw.get("htj2k") else "jp2")))
+        rgb = np.stack([img % 256, (img // 16) % 256,
+                        (img // 7) % 256], axis=-1).astype(np.int32)
+        corpus.append(("j2k", J2KEncoder(J2KEncodeParams(
+            num_levels=2, cb_width=32, cb_height=32)).encode(
+                rgb.reshape(-1, 3), 64, 64, 3, 8)))
     if "jpeg" in fams:
         from ..codecs import jpeg_baseline, jpeg_extended, jpeg_lossless
         corpus.append(("jpeg", jpeg_baseline.encode(
