@@ -1360,6 +1360,24 @@ def _sop_resync(body, start: int, cur_idx: int, npackets: int):
     return None
 
 
+def _require_decodable_depths(siz: j2k.SizInfo) -> None:
+    """Reject component depths the int32 reconstruction cannot carry.
+
+    T.800 A.5.1 allows Ssiz precision up to 38 bits (the parser accepts
+    that full range for inspection tools), but every decode path here
+    reconstructs into int32 — the inverse DC shift alone adds
+    1 << (depth-1), which leaves the int32 range at depth 32. A header
+    declaring more (in practice only corrupted streams do; fuzz trial
+    seed_base=26000000 --only 27624 found an OverflowError here) must
+    fail typed at the entry point, not crash mid-decode.
+    """
+    for depth, _, _, _ in siz.components:
+        if depth > 31:
+            raise UnsupportedFormatError(
+                f"component depth {depth} exceeds the int32 "
+                "reconstruction range (max 31)")
+
+
 class J2KDecoder:
     """Codestream decoder (reference decoder.go:91-124, tile_decoder.go).
 
@@ -1401,6 +1419,7 @@ class J2KDecoder:
         """→ (array [H, W, C] int32, SizInfo, CodInfo)."""
         cs = j2k.parse_codestream(data)
         siz = cs.siz
+        _require_decodable_depths(siz)
         ncomp = len(siz.components)
         depth0, signed0, _, _ = siz.components[0]
 
@@ -2165,6 +2184,7 @@ def decode_to_packed_tiles(data: bytes, reduce: int = 0):
     """
     cs = j2k.parse_codestream(data)
     siz = cs.siz
+    _require_decodable_depths(siz)
     ncomp = len(siz.components)
     # General-Scaling ROI: the COM-carried geometry unshift runs on the
     # packed coefficients BEFORE the device stage (same site the scalar
@@ -2249,9 +2269,9 @@ def decode_to_component_tiles(data: bytes):
     Raises UnsupportedFormatError for Part-2 custom MCT streams (those
     are uniform by construction — decode_to_packed_tiles carries them).
     """
-    from ..errors import UnsupportedFormatError
     cs = j2k.parse_codestream(data)
     siz = cs.siz
+    _require_decodable_depths(siz)
     ncomp = len(siz.components)
     if cs.mct_segments or cs.mcc_segments or cs.mco_segments:
         raise UnsupportedFormatError(

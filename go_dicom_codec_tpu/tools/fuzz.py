@@ -12,8 +12,12 @@ transcode sniffer must classify every corpus without raising.
 
 Usage:
     python -m go_dicom_codec_tpu.tools.fuzz [--trials N] [--only T]
-        [--families j2k,jpeg,jls,rle]
-Prints FUZZ| JSON lines; exit 1 on any failure.
+        [--families j2k,jpeg,jls,rle] [--seed-base B]
+Prints FUZZ| JSON lines; exit 1 on any failure. --seed-base (default
+77000) offsets every trial's RNG stream so fresh campaigns explore new
+corruption space while staying replayable: a failure at trial T under
+base B reproduces with `--seed-base B --only T`. The summary line
+records the base used.
 """
 
 from __future__ import annotations
@@ -43,6 +47,7 @@ def main(argv=None) -> int:
     ap.add_argument("--only", type=int, default=None,
                     help="re-run a single trial index")
     ap.add_argument("--families", default="j2k,jpeg,jls,rle")
+    ap.add_argument("--seed-base", type=int, default=77000)
     args = ap.parse_args(argv)
     fams = set(args.families.split(","))
 
@@ -79,21 +84,35 @@ def main(argv=None) -> int:
         corpus.append(("j2k", J2KEncoder(J2KEncodeParams(
             num_levels=2, cb_width=32, cb_height=32)).encode(
                 rgb.reshape(-1, 3), 64, 64, 3, 8)))
+    rgb8 = np.stack([img8, (img8 * 3) % 251, (img8 * 7) % 251],
+                    axis=-1).astype(np.uint8)
     if "jpeg" in fams:
         from ..codecs import jpeg_baseline, jpeg_extended, jpeg_lossless
         corpus.append(("jpeg", jpeg_baseline.encode(
             img8.tobytes(), 64, 64, 1, 90)))
+        corpus.append(("jpeg", jpeg_baseline.encode(
+            rgb8.reshape(-1, 3).tobytes(), 64, 64, 3, 75)))
         corpus.append(("jpeg", jpeg_extended.encode(
             (img % 4096).astype("<u2").tobytes(), 64, 64, 1, 12)))
         corpus.append(("jpeg", jpeg_lossless.encode(
             (img % 4096).astype("<u2").tobytes(), 64, 64, 1, 12,
             predictor=4)))
+        corpus.append(("jpeg", jpeg_lossless.encode(
+            (img % 65536).astype("<u2").tobytes(), 64, 64, 1, 16,
+            predictor=7)))
+        # SV1-shaped stream: predictor 1, multi-component 8-bit
+        corpus.append(("jpeg", jpeg_lossless.encode(
+            rgb8.reshape(-1, 3).tobytes(), 64, 64, 3, 8, predictor=1)))
     if "jls" in fams:
         from ..codecs import jpegls
         corpus.append(("jls", jpegls.encode(
             (img % 4096).astype("<u2").tobytes(), 64, 64, 1, 12)))
         corpus.append(("jls", jpegls.encode(
             (img % 4096).astype("<u2").tobytes(), 64, 64, 1, 12, near=2)))
+        # all three T.87 interleave modes over a 3-component frame
+        for ilv in (0, 1, 2):
+            corpus.append(("jls", jpegls.encode(
+                rgb8.reshape(-1, 3).tobytes(), 64, 64, 3, 8, ilv=ilv)))
     if "rle" in fams:
         from ..codecs import rle
         from ..frames import FrameInfo
@@ -134,7 +153,7 @@ def main(argv=None) -> int:
     fails = 0
     t0 = time.time()
     for t in trials:
-        rng = np.random.default_rng(77000 + t)
+        rng = np.random.default_rng(args.seed_base + t)
         fam, base = corpus[t % len(corpus)]
         data = _corrupt(rng, base, blobs, t % 3)
         for dec in decoders_for(fam):
@@ -154,8 +173,8 @@ def main(argv=None) -> int:
             fails += 1
     print("FUZZ|" + json.dumps({
         "trials": len(list(trials)), "families": sorted(fams),
-        "corpus_streams": len(corpus), "failures": fails,
-        "seconds": round(time.time() - t0, 1)}))
+        "corpus_streams": len(corpus), "seed_base": args.seed_base,
+        "failures": fails, "seconds": round(time.time() - t0, 1)}))
     return 1 if fails else 0
 
 

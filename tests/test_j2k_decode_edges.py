@@ -282,3 +282,33 @@ def test_packed_decode_rejects_qcc_irreversible(rng):
     assert arr.shape == (32, 32, 3)
     with pytest.raises(UnsupportedFormatError):
         decode_to_packed(s2)
+
+
+def test_hostile_siz_depth_rejected_typed():
+    """Fuzz-found (campaign seed_base=26000000, trial 27624): a bit flip
+    in Ssiz can declare a 32-38-bit component — legal per T.800 A.5.1,
+    beyond the int32 reconstruction (inv DC shift adds 1 << (depth-1)).
+    Every decode entry must reject it typed instead of overflowing
+    mid-decode."""
+    from go_dicom_codec_tpu.codecs.jpeg2000 import (
+        J2KDecoder, decode_to_component_tiles, decode_to_packed_tiles)
+    from go_dicom_codec_tpu.errors import UnsupportedFormatError
+
+    rng = np.random.default_rng(7)
+    _, data = _encode(rng, h=32, w=32)
+    i = data.find(b"\xff\x51")
+    assert i >= 0
+    ssiz_off = i + 40  # marker+Lsiz+Rsiz + 8 u32 geometry fields + Csiz
+    assert data[ssiz_off] == 11  # 12-bit unsigned encode
+    hostile = data[:ssiz_off] + bytes([33]) + data[ssiz_off + 1:]  # 34-bit
+    for fn in (lambda d: J2KDecoder().decode(d),
+               lambda d: J2KDecoder(resilient=True).decode(d),
+               decode_to_packed_tiles,
+               decode_to_component_tiles):
+        with pytest.raises(UnsupportedFormatError):
+            fn(hostile)
+    # depth 31 stays within int32 and must still be accepted (the parser
+    # itself allows through 38 for inspection tools)
+    legal = data[:ssiz_off] + bytes([30]) + data[ssiz_off + 1:]
+    arr, _, _ = J2KDecoder(resilient=True).decode(legal)
+    assert arr.shape == (32, 32, 1)
