@@ -36,6 +36,19 @@ def _corrupt(rng, base: bytes, others, mode: int) -> bytes:
         return bytes(b)
     if mode == 1:
         return bytes(b[:int(rng.integers(1, len(b)))])
+    if mode == 3:
+        # marker-targeted: mutate the bytes right after a 0xFF marker
+        # (segment lengths / header fields), which reaches parser edge
+        # cases uniform flips hit only rarely
+        marks = [i for i, v in enumerate(b) if v == 0xFF]
+        if marks:
+            at = marks[int(rng.integers(0, len(marks)))]
+            for _ in range(int(rng.integers(1, 5))):
+                j = at + 1 + int(rng.integers(0, 8))
+                if j < len(b):
+                    b[j] ^= int(rng.integers(1, 256))
+            return bytes(b)
+        mode = 2  # no marker byte (can't happen in practice): splice
     other = others[int(rng.integers(0, len(others)))]
     cut = int(rng.integers(0, min(len(b), len(other))))
     return bytes(b[:cut]) + bytes(other[cut:])
@@ -155,7 +168,7 @@ def main(argv=None) -> int:
     for t in trials:
         rng = np.random.default_rng(args.seed_base + t)
         fam, base = corpus[t % len(corpus)]
-        data = _corrupt(rng, base, blobs, t % 3)
+        data = _corrupt(rng, base, blobs, t % 4)
         for dec in decoders_for(fam):
             try:
                 dec(data)
